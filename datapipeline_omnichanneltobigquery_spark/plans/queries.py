@@ -1,0 +1,230 @@
+"""The engine's query catalog: every operator as (Spark builder, SQL oracle).
+
+Each entry is one operator/capability from SURVEY.md §2 (reference-derived or
+extension).  The Spark side is the engine; the oracle is the ANSI-SQL
+contract DuckDB executes over the same parquet for the driver's t2
+correctness gate.  Conventions that make the hash-compare deterministic:
+
+* every computed column is aliased IDENTICALLY on both sides;
+* money aggregates go through DECIMAL (order-independent) — see
+  :mod:`datapipeline_omnichanneltobigquery_spark.functions.scalars`;
+* top-k always carries a unique-key tie-break;
+* timestamps that cross the compare boundary are formatted to strings.
+
+Registry use::
+
+    QUERIES["q1_pricing_summary"](spark, sf_dir)  -> DataFrame
+    ORACLES["q1_pricing_summary"]                 -> SQL str (or absent)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_omnichanneltobigquery_spark.functions.scalars import money, money_avg, money_sum
+from datapipeline_omnichanneltobigquery_spark.operators.normalize import cast_columns, sort_by_created_at
+from datapipeline_omnichanneltobigquery_spark.operators.upsert import upsert
+from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query builder and (optionally) its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship + relational core (SURVEY.md §7 M0, §2.2 joins/aggs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_monthly_revenue",
+    oracle="""
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS order_month,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def flagship_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M0 flagship: scan→filter(pushdown)→join(shuffle on orderkey)→agg→month.
+
+    At 100 TB: the o_orderdate filter reaches the parquet row groups
+    (PushedFilters), the orders↔lineitem join is a sort-merge shuffle on the
+    join key (both sides huge), and the month agg is partial+final.  Revenue
+    is decimal-exact (see functions.scalars).
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"))
+        .agg(
+            F.sum(money(F.col("l_extendedprice")) * (F.lit(1) - money(F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide hash-aggregate.
+
+    One scan (filter pushed to parquet), one shuffle for final agg; all eight
+    aggregates computed in a single HashAggregate pair.
+    """
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    ep, disc, tax, qty = (F.col(c) for c in ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum(qty).alias("sum_qty"),
+        money_sum(ep).alias("sum_base_price"),
+        F.sum(money(ep) * (F.lit(1) - money(disc))).cast("double").alias("sum_disc_price"),
+        F.sum(money(ep) * (F.lit(1) - money(disc)) * (F.lit(1) + money(tax)))
+        .cast("double")
+        .alias("sum_charge"),
+        money_avg(qty).alias("avg_qty"),
+        money_avg(ep).alias("avg_price"),
+        money_avg(disc).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-fidelity operators (SURVEY.md §2.1 T1-T3, O1, F1, K3, O2)
+# ---------------------------------------------------------------------------
+
+_CAST_ORACLE = """
+    SELECT CAST(event_id AS BIGINT) AS id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_at,
+           CAST(user_id AS BIGINT) AS user_id,
+           COALESCE(CAST(event_type AS VARCHAR), '') AS event_type
+    FROM events
+"""
+
+
+@query("cast_policy", oracle=_CAST_ORACLE)
+def cast_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T3: the name-driven cast policy over the events table, with the
+    reference's column names mapped on (id=int branch, created_at=date
+    branch, event_type=string branch).  One narrow projection, no shuffle."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("created_at"),
+        "user_id",
+        "event_type",
+    )
+    return cast_columns(ev)
+
+
+@query("sort_by_created_at", oracle=_CAST_ORACLE)
+def sort_by_created_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global ASC sort, nulls last (range-partition exchange + local
+    sort).  The value-hash is order-insensitive, so the oracle is the same
+    set; ordering itself is asserted in tests/test_normalize.py."""
+    return sort_by_created_at(cast_policy(spark, sf_dir))
+
+
+@query(
+    "event_time_filter",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def event_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: the event-time range filter (the reference pushes it to its API;
+    here it pushes into the parquet scan — check PushedFilters)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.filter(F.col("ts").between("2024-01-10 00:00:00", "2024-01-20 00:00:00")).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "upsert_merge",
+    oracle="""
+    WITH staging AS (
+        SELECT event_id, user_id, event_type, value * 2 AS value
+        FROM events WHERE event_id % 10 < 3
+    )
+    SELECT t.event_id, t.user_id, t.event_type, t.value
+    FROM events t
+    WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.event_id = t.event_id)
+    UNION ALL
+    SELECT event_id, user_id, event_type, value FROM staging
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: MERGE-on-key as anti-join + unionByName.  Staging is ~30% of main
+    here; at scale the increment is small → broadcast anti-join, zero shuffle
+    of the 100 TB side (broadcast_staging=True exercised in tests)."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    staging = ev.filter(F.col("event_id") % 10 < 3).withColumn("value", F.col("value") * 2)
+    return upsert(ev, staging, key="event_id")
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/top-k: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    heap + driver merge of k rows, never a global sort.  Unique-key
+    tie-break keeps it deterministic."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory with engine-wide defaults.
+
+The configs here are the ones that matter at 100 TB just as much as on
+``local[*]``:
+
+* AQE on — runtime re-planning (coalesce shuffle partitions, skew-join
+  splitting, dynamic broadcast) is the single biggest lever for plans whose
+  statistics are wrong at plan time.
+* ``nanosAsLong`` — the driver testdata's ``events.ts`` column is parquet
+  TIMESTAMP(NANOS), which Spark 4 refuses to read natively; we read nanos as
+  long and convert to microsecond timestamps in the reader
+  (:func:`datapipeline_omnichanneltobigquery_spark.sources.tables.read_table`).
+* Arrow enabled — every Pandas-UDF boundary (multimodal ops) moves data in
+  Arrow batches, not pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "datapipeline_omnichanneltobigquery_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``shuffle_partitions`` defaults to 2× local cores, which keeps every core
+    busy through AQE coalescing; on a real cluster you would size it to
+    ~2-3× total executor cores and let AQE coalesce down.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,90 @@
+"""Catalog-backed sinks: the reference's BigQueryManager surface on Spark.
+
+Maps omnichannel_to_bq.py:125-201 onto the Spark catalog:
+
+* ``import_to_table`` (CSV load, autodetect, WRITE_TRUNCATE, :143-165)
+  → :func:`overwrite_table` — a direct ``saveAsTable(mode='overwrite')``,
+  keeping the types that were just cast instead of round-tripping text;
+* staging→MERGE→drop lifecycle (:296-301) → :func:`upsert_into_table`;
+* ``list_tables`` (:132-141) → ``spark.catalog.listTables``;
+* ``drop_table`` (not_found_ok, :193-201) → ``DROP TABLE IF EXISTS``;
+* post-load COUNT(*) verification (:159, :186) → :func:`row_count`.
+
+For an actual BigQuery deployment the same DataFrames go through
+``df.write.format('bigquery')`` (spark-bigquery-connector); that writer is
+isolated in :mod:`datapipeline_omnichanneltobigquery_spark.sinks.bigquery`
+behind an import guard because the connector jar and credentials are
+deployment concerns, not engine semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_omnichanneltobigquery_spark.operators.upsert import upsert
+
+
+def overwrite_table(df: DataFrame, name: str) -> int:
+    """Create-or-truncate load (WRITE_TRUNCATE, :147-152) + count verify (:159).
+
+    Parquet managed table: at cluster scale the write is parallel per
+    partition; no driver materialization.
+    """
+    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    return row_count(df.sparkSession, name)
+
+
+def upsert_into_table(
+    spark: SparkSession,
+    staging_df: DataFrame,
+    main_table: str,
+    key: str = "id",
+    staging_table: str = "__staging",
+    broadcast_staging: bool = True,
+) -> int:
+    """The full reference update path (:296-301): write staging, MERGE into
+    main on ``key``, drop staging; returns the merged row count (:186).
+
+    The merge itself is the anti-join + union plan from
+    :func:`datapipeline_omnichanneltobigquery_spark.operators.upsert.upsert`;
+    the result replaces the main table atomically via an overwrite of a
+    staged result (read → plan → write-new, never read-while-overwrite).
+    """
+    staging_df.write.mode("overwrite").format("parquet").saveAsTable(staging_table)
+    staging = spark.table(staging_table)
+    main = spark.table(main_table)
+    merged = upsert(main, staging, key=key, broadcast_staging=broadcast_staging)
+    # Materialize before overwriting the table the plan reads from.
+    merged.cache()
+    merged.count()
+    merged.write.mode("overwrite").format("parquet").saveAsTable(f"{main_table}__merged")
+    spark.sql(f"DROP TABLE IF EXISTS {main_table}")
+    spark.sql(f"ALTER TABLE {main_table}__merged RENAME TO {main_table}")
+    merged.unpersist()
+    drop_table(spark, staging_table)
+    return row_count(spark, main_table)
+
+
+def list_tables(spark: SparkSession, db: str | None = None) -> list[str]:
+    """:132-141 — names of tables in the (current) database."""
+    return [t.name for t in spark.catalog.listTables(db)]
+
+
+def drop_table(spark: SparkSession, name: str) -> bool:
+    """:193-201 — drop-if-exists, never raises."""
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        return True
+    except Exception:
+        return False
+
+
+def row_count(spark: SparkSession, name: str) -> int:
+    """:159/:186 — SELECT COUNT(*) verification."""
+    return spark.table(name).agg(F.count(F.lit(1)).alias("cnt")).collect()[0]["cnt"]
+
+
+def table_columns(spark: SparkSession, name: str) -> list[str]:
+    """:169-175 — schema introspection driving merge column lists."""
+    return spark.table(name).columns

@@ -1,0 +1,85 @@
+"""Parquet/CSV/JSON table readers over the driver testdata layout.
+
+The reference's only source is a paginated REST API
+(omnichannel_to_bq.py:33-61, handled in
+:mod:`datapipeline_omnichanneltobigquery_spark.sources.paginated`); file scans
+are the engine extension that makes everything else testable and is the
+natural 100 TB substrate: columnar parquet scans get predicate pushdown,
+column pruning, and partition pruning from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark (with
+# spark.sql.legacy.parquet.nanosAsLong=true) surfaces as epoch-nanos LongType.
+# We convert to TimestampType at microsecond precision — identical truncation
+# to what DuckDB applies when it reads the same file, so oracles agree.
+_NANOS_TS_COLUMNS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame.
+
+    Plain ``spark.read.parquet`` so filters/projections placed on the result
+    push down into the scan (check ``PushedFilters`` in ``.explain``).
+    """
+    if name in _NANOS_TS_COLUMNS:
+        # Runtime-settable; required on sessions not built by get_spark()
+        # (e.g. the driver's own session) or the scan rejects TIMESTAMP(NANOS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # Integer division: epoch-nanos exceed double's 2^53 exact range,
+            # so a float divide would occasionally shift the microsecond.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every testdata table; keys match DuckDB oracle view names."""
+    return {name: read_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` can address them."""
+    for name, df in read_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV scan; explicit schema preferred (autodetect re-inference is the
+    reference's load-path weakness — omnichannel_to_bq.py:145-152 round-trips
+    through CSV + BigQuery autodetect, losing the types it just cast)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan with optional explicit schema (sampled inference
+    otherwise); nested structs are preserved, unlike the reference which
+    stringifies them (omnichannel_to_bq.py:96)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,82 @@
+"""Simulate the driver's verify: smoke entry() at sf0.001, then run every
+queries() entry at sf0.01 against its oracle_sql() twin in DuckDB with a
+row-count + schema + order-insensitive value compare.
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from datapipeline_omnichanneltobigquery_spark.session import get_spark
+from datapipeline_omnichanneltobigquery_spark.sources.tables import TABLES
+from tests.helpers import canon_rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="driver_sim")
+
+    print("== t1 smoke: entry(spark) @ sf0.001 ==")
+    t0 = time.time()
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    print(f"entry -> {len(rows)} rows, schema={df.columns}, {time.time()-t0:.1f}s")
+    assert len(rows) > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    print(f"\n== t2 correctness: {len(queries)} queries @ {sf_dir} "
+          f"({len(oracles)} with oracle) ==")
+    n_fail = 0
+    for name in sorted(queries):
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+            if name not in oracles:
+                print(f"  {name:34s} rows-only: {len(srows):>7} rows   {time.time()-t0:5.1f}s")
+                continue
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = [tuple(r) for r in rel.fetchall()]
+            status = []
+            if sorted(scols) != sorted(dcols):
+                status.append(f"SCHEMA {sorted(scols)} vs {sorted(dcols)}")
+            if len(srows) != len(drows):
+                status.append(f"COUNT {len(srows)} vs {len(drows)}")
+            if not status:
+                _, sr = canon_rows(scols, srows)
+                _, dr = canon_rows(dcols, drows)
+                bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+                if bad:
+                    status.append(f"VALUES {len(bad)} mismatched rows, first: {bad[0]}")
+            if status:
+                n_fail += 1
+                print(f"  {name:34s} FAIL: {'; '.join(status)}")
+            else:
+                print(f"  {name:34s} OK: {len(srows):>7} rows match   {time.time()-t0:5.1f}s")
+        except Exception:
+            n_fail += 1
+            print(f"  {name:34s} ERROR:")
+            traceback.print_exc()
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
