@@ -1,1 +1,4 @@
 from datapipeline_omnichanneltobigquery_spark.plans.queries import QUERIES, ORACLES, query  # noqa: F401
+
+# Importing registers each module's queries into the shared registry.
+from datapipeline_omnichanneltobigquery_spark.plans import relational  # noqa: F401, E402
