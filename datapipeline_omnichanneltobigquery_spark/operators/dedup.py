@@ -1,0 +1,382 @@
+"""Deduplication operators — exact, keep-latest, MinHash-LSH, SimHash,
+n-gram Jaccard (SURVEY.md §2.2 extension surface; north-star LLM-pipeline
+ops).
+
+All variants are pure DataFrame compositions (no Python in the hot path) and
+all hashing routes through md5 (functions/hashing.py) so every step has a
+bitwise-identical DuckDB oracle — each Spark builder here has a
+``*_sql(...)`` twin that emits the equivalent SQL from the SAME constants.
+
+Scale design (the whole point of these ops at 100 TB):
+
+* exact dedup = hash aggregation on the dedup key — one shuffle, partial
+  aggregation upstream;
+* keep-latest = row_number over (key, order) — one shuffle on key;
+* MinHash: shingle explosion is map-side; signatures are a single groupBy
+  (shuffle on doc_id); LSH banding turns all-pairs O(n²) into an equi-join
+  on (band, band-key) buckets, and only bucket-mates reach the verifier;
+* SimHash: map-side fingerprint, candidate pairs via 15-bit block equi-join
+  (pigeonhole: hamming ≤ 12 on 60 bits → some 15-bit block equal);
+* n-gram Jaccard: the shingle inverted index IS the blocking — pairs that
+  share no shingle are never materialized.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from datapipeline_omnichanneltobigquery_spark.functions.hashing import (
+    MERSENNE_P,
+    _minhash_params,
+    md5_long,
+    md5_long_sql,
+)
+
+# ---------------------------------------------------------------------------
+# Exact + keep-latest
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, subset: list[str], keep_min: str) -> DataFrame:
+    """Exact dedup: one row per distinct ``subset``, keeping the MIN value of
+    ``keep_min`` (deterministic, unlike dropDuplicates' arbitrary winner).
+    Plan: partial+final hash aggregate — one shuffle on the dedup key."""
+    return df.groupBy(*subset).agg(F.min(keep_min).alias(keep_min))
+
+
+def dedup_keep_latest(
+    df: DataFrame, key: str, order_col: str, tie_break: str | None = None
+) -> DataFrame:
+    """One row per key, keeping the latest by ``order_col`` (ties broken by
+    ``tie_break`` descending, then the key) — the reference's repeated
+    MERGE-by-id across loads collapses to exactly this when replayed in one
+    batch (omnichannel_to_bq.py:176-182)."""
+    order = [F.col(order_col).desc()]
+    if tie_break:
+        order.append(F.col(tie_break).desc())
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by MinHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_array(text: Column, n: int) -> Column:
+    """Array of n-word shingles of the lower-cased, whitespace-split text;
+    empty array when the doc has fewer than n tokens."""
+    w = F.split(F.trim(F.lower(text)), r"\s+")
+    count = F.size(w) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index building block.
+    Explosion is map-side; DISTINCT shuffles on (id, shingle)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingles_sql(table: str, id_col: str, text_col: str, n: int) -> str:
+    """DuckDB twin of :func:`shingles` (as a CTE body)."""
+    return f"""
+    toks AS (SELECT {id_col} AS id,
+                    regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+             FROM {table}),
+    sh AS (SELECT DISTINCT id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+           FROM toks, UNNEST(range(1, len(w) - {n - 2})) AS u(i))
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard over the shingle inverted index.
+
+    intersection counts come from the shingle self-join (only co-occurring
+    pairs exist), union = |A|+|B|-∩; one integer division at the end keeps it
+    engine-exact.  Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("ic").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("ic")).cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_sql(table: str, id_col: str, text_col: str, n: int, threshold: float) -> str:
+    return f"""
+    WITH {_shingles_sql(table, id_col, text_col, n)},
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16, seed: int = 42
+) -> DataFrame:
+    """(id, mh_0..mh_{K-1}): MinHash signature per document.
+
+    One groupBy(id) over the exploded shingles computes all K mins in a
+    single partial+final aggregate — the signature never needs a second pass.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    h = md5_long(F.col("shingle")).cast("decimal(38,0)")
+    aggs = [
+        F.min(((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).cast("bigint")).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def _band_key(num_hashes: int, rows_per_band: int, band: int) -> Column:
+    cols = [F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]
+    return F.concat_ws(",", *[c.cast("string") for c in cols])
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash → LSH bands → bucket equi-join → exact-Jaccard verification.
+
+    shingle → minhash → band → bucket-join is the canonical near-dedup
+    pipeline: candidates are pairs agreeing on at least one band
+    (P(candidate | J=s) = 1-(1-s^r)^b), then candidates are verified with the
+    exact Jaccard so the output is deterministic and threshold-precise.
+    Returns (id_a, id_b, jaccard).
+    """
+    num_bands = num_hashes // rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"), _band_key(num_hashes, rows_per_band, i).alias("key"))
+        for i in range(num_bands)
+    ])
+    keyed = sig.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def minhash_near_dup_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`minhash_near_dup_pairs`, generated from the same
+    hash constants (HUGEINT stands in for decimal(38,0))."""
+    num_bands = num_hashes // rows_per_band
+    params = _minhash_params(num_hashes, seed)
+    mh_exprs = ",\n             ".join(
+        f"MIN(CAST((CAST(h60 AS HUGEINT) * {a} + {b}) % {MERSENNE_P} AS BIGINT)) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n        UNION ALL\n".join(
+        "        SELECT id, {band} AS band, concat_ws(',', {cols}) AS key FROM sig".format(
+            band=i,
+            cols=", ".join(
+                f"CAST(mh_{i * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
+        )
+        for i in range(num_bands)
+    )
+    return f"""
+    WITH {_shingles_sql(table, id_col, text_col, n)},
+    hashed AS (SELECT id, {md5_long_sql("shingle")} AS h60 FROM sh),
+    sig AS (SELECT id,
+             {mh_exprs}
+            FROM hashed GROUP BY id),
+    keyed AS (
+{band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM keyed a JOIN keyed b
+               ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    WHERE CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # fits signed BIGINT on both engines
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash, frequency-weighted (the textbook Charikar/Manku form):
+    bit j of the fingerprint is the sign of Σ_tokens tf(token)·(2·bit_j(h) − 1).
+    Term weighting is what makes near-identical documents land at small
+    hamming distance; an unweighted distinct-token variant is far noisier.
+
+    Implemented by exploding (token × bit) and re-aggregating — shuffles on
+    id only, all integer arithmetic, engine-exact.  (A single-pass variant
+    with 60 CASE aggregates avoids the bit explosion at scale; explode keeps
+    the plan identical to the SQL oracle and profiles fine through sf0.1.)
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("id", md5_long(F.col("tok")).alias("h"), "tf")
+    )
+    bits = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        "h",
+        "tf",
+    ).select(
+        "id",
+        "j",
+        # shiftright with a column shift amount needs the SQL form
+        ((F.expr("shiftright(h, j) & 1") * 2 - 1) * F.col("tf")).alias("s"),
+    )
+    maj = bits.groupBy("id", "j").agg(F.sum("s").alias("ssum"))
+    return maj.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("ssum") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_fingerprints_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    WITH toks0 AS (SELECT {id_col} AS id,
+                          UNNEST(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS tok
+                   FROM {table}),
+    toks AS (SELECT id, {md5_long_sql("tok")} AS h, COUNT(*) AS tf
+             FROM toks0 WHERE tok <> '' GROUP BY id, tok),
+    bits AS (SELECT id, j, (((h >> j) & 1) * 2 - 1) * tf AS s
+             FROM toks, UNNEST(range(0, {SIMHASH_BITS})) AS u(j)),
+    maj AS (SELECT id, j, SUM(s) AS ssum FROM bits GROUP BY id, j)
+    SELECT id, SUM(CASE WHEN ssum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+    FROM maj GROUP BY id
+    """
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 12
+) -> DataFrame:
+    """SimHash near-dup: candidates share one of four 15-bit blocks
+    (pigeonhole guarantees recall for hamming ≤ 12 when blocks are chosen as
+    60/4; equality on any block is the LSH bucket), verified by exact
+    ``bit_count(xor) <= max_hamming``.  Returns (id_a, id_b, hamming)."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    blocks = F.array(*[
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftright(F.col("simhash"), 15 * b).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"),
+        )
+        for b in range(4)
+    ])
+    keyed = fp.select("id", "simhash", F.explode(blocks).alias("bk")).select(
+        "id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_pairs_sql(table: str, id_col: str, text_col: str, max_hamming: int = 12) -> str:
+    fp = simhash_fingerprints_sql(table, id_col, text_col)
+    return f"""
+    WITH fp AS ({fp}),
+    keyed AS (SELECT id, simhash, blk, (simhash >> (15 * blk)) & 32767 AS key
+              FROM fp, UNNEST(range(0, 4)) AS u(blk))
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.key = b.key AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: binary payloads + typed metadata, processed
+through Arrow-batched Pandas UDFs (SURVEY.md §2.2 extension surface).
+
+Design for 100 TB of images/audio/video:
+
+* the payload is an opaque ``binary`` column riding next to typed metadata
+  (modality, format, width/height/duration) — never exploded into rows;
+* decode / feature-extract / resize / frame-sample run as ``mapInPandas``
+  stages: Arrow moves each partition into Python in columnar batches, the
+  UDF works on a whole batch, and partition sizing (``maxPartitionBytes``,
+  ``arrow.maxRecordsPerBatch``) bounds executor memory — no per-row pickling;
+* real codecs (Pillow/ffmpeg/torchaudio) are NOT in this container, so the
+  decode kernels are stubbed: :func:`decode_image` raises
+  ``NotImplementedError`` by design, and :func:`fake_decode_meta` provides a
+  deterministic stand-in (md5-derived dimensions) so the Spark-side plumbing
+  — schema, batching, UDF signatures — is fully real and testable.
+
+The ``attach_payload`` helper manufactures binary columns from text so the
+pipeline has bytes to move in this environment; with real data you'd read
+``binaryFile`` sources or parquet with BYTE_ARRAY payload columns instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+PAYLOAD_SCHEMA = (
+    "doc_id bigint, modality string, fmt string, payload binary, n_bytes bigint"
+)
+META_SCHEMA = (
+    "doc_id bigint, modality string, n_bytes bigint, width int, height int, ok boolean"
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture a deterministic binary payload column (utf-8 bytes of the
+    text) with modality metadata — the test stand-in for real media bytes."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image").alias("modality"),
+        F.lit("fake/utf8").alias("fmt"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Real image decode kernel — requires Pillow, which this container does
+    not ship.  The mapInPandas pipeline around it is real; swap this function
+    for ``PIL.Image.open(io.BytesIO(payload)).size`` in deployment."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: derive (width, height) from the
+    payload's md5 — stable across engines/runs, exercises the full plumbing."""
+    import hashlib
+
+    h = hashlib.md5(payload).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    return width, height
+
+
+def extract_meta(payloads: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """mapInPandas metadata extraction over binary payloads.
+
+    Arrow-batched: each partition arrives as pandas DataFrame batches; the
+    kernel runs per batch (vectorizable), output schema is declared up front
+    so Catalyst plans downstream ops without running Python.
+    """
+    kernel = decode_image if use_real_codec else fake_decode_meta
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [kernel(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "ok": True,
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=META_SCHEMA)
+
+
+def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' over binary payloads: emit one row per sampled offset
+    (for video this is the keyframe-stride pattern; here offsets into the
+    payload).  Demonstrates the 1→N mapInPandas expansion with bounded
+    output batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_off, out_b = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for off in range(0, len(payload), every_n_bytes):
+                    out_id.append(doc_id)
+                    out_off.append(off)
+                    out_b.append(int(payload[off]))
+            yield pd.DataFrame({"doc_id": out_id, "offset": out_off, "first_byte": out_b})
+
+    return payloads.mapInPandas(run, schema="doc_id bigint, offset bigint, first_byte int")

@@ -59,20 +59,31 @@ CANONICAL_TS_FMT = "yyyy-MM-dd HH:mm:ss"  # :90 "%Y-%m-%d %H:%M:%S"
 def _to_ts(col: Column, dtype: str) -> Column:
     """Parse-with-coercion to timestamp (pandas to_datetime errors='coerce').
 
-    ``to_timestamp`` already returns NULL on unparseable strings under ANSI
-    off; timestamps/dates pass through a no-op cast.
+    ``try_to_timestamp`` returns NULL on unparseable strings regardless of
+    the session's ANSI setting (Spark 4 is ANSI-on by default, where plain
+    ``to_timestamp`` would THROW — the reference's contract is coerce).
     """
     if dtype.startswith("timestamp") or dtype == "date":
         return col.cast("timestamp")
     if dtype in ("bigint", "int", "double", "float"):
         # numeric epoch-seconds interpretation, matching pd.to_datetime units
         return F.timestamp_seconds(col)
-    return F.to_timestamp(col)
+    return F.try_to_timestamp(col)
 
 
 def int_rule(col: Column) -> Column:
-    """INT branch (:80-85): numeric parse, invalid→NULL, 64-bit."""
-    return col.try_cast("bigint")
+    """INT branch (:80-85): numeric parse, invalid→NULL, 64-bit.
+
+    Fractional inputs ('3.7') parse numerically then truncate toward zero.
+    (Documented deviation: pandas ``astype('Int64')`` on a non-integral
+    float raises, which would abort the WHOLE column's cast at :84 — a
+    footgun, not a semantic.  Integer strings take the exact bigint path,
+    so values beyond 2^53 never round through double.)
+    """
+    return F.coalesce(
+        col.try_cast("bigint"),
+        col.try_cast("double").try_cast("bigint"),
+    )
 
 
 def date_rule(col: Column, dtype: str = "string") -> Column:

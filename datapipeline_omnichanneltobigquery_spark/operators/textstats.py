@@ -1,0 +1,160 @@
+"""Text analysis operators: quality scoring, language ID, token counting,
+document fingerprinting (SURVEY.md §2.2 extension surface).
+
+Everything is built-in-function expressions inside WholeStageCodegen — the
+classic mistake in text pipelines is a row-at-a-time Python UDF per doc;
+none of these need one.  Each operator has a same-named ``*_sql`` DuckDB
+twin for the oracle gate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long, md5_long_sql
+
+# Tiny per-language function-word profiles (public common stopwords).  The
+# heuristic scores each language by profile-word hits per token and argmaxes;
+# deterministic tie-break by profile order.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "que", "dans"),
+    "es": ("el", "la", "de", "que", "los", "una", "es", "en", "por", "con"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+}
+
+# A BPE-ish tokenizer regex: words, numbers, or single non-space symbols —
+# the shape GPT-style byte-pair pretokenizers use (public pattern family).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _ws_tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: char/token counts, mean word length,
+    alpha & punctuation & stopword ratios, plus a composite [0,1] score
+    (heuristics in the C4/Gopher-rules family).  One projection, no shuffle.
+    """
+    text = F.col(text_col)
+    toks = _ws_tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])))
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    mean_word_len = n_alpha.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    # composite: long enough, mostly alphabetic, not punctuation soup
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + alpha_ratio * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_alpha.cast("bigint").alias("n_alpha"),
+        n_punct.cast("bigint").alias("n_punct"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def text_quality_sql(table: str, id_col: str, text_col: str) -> str:
+    stops = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    t = text_col
+    return f"""
+    SELECT {id_col},
+           length({t}) AS n_chars,
+           len(regexp_split_to_array(trim(lower({t})), '\\s+')) AS n_tokens,
+           length(regexp_replace(lower({t}), '[^a-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace({t}, '[^.,;:!?]', '', 'g')) AS n_punct,
+           len(list_intersect(regexp_split_to_array(trim(lower({t})), '\\s+'),
+                              [{stops}])) AS stop_hits,
+           CAST(length(regexp_replace(lower({t}), '[^a-z]', '', 'g')) AS DOUBLE)
+             / CAST(greatest(len(regexp_split_to_array(trim(lower({t})), '\\s+')), 1) AS DOUBLE)
+             AS mean_word_len,
+           CAST(length(regexp_replace(lower({t}), '[^a-z]', '', 'g')) AS DOUBLE)
+             / CAST(greatest(length({t}), 1) AS DOUBLE) AS alpha_ratio,
+           least(CAST(len(regexp_split_to_array(trim(lower({t})), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+             + CAST(length(regexp_replace(lower({t}), '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length({t}), 1) AS DOUBLE) * 0.4
+             + (1.0 - least(CAST(length(regexp_replace({t}, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                            / CAST(greatest(length({t}), 1) AS DOUBLE) * 10.0, 1.0)) * 0.2
+             AS quality_score
+    FROM {table}
+    """
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """N-gram/function-word language ID heuristic: hits per profile, argmax
+    with deterministic profile-order tie-break.  Emits the winning language
+    and its hit count."""
+    toks = _ws_tokens(F.col(text_col))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias(f"hits_{lang}")
+        for lang, words in LANG_PROFILES.items()
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = list(LANG_PROFILES)
+    # argmax via greatest + chained when (first profile wins ties)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pick = None
+    for lang in langs:
+        cond = F.col(f"hits_{lang}") == best
+        pick = F.when(cond, F.lit(lang)) if pick is None else pick.when(cond, F.lit(lang))
+    return scored.select(F.col(id_col), pick.alias("lang_pred"), best.cast("bigint").alias("lang_hits"))
+
+
+def lang_id_sql(table: str, id_col: str, text_col: str) -> str:
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    hits = {
+        lang: f"len(list_intersect({toks}, [{', '.join(repr(w) for w in words)}]))"
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {expr} = {best} THEN '{lang}'" for lang, expr in hits.items()
+    ) + " END"
+    return f"SELECT {id_col}, {case} AS lang_pred, {best} AS lang_hits FROM {table}"
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens and BPE-ish regex tokens per document — the
+    budget/estimation primitive for training-data pipelines."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(_ws_tokens(text)).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def token_counts_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    SELECT {id_col},
+           len(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}')) AS bpe_tokens
+    FROM {table}
+    """
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical document fingerprint: md5-based 60-bit id over the
+    whitespace-normalized lower-cased text — the exact-dedup join key that
+    costs 8 bytes instead of the document."""
+    canon = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(F.col(id_col), md5_long(canon).alias("fp"))
+
+
+def fingerprint_sql(table: str, id_col: str, text_col: str) -> str:
+    canon = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    return f"SELECT {id_col}, {md5_long_sql(canon)} AS fp FROM {table}"

@@ -2,3 +2,5 @@ from datapipeline_omnichanneltobigquery_spark.plans.queries import QUERIES, ORAC
 
 # Importing registers each module's queries into the shared registry.
 from datapipeline_omnichanneltobigquery_spark.plans import relational  # noqa: F401, E402
+from datapipeline_omnichanneltobigquery_spark.plans import llm_ops  # noqa: F401, E402
+from datapipeline_omnichanneltobigquery_spark.plans import events_ops  # noqa: F401, E402

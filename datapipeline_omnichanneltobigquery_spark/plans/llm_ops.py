@@ -1,0 +1,186 @@
+"""LLM-training-data pipeline queries: dedup family, similarity search,
+text analysis, multimodal plumbing (SURVEY.md §2.2 / §7 M5; BASELINE.json
+north star).
+
+The Spark builders live in operators/{dedup,similarity,textstats,multimodal};
+oracles are generated from the SAME constants by the operators' ``*_sql``
+twins, so Spark and DuckDB execute literally the same algorithm.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
+from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
+from datapipeline_omnichanneltobigquery_spark.operators import similarity as sim
+from datapipeline_omnichanneltobigquery_spark.operators import textstats as ts
+from datapipeline_omnichanneltobigquery_spark.plans.queries import query
+from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+
+EMB_DIM = 64  # embeddings.embedding is a 64-dim float vector (FIXTURES.md)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on full text, deterministic min-id winner — hash agg,
+    one shuffle.  (At scale, dedup on the md5 fingerprint instead of the
+    full text so the shuffle moves 8 bytes per doc, not the document — see
+    doc_fingerprint.)"""
+    return dd.dedup_exact(read_table(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM (
+        SELECT event_id, user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS __rn
+        FROM events
+    ) WHERE __rn = 1
+    """,
+)
+def dedup_keep_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key — the replayed form of the reference's repeated
+    MERGE-by-id loads (omnichannel_to_bq.py:176-182)."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    return dd.dedup_keep_latest(ev, key="user_id", order_col="ts", tie_break="event_id").drop("ts")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=dd.minhash_near_dup_pairs_sql("documents", "doc_id", "text"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle→minhash→band→bucket-join→verify.
+    Full SQL oracle — both engines run the same 16-hash/8-band pipeline."""
+    return dd.minhash_near_dup_pairs(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_simhash_fingerprints",
+    oracle=dd.simhash_fingerprints_sql("documents", "doc_id", "text"),
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (bit-majority over token
+    hashes) — integer-exact on both engines."""
+    return dd.simhash_fingerprints(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=dd.simhash_near_dup_pairs_sql("documents", "doc_id", "text"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 15-bit block LSH + hamming verification."""
+    return dd.simhash_near_dup_pairs(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=dd.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.5 over the shingle inverted index."""
+    return dd.jaccard_pairs(read_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query("similarity_cosine_topk", oracle=sim.cosine_topk_sql("embeddings", 0, 10, EMB_DIM))
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for corpus vector 0 — broadcast query, one
+    scan, TakeOrderedAndProject; doubles bitwise-equal to the oracle."""
+    return sim.cosine_topk(read_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@query(
+    "similarity_neardup_pairs",
+    oracle=sim.cosine_pairs_sql("embeddings", 0.35, EMB_DIM),
+)
+def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.35), exact all-pairs baseline."""
+    return sim.cosine_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@query("similarity_ann_ivf")  # rows-only: approximate by construction
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN top-10 (16 clusters, probe 4) — the scale path; recall
+    vs the exact baseline is asserted in tests/test_similarity.py."""
+    return sim.ivf_topk(read_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query("text_quality", oracle=ts.text_quality_sql("documents", "doc_id", "text"))
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score (C4/Gopher-style rules)."""
+    return ts.text_quality(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("text_lang_id", oracle=ts.lang_id_sql("documents", "doc_id", "text"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word language-ID heuristic with deterministic argmax."""
+    return ts.lang_id(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("text_token_counts", oracle=ts.token_counts_sql("documents", "doc_id", "text"))
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    return ts.token_counts(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("text_fingerprint", oracle=ts.fingerprint_sql("documents", "doc_id", "text"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit md5 fingerprint of whitespace-canonicalized text."""
+    return ts.fingerprint(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'image' AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 240 AS width,
+           16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 240 AS height,
+           TRUE AS ok
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction through the real mapInPandas
+    pipeline (Arrow batches); decode kernel is the deterministic md5 fake —
+    the oracle recomputes the same dimensions in SQL, proving the plumbing
+    moves bytes faithfully."""
+    payloads = mm.attach_payload(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return mm.extract_meta(payloads)
+
+
+@query("multimodal_frame_sample")  # rows-only: 1→N expansion shape
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling expansion (one row per 64-byte stride offset) through
+    mapInPandas."""
+    payloads = mm.attach_payload(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return mm.frame_sample(payloads)

@@ -467,9 +467,9 @@ def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.lower(F.substring("text", 1, 20)).alias("prefix20"),
-        F.length("text").alias("n_chars"),
-        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("bigint").alias("n_alpha"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
     )
 
 

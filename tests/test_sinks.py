@@ -1,0 +1,41 @@
+"""Catalog sink lifecycle: overwrite → staging upsert → drop (the reference's
+BigQueryManager surface, omnichannel_to_bq.py:125-201)."""
+
+from __future__ import annotations
+
+from datapipeline_omnichanneltobigquery_spark.sinks.catalog import (
+    drop_table,
+    list_tables,
+    overwrite_table,
+    row_count,
+    table_columns,
+    upsert_into_table,
+)
+
+
+def test_overwrite_and_count(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    assert overwrite_table(df, "t_main") == 2
+    # WRITE_TRUNCATE: a second overwrite replaces, not appends (:151)
+    assert overwrite_table(df.limit(1), "t_main") == 1
+    assert row_count(spark, "t_main") == 1
+    assert "t_main" in list_tables(spark)
+    drop_table(spark, "t_main")
+
+
+def test_upsert_lifecycle(spark):
+    main = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    overwrite_table(main, "t_life")
+    staging = spark.createDataFrame([(2, "B2"), (3, "c")], "id long, name string")
+    n = upsert_into_table(spark, staging, "t_life", key="id", staging_table="t_stage")
+    assert n == 3
+    got = {r["id"]: r["name"] for r in spark.table("t_life").collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
+    # staging is transient (:296-301)
+    assert "t_stage" not in list_tables(spark)
+    assert table_columns(spark, "t_life") == ["id", "name"]
+    drop_table(spark, "t_life")
+
+
+def test_drop_missing_ok(spark):
+    assert drop_table(spark, "t_never_existed") is True

@@ -1,0 +1,53 @@
+"""Upsert semantics (omnichannel_to_bq.py:176-182) + idempotency property."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datapipeline_omnichanneltobigquery_spark.operators.upsert import upsert
+
+
+def _tables(spark):
+    main = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    staging = spark.createDataFrame(
+        [(2, "B2", 99.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    return main, staging
+
+
+def test_matched_replaced_unmatched_inserted(spark):
+    main, staging = _tables(spark)
+    got = {r["id"]: (r["name"], r["v"]) for r in upsert(main, staging).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_idempotent(spark):
+    main, staging = _tables(spark)
+    once = upsert(main, staging)
+    twice = upsert(once, staging)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_broadcast_variant_same_result(spark):
+    main, staging = _tables(spark)
+    a = sorted(map(tuple, upsert(main, staging).collect()))
+    b = sorted(map(tuple, upsert(main, staging, broadcast_staging=True).collect()))
+    assert a == b
+
+
+def test_dedupe_staging_keep_latest(spark):
+    main = spark.createDataFrame([(1, "a", 0)], "id long, name string, seq long")
+    staging = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2)], "id long, name string, seq long"
+    )
+    got = upsert(main, staging, dedupe_staging_by="seq").collect()
+    assert len(got) == 1 and got[0]["name"] == "new"
+
+
+def test_column_order_alignment(spark):
+    main = spark.createDataFrame([(1, "a")], "id long, name string")
+    staging = spark.createDataFrame([("b", 2)], "name string, id long")  # shuffled order
+    got = {r["id"]: r["name"] for r in upsert(main, staging).collect()}
+    assert got == {1: "a", 2: "b"}
