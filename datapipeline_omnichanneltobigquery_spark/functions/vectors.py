@@ -1,9 +1,18 @@
-"""Vector math over ``array<float>`` columns via higher-order functions.
+"""Vector math over ``array<float>`` columns.
 
-Everything stays JVM-side: ``zip_with`` + ``aggregate`` compile to Catalyst
-expressions, no Python in the loop.  The accumulation is an ordered left
-fold over the array — the SAME order on every engine and every partitioning,
-so dot products are bitwise-deterministic (unlike a parallel reduction).
+Two implementations with IDENTICAL floating-point results:
+
+* ``dim=None``: ``zip_with`` + ``aggregate`` — a Catalyst higher-order left
+  fold.  Correct for any length, but higher-order lambdas are *interpreted*
+  per element (no WholeStageCodegen) — fine for one query vector, slow for
+  all-pairs workloads.
+* ``dim=K`` (statically known): an explicit ``a[1]*b[1] + … + a[K]*b[K]``
+  expression chain — plain arithmetic that compiles into WholeStageCodegen,
+  ~1-2 orders of magnitude faster in pairwise joins.  Left-associated
+  addition evaluates in exactly the fold's order (and ``0.0 + p1 == p1`` in
+  IEEE), so both paths and the DuckDB oracle construction
+  ``list_sum(list_transform(range(1,K+1), i -> CAST(a[i] AS DOUBLE) * …))``
+  are bitwise-identical.
 
 Elements are upcast to double before multiply/accumulate: float32 inputs →
 exact float64 products → reproducible sums to the last ulp.
@@ -11,27 +20,37 @@ exact float64 products → reproducible sums to the last ulp.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Ordered-fold dot product of two equal-length float arrays."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Ordered dot product of two equal-length float arrays (see module
+    docstring for the dim=None vs static-dim trade-off)."""
+    if dim is not None:
+        terms = [
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+            for i in range(1, dim + 1)
+        ]
+        return reduce(lambda acc, t: acc + t, terms)
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity; NULL-safe only as far as the inputs are."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
-def norm_unit(a: Column) -> Column:
+def norm_unit(a: Column, dim: int | None = None) -> Column:
     """L2-normalize an array<float> to array<double> (pre-normalizing the
-    corpus once turns every cosine into a plain dot at query time)."""
-    n = l2_norm(a)
+    corpus once turns every cosine into a plain dot at query time — the
+    O(n) norms instead of O(n²) trick for pairwise workloads)."""
+    n = l2_norm(a, dim)
     return F.transform(a, lambda x: x.cast("double") / n)

@@ -66,24 +66,27 @@ def dedup_keep_latest(
 # ---------------------------------------------------------------------------
 
 
-def _shingle_array(text: Column, n: int) -> Column:
-    """Array of n-word shingles of the lower-cased, whitespace-split text;
-    empty array when the doc has fewer than n tokens."""
-    w = F.split(F.trim(F.lower(text)), r"\s+")
-    count = F.size(w) - (n - 1)
-    return F.when(
-        count >= 1,
-        F.transform(F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", F.slice(w, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs — the inverted-index building block.
-    Explosion is map-side; DISTINCT shuffles on (id, shingle)."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+
+    Implementation: posexplode tokens (a codegen Generate) then stitch each
+    shingle with window ``lead``s over (id, pos).  A higher-order
+    ``transform(sequence, i -> concat_ws(slice))`` expresses the same thing
+    with no shuffle, but Catalyst lambdas are *interpreted* — measured 7×
+    slower at sf0.1 — while the window runs entirely in codegen; the
+    token-explosion shuffle is tiny (tokens, not documents) and the DISTINCT
+    needed the (id) shuffle anyway.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "tok"),
     )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"_l{j}") for j in range(1, n)]
+    sh = toks.select("id", F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"), *leads)
+    for j in range(1, n):
+        sh = sh.filter(F.col(f"_l{j}").isNotNull())
+    return sh.select("id", "shingle").distinct()
 
 
 def _shingles_sql(table: str, id_col: str, text_col: str, n: int) -> str:
@@ -111,7 +114,7 @@ def jaccard_pairs(
     pairs exist), union = |A|+|B|-∩; one integer division at the end keeps it
     engine-exact.  Returns (id_a, id_b, jaccard), id_a < id_b.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -154,6 +157,15 @@ def jaccard_pairs_sql(table: str, id_col: str, text_col: str, n: int, threshold:
 # ---------------------------------------------------------------------------
 
 
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int, seed: int) -> DataFrame:
+    h = md5_long(F.col("shingle")).cast("decimal(38,0)")
+    aggs = [
+        F.min(((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).cast("bigint")).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16, seed: int = 42
 ) -> DataFrame:
@@ -162,13 +174,7 @@ def minhash_signatures(
     One groupBy(id) over the exploded shingles computes all K mins in a
     single partial+final aggregate — the signature never needs a second pass.
     """
-    sh = shingles(df, id_col, text_col, n)
-    h = md5_long(F.col("shingle")).cast("decimal(38,0)")
-    aggs = [
-        F.min(((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).cast("bigint")).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    return _signatures_from_shingles(shingles(df, id_col, text_col, n), num_hashes, seed)
 
 
 def _band_key(num_hashes: int, rows_per_band: int, band: int) -> Column:
@@ -195,7 +201,15 @@ def minhash_near_dup_pairs(
     Returns (id_a, id_b, jaccard).
     """
     num_bands = num_hashes // rows_per_band
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # The shingle inverted index feeds multiple branches.  No explicit cache
+    # on it: its distinct-shuffle is an identical subplan in every branch, so
+    # Spark's ReusedExchange shares it within a job — measured faster than
+    # .cache(), whose serialization cost lands inside the job.  The SIGNATURE
+    # table however is tiny (one row per doc) and is needed both by the
+    # candidate broadcast job and the main job — caching it crosses that job
+    # boundary and saves a full shingle+aggregate recompute.
+    sh = shingles(df, id_col, text_col, n)
+    sig = _signatures_from_shingles(sh, num_hashes, seed).cache()
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"), _band_key(num_hashes, rows_per_band, i).alias("key"))
         for i in range(num_bands)
@@ -214,8 +228,39 @@ def minhash_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(df, id_col, text_col, n, threshold)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # Verify ONLY the LSH candidates: restrict the shingle inverted index to
+    # docs that appear in some candidate pair before the intersection join —
+    # identical result to verifying against the full pairwise Jaccard
+    # (non-candidates are dropped either way), but the O(n²) pair space never
+    # materializes.  This is what makes the pipeline scale past brute force.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    sizes = sh_cand.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sa, sb = sh_cand.alias("a"), sh_cand.alias("b")
+    inter = (
+        sa.join(sb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    verified = (
+        cand.join(inter, ["id_a", "id_b"])
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("ic").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("ic")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
 
 
 def minhash_near_dup_pairs_sql(

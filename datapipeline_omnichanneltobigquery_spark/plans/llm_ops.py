@@ -104,7 +104,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for corpus vector 0 — broadcast query, one
     scan, TakeOrderedAndProject; doubles bitwise-equal to the oracle."""
-    return sim.cosine_topk(read_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+    return sim.cosine_topk(read_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, dim=EMB_DIM)
 
 
 @query(
@@ -113,14 +113,14 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.35), exact all-pairs baseline."""
-    return sim.cosine_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.35)
+    return sim.cosine_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.35, dim=EMB_DIM)
 
 
 @query("similarity_ann_ivf")  # rows-only: approximate by construction
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN top-10 (16 clusters, probe 4) — the scale path; recall
     vs the exact baseline is asserted in tests/test_similarity.py."""
-    return sim.ivf_topk(read_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+    return sim.ivf_topk(read_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, dim=EMB_DIM)
 
 
 # ---------------------------------------------------------------------------
