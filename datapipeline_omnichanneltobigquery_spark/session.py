@@ -27,6 +27,7 @@ def get_spark(
     app_name: str = "datapipeline_omnichanneltobigquery_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine defaults.
 
@@ -49,6 +50,8 @@ def get_spark(
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if warehouse_dir is not None:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

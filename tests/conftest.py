@@ -11,9 +11,11 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
-    # a writable warehouse for saveAsTable-based sink tests
+def spark(tmp_path_factory):
+    # fresh warehouse per test session so crashed runs can't leave orphan
+    # managed-table directories behind (LOCATION_ALREADY_EXISTS)
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8, warehouse_dir=wh)
     yield spark
 
 

@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the plan properties that decide 100 TB
+behavior, pinned.  If one of these fails after a change, the change made a
+plan worse, not just different."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datapipeline_omnichanneltobigquery_spark.plans import audit
+from datapipeline_omnichanneltobigquery_spark.plans.queries import QUERIES
+from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["event_time_filter"](spark, SF_DIR)
+    assert audit.has_pushed_filter(df, "ts"), audit.plan_string(df)
+
+
+def test_flagship_pushes_date_filter(spark):
+    df = QUERIES["flagship_monthly_revenue"](spark, SF_DIR)
+    assert audit.has_pushed_filter(df, "o_orderdate"), audit.plan_string(df)
+
+
+def test_column_pruning(spark):
+    df = read_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    schemas = audit.read_schemas(df)
+    assert schemas and all("l_quantity" not in s for s in schemas), schemas
+
+
+def test_dim_joins_broadcast(spark):
+    df = QUERIES["join_inner_segment_revenue"](spark, SF_DIR)
+    assert audit.broadcast_join_count(df) >= 1, audit.plan_string(df)
+
+
+def test_multiway_join_shape(spark):
+    """Q5 shape: dims broadcast; at most the fact-fact join shuffles."""
+    df = QUERIES["join_multiway_nation_revenue"](spark, SF_DIR)
+    assert audit.broadcast_join_count(df) >= 3, audit.plan_string(df)
+    assert audit.sort_merge_join_count(df) <= 1, audit.plan_string(df)
+
+
+def test_cast_policy_is_shuffle_free(spark):
+    df = QUERIES["cast_policy"](spark, SF_DIR)
+    assert audit.exchange_count(df) == 0, audit.plan_string(df)
+
+
+def test_q1_single_agg_shuffle(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    assert audit.exchange_count(df) == 1, audit.plan_string(df)
+
+
+def test_topk_avoids_global_sort(spark):
+    df = QUERIES["topk_orders"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in audit.plan_string(df)
+    assert audit.exchange_count(df) == 0, audit.plan_string(df)
+
+
+def test_no_row_at_a_time_python(spark):
+    """No BatchEvalPython anywhere: Python only via Arrow (mapInPandas)."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        assert not audit.uses_python_eval(df), f"{name} uses row-at-a-time Python"
+
+
+def test_codegen_everywhere(spark):
+    """Every relational query should have at least one codegen stage."""
+    for name in ("q1_pricing_summary", "flagship_monthly_revenue", "window_topn_orders_per_customer"):
+        n = audit.codegen_stage_count_of(lambda s: QUERIES[name](s, SF_DIR), spark)
+        assert n >= 1, name
