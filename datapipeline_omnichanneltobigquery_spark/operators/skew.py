@@ -1,0 +1,73 @@
+"""Skew mitigation: salting for hot keys (SURVEY.md §2.2; 100 TB design).
+
+AQE's skew-join splitting handles most skew at runtime; salting is the
+explicit tool for the two places AQE can't help:
+
+* **aggregation skew** — one giant group serializes into one task.
+  :func:`salted_agg` runs partial aggregation over (key, salt) first, then
+  merges the partials per key: two small shuffles instead of one hot one.
+* **join skew with a replicable right side** — :func:`salted_join`
+  replicates each right row ``n_salts`` times while the left side draws a
+  deterministic salt, so one hot key fans across ``n_salts`` tasks.
+
+Both are semantics-preserving rewrites (results identical to the unsalted
+plan, proven in tests/test_skew.py) — they only reshape the shuffle.
+Salts derive from a hash of a unique column, not rand(), so plans stay
+deterministic and retry-safe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+SALT_COL = "__salt"
+
+
+def with_salt(df: DataFrame, unique_col: str, n_salts: int) -> DataFrame:
+    """Deterministic salt in [0, n_salts) from a unique column (retry-safe,
+    unlike rand())."""
+    return df.withColumn(SALT_COL, F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts)))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    merge_aggs: list[Column],
+    unique_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over (keys + salt) then keys.
+
+    ``partial_aggs`` aggregate raw rows; ``merge_aggs`` combine the partial
+    columns (e.g. partial ``sum(x) as s`` then merge ``sum(s) as s``).  The
+    caller picks decomposable aggregates (sum/count/min/max — avg as
+    sum+count).
+    """
+    salted = with_salt(df, unique_col, n_salts)
+    partial = salted.groupBy(*keys, SALT_COL).agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*merge_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    unique_left_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``left`` has hot keys and ``right`` is small enough to
+    replicate ``n_salts``× (dimension tables): join on (key, salt) so a hot
+    key's rows spread over ``n_salts`` shuffle partitions."""
+    l_s = with_salt(left, unique_left_col, n_salts)
+    r_s = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(n_salts).select(F.col("id").cast("int").alias(SALT_COL))
+        )
+    )
+    out = l_s.join(r_s, on=[key, SALT_COL], how=how)
+    return out.drop(SALT_COL)

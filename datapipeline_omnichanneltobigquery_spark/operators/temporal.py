@@ -1,0 +1,106 @@
+"""Temporal joins: as-of (backward) and bounded-range joins
+(SURVEY.md §2.2 'Range / as-of join' — absent in the reference, standard in
+time-series engines).
+
+Both are implemented in the shape that scales:
+
+* **as-of** uses the union+window trick: tag both inputs, union, and carry
+  the most recent right-side payload forward with ``last_value(...,
+  ignoreNulls)`` over (key, time) — ONE shuffle on the key, no range
+  predicate, no per-row probe.  The naive inequality join is O(L×R) per key;
+  this is O((L+R) log) and AQE-friendly.
+* **bounded range join** buckets time into window-width buckets and joins on
+  (key, bucket) ∪ (key, bucket−1) before the exact range filter — turning an
+  inequality join into two equi-joins, which is exactly what Spark shuffles
+  well.  Bucket width = range width so each left row probes ≤ 2 buckets.
+
+Determinism: as-of ties (equal timestamps) resolve to the largest right id;
+both operators' outputs are pure functions of their inputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_id: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the payload of the most recent right row of
+    the same ``key`` with ``right_ts <= left_ts`` (backward as-of; NULLs when
+    no such row).  Equal-timestamp right rows sort by ``right_id`` so the
+    largest id wins deterministically.
+    """
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.col(right_id).alias("__rid"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__rid"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # right rows sort before left rows at the same timestamp (is_left asc)
+    # so a left row can match a right row with the identical timestamp
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__is_left", "__rid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r.unionByName(l).withColumn(
+        "__asof", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__asof")[c].alias(c) for c in payload_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int = 0,
+) -> DataFrame:
+    """Pairs (left, right) of the same ``key`` with
+    ``left_ts - lower_seconds <= right_ts < left_ts - upper_seconds``
+    (a backward-looking window), via bucket equi-join.
+
+    Requires ``lower_seconds - upper_seconds`` to be the bucket width; left
+    rows explode into the two candidate buckets, the exact predicate prunes
+    after the equi-join.  Column name collisions are the caller's concern
+    (alias before calling).
+    """
+    width = lower_seconds - upper_seconds
+    if width <= 0:
+        raise ValueError("lower_seconds must exceed upper_seconds")
+    lb = F.floor((F.unix_micros(F.col(left_ts)) / 1_000_000 - upper_seconds) / width)
+    rb = F.floor(F.unix_micros(F.col(right_ts)) / 1_000_000 / width)
+    l = left.withColumn("__b", F.explode(F.array(lb.cast("long"), lb.cast("long") - 1)))
+    r = right.withColumn("__b", rb.cast("long"))
+    lo = F.unix_micros(F.col(left_ts)) - lower_seconds * 1_000_000
+    hi = F.unix_micros(F.col(left_ts)) - upper_seconds * 1_000_000
+    rt = F.unix_micros(F.col(right_ts))
+    return (
+        l.join(r, on=[key, "__b"])
+        .filter((rt >= lo) & (rt < hi))
+        .drop("__b")
+    )

@@ -1,0 +1,134 @@
+"""Temporal-join and advanced-window queries (SURVEY.md §2.2 range/as-of
+row + window breadth)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipeline_omnichanneltobigquery_spark.functions.scalars import money
+from datapipeline_omnichanneltobigquery_spark.operators.temporal import asof_join, range_join
+from datapipeline_omnichanneltobigquery_spark.plans.queries import query
+from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+
+
+@query(
+    "asof_last_view_before_purchase",
+    oracle="""
+    SELECT p.event_id,
+           v.event_id AS view_event_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+                               ORDER BY v.ts DESC NULLS LAST, v.event_id DESC) = 1
+    """,
+)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the user's most recent
+    preceding view.  Union+window plan — one shuffle on user_id; the oracle
+    spells the same semantics as the naive inequality join + QUALIFY."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        right_id="view_event_id",
+        payload_cols=["view_event_id", "view_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "view_event_id",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+@query(
+    "range_join_recent_activity",
+    oracle="""
+    SELECT p.event_id, COUNT(*) AS n_recent
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND epoch_us(e.ts) >= epoch_us(p.ts) - 600 * 1000000
+     AND epoch_us(e.ts) <  epoch_us(p.ts)
+    GROUP BY p.event_id
+    """,
+)
+def range_join_recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: events of the same user in the 10 minutes before
+    each purchase, counted.  Bucketized equi-join plan (two shuffles) instead
+    of an inequality join; the oracle is the naive BETWEEN form."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    others = ev.select("user_id", F.col("ts").alias("e_ts"), F.col("event_id").alias("e_id"))
+    pairs = range_join(
+        purchases, others, key="user_id", left_ts="ts", right_ts="e_ts", lower_seconds=600
+    )
+    return pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_recent"))
+
+
+@query(
+    "json_typed_struct",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           event_type
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing (from_json → typed struct) with a filter
+    over the extracted field — the modeled-JSON path the reference destroys
+    by stringification (omnichannel_to_bq.py:96)."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").alias("p"),
+        "event_type",
+    )
+    return parsed.select("event_id", F.col("p.k").alias("k_typed"), "event_type").filter(
+        F.col("k_typed") > 50
+    )
+
+
+@query(
+    "window_rolling_7d_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rev_7d
+    FROM orders
+    """,
+)
+def window_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (7 trailing days per customer), decimal-exact.
+    RANGE frames aggregate all peers of the current ORDER BY value, so the
+    result is deterministic even with same-day orders."""
+    # o_orderdate arrives as TIMESTAMP_NTZ; session tz is UTC so the cast to
+    # (ltz) TIMESTAMP for unix_micros is value-preserving
+    epoch_s = (
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1_000_000)
+    ).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_s)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(money(F.col("o_totalprice"))).over(w).cast("double").alias("rev_7d"),
+    )

@@ -1,0 +1,45 @@
+"""File-format sources: CSV/JSON round-trips preserve data under explicit
+schemas (the reference's CSV+autodetect load path loses types —
+omnichannel_to_bq.py:145-152 — ours must not)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datapipeline_omnichanneltobigquery_spark.sources.tables import read_csv, read_json, read_table
+
+from tests.conftest import SF_DIR
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_csv")
+    orders.write.option("header", True).csv(path)
+    back = read_csv(
+        spark, path, schema="o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string"
+    )
+    assert back.schema == orders.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def test_json_roundtrip_preserves_nested(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, {"a": 2, "tags": ["x", "y"]}), (2, {"a": 3, "tags": []})],
+        "id long, payload struct<a: long, tags: array<string>>",
+    )
+    path = str(tmp_path / "nested_json")
+    df.write.json(path)
+    back = read_json(spark, path, schema=df.schema)
+    assert sorted((r.id, r.payload.a, tuple(r.payload.tags)) for r in back.collect()) == [
+        (1, 2, ("x", "y")),
+        (2, 3, ()),
+    ]
+
+
+def test_json_inference(spark, tmp_path):
+    path = str(tmp_path / "inferred")
+    spark.createDataFrame([(1, "x")], "id long, s string").write.json(path)
+    back = read_json(spark, path)
+    assert set(back.columns) == {"id", "s"}
