@@ -187,6 +187,14 @@ def cosine_pairs_sql(table: str, threshold: float, dim: int) -> str:
     """
 
 
+def _unit_df(embeddings: DataFrame, id_col: str, vec_col: str, dim: int | None) -> DataFrame:
+    """(id, unit vector) with a materialization barrier (see cosine_pairs)."""
+    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return embeddings.select(
+        F.col(id_col), norm_unit(F.col(vec_col), dim).alias("__u")
+    ).repartition(n_part)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -199,20 +207,25 @@ def ivf_assign(
     iteration could refine them, but assignment mechanics are what matters
     for the index shape).
 
-    Plan: broadcast the centroid table, score in codegen, argmax via max_by
-    — one wide map stage, one small agg, no O(n²).  Output: (vec_id,
-    cluster, cos_sim) — the bucketed index: at deployment write it
-    partitioned/bucketed by cluster for partition-pruned probes.
+    Plan: pre-normalize once so each score is a single dot, broadcast the
+    centroid table, argmax via max_by — one wide map stage, one small agg,
+    no O(n²).  Output: (vec_id, cluster, cos_sim) — the bucketed index: at
+    deployment write it partitioned/bucketed by cluster for partition-pruned
+    probes.
     """
-    w = F.broadcast(
-        embeddings.orderBy(id_col).limit(n_centroids).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    return _assign_from_unit(_unit_df(embeddings, id_col, vec_col, dim), n_centroids, id_col, dim)
+
+
+def _assign_from_unit(unit: DataFrame, n_centroids: int, id_col: str, dim: int | None) -> DataFrame:
+    cent = F.broadcast(
+        unit.orderBy(id_col).limit(n_centroids).select(
+            F.col(id_col).alias("cid"), F.col("__u").alias("cv")
         )
     )
-    scored = embeddings.crossJoin(w).select(
+    scored = unit.crossJoin(cent).select(
         id_col,
         "cid",
-        cosine(F.col(vec_col), F.col("cv"), dim).alias("sim"),
+        dot(F.col("__u"), F.col("cv"), dim).alias("sim"),
     )
     return scored.groupBy(id_col).agg(
         F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("tb"))).alias("cluster"),
@@ -234,18 +247,25 @@ def ivf_topk(
 
     Approximate — recall measured against :func:`cosine_topk` in tests.
     At scale the assignment table is precomputed & bucketed; here it's built
-    inline for self-containment.
+    inline for self-containment.  All scoring on pre-normalized vectors —
+    one 64-term dot per comparison instead of a 3-dot cosine (3× less
+    codegen to compile and run).
     """
-    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col, dim)
-    q = _query_vec_df(embeddings, query_vec_id)
-    centroids = (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    # unit and the assignment index are tiny (one row per vector) but feed
+    # four separate jobs (query/centroid/probe broadcasts + final scan):
+    # cache them so the normalize and assignment pipelines run once.  At
+    # deployment the assignment is a persisted bucketed table instead.
+    unit = _unit_df(embeddings, id_col, vec_col, dim).cache()
+    assign = _assign_from_unit(unit, n_centroids, id_col, dim).cache()
+    q = F.broadcast(
+        unit.filter(F.col(id_col) == query_vec_id).select(F.col("__u").alias("__qv"))
+    )
+    centroids = unit.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("__u").alias("cv")
     )
     probe = (
-        centroids.crossJoin(F.broadcast(q))
-        .select("cid", cosine(F.col("cv"), F.col("__qv"), dim).alias("sim"))
+        centroids.crossJoin(q)
+        .select("cid", dot(F.col("cv"), F.col("__qv"), dim).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("cid"))
         .limit(n_probe)
         .select("cid")
@@ -253,11 +273,11 @@ def ivf_topk(
     probed_ids = assign.join(F.broadcast(probe), assign.cluster == probe.cid, "left_semi").select(
         id_col
     )
-    cand = embeddings.join(F.broadcast(probed_ids), id_col, "left_semi")
+    cand = unit.join(F.broadcast(probed_ids), id_col, "left_semi")
     return (
-        cand.crossJoin(F.broadcast(q))
+        cand.crossJoin(q)
         .filter(F.col(id_col) != query_vec_id)
-        .select(id_col, cosine(F.col(vec_col), F.col("__qv"), dim).alias("cos_sim"))
+        .select(id_col, dot(F.col("__u"), F.col("__qv"), dim).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )

@@ -119,8 +119,13 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("similarity_ann_ivf")  # rows-only: approximate by construction
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN top-10 (16 clusters, probe 4) — the scale path; recall
-    vs the exact baseline is asserted in tests/test_similarity.py."""
-    return sim.ivf_topk(read_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, dim=EMB_DIM)
+    vs the exact baseline is asserted in tests/test_llm_ops.py.
+
+    dim=None (interpreted fold) on purpose: the index pipeline is ~5 small
+    stages, and compiling five unrolled 64-term chains costs more wall time
+    than folding a few thousand dots; pass dim= on a large corpus where the
+    compile amortizes."""
+    return sim.ivf_topk(read_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -83,3 +83,11 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def unwrap_envelope(df: DataFrame, obj_key: str) -> DataFrame:
+    """Envelope projection (S3): select the one array field of an API
+    response envelope and explode it to records —
+    ``resp.json().get(obj_key, [])`` (omnichannel_to_bq.py:45) as a plan.
+    Missing/NULL envelopes contribute zero rows, like ``.get(key, [])``."""
+    return df.select(F.explode(F.col(obj_key)).alias("record")).select("record.*")

@@ -1,0 +1,51 @@
+"""Property-based tests (hypothesis): the cast policy is total (coerces,
+never throws) and the upsert is idempotent and key-unique for arbitrary
+dirty inputs — SURVEY.md §5.2's 'merge twice ≡ merge once' property."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from datapipeline_omnichanneltobigquery_spark.operators.normalize import cast_columns
+from datapipeline_omnichanneltobigquery_spark.operators.upsert import upsert
+
+dirty_scalar = st.one_of(
+    st.none(),
+    st.integers(-(2**40), 2**40).map(str),
+    st.text(alphabet="abc129 -:T.Z", max_size=20),
+    st.sampled_from(["2024-01-02 03:04:05", "garbage", "", "3.7", "1e3"]),
+)
+
+records = st.lists(
+    st.tuples(dirty_scalar, dirty_scalar, dirty_scalar), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=records)
+def test_cast_policy_total_and_typed(spark, rows):
+    df = spark.createDataFrame(rows, "id string, created_at string, note string")
+    out = cast_columns(df)
+    assert dict(out.dtypes) == {"id": "bigint", "created_at": "string", "note": "string"}
+    collected = out.collect()  # must never raise, whatever the input
+    assert len(collected) == len(rows)
+    assert all(r["note"] is not None for r in collected)  # NULL→'' on strings
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    main_ids=st.lists(st.integers(0, 20), min_size=1, max_size=15, unique=True),
+    stage_ids=st.lists(st.integers(0, 20), min_size=1, max_size=15, unique=True),
+)
+def test_upsert_idempotent_and_key_unique(spark, main_ids, stage_ids):
+    main = spark.createDataFrame([(i, f"m{i}") for i in main_ids], "id long, v string")
+    staging = spark.createDataFrame([(i, f"s{i}") for i in stage_ids], "id long, v string")
+    once = upsert(main, staging)
+    twice = upsert(once, staging)
+    got_once = sorted(map(tuple, once.collect()))
+    assert got_once == sorted(map(tuple, twice.collect()))  # idempotent
+    ids = [r[0] for r in got_once]
+    assert len(ids) == len(set(ids)) == len(set(main_ids) | set(stage_ids))
+    # staging wins on every overlapping key
+    assert all(v.startswith("s") for i, v in got_once if i in set(stage_ids))

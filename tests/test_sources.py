@@ -43,3 +43,18 @@ def test_json_inference(spark, tmp_path):
     spark.createDataFrame([(1, "x")], "id long, s string").write.json(path)
     back = read_json(spark, path)
     assert set(back.columns) == {"id", "s"}
+
+
+def test_envelope_unwrap(spark, tmp_path):
+    """S3: the API envelope `{'deals': [...]}` unwraps to records; missing
+    envelopes contribute no rows (omnichannel_to_bq.py:45)."""
+    from datapipeline_omnichanneltobigquery_spark.sources.tables import unwrap_envelope
+
+    path = str(tmp_path / "envelope")
+    spark.createDataFrame(
+        [([{"id": 1, "s": "a"}, {"id": 2, "s": "b"}],), ([],), (None,)],
+        "deals array<struct<id: long, s: string>>",
+    ).write.json(path)
+    env = read_json(spark, path, schema="deals array<struct<id: long, s: string>>")
+    out = unwrap_envelope(env, "deals")
+    assert sorted((r.id, r.s) for r in out.collect()) == [(1, "a"), (2, "b")]
