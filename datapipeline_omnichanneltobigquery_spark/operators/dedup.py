@@ -158,9 +158,11 @@ def jaccard_pairs_sql(table: str, id_col: str, text_col: str, n: int, threshold:
 
 
 def _signatures_from_shingles(sh: DataFrame, num_hashes: int, seed: int) -> DataFrame:
-    h = md5_long(F.col("shingle")).cast("decimal(38,0)")
+    # 31-bit residue keeps a*h+b inside native bigint on both engines —
+    # no BigDecimal in the generated code (see functions.hashing.MERSENNE_P)
+    h = md5_long(F.col("shingle")) % F.lit(MERSENNE_P)
     aggs = [
-        F.min(((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).cast("bigint")).alias(f"mh_{i}")
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -278,7 +280,7 @@ def minhash_near_dup_pairs_sql(
     num_bands = num_hashes // rows_per_band
     params = _minhash_params(num_hashes, seed)
     mh_exprs = ",\n             ".join(
-        f"MIN(CAST((CAST(h60 AS HUGEINT) * {a} + {b}) % {MERSENNE_P} AS BIGINT)) AS mh_{i}"
+        f"MIN(((h60 % {MERSENNE_P}) * {a} + {b}) % {MERSENNE_P}) AS mh_{i}"
         for i, (a, b) in enumerate(params)
     )
     band_rows = "\n        UNION ALL\n".join(

@@ -1,0 +1,161 @@
+"""Second relational batch: pivot, lateral explode, array higher-order
+functions, conditional aggregation, multiset set-ops, null-handling scalars.
+Same contract as plans/relational.py — every query with its DuckDB oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_omnichanneltobigquery_spark.functions.scalars import money_sum
+from datapipeline_omnichanneltobigquery_spark.plans.queries import query
+from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+
+ORDER_STATUSES = ("F", "O", "P")  # verified closed domain of o_orderstatus
+
+
+@query(
+    "agg_pivot_status_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_F,
+           COUNT(*) FILTER (WHERE o.o_orderstatus = 'O') AS n_O,
+           COUNT(*) FILTER (WHERE o.o_orderstatus = 'P') AS n_P
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def agg_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list → no extra distinct-discovery pass; at
+    scale ALWAYS pass the values, otherwise Spark runs a first job just to
+    find them).  Oracle spells the same table as FILTER aggregates."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in ORDER_STATUSES],
+        )
+    )
+
+
+@query(
+    "lateral_explode_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    """,
+)
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UNNEST) → vocabulary statistics.  Generate is
+    map-side; the agg shuffles on token — the word-count plan."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs")
+    )
+
+
+@query(
+    "array_higher_order_ops",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> abs(CAST(embedding[i] AS DOUBLE)))) AS l1_norm,
+           CAST(embedding[1] AS DOUBLE) AS first_component
+    FROM embeddings
+    """,
+)
+def array_higher_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: filter / transform / ordered aggregate
+    over the embedding column (l1 norm = ordered fold, engine-exact)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.aggregate(
+            F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("l1_norm"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase')
+                AS DOUBLE) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clauses / sum-of-CASE) — one pass,
+    one shuffle, arbitrary per-condition metrics."""
+    ev = read_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(is_p, 1)).alias("n_purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.sum(F.when(is_p, F.col("value").cast("decimal(18,6)"))).cast("double").alias("purchase_value"),
+    )
+
+
+@query(
+    "set_except_all_lineitems",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_except_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference — bag semantics, unlike subtract)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linestatus") == "O").select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "scalar_null_suite",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+           LEAST(CAST(c_acctbal AS DOUBLE), 5000.0) AS capped_bal,
+           GREATEST(CAST(c_acctbal AS DOUBLE), 0.0) AS floored_bal,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           (c_nationkey IS NULL) AS nation_missing
+    FROM customer
+    """,
+)
+def scalar_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar battery: coalesce/nullif/least/greatest/CASE."""
+    c = read_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("double")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.least(bal, F.lit(5000.0)).alias("capped_bal"),
+        F.greatest(bal, F.lit(0.0)).alias("floored_bal"),
+        F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("high").alias("bal_band"),
+        F.col("c_nationkey").isNull().alias("nation_missing"),
+    )

@@ -61,6 +61,9 @@ def upsert_into_table(
     merged.write.mode("overwrite").format("parquet").saveAsTable(f"{main_table}__merged")
     spark.sql(f"DROP TABLE IF EXISTS {main_table}")
     spark.sql(f"ALTER TABLE {main_table}__merged RENAME TO {main_table}")
+    # rename moves the managed-table directory; invalidate the cached file
+    # listing or the next read chases deleted part files
+    spark.catalog.refreshTable(main_table)
     merged.unpersist()
     drop_table(spark, staging_table)
     return row_count(spark, main_table)

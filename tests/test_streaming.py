@@ -45,3 +45,31 @@ def test_sessionize_gap_semantics(spark):
     )
     out = {(r.event_id, r.session_seq) for r in sessionize(df).collect()}
     assert out == {(1, 1), (2, 1), (3, 2), (4, 1)}
+
+
+def test_streaming_upsert_foreachbatch(spark, tmp_path):
+    """The reference's staging->MERGE->drop loop as a continuous stream:
+    micro-batches of changes merge into the main table by key."""
+    import pyspark.sql.functions as F
+    from datapipeline_omnichanneltobigquery_spark.sinks.catalog import drop_table, overwrite_table
+    from datapipeline_omnichanneltobigquery_spark.streaming.sink import streaming_upsert
+
+    main = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "id long, v string, seq long"
+    )
+    overwrite_table(main, "t_stream_main")
+
+    changes = spark.createDataFrame(
+        [(2, "b-new", 1), (2, "b-newer", 2), (3, "c", 1)], "id long, v string, seq long"
+    )
+    src = str(tmp_path / "changes_src")
+    changes.write.parquet(src)
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+    q = streaming_upsert(
+        stream, "t_stream_main", key="id", order_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r.id: r.v for r in spark.table("t_stream_main").collect()}
+    assert got == {1: "a", 2: "b-newer", 3: "c"}  # within-batch keep-latest
+    drop_table(spark, "t_stream_main")
