@@ -39,9 +39,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Plain ``spark.read.parquet`` so filters/projections placed on the result
     push down into the scan (check ``PushedFilters`` in ``.explain``).
     """
+    # Defensive session confs for sessions not built by get_spark() (e.g. the
+    # driver's own).  Both are runtime-settable:
+    # - UTC session tz: date_format/window on ltz timestamps render in the
+    #   session zone; a non-UTC ambient zone would silently shift every
+    #   formatted timestamp relative to the (naive) DuckDB oracle;
+    # - nanosAsLong: Spark 4 otherwise rejects TIMESTAMP(NANOS) parquet.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NANOS_TS_COLUMNS:
-        # Runtime-settable; required on sessions not built by get_spark()
-        # (e.g. the driver's own session) or the scan rejects TIMESTAMP(NANOS).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLUMNS.get(name, ()):
