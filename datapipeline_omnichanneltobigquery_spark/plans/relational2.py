@@ -7,7 +7,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from datapipeline_omnichanneltobigquery_spark.functions.scalars import money_sum
 from datapipeline_omnichanneltobigquery_spark.plans.queries import query
 from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
 

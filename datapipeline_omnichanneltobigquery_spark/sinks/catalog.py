@@ -25,13 +25,19 @@ from pyspark.sql import DataFrame, SparkSession
 from datapipeline_omnichanneltobigquery_spark.operators.upsert import upsert
 
 
-def overwrite_table(df: DataFrame, name: str) -> int:
+def overwrite_table(df: DataFrame, name: str, partition_by: list[str] | None = None) -> int:
     """Create-or-truncate load (WRITE_TRUNCATE, :147-152) + count verify (:159).
 
     Parquet managed table: at cluster scale the write is parallel per
-    partition; no driver materialization.
+    partition; no driver materialization.  ``partition_by`` hive-partitions
+    the layout so filters on those columns become partition pruning
+    (PartitionFilters in the scan) — the first thing to reach for on a
+    100 TB time-series table (partition by day, filter by day).
     """
-    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    writer = df.write.mode("overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
     return row_count(df.sparkSession, name)
 
 

@@ -39,3 +39,22 @@ def test_upsert_lifecycle(spark):
 
 def test_drop_missing_ok(spark):
     assert drop_table(spark, "t_never_existed") is True
+
+
+def test_partitioned_write_prunes(spark):
+    """Partitioned layout: a filter on the partition column must become
+    PartitionFilters (scan skips other partitions entirely)."""
+    import pyspark.sql.functions as F
+    from datapipeline_omnichanneltobigquery_spark.plans.audit import plan_string
+    from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    assert overwrite_table(ev, "t_part", partition_by=["day"]) == ev.count()
+    q = spark.table("t_part").filter(F.col("day") == "2024-01-05")
+    plan = plan_string(q)
+    assert "PartitionFilters" in plan and "2024-01-05" in plan, plan
+    assert q.count() > 0
+    drop_table(spark, "t_part")

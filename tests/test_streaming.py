@@ -73,3 +73,50 @@ def test_streaming_upsert_foreachbatch(spark, tmp_path):
     got = {r.id: r.v for r in spark.table("t_stream_main").collect()}
     assert got == {1: "a", 2: "b-newer", 3: "c"}  # within-batch keep-latest
     drop_table(spark, "t_stream_main")
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics across restarts: the checkpoint persists the
+    watermark from run 1, so a row arriving in run 2 with event time far
+    behind it is DROPPED from the windowed aggregate (append mode)."""
+    import pyspark.sql.functions as F
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+    out = str(tmp_path / "wm_out")
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("ws"), "event_type", "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 6, 1, h, m)
+    # run 1: events through 12:00 -> watermark ends up ~11:00; windows
+    # [8:00) and [9:00) are closed and emitted
+    run_once([(1, t(8, 30), "click", 1.0), (2, t(9, 15), "click", 1.0), (3, t(12, 0), "click", 1.0)])
+    # run 2: one LATE row at 8:45 (behind the persisted watermark -> dropped)
+    # and one fresh row at 15:00 that closes the 12:00 window
+    run_once([(4, t(8, 45), "click", 1.0), (5, t(15, 0), "click", 1.0)])
+
+    got = {(r.ws.hour, r.n) for r in spark.read.parquet(out).collect()}
+    # the 8:00 window was emitted in run 1 with n=1 and must NOT gain the
+    # late row; the 12:00 window closes in run 2 with n=1
+    assert (8, 1) in got and (9, 1) in got and (12, 1) in got
+    assert (8, 2) not in got

@@ -23,8 +23,22 @@ from tests.helpers import canon_rows
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="driver_sim")
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if "--vanilla" in sys.argv:
+        # a bare session like the driver's: no engine configs, ambient tz
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("driver_sim_vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    else:
+        spark = get_spark(app_name="driver_sim")
 
     print("== t1 smoke: entry(spark) @ sf0.001 ==")
     t0 = time.time()
