@@ -92,6 +92,33 @@ def extract_meta(payloads: DataFrame, use_real_codec: bool = False) -> DataFrame
     return payloads.mapInPandas(run, schema=META_SCHEMA)
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize kernel — requires Pillow; see :func:`decode_image`.
+    Deployment body: decode → ``Image.resize((width, height))`` → re-encode."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def byte_histogram(payloads: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction over binary payloads: a 16-bin byte-value histogram
+    per document as ``array<bigint>`` — the deterministic stand-in for an
+    image/audio feature vector, with the real mapInPandas + numpy plumbing
+    (vectorized ``np.bincount`` per payload, Arrow list column out)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        width = 256 // n_bins
+        for pdf in batches:
+            hists = [
+                np.bincount(
+                    np.frombuffer(bytes(p), dtype=np.uint8) // width, minlength=n_bins
+                )[:n_bins].tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hist": hists})
+
+    return payloads.mapInPandas(run, schema="doc_id bigint, hist array<bigint>")
+
+
 def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' over binary payloads: emit one row per sampled offset
     (for video this is the keyframe-stride pattern; here offsets into the

@@ -75,3 +75,17 @@ def test_frame_sample_expansion(spark):
     for r in got:
         expected = (len(texts[r.doc_id].encode()) + 63) // 64
         assert r["count"] == expected
+
+
+def test_byte_histogram_features(spark):
+    import numpy as np
+
+    docs = read_table(spark, SF_DIR, "documents").limit(10)
+    hist = mm.byte_histogram(mm.attach_payload(docs, "doc_id", "text")).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(hist) == 10
+    for r in hist:
+        raw = np.frombuffer(texts[r.doc_id].encode(), dtype=np.uint8)
+        expected = np.bincount(raw // 16, minlength=16)[:16].tolist()
+        assert list(r.hist) == expected
+        assert sum(r.hist) == len(raw)
