@@ -158,3 +158,21 @@ def scalar_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("high").alias("bal_band"),
         F.col("c_nationkey").isNull().alias("nation_missing"),
     )
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) via stack(): wide columns → (metric, value) rows —
+    the inverse of pivot, one map-side Expand, no shuffle."""
+    return read_table(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), "
+        "'retailprice', CAST(p_retailprice AS DOUBLE)) AS (metric, value)",
+    )
