@@ -176,3 +176,72 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'size', CAST(p_size AS DOUBLE), "
         "'retailprice', CAST(p_retailprice AS DOUBLE)) AS (metric, value)",
     )
+
+
+@query(
+    "subquery_above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                 / CAST(COUNT(*) AS DOUBLE)
+                          FROM orders)
+    """,
+)
+def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price (decimal-exact
+    average so both engines compute the identical threshold).  Catalyst
+    plans the subquery as a one-row broadcast."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders_sq
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                     / CAST(COUNT(*) AS DOUBLE)
+                              FROM orders_sq)
+        """
+    )
+
+
+@query(
+    "subquery_correlated_max_line",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST((SELECT MAX(l.l_extendedprice) FROM lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey) AS DOUBLE) AS max_line_price
+    FROM orders o
+    WHERE year(o.o_orderdate) = 1997
+    """,
+)
+def subquery_correlated_max_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst de-correlates it into a left
+    outer aggregate join (no per-row re-execution; same rewrite every
+    warehouse engine performs)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cq")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_cq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               CAST((SELECT MAX(l.l_extendedprice) FROM lineitem_cq l
+                     WHERE l.l_orderkey = o.o_orderkey) AS DOUBLE) AS max_line_price
+        FROM orders_cq o
+        WHERE year(o.o_orderdate) = 1997
+        """
+    )
+
+
+@query(
+    "set_intersect_all_lineitems",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'
+    INTERSECT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+    """,
+)
+def set_intersect_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection, bag semantics)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linestatus") == "O").select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
+    return a.intersectAll(b)
