@@ -195,6 +195,44 @@ def _unit_df(embeddings: DataFrame, id_col: str, vec_col: str, dim: int | None) 
     ).repartition(n_part)
 
 
+def kmeans_refine(
+    unit: DataFrame,
+    centroids: DataFrame,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Spherical k-means (Lloyd) iterations over unit vectors — the
+    'iterative algorithm' shape: assign → mean per cluster → renormalize,
+    repeated.  Each iteration is one broadcast-scored assignment plus one
+    groupBy; intermediate centroid tables are tiny and cached.
+
+    Dimension means use ``avg(element_at(...))`` per index when ``dim`` is
+    known (codegen); the centroid count never grows, so driver-side loop
+    control is O(n_iters) Spark jobs — the standard distributed k-means.
+    """
+    if dim is None:
+        raise ValueError("kmeans_refine needs the static dimension")
+    cent = centroids
+    for _ in range(n_iters):
+        scored = unit.crossJoin(F.broadcast(cent)).select(
+            id_col, "cid", dot(F.col("__u"), F.col("cv"), dim).alias("sim")
+        )
+        assign = scored.groupBy(id_col).agg(
+            F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("tb"))).alias("cid")
+        )
+        means = (
+            unit.join(assign, id_col)
+            .groupBy("cid")
+            .agg(*[F.avg(F.element_at("__u", i)).alias(f"m_{i}") for i in range(1, dim + 1)])
+        )
+        mean_arr = F.array(*[F.col(f"m_{i}") for i in range(1, dim + 1)])
+        cent = means.select(
+            "cid", norm_unit(mean_arr, dim).alias("cv")
+        ).cache()
+    return cent
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,

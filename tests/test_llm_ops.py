@@ -89,3 +89,32 @@ def test_byte_histogram_features(spark):
         expected = np.bincount(raw // 16, minlength=16)[:16].tolist()
         assert list(r.hist) == expected
         assert sum(r.hist) == len(raw)
+
+
+def test_kmeans_refine_improves_objective(spark):
+    """One spherical-Lloyd iteration must not decrease the k-means objective
+    (mean best-centroid similarity) — the invariant of the algorithm."""
+    import pyspark.sql.functions as F
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        _unit_df,
+        dot,
+        kmeans_refine,
+    )
+
+    emb = read_table(spark, SF_DIR_MID, "embeddings")
+    unit = _unit_df(emb, "vec_id", "embedding", 64).cache()
+    seed = unit.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("cid"), F.col("__u").alias("cv")
+    ).cache()
+
+    def objective(cent):
+        scored = unit.crossJoin(F.broadcast(cent)).select(
+            "vec_id", dot(F.col("__u"), F.col("cv"), 64).alias("sim")
+        )
+        best = scored.groupBy("vec_id").agg(F.max("sim").alias("best"))
+        return best.agg(F.avg("best")).collect()[0][0]
+
+    before = objective(seed)
+    after = objective(kmeans_refine(unit, seed, n_iters=2, dim=64))
+    assert after >= before - 1e-9, (before, after)
+    unit.unpersist()
