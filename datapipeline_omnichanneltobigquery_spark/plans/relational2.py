@@ -245,3 +245,46 @@ def set_intersect_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_linestatus") == "O").select("l_orderkey")
     b = li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
     return a.intersectAll(b)
+
+
+@query(
+    "agg_collect_sorted_users",
+    oracle="""
+    SELECT event_type,
+           list(DISTINCT user_id ORDER BY user_id) AS users,
+           len(list(DISTINCT user_id ORDER BY user_id)) AS n_users
+    FROM events
+    WHERE user_id < 40
+    GROUP BY event_type
+    """,
+)
+def agg_collect_sorted_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_set + sort_array makes the collected array
+    deterministic (bare collect_list order is partitioning-dependent — never
+    hash/compare it unsorted)."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_set("user_id")).alias("users"),
+        F.size(F.collect_set("user_id")).cast("bigint").alias("n_users"),
+    )
+
+
+@query(
+    "json_map_ops",
+    oracle="""
+    SELECT event_id, 'k' AS first_key,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS first_val
+    FROM events
+    """,
+)
+def json_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType modeling: parse the JSON payload as map<string,bigint> and
+    read it through map functions (map_keys/element_at) — the typed-map
+    alternative to path extraction."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, F.lit("k")).alias("first_val"),
+    )
