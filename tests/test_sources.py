@@ -58,3 +58,13 @@ def test_envelope_unwrap(spark, tmp_path):
     env = read_json(spark, path, schema="deals array<struct<id: long, s: string>>")
     out = unwrap_envelope(env, "deals")
     assert sorted((r.id, r.s) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC scan/write — the second columnar format the engine supports."""
+    nation = read_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
