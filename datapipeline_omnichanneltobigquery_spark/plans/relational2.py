@@ -288,3 +288,36 @@ def json_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.map_keys(m), 1).alias("first_key"),
         F.element_at(m, F.lit("k")).alias("first_val"),
     )
+
+
+@query(
+    "scalar_math_suite",
+    oracle="""
+    SELECT c_custkey,
+           abs(CAST(c_acctbal AS DOUBLE)) AS abs_bal,
+           sqrt(abs(CAST(c_acctbal AS DOUBLE))) AS sqrt_bal,
+           CAST(floor(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS floor_bal,
+           CAST(ceil(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS ceil_bal,
+           CAST(sign(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS sign_bal,
+           c_custkey % 7 AS mod7,
+           CAST(c_acctbal AS DOUBLE) * CAST(c_acctbal AS DOUBLE) AS bal_sq
+    FROM customer
+    """,
+)
+def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar battery restricted to IEEE-exact operations (abs/sqrt/
+    floor/ceil/sign/mod/multiply).  exp/log/pow are deliberately absent from
+    oracle-checked queries: libm implementations differ across engines in
+    the last ulp."""
+    c = read_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("double")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_bal"),
+        F.sqrt(F.abs(bal)).alias("sqrt_bal"),
+        F.floor(bal).cast("bigint").alias("floor_bal"),
+        F.ceil(bal).cast("bigint").alias("ceil_bal"),
+        F.signum(bal).cast("bigint").alias("sign_bal"),
+        (F.col("c_custkey") % 7).alias("mod7"),
+        (bal * bal).alias("bal_sq"),
+    )
