@@ -189,3 +189,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas."""
     payloads = mm.attach_payload(read_table(spark, sf_dir, "documents"), "doc_id", "text")
     return mm.frame_sample(payloads)
+
+
+@query(
+    "text_chunking",
+    oracle="""
+    SELECT doc_id, CAST(pos // 32 AS BIGINT) AS chunk_id,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk,
+           COUNT(*) AS n_tokens
+    FROM (
+        SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+               generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) - 1 AS pos
+        FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY doc_id, chunk_id
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (32-token pieces) as pure DataFrame ops — the
+    scalable form of the UDTF in functions/udtf_ops.py: posexplode tokens,
+    integer-divide the position into a chunk id, and reassemble each chunk
+    with an order-deterministic sorted-struct aggregation.  One Generate +
+    one shuffle on (doc, chunk)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    grouped = toks.groupBy(
+        "doc_id", F.expr("pos div 32").alias("chunk_id")
+    ).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("chunk"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return grouped

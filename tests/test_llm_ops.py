@@ -118,3 +118,21 @@ def test_kmeans_refine_improves_objective(spark):
     after = objective(kmeans_refine(unit, seed, n_iters=2, dim=64))
     assert after >= before - 1e-9, (before, after)
     unit.unpersist()
+
+
+def test_udtf_chunking(spark):
+    """Python UDTF lateral join: chunk documents into 32-token pieces; token
+    counts must re-add to the whitespace token count."""
+    from datapipeline_omnichanneltobigquery_spark.functions.udtf_ops import ChunkDocument
+
+    spark.udtf.register("chunk_document", ChunkDocument)
+    read_table(spark, SF_DIR, "documents").limit(20).createOrReplaceTempView("docs_udtf")
+    out = spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.n_tokens "
+        "FROM docs_udtf d, LATERAL chunk_document(d.text, 32) c"
+    )
+    per_doc = {r.doc_id: r.total for r in out.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("total")).collect()}
+    expected = {r.doc_id: len(r.text.split()) for r in spark.table("docs_udtf").collect()}
+    assert per_doc == expected
+    assert out.filter(F.col("n_tokens") > 32).count() == 0
