@@ -75,3 +75,31 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session event counts and durations."""
     return session_stats(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "scd2_user_state_history",
+    oracle="""
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to
+    FROM events
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2/CDC: the events stream as a versioned per-user state history —
+    each event opens a version valid until the user's next event (NULL =
+    current).  operators/scd2.py generalizes this to merging change batches
+    into an existing history."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+    )

@@ -51,3 +51,34 @@ def test_column_order_alignment(spark):
     staging = spark.createDataFrame([("b", 2)], "name string, id long")  # shuffled order
     got = {r["id"]: r["name"] for r in upsert(main, staging).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_scd2_apply_versions(spark):
+    """SCD2 merge: current rows close at the first change; change batches
+    chain into ordered versions; history is append-only."""
+    import pyspark.sql.functions as F
+    from datapipeline_omnichanneltobigquery_spark.operators.scd2 import scd2_apply
+
+    history = spark.createDataFrame(
+        [
+            (1, "bronze", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+            (1, "silver", "2024-02-01 00:00:00", None),
+            (2, "bronze", "2024-01-15 00:00:00", None),
+        ],
+        "id long, tier string, valid_from string, valid_to string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "gold", "2024-03-01 00:00:00"),
+            (1, "platinum", "2024-04-01 00:00:00"),
+        ],
+        "id long, tier string, ts string",
+    )
+    out = scd2_apply(history, changes, key="id", ts_col="ts", attr_cols=["tier"])
+    rows = {(r.id, r.tier): (r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows[(1, "bronze")] == ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    assert rows[(1, "silver")] == ("2024-02-01 00:00:00", "2024-03-01 00:00:00")  # closed
+    assert rows[(1, "gold")] == ("2024-03-01 00:00:00", "2024-04-01 00:00:00")  # chained
+    assert rows[(1, "platinum")] == ("2024-04-01 00:00:00", None)  # current
+    assert rows[(2, "bronze")] == ("2024-01-15 00:00:00", None)  # untouched
+    assert out.count() == 5
