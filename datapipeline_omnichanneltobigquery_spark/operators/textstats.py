@@ -158,3 +158,41 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def fingerprint_sql(table: str, id_col: str, text_col: str) -> str:
     canon = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
     return f"SELECT {id_col}, {md5_long_sql(canon)} AS fp FROM {table}"
+
+
+# Public-pattern scrub regexes (emails / URLs / long digit runs) — the PII /
+# boilerplate cleaning pass every training-data pipeline runs before dedup.
+SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("number", "[0-9]{6,}", "<NUM>"),
+)
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical cleaning pass: lowercase, collapse whitespace, scrub
+    emails/URLs/long numbers to placeholder tokens, and report how many
+    substitutions each rule made.  Pure regexp expressions in codegen —
+    one narrow projection, no Python, safe at any scale."""
+    cleaned = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    counts = []
+    for name, pat, repl in SCRUB_PATTERNS:
+        counts.append(F.regexp_count(cleaned, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return df.select(F.col(id_col), cleaned.alias("clean_text"), *counts)
+
+
+def normalize_text_sql(table: str, id_col: str, text_col: str) -> str:
+    base = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    cleaned = base
+    count_exprs = []
+    for name, pat, repl in SCRUB_PATTERNS:
+        count_exprs.append(
+            f"len(regexp_extract_all({cleaned}, '{pat}')) AS n_{name}"
+        )
+        cleaned = f"regexp_replace({cleaned}, '{pat}', '{repl}', 'g')"
+    return (
+        f"SELECT {id_col}, {cleaned} AS clean_text, "
+        + ", ".join(count_exprs)
+        + f" FROM {table}"
+    )

@@ -229,3 +229,11 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
     )
     return grouped
+
+
+@query("text_normalize_scrub", oracle=ts.normalize_text_sql("documents", "doc_id", "text"))
+def text_normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization + PII/boilerplate scrubbing (emails, URLs, long
+    digit runs → placeholders) with per-rule substitution counts — the
+    cleaning pass that precedes dedup in a training-data pipeline."""
+    return ts.normalize_text(read_table(spark, sf_dir, "documents"), "doc_id", "text")

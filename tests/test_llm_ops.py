@@ -136,3 +136,22 @@ def test_udtf_chunking(spark):
     expected = {r.doc_id: len(r.text.split()) for r in spark.table("docs_udtf").collect()}
     assert per_doc == expected
     assert out.filter(F.col("n_tokens") > 32).count() == 0
+
+
+def test_normalize_scrub_substitutions(spark):
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Contact Bob.Smith+x@example.co.uk  or visit https://example.com/a?b=1 now"),
+            (2, "account 123456789 and short 12345 stay"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in normalize_text(df, "doc_id", "text").collect()}
+    assert out[1].clean_text == "contact <EMAIL> or visit <URL> now"
+    assert out[1].n_email == 1 and out[1].n_url == 1
+    assert out[2].clean_text == "account <NUM> and short 12345 stay"
+    assert out[2].n_number == 1
+    assert out[3].clean_text is None  # NULL text passes through as NULL
