@@ -374,7 +374,11 @@ def simhash_fingerprints_sql(table: str, id_col: str, text_col: str) -> str:
     bits AS (SELECT id, j, (((h >> j) & 1) * 2 - 1) * tf AS s
              FROM toks, UNNEST(range(0, {SIMHASH_BITS})) AS u(j)),
     maj AS (SELECT id, j, SUM(s) AS ssum FROM bits GROUP BY id, j)
-    SELECT id, SUM(CASE WHEN ssum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+    SELECT id,
+           -- CAST: DuckDB integer SUM returns HUGEINT; Spark returns bigint —
+           -- pin to BIGINT so the driver's value-hash sees one representation.
+           CAST(SUM(CASE WHEN ssum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+             AS simhash
     FROM maj GROUP BY id
     """
 

@@ -36,9 +36,12 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     oracle=f"""
     SELECT event_id, user_id,
-           SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+           -- CAST: DuckDB's integer SUM yields HUGEINT (int128); Spark yields
+           -- bigint — the driver's value-hash distinguishes the two even when
+           -- values are equal, so pin the oracle to BIGINT.
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_seq
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
     FROM (
         SELECT event_id, user_id, ts,
                epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
@@ -57,9 +60,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT event_id, user_id, ts,
-               SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_seq
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         FROM (
             SELECT event_id, user_id, ts,
                    epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id

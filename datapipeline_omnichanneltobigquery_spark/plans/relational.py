@@ -530,9 +530,15 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_approx_percentile")  # rows-only: sketch implementations differ
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): single pass, fixed memory,
-    mergeable — the percentile that scales."""
+    mergeable — the percentile that scales.  Returns scalar p50/p95 columns
+    (never an array column: the driver's canonicalizer cannot sort arrays)."""
     return (
         read_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias("approx_p"))
+        .select(
+            "l_returnflag",
+            F.element_at("approx_p", 1).alias("p50"),
+            F.element_at("approx_p", 2).alias("p95"),
+        )
     )
