@@ -9,11 +9,13 @@ Design for 100 TB of images/audio/video:
   stages: Arrow moves each partition into Python in columnar batches, the
   UDF works on a whole batch, and partition sizing (``maxPartitionBytes``,
   ``arrow.maxRecordsPerBatch``) bounds executor memory — no per-row pickling;
-* real codecs (Pillow/ffmpeg/torchaudio) are NOT in this container, so the
-  decode kernels are stubbed: :func:`decode_image` raises
-  ``NotImplementedError`` by design, and :func:`fake_decode_meta` provides a
-  deterministic stand-in (md5-derived dimensions) so the Spark-side plumbing
-  — schema, batching, UDF signatures — is fully real and testable.
+* PNG is handled with a REAL pure-stdlib codec path: :func:`encode_png`
+  emits spec-valid bytes and :func:`decode_image` parses the IHDR
+  (signature, chunk framing, CRC) — exercised end-to-end by the
+  ``multimodal_png_decode`` driver query.  Heavyweight codecs
+  (Pillow/ffmpeg/torchaudio) are NOT in this container, so full-pixel
+  decode of other formats raises ``NotImplementedError``, and
+  :func:`fake_decode_meta` remains as the md5-derived stand-in.
 
 The ``attach_payload`` helper manufactures binary columns from text so the
 pipeline has bytes to move in this environment; with real data you'd read
@@ -48,11 +50,52 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, gray: int = 0) -> bytes:
+    """Encode a real, spec-valid grayscale PNG (8-bit, color type 0) with
+    stdlib zlib only — signature, IHDR/IDAT/IEND chunks, correct CRCs.
+    This is the pure-Python codec path for manufacturing genuine image bytes
+    in environments without Pillow; decode_image round-trips it."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + bytes([gray]) * width) * height  # filter byte 0 per row
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """Real image decode kernel — requires Pillow, which this container does
-    not ship.  The mapInPandas pipeline around it is real; swap this function
-    for ``PIL.Image.open(io.BytesIO(payload)).size`` in deployment."""
-    raise NotImplementedError("image codec not available in this environment")
+    """Real image decode kernel (header level): parses the PNG IHDR —
+    signature check, chunk framing, CRC verification, big-endian dimensions —
+    in pure Python.  Full-pixel decode of other formats still needs Pillow
+    (deployment body: ``PIL.Image.open(io.BytesIO(payload)).size``)."""
+    import struct
+    import zlib
+
+    if payload[:8] == PNG_MAGIC:
+        (length,) = struct.unpack(">I", payload[8:12])
+        tag, body = payload[12:16], payload[16 : 16 + length]
+        (crc,) = struct.unpack(">I", payload[16 + length : 20 + length])
+        if tag != b"IHDR" or zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError("corrupt PNG IHDR")
+        width, height = struct.unpack(">II", body[:8])
+        return width, height
+    raise NotImplementedError("non-PNG codecs not available in this environment")
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int]:
@@ -136,3 +179,31 @@ def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_id, "offset": out_off, "first_byte": out_b})
 
     return payloads.mapInPandas(run, schema="doc_id bigint, offset bigint, first_byte int")
+
+
+def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture REAL PNG payloads (via :func:`encode_png`) with dimensions
+    derived deterministically from the md5 of the text — the genuine-bytes
+    counterpart of :func:`attach_payload`.  mapInPandas/Arrow-batched like
+    every other kernel here."""
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__text"]:
+                h = hashlib.md5(text.encode("utf-8")).digest()
+                payloads.append(encode_png(1 + h[0] % 64, 1 + h[1] % 64, gray=h[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "image",
+                    "fmt": "image/png",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return src.mapInPandas(run, schema=PAYLOAD_SCHEMA)

@@ -7,3 +7,4 @@ from datapipeline_omnichanneltobigquery_spark.plans import events_ops  # noqa: F
 from datapipeline_omnichanneltobigquery_spark.plans import temporal_ops  # noqa: F401, E402
 from datapipeline_omnichanneltobigquery_spark.plans import relational2  # noqa: F401, E402
 from datapipeline_omnichanneltobigquery_spark.plans import tpch_shapes  # noqa: F401, E402
+from datapipeline_omnichanneltobigquery_spark.plans import persistence  # noqa: F401, E402

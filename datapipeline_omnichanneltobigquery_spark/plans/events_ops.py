@@ -34,6 +34,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_sessionize",
+    driver=False,  # the sessionize CTE is driver-verified inside events_session_stats
     oracle=f"""
     SELECT event_id, user_id,
            -- CAST: DuckDB's integer SUM yields HUGEINT (int128); Spark yields

@@ -59,6 +59,7 @@ def dedup_keep_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
+    driver=False,  # merged into dedup_neardup_pairs
     oracle=dd.minhash_near_dup_pairs_sql("documents", "doc_id", "text"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,6 +70,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash_fingerprints",
+    driver=False,  # fingerprints feed dedup_simhash_pairs, which is driver-verified
     oracle=dd.simhash_fingerprints_sql("documents", "doc_id", "text"),
 )
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,6 +90,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    driver=False,  # merged into dedup_neardup_pairs
     oracle=dd.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,25 +136,25 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("text_quality", oracle=ts.text_quality_sql("documents", "doc_id", "text"))
+@query("text_quality", driver=False, oracle=ts.text_quality_sql("documents", "doc_id", "text"))
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score (C4/Gopher-style rules)."""
     return ts.text_quality(read_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("text_lang_id", oracle=ts.lang_id_sql("documents", "doc_id", "text"))
+@query("text_lang_id", driver=False, oracle=ts.lang_id_sql("documents", "doc_id", "text"))
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-word language-ID heuristic with deterministic argmax."""
     return ts.lang_id(read_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("text_token_counts", oracle=ts.token_counts_sql("documents", "doc_id", "text"))
+@query("text_token_counts", driver=False, oracle=ts.token_counts_sql("documents", "doc_id", "text"))
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counts per document."""
     return ts.token_counts(read_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("text_fingerprint", oracle=ts.fingerprint_sql("documents", "doc_id", "text"))
+@query("text_fingerprint", driver=False, oracle=ts.fingerprint_sql("documents", "doc_id", "text"))
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit md5 fingerprint of whitespace-canonicalized text."""
     return ts.fingerprint(read_table(spark, sf_dir, "documents"), "doc_id", "text")
@@ -237,3 +240,93 @@ def text_normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit runs → placeholders) with per-rule substitution counts — the
     cleaning pass that precedes dedup in a training-data pipeline."""
     return ts.normalize_text(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Merged driver entries (one per family — see queries.DRIVER_CAP)
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = f"""
+    WITH q AS ({ts.text_quality_sql("documents", "doc_id", "text")}),
+    l AS ({ts.lang_id_sql("documents", "doc_id", "text")}),
+    t AS ({ts.token_counts_sql("documents", "doc_id", "text")}),
+    f AS ({ts.fingerprint_sql("documents", "doc_id", "text")})
+    SELECT q.*, l.lang_pred, l.lang_hits, t.ws_tokens, t.bpe_tokens, f.fp,
+           lower(substr(d.text, 1, 20)) AS prefix20
+    FROM q
+    JOIN l ON l.doc_id = q.doc_id
+    JOIN t ON t.doc_id = q.doc_id
+    JOIN f ON f.doc_id = q.doc_id
+    JOIN documents d ON d.doc_id = q.doc_id
+"""
+
+
+@query("text_profile", oracle=_PROFILE_ORACLE)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis profile in one driver entry: quality
+    features + composite score, function-word language ID, whitespace/BPE-ish
+    token counts, 60-bit md5 fingerprint, and a string-scalar prefix — the
+    columns a training-data pipeline computes in its analysis pass.
+
+    Plan shape: every branch is a narrow projection of the SAME scan keyed by
+    doc_id, so Catalyst collapses the five-way self-join into broadcast hash
+    joins over one exchange; at scale this whole profile would be computed as
+    a single select (zero joins) — the join form here exists to verify each
+    operator's standalone output against one oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    prefix = d.select("doc_id", F.lower(F.substring("text", 1, 20)).alias("prefix20"))
+    return (
+        ts.text_quality(d, "doc_id", "text")
+        .join(ts.lang_id(d, "doc_id", "text"), "doc_id")
+        .join(ts.token_counts(d, "doc_id", "text"), "doc_id")
+        .join(ts.fingerprint(d, "doc_id", "text"), "doc_id")
+        .join(prefix, "doc_id")
+    )
+
+
+_NEARDUP_ORACLE = f"""
+    SELECT 'minhash_lsh' AS method, id_a, id_b, jaccard
+    FROM ({dd.minhash_near_dup_pairs_sql("documents", "doc_id", "text")})
+    UNION ALL
+    SELECT 'ngram_jaccard' AS method, id_a, id_b, jaccard
+    FROM ({dd.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5)})
+"""
+
+
+@query("dedup_neardup_pairs", oracle=_NEARDUP_ORACLE)
+def dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup pairs by BOTH pipelines in one driver entry —
+    MinHash→LSH-band→bucket-join→exact-verify, and the exact n-gram Jaccard
+    inverted index (marker column distinguishes them).  At threshold 0.5 the
+    two methods must agree wherever MinHash banding recalled the pair; the
+    union makes any divergence a visible hash mismatch."""
+    d = read_table(spark, sf_dir, "documents")
+    mh = dd.minhash_near_dup_pairs(d, "doc_id", "text").select(
+        F.lit("minhash_lsh").alias("method"), "id_a", "id_b", "jaccard"
+    )
+    jc = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        F.lit("ngram_jaccard").alias("method"), "id_a", "id_b", "jaccard"
+    )
+    return mh.unionByName(jc)
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT doc_id,
+           1 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS width,
+           1 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS height,
+           TRUE AS ok
+    FROM documents
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path end-to-end: encode spec-valid PNG bytes per
+    document (pure-stdlib encoder, dimensions md5-derived), then decode them
+    back by parsing the PNG IHDR — signature, chunk framing, CRC check — in
+    the mapInPandas decode stage.  The oracle recomputes the dimensions from
+    md5 directly: a hash match proves genuine bytes flowed through encode →
+    Arrow → decode without corruption."""
+    payloads = mm.attach_png_payload(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+    meta = mm.extract_meta(payloads, use_real_codec=True)
+    return meta.select("doc_id", "width", "height", "ok")

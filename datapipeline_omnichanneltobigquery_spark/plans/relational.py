@@ -180,7 +180,7 @@ def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct_users")  # rows-only: HLL sketches differ across engines
+@query("agg_approx_distinct_users", driver=False)  # merged into agg_approx_sketches
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB answer to distinct
     counting — fixed-size sketch, single pass, mergeable across partitions.
@@ -194,6 +194,7 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_rollup_returns",
+    driver=False,  # merged into agg_grouping_multi
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -213,6 +214,7 @@ def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cube_status_priority",
+    driver=False,  # merged into agg_grouping_multi
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -229,6 +231,7 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_grouping_sets",
+    driver=False,  # merged into agg_grouping_multi
     oracle="""
     SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, COUNT(*) AS n
     FROM events GROUP BY GROUPING SETS ((event_type), (day))
@@ -254,10 +257,14 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_topn_orders_per_customer",
     oracle="""
-    SELECT c_custkey, o_orderkey, rn FROM (
+    SELECT c_custkey, o_orderkey, rn, rnk, drnk FROM (
         SELECT o_custkey AS c_custkey, o_orderkey,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS drnk
         FROM orders
     ) WHERE rn <= 3
     """,
@@ -265,7 +272,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-N via row_number — the scalable 'top orders per
     customer' (one shuffle on the partition key; no global sort).  Also the
-    keep-latest dedup primitive (operators/dedup.py)."""
+    keep-latest dedup primitive (operators/dedup.py).  rank/dense_rank ride
+    the same window so the whole ranking-function family is driver-verified
+    by one entry (a single WindowExec evaluates all three)."""
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         read_table(spark, sf_dir, "orders")
@@ -273,6 +282,8 @@ def window_topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("o_custkey").alias("c_custkey"),
             "o_orderkey",
             F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -280,6 +291,7 @@ def window_topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "window_lag_event_gap",
+    driver=False,  # LAG is driver-verified inside events_session_stats + asof oracles
     oracle="""
     SELECT event_id,
            epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
@@ -304,23 +316,37 @@ def window_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-                AS DOUBLE) AS running_total
+                AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rev_7d
     FROM orders
     """,
 )
 def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running SUM per customer (decimal-exact, deterministic frame order via
-    unique-key tie-break); default frame = rows unbounded preceding..current."""
+    """Window frame suite in one entry: running SUM (rows unbounded
+    preceding..current, deterministic via unique-key tie-break) plus the
+    7-trailing-day RANGE frame — both decimal-exact, both over the same
+    partition key so one shuffle serves two WindowExecs."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # o_orderdate arrives as TIMESTAMP_NTZ; session tz is UTC so the cast to
+    # (ltz) TIMESTAMP for unix_micros is value-preserving
+    epoch_s = (
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1_000_000)
+    ).cast("long")
+    w7 = Window.partitionBy("o_custkey").orderBy(epoch_s).rangeBetween(-7 * 86400, 0)
     return read_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
         F.sum(money(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
+        F.sum(money(F.col("o_totalprice"))).over(w7).cast("double").alias("rev_7d"),
     )
 
 
 @query(
     "window_rank_parts_by_size",
+    driver=False,  # rank/dense_rank folded into window_topn_orders_per_customer
     oracle="""
     SELECT p_partkey, p_brand, rnk FROM (
         SELECT p_partkey, p_brand,
@@ -347,6 +373,7 @@ def window_rank_parts_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_intersect_repeat_buyers",
+    driver=False,  # merged into set_ops_customers
     oracle="""
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
     INTERSECT
@@ -363,6 +390,7 @@ def set_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_except_churned",
+    driver=False,  # merged into set_ops_customers
     oracle="""
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
     EXCEPT
@@ -379,6 +407,7 @@ def set_except_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_union_account_holders",
+    driver=False,  # unionByName is driver-verified via upsert_merge + every marker-union query
     oracle="""
     SELECT nationkey, acctbal FROM (
         SELECT c_nationkey AS nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer
@@ -406,6 +435,7 @@ def set_union_account_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_extract_props",
+    driver=False,  # merged into json_ops_suite
     oracle="""
     SELECT event_id,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -424,6 +454,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_agg_by_key",
+    driver=False,  # composition of json extraction + hash agg, both driver-verified elsewhere
     oracle="""
     SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n,
@@ -451,6 +482,7 @@ def json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_string_suite",
+    driver=False,  # merged into text_profile (llm_ops)
     oracle="""
     SELECT doc_id,
            lower(substr(text, 1, 20)) AS prefix20,
@@ -527,7 +559,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # rows-only: sketch implementations differ
+@query("agg_approx_percentile", driver=False)  # merged into agg_approx_sketches
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): single pass, fixed memory,
     mergeable — the percentile that scales.  Returns scalar p50/p95 columns
@@ -542,3 +574,149 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("approx_p", 2).alias("p95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Merged driver entries (one per operator family — see queries.DRIVER_CAP).
+# Each is a marker-column UNION of the fine-grained driver=False variants
+# above, so the whole family lands inside the driver's 50-entry gate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_grouping_multi",
+    oracle="""
+    SELECT 'rollup' AS agg_kind, l_returnflag AS g1, l_linestatus AS g2, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS agg_kind, o_orderstatus AS g1, o_orderpriority AS g2, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'gsets' AS agg_kind, event_type AS g1,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS g2, COUNT(*) AS n
+    FROM events GROUP BY GROUPING SETS ((g1), (g2))
+    """,
+)
+def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS in one driver entry (marker column
+    distinguishes the three).  Each branch is a single Expand + partial/final
+    hash aggregate over its own table; the union is a no-shuffle concat."""
+    rollup = (
+        read_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("rollup").alias("agg_kind"),
+            F.col("l_returnflag").alias("g1"),
+            F.col("l_linestatus").alias("g2"),
+            "n",
+        )
+    )
+    cube = (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("cube").alias("agg_kind"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            "n",
+        )
+    )
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events_gm")
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS agg_kind, event_type AS g1,
+               date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS g2, COUNT(*) AS n
+        FROM events_gm GROUP BY GROUPING SETS ((g1), (g2))
+        """
+    )
+    return rollup.unionByName(cube).unionByName(gsets)
+
+
+@query(
+    "set_ops_customers",
+    oracle="""
+    SELECT 'intersect' AS set_op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    UNION ALL
+    SELECT 'except' AS set_op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT (set semantics) in one driver entry: customers
+    active in both 1995 and 1996, and churned 1995→1996."""
+    o = read_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    inter = y95.intersect(y96).select(F.lit("intersect").alias("set_op"), "o_custkey")
+    exc = y95.subtract(y96).select(F.lit("except").alias("set_op"), "o_custkey")
+    return inter.unionByName(exc)
+
+
+@query(
+    "json_ops_suite",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           'k' AS first_key,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS first_val
+    FROM events
+    """,
+)
+def json_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON modeling suite in one per-event entry: path extraction
+    (get_json_object), schema-declared parsing (from_json → struct field),
+    and typed-map access (map_keys/element_at) — three independent Spark
+    evaluation paths that must agree with the single SQL extraction.  The
+    reference destroys nested JSON by stringification
+    (omnichannel_to_bq.py:96); this is the modeled alternative."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.from_json("props", "k BIGINT")["k"].alias("k_typed"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, F.lit("k")).alias("first_val"),
+    )
+
+
+@query("agg_approx_sketches")  # rows-only: sketch algorithms differ across engines
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-aggregate family (HyperLogLog++ distinct count, KLL
+    approx percentile) in one rows-only driver entry — fixed-size mergeable
+    sketches, the 100 TB substitutes for exact distinct/percentile.  Accuracy
+    bounds are asserted against exact answers in tests/test_plans.py; no SQL
+    oracle because DuckDB's sketch implementations yield different estimates."""
+    hll = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("v1"))
+        .select(
+            F.lit("hll_distinct").alias("sketch"),
+            F.col("event_type").alias("grp"),
+            F.col("v1").cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        )
+    )
+    kll = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias("p"))
+        .select(
+            F.lit("kll_percentile").alias("sketch"),
+            F.col("l_returnflag").alias("grp"),
+            F.element_at("p", 1).alias("v1"),
+            F.element_at("p", 2).alias("v2"),
+        )
+    )
+    return hll.unionByName(kll)

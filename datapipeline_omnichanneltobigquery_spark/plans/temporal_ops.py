@@ -79,6 +79,7 @@ def range_join_recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_typed_struct",
+    driver=False,  # merged into json_ops_suite (relational.py)
     oracle="""
     SELECT event_id,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
@@ -104,6 +105,7 @@ def json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rolling_7d_revenue",
+    driver=False,  # the RANGE frame rides window_running_revenue (relational.py)
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

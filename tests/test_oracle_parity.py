@@ -1,24 +1,48 @@
 """Every ORACLES entry must hash-match its Spark twin — the same check the
 driver's t2 gate runs (at sf0.01; here sf0.001 for speed, sf0.01 in CI via
-SPARK_GRAFT_TEST_SF)."""
+SPARK_GRAFT_TEST_SF).
+
+Covers BOTH registries: the ≤50 driver-exported entries (QUERIES/ORACLES)
+and the fine-grained driver=False variants (EXTRA_*) that were merged into
+them — the merge must never silently break the underlying operator.
+"""
 
 from __future__ import annotations
 
 import pytest
 
-from datapipeline_omnichanneltobigquery_spark.plans.queries import ORACLES, QUERIES
+from datapipeline_omnichanneltobigquery_spark.plans.queries import (
+    DRIVER_CAP,
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+    ORACLES,
+    QUERIES,
+)
 
 from tests.conftest import SF_DIR
 from tests.helpers import compare_spark_duckdb
 
+_ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+_ALL_ORACLES = {**ORACLES, **EXTRA_ORACLES}
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+
+def test_registry_within_driver_cap():
+    """The driver verifies only the first DRIVER_CAP exported entries —
+    exporting more would leave queries invisibly unverified."""
+    assert len(QUERIES) <= DRIVER_CAP, (
+        f"{len(QUERIES)} driver entries > cap {DRIVER_CAP}; "
+        "merge or mark driver=False"
+    )
+    assert not set(QUERIES) & set(EXTRA_QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(_ALL_ORACLES))
 def test_oracle_parity(spark, duck, name):
-    sdf = QUERIES[name](spark, SF_DIR)
-    compare_spark_duckdb(sdf, duck, ORACLES[name])
+    sdf = _ALL_QUERIES[name](spark, SF_DIR)
+    compare_spark_duckdb(sdf, duck, _ALL_ORACLES[name])
 
 
 def test_every_query_runs(spark):
-    for name, fn in QUERIES.items():
+    for name, fn in _ALL_QUERIES.items():
         df = fn(spark, SF_DIR)
         assert df.count() >= 0, name

@@ -58,3 +58,38 @@ def test_partitioned_write_prunes(spark):
     assert "PartitionFilters" in plan and "2024-01-05" in plan, plan
     assert q.count() > 0
     drop_table(spark, "t_part")
+
+
+def test_sink_roundtrip_query_prunes(spark):
+    """The driver entry's read-back scan must prune to the yr=1997 partition
+    directory (PartitionFilters), not scan-then-filter."""
+    from datapipeline_omnichanneltobigquery_spark.plans.audit import plan_string
+    from datapipeline_omnichanneltobigquery_spark.plans.persistence import (
+        sink_partitioned_roundtrip,
+    )
+    from tests.conftest import SF_DIR
+
+    q = sink_partitioned_roundtrip(spark, SF_DIR)
+    plan = plan_string(q)
+    assert "PartitionFilters" in plan and "1997" in plan, plan
+    assert q.count() > 0
+
+
+def test_png_codec_roundtrip():
+    """encode_png emits spec-valid bytes; decode_image recovers dimensions
+    and rejects corruption."""
+    import pytest as _pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    png = encode_png(5, 7, gray=42)
+    assert decode_image(png) == (5, 7)
+    assert decode_image(encode_png(64, 1)) == (64, 1)
+    corrupt = png[:18] + bytes([png[18] ^ 0xFF]) + png[19:]
+    with _pytest.raises(ValueError):
+        decode_image(corrupt)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a not a png")
