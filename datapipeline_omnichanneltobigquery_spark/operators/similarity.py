@@ -90,25 +90,28 @@ def cosine_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     use_arrow_kernel: bool = True,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (embedding near-dup detection).
     Returns (id_a, id_b, cos_sim), id_a < id_b.  Exact.
 
-    Default path: an Arrow/numpy kernel — the corpus (ids + unit vectors) is
-    task-broadcast once, each partition's rows score against it vectorized
-    ACROSS pairs while accumulating dimension-by-dimension, i.e. the exact
-    left-fold order of the expression/oracle form (``acc += A[:,i]*B[:,i]``
-    starts at 0.0 and 0.0+p == p in IEEE), so results are bitwise-identical
-    to the pure-DataFrame path and the DuckDB oracle — at BLAS-class speed
-    (measured ~50× over the codegen chain at sf0.1).  Partitions stream; only
-    the corpus matrix is resident per task — at 10⁵+ vectors switch to
-    :func:`ivf_assign` bucketing so tasks hold one bucket, not the corpus.
+    Default path: block-tiled Arrow/numpy kernels — vectors hash into
+    ``n_blocks`` blocks by id, the B·(B+1)/2 block-pair tiles are enumerated
+    as data, and each tile's pair grid is scored by one applyInPandas task.
+    Fully distributed: NO driver collect, no full-corpus broadcast; each
+    task holds two blocks (~2n/B vectors), so memory per task is tuned by
+    ``n_blocks`` — at 10⁶ vectors pick B ≈ n/50k and the quadratic work
+    spreads over B² tasks.  The kernel accumulates dimension-by-dimension in
+    index order (``acc += A[:,i]·B[:,i]`` from 0.0; 0.0+p == p in IEEE), the
+    exact left-fold of the expression/oracle form, so results are
+    bitwise-identical to the pure-DataFrame path and the DuckDB oracle — at
+    BLAS-class speed (measured ~50× over the codegen chain at sf0.1).
 
     ``use_arrow_kernel=False`` keeps everything in Catalyst expressions:
     pre-normalize once (O(n) norms), then one unrolled dot per pair.
     """
     if use_arrow_kernel:
-        return _cosine_pairs_arrow(embeddings, threshold, id_col, vec_col)
+        return _cosine_pairs_blocked(embeddings, threshold, id_col, vec_col, n_blocks)
     unit = embeddings.select(
         F.col(id_col), norm_unit(F.col(vec_col), dim).alias("__u")
     )
@@ -139,34 +142,73 @@ def _unit_rows(ids, vecs):
     return np.asarray(ids, dtype=np.int64), a / np.sqrt(acc)[:, None]
 
 
-def _cosine_pairs_arrow(
-    embeddings: DataFrame, threshold: float, id_col: str, vec_col: str
+def _cosine_pairs_blocked(
+    embeddings: DataFrame, threshold: float, id_col: str, vec_col: str, n_blocks: int
 ) -> DataFrame:
+    """Block-tiled exact all-pairs: vector v (block b = pmod(id, B)) is
+    routed to every tile (bi ≤ bj) that involves b, tiles become groups, and
+    one numpy kernel scores each tile's cross grid.  Pair (x, y) lives in
+    exactly one tile — (block(x), block(y)) sorted — so the union over tiles
+    is the exact pair set, no dedup pass needed.
+
+    Plan: broadcast-join the B(B+1)/2-row tile table onto the scan (one
+    narrow Expand-like fanout of ~B rows per vector), one shuffle on
+    (bi, bj), then applyInPandas per tile.  At 100 TB the shuffle moves
+    n·B vectors — choose B so 2n/B vectors fit a task (B ≈ n/50k) and the
+    O(n²) flops spread over B² tasks; work is quadratic because EXACT
+    all-pairs is — the sub-quadratic route is LSH/IVF candidate generation
+    (see ivf_assign) at the price of recall guarantees."""
     import numpy as np
+    import pandas as pd
 
-    sc = embeddings.sparkSession.sparkContext
-    corpus = embeddings.select(id_col, vec_col).collect()
-    b_ids, b_units = _unit_rows([r[0] for r in corpus], [r[1] for r in corpus])
-    bc = sc.broadcast((b_ids, b_units))
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
+    )
+    tiles = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("bi"))
+        .crossJoin(spark.range(n_blocks).select(F.col("id").cast("int").alias("bj")))
+        .filter(F.col("bi") <= F.col("bj"))
+    )
+    # a vector of block b participates in tile (bi,bj) iff b == bi or b == bj
+    routed = vecs.join(
+        F.broadcast(tiles), (vecs.blk == tiles.bi) | (vecs.blk == tiles.bj)
+    )
 
-    def kernel(batches):
-        import pandas as pd
-
-        cb_ids, cb_units = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids, a_units = _unit_rows(pdf[id_col].to_numpy(), pdf[vec_col])
-            # exact left-fold dot, vectorized across the (batch × corpus) grid
-            acc = np.zeros((a_units.shape[0], cb_units.shape[0]))
-            for i in range(a_units.shape[1]):
-                acc = acc + a_units[:, i][:, None] * cb_units[None, :, i]
-            ia, ib = np.nonzero((a_ids[:, None] < cb_ids[None, :]) & (acc >= threshold))
-            yield pd.DataFrame(
-                {"id_a": a_ids[ia], "id_b": cb_ids[ib], "cos_sim": acc[ia, ib]}
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        a_pdf = pdf[pdf["blk"] == bi]
+        b_pdf = pdf[pdf["blk"] == bj]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
             )
+        a_ids, a_units = _unit_rows(a_pdf["id"].to_numpy(), a_pdf["vec"])
+        if bi == bj:
+            b_ids, b_units = a_ids, a_units
+        else:
+            b_ids, b_units = _unit_rows(b_pdf["id"].to_numpy(), b_pdf["vec"])
+        # exact left-fold dot, vectorized across the (block × block) grid
+        acc = np.zeros((a_units.shape[0], b_units.shape[0]))
+        for i in range(a_units.shape[1]):
+            acc = acc + a_units[:, i][:, None] * b_units[None, :, i]
+        lt = a_ids[:, None] < b_ids[None, :]
+        gt = a_ids[:, None] > b_ids[None, :]
+        ia, ib = np.nonzero(lt & (acc >= threshold))
+        # pairs where the smaller id sits on the b side (only off-diagonal)
+        ja, jb = np.nonzero(gt & (acc >= threshold)) if bi != bj else ([], [])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([a_ids[ia], b_ids[jb]]),
+                "id_b": np.concatenate([b_ids[ib], a_ids[ja]]),
+                "cos_sim": np.concatenate([acc[ia, ib], acc[ja, jb]]),
+            }
+        )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    return routed.groupBy("bi", "bj").applyInPandas(
         kernel, schema="id_a bigint, id_b bigint, cos_sim double"
     )
 

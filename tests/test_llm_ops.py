@@ -155,3 +155,27 @@ def test_normalize_scrub_substitutions(spark):
     assert out[2].clean_text == "account <NUM> and short 12345 stay"
     assert out[2].n_number == 1
     assert out[3].clean_text is None  # NULL text passes through as NULL
+
+
+def test_cosine_pairs_blocked_scale_consistency(spark):
+    """The block-tiled exact all-pairs kernel must produce the identical pair
+    set regardless of tiling, on a corpus 10× the oracle-checked one —
+    exactness of the tiling does not depend on block count (B=1 reduces to
+    the single-tile full grid)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import cosine_pairs
+
+    e = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    # 10 shifted copies of the corpus => 10x rows, distinct ids
+    big = e
+    for i in range(1, 10):
+        big = big.unionByName(
+            e.select((F.col("vec_id") + i * 10 * n).alias("vec_id"), "embedding")
+        )
+    big = big.cache()
+    tiled = cosine_pairs(big, threshold=0.6, n_blocks=5).collect()
+    single = cosine_pairs(big, threshold=0.6, n_blocks=1).collect()
+    as_set = lambda rows: {(r.id_a, r.id_b, r.cos_sim) for r in rows}
+    assert len(tiled) == len(single) > 0
+    assert as_set(tiled) == as_set(single)
+    big.unpersist()
