@@ -313,6 +313,52 @@ def _assign_from_unit(unit: DataFrame, n_centroids: int, id_col: str, dim: int |
     )
 
 
+def ivf_topk_sql(
+    table: str,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` — possible because the index is fully
+    deterministic: seed centroids are the first ``n_centroids`` vectors by
+    id, assignment argmax tie-breaks to the smaller centroid id (mirroring
+    max_by over struct(sim, -cid)), the probe ranking tie-breaks by cid, and
+    every dot is the same ordered fold as the Spark side.  So the ANN result,
+    while approximate w.r.t. exact top-k, is EXACTLY reproducible — and
+    therefore hash-checkable."""
+    norm = f"sqrt({_dot_sql('embedding', 'embedding', dim)})"
+    return f"""
+    WITH unit AS (
+        SELECT vec_id,
+               list_transform(range(1, {dim + 1}),
+                              i -> CAST(embedding[i] AS DOUBLE) / {norm}) AS u
+        FROM {table}
+    ),
+    cent AS (SELECT vec_id AS cid, u AS cv FROM unit ORDER BY vec_id LIMIT {n_centroids}),
+    qv AS (SELECT u AS qu FROM unit WHERE vec_id = {query_vec_id}),
+    scored AS (SELECT u.vec_id, c.cid, {_dot_sql("u.u", "c.cv", dim, cast=False)} AS sim
+               FROM unit u CROSS JOIN cent c),
+    assign AS (SELECT vec_id, cid AS cluster FROM (
+                   SELECT vec_id, cid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY sim DESC, cid) AS rn
+                   FROM scored)
+               WHERE rn = 1),
+    probe AS (SELECT c.cid FROM cent c CROSS JOIN qv
+              ORDER BY {_dot_sql("c.cv", "qu", dim, cast=False)} DESC, c.cid
+              LIMIT {n_probe})
+    SELECT u.vec_id, {_dot_sql("u.u", "qu", dim, cast=False)} AS cos_sim
+    FROM unit u CROSS JOIN qv
+    WHERE u.vec_id IN (SELECT a.vec_id FROM assign a
+                       WHERE a.cluster IN (SELECT cid FROM probe))
+      AND u.vec_id <> {query_vec_id}
+    ORDER BY cos_sim DESC, u.vec_id
+    LIMIT {k}
+    """
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,

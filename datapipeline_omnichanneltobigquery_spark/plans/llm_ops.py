@@ -119,10 +119,16 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.35, dim=EMB_DIM)
 
 
-@query("similarity_ann_ivf")  # rows-only: approximate by construction
+@query(
+    "similarity_ann_ivf",
+    oracle=sim.ivf_topk_sql("embeddings", 0, k=10, n_centroids=16, n_probe=4, dim=EMB_DIM),
+)
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN top-10 (16 clusters, probe 4) — the scale path; recall
-    vs the exact baseline is asserted in tests/test_llm_ops.py.
+    vs the exact baseline is asserted in tests/test_llm_ops.py.  The index is
+    fully deterministic (first-n centroids, tie-broken argmax, ordered
+    folds), so the approximate result is exactly reproducible and carries a
+    full hash-checked oracle.
 
     dim=None (interpreted fold) on purpose: the index pipeline is ~5 small
     stages, and compiling five unrolled 64-term chains costs more wall time
