@@ -15,8 +15,9 @@ Scale design (the whole point of these ops at 100 TB):
 * MinHash: shingle explosion is map-side; signatures are a single groupBy
   (shuffle on doc_id); LSH banding turns all-pairs O(n²) into an equi-join
   on (band, band-key) buckets, and only bucket-mates reach the verifier;
-* SimHash: map-side fingerprint, candidate pairs via 15-bit block equi-join
-  (pigeonhole: hamming ≤ 12 on 60 bits → some 15-bit block equal);
+* SimHash: map-side fingerprint, candidate pairs via a (max_hamming+1)-block
+  equi-join (pigeonhole, Manku et al. WWW'07: ≤ k differing bits cannot touch
+  all k+1 blocks, so some block is equal);
 * n-gram Jaccard: the shingle inverted index IS the blocking — pairs that
   share no shingle are never materialized.
 """
@@ -383,20 +384,46 @@ def simhash_fingerprints_sql(table: str, id_col: str, text_col: str) -> str:
     """
 
 
+def _simhash_block_layout(max_hamming: int) -> list[tuple[int, int, int]]:
+    """Partition the 60 fingerprint bits into ``max_hamming + 1`` contiguous
+    blocks, widest first: (blk, shift, width) rows.  Pigeonhole (Manku et
+    al., "Detecting near-duplicates for web crawling", WWW'07 §3): a pair at
+    hamming ≤ k differs in at most k blocks, so with k+1 blocks at least one
+    block is bit-identical — single-block equality is a recall-EXACT LSH.
+
+    The trade is key width: k=3 → 4 blocks of 15 bits (sharp buckets, the
+    planet-scale setting); k=12 → 13 blocks of 4-5 bits (coarse buckets,
+    heavier candidate verify — fine at corpus sizes where 2^5 buckets per
+    block still bound pair counts, or as the verify stage after a stricter
+    first pass)."""
+    n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS - 1}]")
+    base, extra = divmod(SIMHASH_BITS, n_blocks)
+    layout, shift = [], 0
+    for blk in range(n_blocks):
+        width = base + (1 if blk < extra else 0)
+        layout.append((blk, shift, width))
+        shift += width
+    return layout
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 12
 ) -> DataFrame:
-    """SimHash near-dup: candidates share one of four 15-bit blocks
-    (pigeonhole guarantees recall for hamming ≤ 12 when blocks are chosen as
-    60/4; equality on any block is the LSH bucket), verified by exact
-    ``bit_count(xor) <= max_hamming``.  Returns (id_a, id_b, hamming)."""
+    """SimHash near-dup: candidates share one of ``max_hamming + 1`` blocks
+    (pigeonhole — see :func:`_simhash_block_layout`; equality on any block is
+    the LSH bucket), verified by exact ``bit_count(xor) <= max_hamming``.
+    Recall is exact by construction.  Returns (id_a, id_b, hamming)."""
     fp = simhash_fingerprints(df, id_col, text_col)
     blocks = F.array(*[
         F.struct(
-            F.lit(b).alias("blk"),
-            F.shiftright(F.col("simhash"), 15 * b).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"),
+            F.lit(blk).alias("blk"),
+            F.shiftright(F.col("simhash"), shift)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
         )
-        for b in range(4)
+        for blk, shift, width in _simhash_block_layout(max_hamming)
     ])
     keyed = fp.select("id", "simhash", F.explode(blocks).alias("bk")).select(
         "id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key")
@@ -421,10 +448,15 @@ def simhash_near_dup_pairs(
 
 def simhash_near_dup_pairs_sql(table: str, id_col: str, text_col: str, max_hamming: int = 12) -> str:
     fp = simhash_fingerprints_sql(table, id_col, text_col)
+    block_rows = ", ".join(
+        f"({blk}, {shift}, {(1 << width) - 1})"
+        for blk, shift, width in _simhash_block_layout(max_hamming)
+    )
     return f"""
     WITH fp AS ({fp}),
-    keyed AS (SELECT id, simhash, blk, (simhash >> (15 * blk)) & 32767 AS key
-              FROM fp, UNNEST(range(0, 4)) AS u(blk))
+    blocks(blk, sh, mask) AS (VALUES {block_rows}),
+    keyed AS (SELECT id, simhash, blk, (simhash >> sh) & mask AS key
+              FROM fp, blocks)
     SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM keyed a JOIN keyed b

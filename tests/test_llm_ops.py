@@ -38,11 +38,34 @@ def test_simhash_finds_near_identical_docs(spark):
     sim_pairs = {
         (r.id_a, r.id_b) for r in simhash_near_dup_pairs(docs, "doc_id", "text", 12).collect()
     }
-    # block-LSH guarantees recall only for hamming<=3; beyond that it is
-    # probabilistic — near-identical docs should still mostly surface
+    # 13-block pigeonhole LSH: recall over hamming<=12 pairs is exact, so
+    # any loss here is simhash-vs-jaccard model mismatch, not the blocking
     assert true_pairs
     recall = len(true_pairs & sim_pairs) / len(true_pairs)
     assert recall >= 0.8, f"simhash recall {recall:.2f} over {len(true_pairs)} true pairs"
+
+
+def test_simhash_block_pigeonhole_exact():
+    """Any 60-bit pair at hamming <= k shares at least one of the k+1 blocks."""
+    import random
+
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import _simhash_block_layout
+
+    rng = random.Random(7)
+    for k in (3, 7, 12):
+        layout = _simhash_block_layout(k)
+        assert sum(w for _, _, w in layout) == 60 and len(layout) == k + 1
+        for _ in range(500):
+            a = rng.getrandbits(60)
+            flips = rng.sample(range(60), rng.randint(1, k))
+            b = a
+            for f in flips:
+                b ^= 1 << f
+            shared = any(
+                (a >> sh) & ((1 << w) - 1) == (b >> sh) & ((1 << w) - 1)
+                for _, sh, w in layout
+            )
+            assert shared, f"hamming {len(flips)} pair missed by {k + 1}-block LSH"
 
 
 def test_ivf_recall(spark):

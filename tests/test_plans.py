@@ -7,7 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from datapipeline_omnichanneltobigquery_spark.plans import audit
-from datapipeline_omnichanneltobigquery_spark.plans.queries import QUERIES
+from datapipeline_omnichanneltobigquery_spark.plans.queries import EXTRA_QUERIES, QUERIES
 from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
 
 from tests.conftest import SF_DIR
@@ -42,7 +42,7 @@ def test_multiway_join_shape(spark):
 
 
 def test_cast_policy_is_shuffle_free(spark):
-    df = QUERIES["cast_policy"](spark, SF_DIR)
+    df = EXTRA_QUERIES["cast_policy"](spark, SF_DIR)
     assert audit.exchange_count(df) == 0, audit.plan_string(df)
 
 
