@@ -25,6 +25,28 @@ from pyspark.sql import DataFrame, SparkSession
 from datapipeline_omnichanneltobigquery_spark.operators.upsert import upsert
 
 
+def swap_table(spark: SparkSession, main_table: str, staged_table: str) -> None:
+    """Swap ``staged_table`` in under ``main_table``'s name without a
+    data-loss window: the current main is renamed aside FIRST, so a crash at
+    any point leaves either the original (as ``<main>__backup``) or the new
+    table on disk — old data is dropped only after the new name is live.
+
+    NOT reader-atomic: a concurrent reader can observe ``main_table`` absent
+    between the two renames (the Hive-style catalog has no multi-table
+    transaction).  Deployments that need reader atomicity should target a
+    transactional format (Delta/Iceberg MERGE or REPLACE TABLE) — this
+    helper is the best the plain parquet catalog can do.
+    """
+    backup = f"{main_table}__backup"
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    spark.sql(f"ALTER TABLE {main_table} RENAME TO {backup}")
+    spark.sql(f"ALTER TABLE {staged_table} RENAME TO {main_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    # rename moves the managed-table directory; invalidate the cached file
+    # listing or the next read chases deleted part files
+    spark.catalog.refreshTable(main_table)
+
+
 def overwrite_table(df: DataFrame, name: str, partition_by: list[str] | None = None) -> int:
     """Create-or-truncate load (WRITE_TRUNCATE, :147-152) + count verify (:159).
 
@@ -54,22 +76,19 @@ def upsert_into_table(
 
     The merge itself is the anti-join + union plan from
     :func:`datapipeline_omnichanneltobigquery_spark.operators.upsert.upsert`;
-    the result replaces the main table atomically via an overwrite of a
-    staged result (read → plan → write-new, never read-while-overwrite).
+    the result replaces the main table via write-new-then-swap (read → plan
+    → write staged → :func:`swap_table`) — crash-safe, though not
+    reader-atomic (see :func:`swap_table`).
     """
     staging_df.write.mode("overwrite").format("parquet").saveAsTable(staging_table)
     staging = spark.table(staging_table)
     main = spark.table(main_table)
     merged = upsert(main, staging, key=key, broadcast_staging=broadcast_staging)
-    # Materialize before overwriting the table the plan reads from.
+    # Materialize before swapping out the table the plan reads from.
     merged.cache()
     merged.count()
     merged.write.mode("overwrite").format("parquet").saveAsTable(f"{main_table}__merged")
-    spark.sql(f"DROP TABLE IF EXISTS {main_table}")
-    spark.sql(f"ALTER TABLE {main_table}__merged RENAME TO {main_table}")
-    # rename moves the managed-table directory; invalidate the cached file
-    # listing or the next read chases deleted part files
-    spark.catalog.refreshTable(main_table)
+    swap_table(spark, main_table, f"{main_table}__merged")
     merged.unpersist()
     drop_table(spark, staging_table)
     return row_count(spark, main_table)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from datapipeline_omnichanneltobigquery_spark.operators.upsert import upsert
+from datapipeline_omnichanneltobigquery_spark.sinks.catalog import swap_table
 
 
 def streaming_upsert(
@@ -53,11 +54,10 @@ def streaming_upsert(
         merged.cache()
         merged.count()
         merged.write.mode("overwrite").format("parquet").saveAsTable(f"{main_table}__next")
-        spark.sql(f"DROP TABLE IF EXISTS {main_table}")
-        spark.sql(f"ALTER TABLE {main_table}__next RENAME TO {main_table}")
-        # the rename moves the managed-table directory; drop the stale
-        # file-listing cache or the next read chases deleted part files
-        spark.catalog.refreshTable(main_table)
+        # backup-rename swap: crash-safe (old data survives as __backup
+        # until the new name is live), not reader-atomic — see
+        # sinks.catalog.swap_table
+        swap_table(spark, main_table, f"{main_table}__next")
         caller_spark.catalog.refreshTable(main_table)
         merged.unpersist()
 

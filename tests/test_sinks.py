@@ -8,6 +8,7 @@ from datapipeline_omnichanneltobigquery_spark.sinks.catalog import (
     list_tables,
     overwrite_table,
     row_count,
+    swap_table,
     table_columns,
     upsert_into_table,
 )
@@ -35,6 +36,21 @@ def test_upsert_lifecycle(spark):
     assert "t_stage" not in list_tables(spark)
     assert table_columns(spark, "t_life") == ["id", "name"]
     drop_table(spark, "t_life")
+
+
+def test_swap_table_no_loss_window(spark):
+    """The swap renames main aside BEFORE the new table takes the name, so
+    the old data is never dropped until the new name is live; afterwards the
+    backup is gone and the new content answers under the main name."""
+    overwrite_table(spark.createDataFrame([(1, "old")], "id long, v string"), "t_swap")
+    overwrite_table(spark.createDataFrame([(2, "new")], "id long, v string"), "t_swap__in")
+    # a stale backup from a previous crashed swap must not block the next one
+    overwrite_table(spark.createDataFrame([(0, "stale")], "id long, v string"), "t_swap__backup")
+    swap_table(spark, "t_swap", "t_swap__in")
+    assert {r["v"] for r in spark.table("t_swap").collect()} == {"new"}
+    tables = list_tables(spark)
+    assert "t_swap__backup" not in tables and "t_swap__in" not in tables
+    drop_table(spark, "t_swap")
 
 
 def test_drop_missing_ok(spark):
