@@ -185,6 +185,46 @@ def _band_key(num_hashes: int, rows_per_band: int, band: int) -> Column:
     return F.concat_ws(",", *[c.cast("string") for c in cols])
 
 
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """The LSH candidate stage alone: distinct (id_a, id_b) pairs agreeing on
+    at least one MinHash band (P(candidate | J=s) = 1-(1-s^r)^b).  Exposed
+    separately so callers that already have an exact-similarity table (e.g.
+    the merged driver query) can intersect with it instead of re-verifying.
+    """
+    num_bands = num_hashes // rows_per_band
+    # The SIGNATURE table is tiny (one row per doc) and is needed both by
+    # the candidate broadcast job and the main job — caching it crosses that
+    # job boundary and saves a full shingle+aggregate recompute.
+    sh = shingles(df, id_col, text_col, n)
+    sig = _signatures_from_shingles(sh, num_hashes, seed).cache()
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"), _band_key(num_hashes, rows_per_band, i).alias("key"))
+        for i in range(num_bands)
+    ])
+    keyed = sig.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -198,39 +238,16 @@ def minhash_near_dup_pairs(
     """MinHash → LSH bands → bucket equi-join → exact-Jaccard verification.
 
     shingle → minhash → band → bucket-join is the canonical near-dedup
-    pipeline: candidates are pairs agreeing on at least one band
-    (P(candidate | J=s) = 1-(1-s^r)^b), then candidates are verified with the
-    exact Jaccard so the output is deterministic and threshold-precise.
-    Returns (id_a, id_b, jaccard).
+    pipeline: candidates from :func:`minhash_candidate_pairs`, then verified
+    with the exact Jaccard so the output is deterministic and
+    threshold-precise.  Returns (id_a, id_b, jaccard).
     """
-    num_bands = num_hashes // rows_per_band
     # The shingle inverted index feeds multiple branches.  No explicit cache
     # on it: its distinct-shuffle is an identical subplan in every branch, so
     # Spark's ReusedExchange shares it within a job — measured faster than
-    # .cache(), whose serialization cost lands inside the job.  The SIGNATURE
-    # table however is tiny (one row per doc) and is needed both by the
-    # candidate broadcast job and the main job — caching it crosses that job
-    # boundary and saves a full shingle+aggregate recompute.
+    # .cache(), whose serialization cost lands inside the job.
     sh = shingles(df, id_col, text_col, n)
-    sig = _signatures_from_shingles(sh, num_hashes, seed).cache()
-    bands = F.array(*[
-        F.struct(F.lit(i).alias("band"), _band_key(num_hashes, rows_per_band, i).alias("key"))
-        for i in range(num_bands)
-    ])
-    keyed = sig.select("id", F.explode(bands).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    cand = minhash_candidate_pairs(df, id_col, text_col, n, num_hashes, rows_per_band, seed)
     # Verify ONLY the LSH candidates: restrict the shingle inverted index to
     # docs that appear in some candidate pair before the intersection join —
     # identical result to verifying against the full pairwise Jaccard
@@ -332,10 +349,11 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     Term weighting is what makes near-identical documents land at small
     hamming distance; an unweighted distinct-token variant is far noisier.
 
-    Implemented by exploding (token × bit) and re-aggregating — shuffles on
-    id only, all integer arithmetic, engine-exact.  (A single-pass variant
-    with 60 CASE aggregates avoids the bit explosion at scale; explode keeps
-    the plan identical to the SQL oracle and profiles fine through sf0.1.)
+    Implemented single-pass: one groupBy(id) computing all 60 bit-majority
+    sums as separate integer aggregates — the token rows shuffle ONCE (1× the
+    token count), versus the naive (token × bit) explosion that shuffles 60×
+    the rows.  All integer arithmetic, engine-exact; the SQL oracle keeps the
+    explode form (DuckDB's UNNEST is cheap there) — values are identical.
     """
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"))
@@ -344,25 +362,20 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("id", md5_long(F.col("tok")).alias("h"), "tf")
     )
-    bits = toks.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-        "h",
-        "tf",
-    ).select(
-        "id",
-        "j",
-        # shiftright with a column shift amount needs the SQL form
-        ((F.expr("shiftright(h, j) & 1") * 2 - 1) * F.col("tf")).alias("s"),
-    )
-    maj = bits.groupBy("id", "j").agg(F.sum("s").alias("ssum"))
-    return maj.groupBy("id").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.col("ssum") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        ).alias("simhash")
-    )
+            (F.expr(f"shiftright(h, {j}) & 1") * 2 - 1) * F.col("tf")
+        ).alias(f"ssum_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    maj = toks.groupBy("id").agg(*bit_sums)
+    fingerprint = None
+    for j in range(SIMHASH_BITS):
+        bit_j = F.when(F.col(f"ssum_{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = bit_j if fingerprint is None else fingerprint + bit_j
+    return maj.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_fingerprints_sql(table: str, id_col: str, text_col: str) -> str:
@@ -441,8 +454,11 @@ def simhash_near_dup_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE the de-dup shuffle: the hamming filter runs map-side
+        # on the raw bucket-join output, so only true matches (not the full
+        # candidate explosion) reach the distinct exchange
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

