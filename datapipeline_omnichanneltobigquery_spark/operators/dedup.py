@@ -479,3 +479,76 @@ def simhash_near_dup_pairs_sql(table: str, id_col: str, text_col: str, max_hammi
       ON a.blk = b.blk AND a.key = b.key AND a.id < b.id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# Connected components (near-dup pairs -> dedup clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Connected components over an undirected edge list ``(id_a, id_b)``:
+    returns ``(id, cluster_id)`` for every node that appears in an edge,
+    where ``cluster_id`` is the minimum node id in the component — the
+    deterministic cluster representative.
+
+    This is the step that turns near-dup PAIRS into dedup CLUSTERS (a dup of
+    a dup is a dup): transitive closure, then keep one doc per component.
+
+    Algorithm: min-label propagation to fixpoint.  Each iteration sends every
+    node's current label to its neighbors and takes the min — one equi-join
+    plus one min-aggregate, i.e. two key shuffles over the edge list, fully
+    distributed (the driver sees only the per-iteration convergence count).
+    Converges in O(graph diameter) iterations; near-dup graphs are dense
+    little cliques, so the diameter is tiny (2-3 hops).  For adversarial
+    long-chain graphs at 100 TB, the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) converges in O(log n) rounds with the same
+    join+min-aggregate building blocks; labels are ``localCheckpoint``-ed
+    each round either way so the plan does not grow with the iteration
+    count.
+    """
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    for _ in range(max_iterations):
+        prop = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "lbl"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`connected_components`: min reachable node via a
+    recursive CTE (UNION-dedup bounds the walk; min over the reachability
+    set is the component representative)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+    walk(id, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst
+    )
+    SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
+    """

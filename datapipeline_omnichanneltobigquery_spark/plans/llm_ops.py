@@ -335,6 +335,31 @@ def dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTERS_ORACLE = f"""
+    SELECT w.id, w.cluster_id,
+           w.id = w.cluster_id AS keep
+    FROM ({dd.connected_components_sql(
+        dd.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5)
+    )}) w
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the exact
+    3-gram Jaccard ≥ 0.5 pairs (a dup of a dup is a dup), each doc labeled
+    with its component's min doc_id and a keep flag for the canonical
+    representative — the final step of every production dedup pipeline.
+    Distributed min-label propagation (see operators.dedup
+    .connected_components); the DuckDB twin is a recursive CTE."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    cc = dd.connected_components(pairs)
+    return cc.select(
+        "id", "cluster_id", (F.col("id") == F.col("cluster_id")).alias("keep")
+    )
+
+
 @query(
     "multimodal_png_decode",
     oracle="""

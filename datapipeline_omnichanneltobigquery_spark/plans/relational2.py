@@ -93,6 +93,7 @@ def array_higher_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_conditional",
+    driver=False,  # sum-of-CASE is also under the gate via agg_pivot_status_by_segment
     oracle="""
     SELECT user_id,
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
