@@ -1,0 +1,190 @@
+"""Dataset sampling / splitting / packing — the selection layer of a
+training-data pipeline (extension surface; no analogue in the reference,
+which loads everything it fetches, omnichannel_to_bq.py:143-165).
+
+Everything here is DETERMINISTIC-BY-HASH: membership decisions come from
+``md5(seed:id)`` (functions/hashing.py), never from `rand()`, so
+
+* results are reproducible across runs, engines, and cluster sizes — the
+  property that makes train/test splits auditable;
+* every operator has an exact DuckDB oracle twin (``*_sql``);
+* no shuffle is needed to DECIDE membership — the hash is a map-side
+  projection; only downstream consumers shuffle.
+
+Scale notes: split/sample are pure narrow projections (100 TB-safe by
+construction).  Packing needs a running sum, which would serialize on one
+task as a global window — so it is SHARDED: docs land in ``n_shards``
+hash-buckets and the running sum is windowed per shard, which is both
+embarrassingly parallel and exactly what a multi-worker packer does
+(each worker packs its own stream).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long, md5_long_sql
+
+# Membership hashes are reduced to basis points (1/10000) — fractions are
+# specified with 4-decimal precision on both engines.
+_BPS = 10_000
+
+
+def _bucket(id_col: str, seed: str) -> F.Column:
+    return md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) % _BPS
+
+
+def _bucket_sql(id_expr: str, seed: str) -> str:
+    return f"{md5_long_sql(f''''{seed}:' || CAST({id_expr} AS VARCHAR)''')} % {_BPS}"
+
+
+def hash_split(
+    df: DataFrame, id_col: str, weights: dict[str, float], seed: str = "split-v1"
+) -> DataFrame:
+    """Assign every row a split label ('train'/'val'/'test'/...) by hashing
+    its id into basis points and cutting at the cumulative weights.  A row's
+    split NEVER changes when the dataset grows — membership depends only on
+    (seed, id) — which is the contract that keeps eval sets uncontaminated
+    across dataset versions."""
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {weights}")
+    bucket = _bucket(id_col, seed)
+    expr, lo = None, 0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        hi = lo + int(round(w * _BPS))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    expr = (
+        F.lit(labels[0][0])
+        if expr is None
+        else expr.otherwise(labels[-1][0])
+    )
+    return df.withColumn("split", expr)
+
+
+def hash_split_sql(
+    table: str, id_col: str, weights: dict[str, float], seed: str = "split-v1"
+) -> str:
+    bucket = _bucket_sql(id_col, seed)
+    labels = list(weights.items())
+    clauses, lo = [], 0
+    for name, w in labels[:-1]:
+        hi = lo + int(round(w * _BPS))
+        clauses.append(f"WHEN ({bucket}) < {hi} THEN '{name}'")
+        lo = hi
+    case = "CASE " + " ".join(clauses) + f" ELSE '{labels[-1][0]}' END"
+    return f"SELECT *, {case} AS split FROM {table}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows: a row survives iff
+    ``md5(seed:id) % 10000 < fraction[stratum] * 10000``.  Rebalancing a
+    skewed corpus (e.g. downsample the dominant language) is a map-side
+    filter — no shuffle, no rand(), repeatable."""
+    bucket = _bucket(id_col, seed)
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        thresh = F.lit(int(round(frac * _BPS)))
+        expr = F.when(cond, thresh) if expr is None else expr.when(cond, thresh)
+    thresh_col = (
+        F.lit(int(round(default_fraction * _BPS)))
+        if expr is None
+        else expr.otherwise(F.lit(int(round(default_fraction * _BPS))))
+    )
+    return df.filter(bucket < thresh_col)
+
+
+def stratified_sample_sql(
+    table: str,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "sample-v1",
+) -> str:
+    bucket = _bucket_sql(id_col, seed)
+    whens = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {int(round(f * _BPS))}" for s, f in fractions.items()
+    )
+    case = f"CASE {whens} ELSE {int(round(default_fraction * _BPS))} END"
+    return f"SELECT * FROM {table} WHERE ({bucket}) < {case}"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    ctx_len: int,
+    n_shards: int = 64,
+    seed: str = "pack-v1",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing, sharded for scale: docs are dealt
+    into ``n_shards`` hash-buckets, ordered inside each shard by a
+    deterministic shuffle key, laid end-to-end, and cut into ``ctx_len``
+    token chunks — the standard LLM-pretraining packing (a doc may straddle
+    a chunk boundary; ``straddles`` flags it).
+
+    Output: (id, shard, pack_offset, chunk, straddles) where ``pack_offset``
+    is the doc's start position in its shard's token stream and ``chunk`` =
+    pack_offset // ctx_len.  The running sum is windowed PER SHARD — each
+    shard's window sorts independently, so the operator parallelizes across
+    shards instead of serializing on a global cumsum (the shard count is the
+    parallelism knob; at 100 TB use n_shards ≈ a few × executor count)."""
+    key = md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    sharded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_count_col).alias("n_tokens"),
+        (key % n_shards).alias("shard"),
+        key.alias("__key"),
+    )
+    w = Window.partitionBy("shard").orderBy("__key", "id")
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("pack_offset")
+    out = sharded.select("id", "shard", "n_tokens", offset)
+    return out.select(
+        "id",
+        "shard",
+        "pack_offset",
+        F.floor(F.col("pack_offset") / ctx_len).cast("bigint").alias("chunk"),
+        (
+            F.floor((F.col("pack_offset") + F.col("n_tokens") - 1) / ctx_len) > F.floor(F.col("pack_offset") / ctx_len)
+        ).alias("straddles"),
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    id_col: str,
+    token_count_expr: str,
+    ctx_len: int,
+    n_shards: int = 64,
+    seed: str = "pack-v1",
+) -> str:
+    key = md5_long_sql(f"'{seed}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH sharded AS (
+        SELECT {id_col} AS id, {token_count_expr} AS n_tokens,
+               ({key}) % {n_shards} AS shard, ({key}) AS __key
+        FROM {table}
+    ),
+    packed AS (
+        SELECT id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY __key, id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS pack_offset
+        FROM sharded
+    )
+    SELECT id, shard, CAST(pack_offset AS BIGINT) AS pack_offset,
+           CAST(pack_offset // {ctx_len} AS BIGINT) AS chunk,
+           (pack_offset + n_tokens - 1) // {ctx_len} > pack_offset // {ctx_len} AS straddles
+    FROM packed
+    """

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
+from datapipeline_omnichanneltobigquery_spark.operators import sampling as sa
 from datapipeline_omnichanneltobigquery_spark.operators import similarity as sim
 from datapipeline_omnichanneltobigquery_spark.operators import textstats as ts
 from datapipeline_omnichanneltobigquery_spark.plans.queries import query
@@ -380,3 +381,46 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = mm.attach_png_payload(read_table(spark, sf_dir, "documents"), "doc_id", "text")
     meta = mm.extract_meta(payloads, use_real_codec=True)
     return meta.select("doc_id", "width", "height", "ok")
+
+
+# ---------------------------------------------------------------------------
+# Dataset selection: sample -> split -> pack (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FR = {"en": 0.5}  # downsample the dominant language 2x
+_SPLIT_W = {"train": 0.9, "val": 0.05, "test": 0.05}
+_CTX_LEN = 2048
+
+_SAMPLING_ORACLE = f"""
+    WITH sampled AS (
+        {sa.stratified_sample_sql("documents", "doc_id", "lang", _SAMPLE_FR, default_fraction=1.0)}
+    ),
+    with_split AS (
+        {sa.hash_split_sql("sampled", "doc_id", _SPLIT_W)}
+    ),
+    packed AS (
+        {sa.pack_sequences_sql("with_split", "doc_id", "(n_chars + 3) // 4", _CTX_LEN)}
+    )
+    SELECT s.doc_id AS id, s.lang, s.split,
+           p.shard, p.pack_offset, p.chunk, p.straddles
+    FROM with_split s JOIN packed p ON p.id = s.doc_id
+"""
+
+
+@query("sampling_pipeline", driver=False, oracle=_SAMPLING_ORACLE)
+def sampling_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-selection layer end-to-end: deterministic stratified
+    downsample (en halved), contamination-stable hash split (90/5/5), and
+    sharded concat-and-chunk sequence packing at 2048 tokens (token count =
+    ceil(n_chars/4)).  Every decision hashes (seed, doc_id) — re-running on
+    a grown corpus never moves an old doc across splits."""
+    d = read_table(spark, sf_dir, "documents")
+    samp = sa.stratified_sample(d, "doc_id", "lang", _SAMPLE_FR, default_fraction=1.0)
+    sp = sa.hash_split(samp, "doc_id", _SPLIT_W)
+    toks = sp.withColumn("n_tokens", ((F.col("n_chars") + 3) / 4).cast("bigint"))
+    pk = sa.pack_sequences(toks, "doc_id", "n_tokens", _CTX_LEN)
+    return (
+        sp.select(F.col("doc_id").alias("id"), "lang", "split")
+        .join(pk.drop("n_tokens"), "id")
+        .select("id", "lang", "split", "shard", "pack_offset", "chunk", "straddles")
+    )
