@@ -515,22 +515,21 @@ def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFram
         .localCheckpoint()
     )
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    # Convergence detection without a join: labels only ever decrease, so
+    # sum(lbl) is strictly monotone until the fixpoint — one cheap aggregate
+    # over the freshly checkpointed labels per round.
+    prev_sum = None
     for _ in range(max_iterations):
         prop = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
             F.col("dst").alias("id"), "lbl"
         )
-        new_labels = (
+        labels = (
             labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
     return labels.select("id", F.col("lbl").alias("cluster_id"))

@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
+from datapipeline_omnichanneltobigquery_spark.operators import ir
 from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
 from datapipeline_omnichanneltobigquery_spark.operators import sampling as sa
 from datapipeline_omnichanneltobigquery_spark.operators import similarity as sim
@@ -202,10 +203,23 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_meta(payloads)
 
 
-@query("multimodal_frame_sample")  # rows-only: 1→N expansion shape
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, off AS "offset",
+           CAST('0x' || substr(hex(encode(text)), CAST(2 * off AS INT) + 1, 2) AS INT)
+             AS first_byte
+    FROM (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+         UNNEST(range(0, nb, 64)) AS u(off)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling expansion (one row per 64-byte stride offset) through
-    mapInPandas."""
+    mapInPandas.  The payload is deterministic (utf-8 text bytes), so the
+    1→N expansion has a full hash-checked oracle: the SQL twin regenerates
+    each sampled offset and reads the same byte out of the hex encoding —
+    a hash match proves the binary column round-tripped through Arrow and
+    the Python kernel byte-exactly."""
     payloads = mm.attach_payload(read_table(spark, sf_dir, "documents"), "doc_id", "text")
     return mm.frame_sample(payloads)
 
@@ -424,3 +438,23 @@ def sampling_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pk.drop("n_tokens"), "id")
         .select("id", "lang", "split", "shard", "pack_offset", "chunk", "straddles")
     )
+
+
+# ---------------------------------------------------------------------------
+# IR scoring (operators/ir.py)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["vector", "stream", "shuffle"]
+
+
+@query(
+    "text_bm25_scores",
+    driver=False,
+    oracle=ir.bm25_scores_sql("documents", "doc_id", "text", _BM25_TERMS),
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every matching doc for a fixed term bag —
+    retrieval without an embedding model.  Inverted-index shuffles only;
+    the query side broadcasts; per-doc score sums in deterministic term
+    order (see operators/ir.py)."""
+    return ir.bm25_scores(read_table(spark, sf_dir, "documents"), "doc_id", "text", _BM25_TERMS)
