@@ -188,3 +188,33 @@ def pack_sequences_sql(
            (pack_offset + n_tokens - 1) // {ctx_len} > pack_offset // {ctx_len} AS straddles
     FROM packed
     """
+
+
+def cap_per_group(
+    df: DataFrame, id_col: str, group_col: str, k: int, seed: str = "cap-v1"
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen deterministically by hash
+    order — the per-source cap that stops one crawl/domain from dominating
+    the training mix.  Unlike ``ORDER BY rand() LIMIT``, membership is a
+    pure function of (seed, id, the group's contents): one window shuffle on
+    the group key, rank-k selection inside each group, no global sort."""
+    key = md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def cap_per_group_sql(
+    table: str, id_col: str, group_col: str, k: int, seed: str = "cap-v1"
+) -> str:
+    key = md5_long_sql(f"'{seed}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    SELECT * EXCLUDE (__rn) FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                     ORDER BY ({key}), {id_col}) AS __rn
+        FROM {table}
+    ) WHERE __rn <= {k}
+    """

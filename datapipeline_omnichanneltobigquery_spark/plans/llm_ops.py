@@ -458,3 +458,17 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query side broadcasts; per-doc score sums in deterministic term
     order (see operators/ir.py)."""
     return ir.bm25_scores(read_table(spark, sf_dir, "documents"), "doc_id", "text", _BM25_TERMS)
+
+
+@query(
+    "sampling_cap_per_source",
+    driver=False,
+    oracle="SELECT doc_id, source FROM ("
+    + sa.cap_per_group_sql("documents", "doc_id", "source", 50)
+    + ")",
+)
+def sampling_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 50 docs, deterministically by hash order — the
+    mix-balancing primitive (one window shuffle on source, no rand())."""
+    d = read_table(spark, sf_dir, "documents")
+    return sa.cap_per_group(d, "doc_id", "source", 50).select("doc_id", "source")
