@@ -114,3 +114,22 @@ def write_stream_to_memory(sdf: DataFrame, name: str) -> DataStreamWriter:
         .outputMode("complete")
         .trigger(availableNow=True)
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    bounded by the watermark horizon (``dropDuplicatesWithinWatermark``) —
+    the streaming twin of ``dedup_exact``.  Duplicates arriving within
+    ``watermark`` of each other collapse to one row; state for keys older
+    than the horizon is evicted, which is what makes exactly-once dedup
+    sustainable on an unbounded stream (an unbounded ``dropDuplicates``
+    state grows forever).  On a static DataFrame the same call degrades to
+    plain ``dropDuplicates`` so batch and streaming share one code path."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return events.dropDuplicates(key_cols)

@@ -120,3 +120,31 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # late row; the 12:00 window closes in run 2 with n=1
     assert (8, 1) in got and (9, 1) in got and (12, 1) in got
     assert (8, 2) not in got
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicated source rows collapse to one per key under the streaming
+    dedup, matching batch dropDuplicates on the same data."""
+    from datapipeline_omnichanneltobigquery_spark.streaming.windows import dedup_within_watermark
+
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "ts", "event_type").limit(200)
+    dup = ev.unionByName(ev)  # every key duplicated
+    src = str(tmp_path / "dup_src")
+    dup.write.parquet(src)
+
+    batch_n = dedup_within_watermark(spark.read.parquet(src), ["event_id"]).count()
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sdf = dedup_within_watermark(stream, ["event_id"])
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("t_dedup_stream")
+    assert streamed.count() == batch_n == 200
+    assert streamed.select("event_id").distinct().count() == 200
