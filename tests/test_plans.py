@@ -69,3 +69,51 @@ def test_codegen_everywhere(spark):
     for name in ("q1_pricing_summary", "flagship_monthly_revenue", "window_topn_orders_per_customer"):
         n = audit.codegen_stage_count_of(lambda s: QUERIES[name](s, SF_DIR), spark)
         assert n >= 1, name
+
+
+def test_sampling_split_and_filter_are_narrow(spark):
+    """Split + stratified sample are map-side: ZERO exchanges — the property
+    that makes them free at 100 TB."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    split = hash_split(d, "doc_id", {"train": 0.9, "val": 0.1})
+    assert audit.exchange_count(split) == 0, audit.plan_string(split)
+    samp = stratified_sample(d, "doc_id", "lang", {"en": 0.5}, default_fraction=1.0)
+    assert audit.exchange_count(samp) == 0, audit.plan_string(samp)
+
+
+def test_cap_per_group_single_shuffle(spark):
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import cap_per_group
+
+    d = read_table(spark, SF_DIR, "documents")
+    capped = cap_per_group(d, "doc_id", "source", 10)
+    assert audit.exchange_count(capped) == 1, audit.plan_string(capped)
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Packing shuffles once (per-shard window); no global single-partition
+    sort may appear."""
+    import pyspark.sql.functions as F2
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import pack_sequences
+
+    d = read_table(spark, SF_DIR, "documents").withColumn(
+        "n_tokens", ((F2.col("n_chars") + 3) / 4).cast("bigint")
+    )
+    pk = pack_sequences(d, "doc_id", "n_tokens", 2048)
+    plan = audit.plan_string(pk)
+    assert audit.exchange_count(pk) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """The query-term and df tables broadcast; the only key shuffles are the
+    inverted-index aggregations."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ir import bm25_scores
+
+    d = read_table(spark, SF_DIR, "documents")
+    scores = bm25_scores(d, "doc_id", "text", ["vector", "stream"])
+    assert audit.broadcast_join_count(scores) >= 2, audit.plan_string(scores)
