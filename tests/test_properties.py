@@ -49,3 +49,38 @@ def test_upsert_idempotent_and_key_unique(spark, main_ids, stage_ids):
     assert len(ids) == len(set(ids)) == len(set(main_ids) | set(stage_ids))
     # staging wins on every overlapping key
     assert all(v.startswith("s") for i, v in got_once if i in set(stage_ids))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation ≡ a sequential union-find, for
+    arbitrary small graphs (chains, cliques, isolated pairs, multi-edges)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in edges for n in e}
+    expected = {}
+    for n in nodes:
+        root = find(n)
+        expected.setdefault(root, []).append(n)
+    want = {n: min(members) for members in expected.values() for n in members}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == want
