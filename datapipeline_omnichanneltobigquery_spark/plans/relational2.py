@@ -257,7 +257,7 @@ def set_intersect_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_users",
     oracle="""
     SELECT event_type,
-           list(DISTINCT user_id ORDER BY user_id) AS users,
+           array_to_string(list(DISTINCT user_id ORDER BY user_id), ',') AS users,
            len(list(DISTINCT user_id ORDER BY user_id)) AS n_users
     FROM events
     WHERE user_id < 40
@@ -267,10 +267,14 @@ def set_intersect_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_sorted_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect_set + sort_array makes the collected array
     deterministic (bare collect_list order is partitioning-dependent — never
-    hash/compare it unsorted)."""
+    hash/compare it unsorted).  The array crosses the compare boundary as a
+    comma-joined string: the driver's canonicalizer cannot hash array cells
+    (tests/test_plans.py::test_driver_outputs_have_no_complex_types pins the
+    rule for every exported entry)."""
     ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    users = F.sort_array(F.collect_set("user_id"))
     return ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_set("user_id")).alias("users"),
+        F.array_join(F.transform(users, lambda x: x.cast("string")), ",").alias("users"),
         F.size(F.collect_set("user_id")).cast("bigint").alias("n_users"),
     )
 

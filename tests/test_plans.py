@@ -117,3 +117,22 @@ def test_bm25_broadcasts_query_side(spark):
     d = read_table(spark, SF_DIR, "documents")
     scores = bm25_scores(d, "doc_id", "text", ["vector", "stream"])
     assert audit.broadcast_join_count(scores) >= 2, audit.plan_string(scores)
+
+
+def test_driver_outputs_have_no_complex_types(spark):
+    """Driver-contract guard: the driver's canonicalizer sorts pandas columns
+    and crashes on array/map/struct cells (unhashable) — every EXPORTED query
+    must return scalar columns only.  Round-2 regression
+    (agg_collect_sorted_users) pinned forever."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        schema = fn(spark, SF_DIR).schema
+        complex_cols = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"driver-exported queries return complex-typed columns: {bad}"
