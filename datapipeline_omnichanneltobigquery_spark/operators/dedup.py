@@ -200,11 +200,15 @@ def minhash_candidate_pairs(
     the merged driver query) can intersect with it instead of re-verifying.
     """
     num_bands = num_hashes // rows_per_band
-    # The SIGNATURE table is tiny (one row per doc) and is needed both by
-    # the candidate broadcast job and the main job — caching it crosses that
-    # job boundary and saves a full shingle+aggregate recompute.
+    # The candidate pair list (tiny — bucket-mates only) is eagerly
+    # localCheckpoint-ed below, so the whole signature→band→join pipeline
+    # runs exactly ONCE no matter how many downstream branches consume the
+    # pairs (the broadcast job + main job in minhash_near_dup_pairs used to
+    # recompute it, and an earlier .cache() of the signature table leaked
+    # for the session lifetime).  Within the single job the band self-join's
+    # identical children share one exchange (ReusedExchange).
     sh = shingles(df, id_col, text_col, n)
-    sig = _signatures_from_shingles(sh, num_hashes, seed).cache()
+    sig = _signatures_from_shingles(sh, num_hashes, seed)
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"), _band_key(num_hashes, rows_per_band, i).alias("key"))
         for i in range(num_bands)
@@ -213,7 +217,7 @@ def minhash_candidate_pairs(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     a, b = keyed.alias("a"), keyed.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -222,7 +226,9 @@ def minhash_candidate_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        .localCheckpoint()
     )
+    return cand
 
 
 def minhash_near_dup_pairs(

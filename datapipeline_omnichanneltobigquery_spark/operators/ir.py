@@ -59,23 +59,35 @@ def bm25_scores(
     """BM25 score of every matching document for a bag of query terms
     (Robertson/Sparck Jones idf, the Okapi formulation).  Returns
     (id, n_hits, score) for docs containing at least one query term,
-    score rounded to 6 decimals (see module docstring)."""
+    score rounded to 6 decimals (see module docstring).
+
+    Scale shape: the token stream is semi-joined to the broadcast query
+    BEFORE the (id, term) aggregate, so the tf shuffle carries only
+    query-term postings — and the broadcast document-frequency table is
+    therefore O(|query|) rows, never the corpus vocabulary (df counts for
+    the query terms are identical either way).  Corpus stats (n_docs,
+    avgdl) ride one broadcast row kept in-plan: the whole score is a
+    single lazy plan with zero driver actions."""
     spark = df.sparkSession
     tok = _tokens(df, id_col, text_col)
     dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = df.select(F.col(id_col)).distinct().count()
-    avgdl_row = dl.agg(F.avg("dl").alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"])
-    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     q = spark.createDataFrame([(t,) for t in sorted(set(query_terms))], "term string")
-    hits = tf.join(F.broadcast(q), "term").join(F.broadcast(dfreq), "term").join(dl, "id")
+    tf_q = tok.join(F.broadcast(q), "term").groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    hits = tf_q.join(F.broadcast(dfreq), "term").join(dl, "id").crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
     )
     kernel = (F.col("tf") * (F.lit(k1) + 1.0)) / (
-        F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
     per_term = hits.select("id", "term", (idf * kernel).alias("w"))
     # ordered sum: sort_array over (term, w) structs makes the double

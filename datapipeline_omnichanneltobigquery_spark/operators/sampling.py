@@ -39,6 +39,12 @@ def _bucket_sql(id_expr: str, seed: str) -> str:
     return f"{md5_long_sql(f''''{seed}:' || CAST({id_expr} AS VARCHAR)''')} % {_BPS}"
 
 
+def _sql_str(value: str) -> str:
+    """Single-quoted SQL string literal with quotes escaped — labels and
+    strata are caller data and must not be able to break the generated SQL."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
 def hash_split(
     df: DataFrame, id_col: str, weights: dict[str, float], seed: str = "split-v1"
 ) -> DataFrame:
@@ -73,9 +79,12 @@ def hash_split_sql(
     clauses, lo = [], 0
     for name, w in labels[:-1]:
         hi = lo + int(round(w * _BPS))
-        clauses.append(f"WHEN ({bucket}) < {hi} THEN '{name}'")
+        clauses.append(f"WHEN ({bucket}) < {hi} THEN {_sql_str(name)}")
         lo = hi
-    case = "CASE " + " ".join(clauses) + f" ELSE '{labels[-1][0]}' END"
+    last = _sql_str(labels[-1][0])
+    # single-label weights degenerate to a bare literal (a zero-WHEN CASE is
+    # invalid SQL) — mirrors the Spark twin's F.lit fallback
+    case = last if not clauses else "CASE " + " ".join(clauses) + f" ELSE {last} END"
     return f"SELECT *, {case} AS split FROM {table}"
 
 
@@ -115,9 +124,13 @@ def stratified_sample_sql(
 ) -> str:
     bucket = _bucket_sql(id_col, seed)
     whens = " ".join(
-        f"WHEN {strata_col} = '{s}' THEN {int(round(f * _BPS))}" for s, f in fractions.items()
+        f"WHEN {strata_col} = {_sql_str(s)} THEN {int(round(f * _BPS))}"
+        for s, f in fractions.items()
     )
-    case = f"CASE {whens} ELSE {int(round(default_fraction * _BPS))} END"
+    default = int(round(default_fraction * _BPS))
+    # empty fractions degenerate to the bare default threshold (mirrors the
+    # Spark twin's F.lit fallback; a zero-WHEN CASE is invalid SQL)
+    case = str(default) if not whens else f"CASE {whens} ELSE {default} END"
     return f"SELECT * FROM {table} WHERE ({bucket}) < {case}"
 
 

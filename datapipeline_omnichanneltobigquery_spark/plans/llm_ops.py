@@ -184,6 +184,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_meta",
+    driver=False,  # merged into multimodal_png_decode
     oracle="""
     SELECT doc_id,
            'image' AS modality,
@@ -378,23 +379,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_png_decode",
     oracle="""
-    SELECT doc_id,
+    SELECT doc_id, 'png' AS kind,
            1 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS width,
            1 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS height,
+           CAST(NULL AS BIGINT) AS n_bytes,
+           TRUE AS ok
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'meta' AS kind,
+           16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 240 AS width,
+           16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 240 AS height,
+           octet_length(encode(text)) AS n_bytes,
            TRUE AS ok
     FROM documents
     """,
 )
 def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image codec path end-to-end: encode spec-valid PNG bytes per
+    """Both multimodal decode paths in one driver entry (marker column
+    ``kind``).
+
+    ``png``: REAL image codec end-to-end — encode spec-valid PNG bytes per
     document (pure-stdlib encoder, dimensions md5-derived), then decode them
     back by parsing the PNG IHDR — signature, chunk framing, CRC check — in
     the mapInPandas decode stage.  The oracle recomputes the dimensions from
     md5 directly: a hash match proves genuine bytes flowed through encode →
-    Arrow → decode without corruption."""
-    payloads = mm.attach_png_payload(read_table(spark, sf_dir, "documents"), "doc_id", "text")
-    meta = mm.extract_meta(payloads, use_real_codec=True)
-    return meta.select("doc_id", "width", "height", "ok")
+    Arrow → decode without corruption.
+
+    ``meta``: metadata extraction over raw binary payloads through the same
+    mapInPandas plumbing with the deterministic fake-decode kernel, byte
+    counts included — the subsumed former multimodal_meta entry (still
+    locally verified standalone)."""
+    d = read_table(spark, sf_dir, "documents")
+    png = (
+        mm.extract_meta(mm.attach_png_payload(d, "doc_id", "text"), use_real_codec=True)
+        .select(
+            "doc_id",
+            F.lit("png").alias("kind"),
+            "width",
+            "height",
+            F.lit(None).cast("bigint").alias("n_bytes"),
+            "ok",
+        )
+    )
+    meta = mm.extract_meta(mm.attach_payload(d, "doc_id", "text")).select(
+        "doc_id", F.lit("meta").alias("kind"), "width", "height", "n_bytes", "ok"
+    )
+    return png.unionByName(meta)
 
 
 # ---------------------------------------------------------------------------
@@ -421,7 +451,7 @@ _SAMPLING_ORACLE = f"""
 """
 
 
-@query("sampling_pipeline", driver=False, oracle=_SAMPLING_ORACLE)
+@query("sampling_pipeline", oracle=_SAMPLING_ORACLE)
 def sampling_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset-selection layer end-to-end: deterministic stratified
     downsample (en halved), contamination-stable hash split (90/5/5), and
@@ -449,7 +479,6 @@ _BM25_TERMS = ["vector", "stream", "shuffle"]
 
 @query(
     "text_bm25_scores",
-    driver=False,
     oracle=ir.bm25_scores_sql("documents", "doc_id", "text", _BM25_TERMS),
 )
 def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +491,6 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_cap_per_source",
-    driver=False,
     oracle="SELECT doc_id, source FROM ("
     + sa.cap_per_group_sql("documents", "doc_id", "source", 50)
     + ")",

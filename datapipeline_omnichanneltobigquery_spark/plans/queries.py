@@ -161,7 +161,7 @@ _CAST_ORACLE = """
 """
 
 
-@query("cast_policy", oracle=_CAST_ORACLE, driver=False)  # verified via sort_by_created_at
+@query("cast_policy", oracle=_CAST_ORACLE, driver=False)  # verified via event_time_filter
 def cast_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-T3: the name-driven cast policy over the events table, with the
     reference's column names mapped on (id=int branch, created_at=date
@@ -175,33 +175,48 @@ def cast_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cast_columns(ev)
 
 
-@query("sort_by_created_at", oracle=_CAST_ORACLE)
+@query("sort_by_created_at", oracle=_CAST_ORACLE, driver=False)  # merged into event_time_filter
 def sort_by_created_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1-T3 + O1 in one driver entry: the name-driven cast policy feeding the
-    global ASC sort, nulls last (range-partition exchange + local sort).  The
-    value-hash is order-insensitive, so the oracle is the same set; ordering
-    itself is asserted in tests/test_normalize.py."""
+    """T1-T3 + O1: the name-driven cast policy feeding the global ASC sort,
+    nulls last (range-partition exchange + local sort).  The value-hash is
+    order-insensitive, so the oracle is the same set; ordering itself is
+    asserted in tests/test_normalize.py."""
     return sort_by_created_at(cast_policy(spark, sf_dir))
 
 
 @query(
     "event_time_filter",
     oracle="""
-    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso, event_type, value
+    SELECT CAST(event_id AS BIGINT) AS id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_at,
+           CAST(user_id AS BIGINT) AS user_id,
+           COALESCE(CAST(event_type AS VARCHAR), '') AS event_type,
+           strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
     """,
 )
 def event_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: the event-time range filter (the reference pushes it to its API;
-    here it pushes into the parquet scan — check PushedFilters)."""
-    ev = read_table(spark, sf_dir, "events")
-    return ev.filter(F.col("ts").between("2024-01-10 00:00:00", "2024-01-20 00:00:00")).select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
-        "event_type",
-        "value",
+    """F1 + T1-T3 + O1 + U1 in one driver entry: the event-time range filter
+    (the reference pushes it to its API; here it reaches the parquet scan —
+    PushedFilters, pinned in tests/test_plans.py), the name-driven cast
+    policy (one narrow projection), the ISO-8601 timestamp format, and the
+    global ASC-nulls-last sort (range exchange + local sort; the value-hash
+    is order-insensitive — ordering is asserted in tests/test_normalize.py).
+    Merging these thin §2.1 entries frees driver slots for the dataset-
+    selection layer; the fine-grained variants stay locally verified as
+    cast_policy / sort_by_created_at."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").between("2024-01-10 00:00:00", "2024-01-20 00:00:00")
     )
+    projected = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("created_at"),
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+    )
+    return sort_by_created_at(cast_columns(projected))
 
 
 @query(

@@ -160,6 +160,7 @@ def join_multiway_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_distinct_users",
+    driver=False,  # merged into agg_grouping_multi ('distinct' branch)
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_users,
@@ -595,12 +596,17 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'gsets' AS agg_kind, event_type AS g1,
            strftime(date_trunc('day', ts), '%Y-%m-%d') AS g2, COUNT(*) AS n
     FROM events GROUP BY GROUPING SETS ((g1), (g2))
+    UNION ALL
+    SELECT 'distinct' AS agg_kind, event_type AS g1,
+           CAST(NULL AS VARCHAR) AS g2, COUNT(DISTINCT user_id) AS n
+    FROM events GROUP BY event_type
     """,
 )
 def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP + CUBE + GROUPING SETS in one driver entry (marker column
-    distinguishes the three).  Each branch is a single Expand + partial/final
-    hash aggregate over its own table; the union is a no-shuffle concat."""
+    """ROLLUP + CUBE + GROUPING SETS + COUNT DISTINCT in one driver entry
+    (marker column distinguishes the four).  Each branch is a single Expand
+    (or two-level distinct expansion) + partial/final hash aggregate over its
+    own table; the union is a no-shuffle concat."""
     rollup = (
         read_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -631,7 +637,18 @@ def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_gm GROUP BY GROUPING SETS ((g1), (g2))
         """
     )
-    return rollup.unionByName(cube).unionByName(gsets)
+    distinct = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(
+            F.lit("distinct").alias("agg_kind"),
+            F.col("event_type").alias("g1"),
+            F.lit(None).cast("string").alias("g2"),
+            "n",
+        )
+    )
+    return rollup.unionByName(cube).unionByName(gsets).unionByName(distinct)
 
 
 @query(

@@ -79,3 +79,58 @@ def test_pack_sequences_geometry(spark):
             assert r["chunk"] == pos // 512
             assert r["straddles"] == ((pos + r["n_tokens"] - 1) // 512 > pos // 512)
             pos += r["n_tokens"]
+
+
+def _duck_ids(sql: str, sf_dir: str) -> set:
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return {r[0] for r in con.sql(f"SELECT doc_id FROM ({sql})").fetchall()}
+
+
+def test_hash_split_sql_single_label_degenerates_to_literal(spark):
+    """A single-label weights map must emit valid SQL (a zero-WHEN CASE is
+    not) and agree with the Spark twin's F.lit fallback."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import hash_split_sql
+
+    d = read_table(spark, SF_DIR_MID, "documents")
+    sp = hash_split(d, "doc_id", {"all": 1.0})
+    assert sp.filter(F.col("split") != "all").count() == 0
+    sql = hash_split_sql("documents", "doc_id", {"all": 1.0})
+    assert "CASE" not in sql
+    got = _duck_ids(f"SELECT doc_id FROM ({sql}) WHERE split = 'all'", SF_DIR_MID)
+    assert got == {r["doc_id"] for r in sp.select("doc_id").collect()}
+
+
+def test_stratified_sample_sql_empty_fractions_degenerates(spark):
+    """Empty fractions map: everything rides the default fraction; the SQL
+    twin must emit the bare threshold, not an invalid CASE."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import (
+        stratified_sample_sql,
+    )
+
+    d = read_table(spark, SF_DIR_MID, "documents")
+    samp = stratified_sample(d, "doc_id", "lang", {}, default_fraction=0.3)
+    sql = stratified_sample_sql("documents", "doc_id", "lang", {}, default_fraction=0.3)
+    assert "CASE" not in sql
+    got = _duck_ids(sql, SF_DIR_MID)
+    assert got == {r["doc_id"] for r in samp.select("doc_id").collect()}
+    assert 0 < len(got) < d.count()
+
+
+def test_sampling_sql_escapes_quotes():
+    """Labels/strata are caller data — single quotes must not break the
+    generated SQL."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import (
+        hash_split_sql,
+        stratified_sample_sql,
+    )
+
+    sql = hash_split_sql("t", "id", {"o'brien": 0.5, "rest": 0.5})
+    assert "'o''brien'" in sql
+    sql2 = stratified_sample_sql("t", "id", "lang", {"don't": 0.5})
+    assert "'don''t'" in sql2
