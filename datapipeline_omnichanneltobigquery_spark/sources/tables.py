@@ -26,11 +26,14 @@ TABLES = (
     "embeddings",
 )
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark (with
-# spark.sql.legacy.parquet.nanosAsLong=true) surfaces as epoch-nanos LongType.
-# We convert to TimestampType at microsecond precision — identical truncation
-# to what DuckDB applies when it reads the same file, so oracles agree.
-_NANOS_TS_COLUMNS = {"events": ("ts",)}
+# Event-time columns whose physical parquet type has varied across driver
+# testdata generations: TIMESTAMP(NANOS) (surfaced as epoch-nanos LongType
+# under spark.sql.legacy.parquet.nanosAsLong=true) or TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ in Spark 4).  Either way
+# we normalize to session-local TimestampType at microsecond precision —
+# the session zone is pinned to UTC below, so the NTZ→LTZ cast is
+# value-preserving and matches what DuckDB reads from the same file.
+_EVENT_TS_COLUMNS = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,14 +49,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #   formatted timestamp relative to the (naive) DuckDB oracle;
     # - nanosAsLong: Spark 4 otherwise rejects TIMESTAMP(NANOS) parquet.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name in _NANOS_TS_COLUMNS:
+    if name in _EVENT_TS_COLUMNS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_TS_COLUMNS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            # Integer division: epoch-nanos exceed double's 2^53 exact range,
-            # so a float divide would occasionally shift the microsecond.
+    for col in _EVENT_TS_COLUMNS.get(name, ()):
+        if col not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[col]
+        if dtype == "bigint":
+            # TIMESTAMP(NANOS) read as epoch-nanos.  Integer division:
+            # epoch-nanos exceed double's 2^53 exact range, so a float
+            # divide would occasionally shift the microsecond.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # TIMESTAMP(MICROS, no UTC adjustment).  Session tz is UTC, so
+            # this cast relabels the same instant; unix_micros/window/etc.
+            # require the LTZ type.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
