@@ -42,8 +42,31 @@ from datapipeline_omnichanneltobigquery_spark.functions.hashing import (
 def dedup_exact(df: DataFrame, subset: list[str], keep_min: str) -> DataFrame:
     """Exact dedup: one row per distinct ``subset``, keeping the MIN value of
     ``keep_min`` (deterministic, unlike dropDuplicates' arbitrary winner).
-    Plan: partial+final hash aggregate — one shuffle on the dedup key."""
+    Plan: partial+final hash aggregate — one shuffle on the dedup key.
+
+    Fine when ``subset`` is narrow.  For dedup on a document BODY, use
+    :func:`dedup_exact_keylist` — grouping on the full text makes the text
+    the shuffle key (giant-string hashing/sorting through the exchange)."""
     return df.groupBy(*subset).agg(F.min(keep_min).alias(keep_min))
+
+
+def dedup_exact_keylist(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Fingerprint-keyed exact dedup keep-list: ``(fp, id)`` — one row per
+    distinct ``text_col`` value, ``id`` = the MIN ``id_col`` among its
+    duplicates (the deterministic winner), ``fp`` = md5 hex of the text.
+
+    This is the 100 TB shape for exact document dedup: the fingerprint is
+    computed map-side, so the aggregate shuffles (16-byte fp, 8-byte id) per
+    row — the document body NEVER crosses an exchange.  Kept rows are
+    recovered by semi-joining the winner ids against the source (zero-shuffle
+    on the big side when it is bucketed by id — sinks/bucketed.py).  Full
+    128-bit md5 keeps the collision probability negligible at any corpus
+    size (a 60-bit fingerprint starts colliding near 2^30 docs)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
 
 
 def dedup_keep_latest(

@@ -31,14 +31,16 @@ EMB_DIM = 64  # embeddings.embedding is a 64-dim float vector (FIXTURES.md)
 
 @query(
     "dedup_exact_docs",
-    oracle="SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    oracle="SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM documents GROUP BY 1",
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on full text, deterministic min-id winner — hash agg,
-    one shuffle.  (At scale, dedup on the md5 fingerprint instead of the
-    full text so the shuffle moves 8 bytes per doc, not the document — see
-    doc_fingerprint.)"""
-    return dd.dedup_exact(read_table(spark, sf_dir, "documents"), ["text"], "doc_id")
+    """Exact dedup keep-list keyed on the md5 fingerprint (deterministic
+    min-id winner per distinct text).  The fingerprint is computed map-side,
+    so the single aggregate shuffle moves (16-byte fp, 8-byte id) per row —
+    the document body never crosses an exchange, unlike a groupBy(text)
+    whose shuffle key is the full text (see operators/dedup.py
+    ::dedup_exact_keylist)."""
+    return dd.dedup_exact_keylist(read_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 @query(

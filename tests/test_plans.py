@@ -109,6 +109,18 @@ def test_pack_sequences_single_shard_shuffle(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_dedup_exact_shuffles_fingerprint_not_text(spark):
+    """dedup_exact_docs must shuffle (fp, id) only: one exchange, and the
+    exchange input carries the md5 fingerprint, never the document body."""
+    df = QUERIES["dedup_exact_docs"](spark, SF_DIR)
+    plan = audit.plan_string(df)
+    assert audit.exchange_count(df) == 1, plan
+    exchange_inputs = [
+        blk for blk in plan.split("\n\n") if blk.lstrip().startswith("(") and "Exchange" in blk
+    ]
+    assert exchange_inputs and all("text" not in blk for blk in exchange_inputs), plan
+
+
 def test_bm25_broadcasts_query_side(spark):
     """The query-term and df tables broadcast; the only key shuffles are the
     inverted-index aggregations."""

@@ -2,7 +2,7 @@
 queries() entry at sf0.01 against its oracle_sql() twin in DuckDB with a
 row-count + schema + order-insensitive value compare.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [--vanilla] [--only=name1,name2]
 """
 
 from __future__ import annotations
@@ -25,6 +25,10 @@ from tests.helpers import canon_rows
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     if "--vanilla" in sys.argv:
         # a bare session like the driver's: no engine configs, ambient tz
         from pyspark.sql import SparkSession
@@ -53,6 +57,12 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only is not None:
+        missing = only - set(queries)
+        if missing:
+            print(f"--only names not in registry: {sorted(missing)}")
+            return 1
+        queries = {k: v for k, v in queries.items() if k in only}
     print(f"\n== t2 correctness: {len(queries)} queries @ {sf_dir} "
           f"({len(oracles)} with oracle) ==")
     n_fail = 0
