@@ -515,7 +515,9 @@ def simhash_near_dup_pairs_sql(table: str, id_col: str, text_col: str, max_hammi
 # ---------------------------------------------------------------------------
 
 
-def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 50, stats: dict | None = None
+) -> DataFrame:
     """Connected components over an undirected edge list ``(id_a, id_b)``:
     returns ``(id, cluster_id)`` for every node that appears in an edge,
     where ``cluster_id`` is the minimum node id in the component — the
@@ -527,41 +529,136 @@ def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFram
     Algorithm: min-label propagation to fixpoint.  Each iteration sends every
     node's current label to its neighbors and takes the min — one equi-join
     plus one min-aggregate, i.e. two key shuffles over the edge list, fully
-    distributed (the driver sees only the per-iteration convergence count).
-    Converges in O(graph diameter) iterations; near-dup graphs are dense
-    little cliques, so the diameter is tiny (2-3 hops).  For adversarial
-    long-chain graphs at 100 TB, the alternating large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce and
-    Beyond", SoCC'14) converges in O(log n) rounds with the same
-    join+min-aggregate building blocks; labels are ``localCheckpoint``-ed
-    each round either way so the plan does not grow with the iteration
-    count.
+    distributed.  Converges in O(graph diameter) iterations; near-dup graphs
+    are dense little cliques (diameter 2-3 hops), which is why this is the
+    default for the dedup pipeline.  For adversarial long-diameter graphs use
+    :func:`connected_components_star` (O(log n) rounds).
+
+    Convergence is detected EXACTLY: the per-round aggregate carries each
+    node's previous label alongside the new min, and the round's checkpoint
+    is probed for any ``new < previous`` row (labels are monotone
+    non-increasing, so none ⇔ fixpoint).  This replaces a sum(lbl)
+    comparison, which Spark's non-ANSI wrapping long sum could in principle
+    alias across two different label states.  The probe is a take-1 scan of
+    the freshly checkpointed labels — same per-round job count (checkpoint +
+    probe), no extra shuffle.
     """
     sym = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    # Convergence detection without a join: labels only ever decrease, so
-    # sum(lbl) is strictly monotone until the fixpoint — one cheap aggregate
-    # over the freshly checkpointed labels per round.
-    prev_sum = None
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         prop = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
             F.col("dst").alias("id"), "lbl"
         )
-        labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
+        merged = (
+            labels.withColumn("__old", F.lit(1))
+            .unionByName(prop.withColumn("__old", F.lit(0)))
+            .groupBy("id")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("__old") == 1, F.col("lbl"))).alias("__prev"),
+            )
+            .localCheckpoint()
+        )
+        labels = merged.select("id", "lbl")
+        if merged.filter(F.col("lbl") < F.col("__prev")).isEmpty():
+            if stats is not None:
+                stats["rounds"] = it + 1
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def _star_edges(pairs: DataFrame) -> DataFrame:
+    """Normalize an edge list to directed big→small form, self-loops dropped."""
+    return (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14 §3): every node connects its LARGER neighbors to the
+    minimum of its closed neighborhood.  Input/output: directed u>v edges."""
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    # (v, m) for v ∈ Γ(u), v > u; m ≤ u < v so output stays u>v-directed.
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its smaller neighbors (and
+    itself) to the minimum among them.  Input/output: directed u>v edges."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("mn"))
+    moved = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    kept = mins.select("u", F.col("mn").alias("v"))
+    return moved.unionByName(kept).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame, max_iterations: int = 50, stats: dict | None = None
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., SoCC'14) — same contract as
+    :func:`connected_components` (``(id, cluster_id)``, cluster_id = min node
+    id of the component), but O(log n) rounds on ANY graph, including
+    adversarial long chains where plain min-label propagation needs
+    O(diameter) rounds.  Each round is the same join+min-aggregate building
+    blocks, fully distributed; the edge set is ``localCheckpoint``-ed once
+    per round so the plan never grows.
+
+    Convergence: the fixpoint of small∘large is a star per component
+    (paper, Theorem 1), detected exactly — counts equal AND no edge of the
+    new round outside the previous round's set.
+    """
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = _star_edges(pairs).localCheckpoint()
+    prev_count = edges.count()
+    for it in range(max_iterations):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_count = new_edges.count()
+        if new_count == prev_count and new_edges.exceptAll(edges).isEmpty():
+            if stats is not None:
+                stats["rounds"] = it + 1
+            edges = new_edges
+            break
+        edges, prev_count = new_edges, new_count
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} iterations"
+        )
+    # Fixpoint edges form a star per component: (node → component min).
+    # Roots have no outgoing edge; defensive min-agg keeps the label unique
+    # even if an input row pattern ever yielded a transient double edge.
+    star = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return nodes.join(star, nodes.id == star.u, "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
 
 
 def connected_components_sql(pairs_sql: str) -> str:

@@ -368,11 +368,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram Jaccard ≥ 0.5 pairs (a dup of a dup is a dup), each doc labeled
     with its component's min doc_id and a keep flag for the canonical
     representative — the final step of every production dedup pipeline.
-    Distributed min-label propagation (see operators.dedup
-    .connected_components); the DuckDB twin is a recursive CTE."""
+    Alternating large-star/small-star rounds (Kiveris et al. SoCC'14, see
+    operators.dedup.connected_components_star): O(log n) rounds on ANY
+    graph shape, so an adversarial duplicate chain cannot blow up the
+    round count the way it would for plain min-label propagation.  The
+    DuckDB twin is a recursive CTE."""
     d = read_table(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
-    cc = dd.connected_components(pairs)
+    cc = dd.connected_components_star(pairs)
     return cc.select(
         "id", "cluster_id", (F.col("id") == F.col("cluster_id")).alias("keep")
     )

@@ -58,6 +58,38 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10)}
 
 
+def test_connected_components_star_chain_and_clique(spark):
+    """The large-star/small-star variant produces the identical labeling."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.cluster_id) for r in connected_components_star(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_connected_components_star_chain_logn_rounds(spark):
+    """A 1000-node chain (diameter 999 — min-label's worst case) must
+    converge in O(log n) large/small-star rounds and label every node 0."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = connected_components_star(edges, max_iterations=25, stats=stats).collect()
+    assert stats["rounds"] <= 20, stats  # 2*log2(1000) ≈ 20 ≪ 999
+    assert len(got) == n
+    assert all(r.cluster_id == 0 for r in got)
+
+
 def test_simhash_block_pigeonhole_exact():
     """Any 60-bit pair at hamming <= k shares at least one of the k+1 blocks."""
     import random
