@@ -36,15 +36,24 @@ def main() -> int:
     # query doesn't pay session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Host CPU contention on this machine produces a measured 3.5x spread on
+    # unchanged code (BASELINE.md), so a single run cannot separate a real
+    # regression from scheduler noise: each query runs N consecutive times
+    # and reports the MIN — the achievable number when the host grants CPU.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
-        t0 = time.time()
-        try:
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # a failing query must not hide the others
-            timings[name] = -1.0
-            print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
+        best = -1.0
+        for _ in range(runs):
+            t0 = time.time()
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                took = round(time.time() - t0, 3)
+                best = took if best < 0 else min(best, took)
+            except Exception as exc:  # a failing query must not hide the others
+                print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
+                break
+        timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -55,6 +64,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": runs,
+                "agg": "min",
             }
         )
     )

@@ -160,6 +160,72 @@ def fingerprint_sql(table: str, id_col: str, text_col: str) -> str:
     return f"SELECT {id_col}, {md5_long_sql(canon)} AS fp FROM {table}"
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 family):
+    duplicate-token fraction, most-frequent-token fraction, and the same two
+    over 2-grams.  High values flag boilerplate/spam documents that slip
+    past length and alpha-ratio checks.
+
+    Pure array higher-order expressions — per-document work is O(distinct
+    tokens × tokens), done map-side on each row; no shuffle, no Python, so
+    the operator is scan-bound at any corpus size."""
+    toks = _ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    nd = F.size(F.array_distinct(toks))
+    top = F.array_max(
+        F.transform(F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    )
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = F.size(grams)
+    safe_g = F.greatest(g, F.lit(1)).cast("double")
+    gd = F.size(F.array_distinct(grams))
+    top_g = F.coalesce(
+        F.array_max(
+            F.transform(F.array_distinct(grams), lambda t: F.size(F.filter(grams, lambda x: x == t)))
+        ),
+        F.lit(0),
+    )
+    return df.select(
+        F.col(id_col),
+        ((n - nd).cast("double") / safe_n).alias("dup_token_frac"),
+        (top.cast("double") / safe_n).alias("top_token_frac"),
+        ((g - gd).cast("double") / safe_g).alias("dup_2gram_frac"),
+        (top_g.cast("double") / safe_g).alias("top_2gram_frac"),
+    )
+
+
+def repetition_stats_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    WITH __rep AS (SELECT {id_col},
+                          regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+                   FROM {table}),
+    __rep2 AS (SELECT {id_col}, w,
+                      CASE WHEN len(w) >= 2
+                           THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                           ELSE [] END AS g
+               FROM __rep)
+    SELECT {id_col},
+           CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+             / CAST(greatest(len(w), 1) AS DOUBLE) AS dup_token_frac,
+           CAST(list_max(list_transform(list_distinct(w),
+                         t -> len(list_filter(w, x -> x = t)))) AS DOUBLE)
+             / CAST(greatest(len(w), 1) AS DOUBLE) AS top_token_frac,
+           CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+             / CAST(greatest(len(g), 1) AS DOUBLE) AS dup_2gram_frac,
+           CAST(coalesce(list_max(list_transform(list_distinct(g),
+                         t -> len(list_filter(g, x -> x = t)))), 0) AS DOUBLE)
+             / CAST(greatest(len(g), 1) AS DOUBLE) AS top_2gram_frac
+    FROM __rep2
+    """
+
+
 # Public-pattern scrub regexes (emails / URLs / long digit runs) — the PII /
 # boilerplate cleaning pass every training-data pipeline runs before dedup.
 SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (

@@ -179,6 +179,18 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.fingerprint(read_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@query(
+    "text_repetition",
+    driver=False,  # merged into text_profile (driver-gated there)
+    oracle=ts.repetition_stats_sql("documents", "doc_id", "text"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate/most-frequent token and
+    2-gram fractions — the boilerplate/spam signal absent from length and
+    alpha-ratio checks."""
+    return ts.repetition_stats(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -283,13 +295,16 @@ _PROFILE_ORACLE = f"""
     WITH q AS ({ts.text_quality_sql("documents", "doc_id", "text")}),
     l AS ({ts.lang_id_sql("documents", "doc_id", "text")}),
     t AS ({ts.token_counts_sql("documents", "doc_id", "text")}),
-    f AS ({ts.fingerprint_sql("documents", "doc_id", "text")})
+    f AS ({ts.fingerprint_sql("documents", "doc_id", "text")}),
+    r AS ({ts.repetition_stats_sql("documents", "doc_id", "text")})
     SELECT q.*, l.lang_pred, l.lang_hits, t.ws_tokens, t.bpe_tokens, f.fp,
+           r.dup_token_frac, r.top_token_frac, r.dup_2gram_frac, r.top_2gram_frac,
            lower(substr(d.text, 1, 20)) AS prefix20
     FROM q
     JOIN l ON l.doc_id = q.doc_id
     JOIN t ON t.doc_id = q.doc_id
     JOIN f ON f.doc_id = q.doc_id
+    JOIN r ON r.doc_id = q.doc_id
     JOIN documents d ON d.doc_id = q.doc_id
 """
 
@@ -298,8 +313,9 @@ _PROFILE_ORACLE = f"""
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document text-analysis profile in one driver entry: quality
     features + composite score, function-word language ID, whitespace/BPE-ish
-    token counts, 60-bit md5 fingerprint, and a string-scalar prefix — the
-    columns a training-data pipeline computes in its analysis pass.
+    token counts, 60-bit md5 fingerprint, Gopher-style repetition fractions,
+    and a string-scalar prefix — the columns a training-data pipeline
+    computes in its analysis pass.
 
     Plan shape: every branch is a narrow projection of the SAME scan keyed by
     doc_id, so Catalyst collapses the five-way self-join into broadcast hash
@@ -313,6 +329,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ts.lang_id(d, "doc_id", "text"), "doc_id")
         .join(ts.token_counts(d, "doc_id", "text"), "doc_id")
         .join(ts.fingerprint(d, "doc_id", "text"), "doc_id")
+        .join(ts.repetition_stats(d, "doc_id", "text"), "doc_id")
         .join(prefix, "doc_id")
     )
 
