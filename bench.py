@@ -38,22 +38,33 @@ def main() -> int:
 
     # Host CPU contention on this machine produces a measured 3.5x spread on
     # unchanged code (BASELINE.md), so a single run cannot separate a real
-    # regression from scheduler noise: each query runs N consecutive times
-    # and reports the MIN — the achievable number when the host grants CPU.
+    # regression from scheduler noise: the suite runs up to N full passes and
+    # reports each query's MIN — the achievable number when the host grants
+    # CPU.  Extra passes start only while the time budget allows, so one JSON
+    # line is ALWAYS emitted even when the host is badly contended (pass 1
+    # runs unconditionally).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "450"))
+    start = time.time()
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
-        best = -1.0
-        for _ in range(runs):
+    passes = 0
+    last_pass = 0.0
+    for _ in range(runs):
+        if passes > 0 and time.time() - start + last_pass > budget:
+            break
+        t_pass = time.time()
+        for name in sorted(QUERIES):
             t0 = time.time()
             try:
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 took = round(time.time() - t0, 3)
-                best = took if best < 0 else min(best, took)
+                prev = timings.get(name, -1.0)
+                timings[name] = took if prev < 0 else min(prev, took)
             except Exception as exc:  # a failing query must not hide the others
+                timings.setdefault(name, -1.0)
                 print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
-                break
-        timings[name] = best
+        last_pass = time.time() - t_pass
+        passes += 1
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -64,7 +75,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": runs,
+                "passes": passes,
                 "agg": "min",
             }
         )

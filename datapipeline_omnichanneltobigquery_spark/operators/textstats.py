@@ -166,38 +166,56 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     over 2-grams.  High values flag boilerplate/spam documents that slip
     past length and alpha-ratio checks.
 
-    Pure array higher-order expressions — per-document work is O(distinct
-    tokens × tokens), done map-side on each row; no shuffle, no Python, so
-    the operator is scan-bound at any corpus size."""
-    toks = _ws_tokens(F.col(text_col))
-    n = F.size(toks)
-    safe_n = F.greatest(n, F.lit(1)).cast("double")
-    nd = F.size(F.array_distinct(toks))
-    top = F.array_max(
-        F.transform(F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    Plan: explode tokens once, count per (doc, token) / (doc, 2-gram), then
+    roll up per document — every stage is whole-stage-codegen aggregation
+    shuffled on doc_id.  (The per-row array-lambda formulation is the trap
+    here: Catalyst higher-order functions are INTERPRETED, and the nested
+    distinct×filter scan re-evaluated per output column measured ~100 ms/doc
+    at sf0.1 — three orders of magnitude slower than this aggregate form.)"""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_ws_tokens(F.col(text_col))).alias("pos", "tok"),
     )
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = F.size(grams)
-    safe_g = F.greatest(g, F.lit(1)).cast("double")
-    gd = F.size(F.array_distinct(grams))
-    top_g = F.coalesce(
-        F.array_max(
-            F.transform(F.array_distinct(grams), lambda t: F.size(F.filter(grams, lambda x: x == t)))
-        ),
-        F.lit(0),
+    tok_stats = (
+        toks.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("nd"),
+            F.max("c").alias("top"),
+        )
     )
-    return df.select(
-        F.col(id_col),
-        ((n - nd).cast("double") / safe_n).alias("dup_token_frac"),
-        (top.cast("double") / safe_n).alias("top_token_frac"),
-        ((g - gd).cast("double") / safe_g).alias("dup_2gram_frac"),
-        (top_g.cast("double") / safe_g).alias("top_2gram_frac"),
+    w = Window.partitionBy("id").orderBy("pos")
+    grams = (
+        toks.select("id", F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("gram"),
+                    F.lead("tok", 1).over(w).alias("__nxt"))
+        .filter(F.col("__nxt").isNotNull())
+        .select("id", "gram")
+    )
+    gram_stats = (
+        grams.groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("g"),
+            F.count(F.lit(1)).alias("gd"),
+            F.max("c").alias("top_g"),
+        )
+    )
+    joined = tok_stats.join(gram_stats, "id", "left").na.fill(
+        {"g": 0, "gd": 0, "top_g": 0}
+    )
+    safe_n = F.greatest(F.col("n"), F.lit(1)).cast("double")
+    safe_g = F.greatest(F.col("g"), F.lit(1)).cast("double")
+    return joined.select(
+        F.col("id").alias(id_col),
+        ((F.col("n") - F.col("nd")).cast("double") / safe_n).alias("dup_token_frac"),
+        (F.col("top").cast("double") / safe_n).alias("top_token_frac"),
+        ((F.col("g") - F.col("gd")).cast("double") / safe_g).alias("dup_2gram_frac"),
+        (F.col("top_g").cast("double") / safe_g).alias("top_2gram_frac"),
     )
 
 
