@@ -631,13 +631,18 @@ def connected_components_star(
     (paper, Theorem 1), detected exactly — counts equal AND no edge of the
     new round outside the previous round's set.
     """
+    # Materialize the input pairs ONCE: nodes and the edge normalization are
+    # two consumers, and without this checkpoint each would re-execute the
+    # full upstream plan (for dedup_clusters that plan is the entire
+    # inverted-index Jaccard pipeline).
+    pairs_ck = pairs.select("id_a", "id_b").localCheckpoint()
     nodes = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        pairs_ck.select(F.col("id_a").alias("id"))
+        .unionByName(pairs_ck.select(F.col("id_b").alias("id")))
         .distinct()
         .localCheckpoint()
     )
-    edges = _star_edges(pairs).localCheckpoint()
+    edges = _star_edges(pairs_ck).localCheckpoint()
     prev_count = edges.count()
     for it in range(max_iterations):
         new_edges = _small_star(_large_star(edges)).localCheckpoint()
