@@ -203,6 +203,55 @@ def pack_sequences_sql(
     """
 
 
+def global_shuffle(
+    df: DataFrame, id_col: str, n_shards: int = 64, seed: str = "shuffle-v1"
+) -> DataFrame:
+    """Deterministic global shuffle: assign every row a stable pseudo-random
+    position ``global_pos`` ∈ [0, n) — the epoch-reproducible training order
+    (vary ``seed`` per epoch for a fresh permutation; same seed ⇒ identical
+    order on any cluster size).
+
+    Two-level plan, the same sharding trick as :func:`pack_sequences`: rows
+    are dealt into ``n_shards`` hash-buckets and ranked INSIDE each shard
+    (parallel window), then each shard's rank is offset by the cumulative
+    sizes of the preceding shards (an ``n_shards``-row aggregate, broadcast
+    back).  Equivalent to ``row_number() OVER (ORDER BY hash)`` without the
+    single-partition global sort that would serialize at 100 TB.
+
+    Output: (id, shard, shard_pos, global_pos)."""
+    key = md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    keyed = df.select(
+        F.col(id_col).alias("id"), key.alias("__key"), (key % n_shards).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("__key", "id")
+    pos = keyed.withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+    sizes = keyed.groupBy("shard").agg(F.count(F.lit(1)).alias("__c"))
+    # n_shards rows — the single-partition window is deliberate and tiny
+    wo = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    offs = sizes.select("shard", (F.sum("__c").over(wo) - F.col("__c")).alias("__off"))
+    return pos.join(F.broadcast(offs), "shard").select(
+        "id",
+        "shard",
+        "shard_pos",
+        (F.col("__off") + F.col("shard_pos") - 1).cast("bigint").alias("global_pos"),
+    )
+
+
+def global_shuffle_sql(
+    table: str, id_col: str, n_shards: int = 64, seed: str = "shuffle-v1"
+) -> str:
+    key = md5_long_sql(f"'{seed}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    SELECT {id_col} AS id,
+           ({key}) % {n_shards} AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY ({key}) % {n_shards}
+                                   ORDER BY ({key}), {id_col}) AS BIGINT) AS shard_pos,
+           CAST(ROW_NUMBER() OVER (ORDER BY ({key}) % {n_shards}, ({key}), {id_col}) - 1
+                AS BIGINT) AS global_pos
+    FROM {table}
+    """
+
+
 def cap_per_group(
     df: DataFrame, id_col: str, group_col: str, k: int, seed: str = "cap-v1"
 ) -> DataFrame:

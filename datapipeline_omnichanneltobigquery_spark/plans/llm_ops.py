@@ -515,6 +515,17 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sampling_global_shuffle",
+    driver=False,  # fine-grained variant of the gated dataset-selection family
+    oracle=sa.global_shuffle_sql("documents", "doc_id"),
+)
+def sampling_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle rank per document — two-level shard rank
+    + broadcast shard offsets; no single-partition global sort."""
+    return sa.global_shuffle(read_table(spark, sf_dir, "documents"), "doc_id")
+
+
+@query(
     "sampling_cap_per_source",
     oracle="SELECT doc_id, source FROM ("
     + sa.cap_per_group_sql("documents", "doc_id", "source", 50)

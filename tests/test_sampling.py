@@ -134,3 +134,26 @@ def test_sampling_sql_escapes_quotes():
     assert "'o''brien'" in sql
     sql2 = stratified_sample_sql("t", "id", "lang", {"don't": 0.5})
     assert "'don''t'" in sql2
+
+
+def test_global_shuffle_is_permutation(spark):
+    """global_pos is exactly 0..n-1; within a shard, positions are the
+    contiguous range starting at the shard's offset; a different seed gives
+    a different order, the same seed the identical one."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import global_shuffle
+
+    d = read_table(spark, SF_DIR_MID, "documents")
+    n = d.count()
+    out = global_shuffle(d, "doc_id").collect()
+    assert sorted(r.global_pos for r in out) == list(range(n))
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append((r.shard_pos, r.global_pos))
+    for rows in by_shard.values():
+        rows.sort()
+        base = rows[0][1]
+        assert [g for _, g in rows] == list(range(base, base + len(rows)))
+    again = {r.id: r.global_pos for r in global_shuffle(d, "doc_id").collect()}
+    assert again == {r.id: r.global_pos for r in out}
+    other = {r.id: r.global_pos for r in global_shuffle(d, "doc_id", seed="epoch-2").collect()}
+    assert other != again
