@@ -407,3 +407,79 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` (half-up via ``floor(x*127/max + 0.5)`` so
+    both engines round identically) — 4× smaller embeddings for ANN recall
+    stages, with the dequantization error bounded by scale/2 per component.
+
+    Returns (id, qvec array<int>, scale).  Map-side projection, no shuffle;
+    the fold is a single linear pass per row (unlike nested per-row lambdas,
+    one O(dim) transform per vector is fine — this is the same shape as the
+    cosine kernels)."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    maxabs = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    safe = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs)
+    q = F.transform(x, lambda v: F.floor(v * 127.0 / safe + 0.5).cast("int"))
+    return embeddings.select(
+        F.col(id_col).alias("id"), q.alias("qvec"), (safe / 127.0).alias("scale")
+    )
+
+
+def quantize_digest(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar digest of the quantization contract, per vector: the scale,
+    the (order-independent) sum of quantized components, the max absolute
+    dequantization error, and whether that error stays within half a
+    quantization step — the property that makes int8 recall-stage scoring
+    trustworthy.  All-scalar output so it sits under the hash-compare gate."""
+    qd = quantize_int8(embeddings, id_col, vec_col)
+    x = F.transform(F.col("__x"), lambda v: v.cast("double"))
+    joined = qd.join(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__x")), "id"
+    )
+    err = F.array_max(
+        F.zip_with("__x", "qvec", lambda a, b: F.abs(a.cast("double") - b * F.col("scale")))
+    )
+    return joined.select(
+        "id",
+        "scale",
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("q_sum"),
+        err.alias("max_abs_err"),
+        (err <= F.col("scale") * 0.5000001).alias("within_half_step"),
+    )
+
+
+def quantize_digest_sql(table: str, id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`quantize_digest` — same floor-half-up formula,
+    same double arithmetic order, bitwise-equal."""
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS id, {vec_col} AS x,
+               CASE WHEN list_max(list_transform({vec_col},
+                                  v -> abs(CAST(v AS DOUBLE)))) = 0.0
+                    THEN 1.0
+                    ELSE list_max(list_transform({vec_col},
+                                  v -> abs(CAST(v AS DOUBLE)))) END AS safe
+        FROM {table}
+    ),
+    q AS (
+        SELECT id, x, safe, safe / 127.0 AS scale,
+               list_transform(x, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / safe + 0.5)
+                                           AS INT)) AS qvec
+        FROM base
+    )
+    SELECT id, scale,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+           list_max(list_transform(range(1, len(x) + 1),
+                    i -> abs(CAST(x[i] AS DOUBLE) - qvec[i] * scale))) AS max_abs_err,
+           list_max(list_transform(range(1, len(x) + 1),
+                    i -> abs(CAST(x[i] AS DOUBLE) - qvec[i] * scale)))
+             <= scale * 0.5000001 AS within_half_step
+    FROM q
+    """

@@ -150,6 +150,18 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(read_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+@query(
+    "similarity_quantize_digest",
+    driver=False,  # variant of the gated similarity family (3 driver entries)
+    oracle=sim.quantize_digest_sql("embeddings"),
+)
+def similarity_quantize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization contract digest: scale, quantized sum,
+    max dequantization error, within-half-step flag (all scalar, so the
+    hash gate asserts the quantizer's error bound)."""
+    return sim.quantize_digest(read_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

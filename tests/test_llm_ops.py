@@ -113,6 +113,26 @@ def test_simhash_block_pigeonhole_exact():
             assert shared, f"hamming {len(flips)} pair missed by {k + 1}-block LSH"
 
 
+def test_quantize_int8_error_bound(spark):
+    """Every dequantized component stays within half a quantization step,
+    and quantized values fit int8's [-127, 127]."""
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        quantize_digest,
+        quantize_int8,
+    )
+
+    emb = read_table(spark, SF_DIR_MID, "embeddings")
+    digest = quantize_digest(emb).collect()
+    assert digest and all(r.within_half_step for r in digest)
+    import pyspark.sql.functions as F2
+
+    q = quantize_int8(emb)
+    mx = q.select(
+        F2.max(F2.array_max("qvec")).alias("hi"), F2.min(F2.array_min("qvec")).alias("lo")
+    ).collect()[0]
+    assert -127 <= mx.lo and mx.hi <= 127
+
+
 def test_ivf_recall(spark):
     emb = read_table(spark, SF_DIR_MID, "embeddings")
     exact = [r.vec_id for r in cosine_topk(emb, 0, 10).collect()]
