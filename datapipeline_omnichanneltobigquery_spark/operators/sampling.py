@@ -280,3 +280,73 @@ def cap_per_group_sql(
         FROM {table}
     ) WHERE __rn <= {k}
     """
+
+
+def mix_report(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+    targets: dict[str, float] | None = None,
+) -> DataFrame:
+    """Training-mix report per group (source/domain/language): weight (row
+    count or ``sum(weight_col)``, e.g. tokens), observed share, target
+    share, and the downsample-only ``keep_fraction`` that realizes the
+    target mix — exactly the fractions :func:`stratified_sample` consumes.
+
+    ``keep_fraction`` = (target/share) normalized so the largest ratio is 1:
+    the closest achievable mix without upsampling.  Groups absent from
+    ``targets`` keep their observed share (ratio 1 before normalization).
+
+    Plan: one aggregate shuffle on the group key, then two single-partition
+    windows over the n_groups-row result — deliberate and tiny (group
+    cardinality is sources/languages, not rows)."""
+    w_expr = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(w_expr.cast("bigint").alias("w"))
+    everything = Window.partitionBy()
+    share = F.col("w").cast("double") / F.sum("w").over(everything).cast("double")
+    shared = per.select("grp", "w", share.alias("share"))
+    if targets:
+        expr = None
+        for g, t in targets.items():
+            cond = F.col("grp") == g
+            expr = F.when(cond, F.lit(float(t))) if expr is None else expr.when(cond, F.lit(float(t)))
+        target = expr.otherwise(F.col("share"))
+    else:
+        target = F.col("share")
+    ratio = (target / F.col("share")).alias("__ratio")
+    r = shared.select("grp", "w", "share", target.alias("target"), ratio)
+    return r.select(
+        "grp",
+        "w",
+        "share",
+        "target",
+        (F.col("__ratio") / F.max("__ratio").over(everything)).alias("keep_fraction"),
+    )
+
+
+def mix_report_sql(
+    table: str,
+    group_col: str,
+    weight_expr: str | None = None,
+    targets: dict[str, float] | None = None,
+) -> str:
+    w = "COUNT(*)" if weight_expr is None else f"SUM({weight_expr})"
+    if targets:
+        whens = " ".join(
+            f"WHEN grp = {_sql_str(g)} THEN {float(t)!r}" for g, t in targets.items()
+        )
+        target = f"CASE {whens} ELSE share END"
+    else:
+        target = "share"
+    return f"""
+    WITH per AS (SELECT {group_col} AS grp, CAST({w} AS BIGINT) AS w
+                 FROM {table} GROUP BY {group_col}),
+    shared AS (SELECT grp, w,
+                      CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share
+               FROM per),
+    r AS (SELECT grp, w, share, {target} AS target,
+                 ({target}) / share AS __ratio
+          FROM shared)
+    SELECT grp, w, share, target, __ratio / MAX(__ratio) OVER () AS keep_fraction
+    FROM r
+    """

@@ -537,6 +537,23 @@ def sampling_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sa.global_shuffle(read_table(spark, sf_dir, "documents"), "doc_id")
 
 
+_MIX_TARGETS = {"src0": 0.2, "src1": 0.1}  # boost two sources, shrink the rest
+
+
+@query(
+    "sampling_mix_report",
+    driver=False,  # fine-grained variant of the gated dataset-selection family
+    oracle=sa.mix_report_sql("documents", "source", "n_chars", _MIX_TARGETS),
+)
+def sampling_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mix report (char-weighted): observed share,
+    target share, and the downsample-only keep_fraction realizing the
+    target — the fractions stratified_sample consumes."""
+    return sa.mix_report(
+        read_table(spark, sf_dir, "documents"), "source", "n_chars", _MIX_TARGETS
+    )
+
+
 @query(
     "sampling_cap_per_source",
     oracle="SELECT doc_id, source FROM ("

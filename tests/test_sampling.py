@@ -157,3 +157,19 @@ def test_global_shuffle_is_permutation(spark):
     assert again == {r.id: r.global_pos for r in out}
     other = {r.id: r.global_pos for r in global_shuffle(d, "doc_id", seed="epoch-2").collect()}
     assert other != again
+
+
+def test_mix_report_keep_fractions(spark):
+    """keep_fraction is downsample-only (≤1, max exactly 1) and realizes the
+    requested target proportions among targeted groups."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import mix_report
+
+    d = read_table(spark, SF_DIR_MID, "documents")
+    targets = {"src0": 0.2, "src1": 0.1}
+    rows = {r.grp: r for r in mix_report(d, "source", "n_chars", targets).collect()}
+    fracs = [r.keep_fraction for r in rows.values()]
+    assert max(fracs) == 1.0 and all(0 < f <= 1.0 for f in fracs)
+    # kept weight of src0 vs src1 must land at the 0.2 : 0.1 target ratio
+    kept0 = rows["src0"].w * rows["src0"].keep_fraction
+    kept1 = rows["src1"].w * rows["src1"].keep_fraction
+    assert abs(kept0 / kept1 - 2.0) < 1e-9
