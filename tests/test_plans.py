@@ -121,6 +121,20 @@ def test_dedup_exact_shuffles_fingerprint_not_text(spark):
     assert exchange_inputs and all("text" not in blk for blk in exchange_inputs), plan
 
 
+def test_global_shuffle_no_global_sort_of_rows(spark):
+    """The epoch shuffle ranks inside hash-shards; the only SinglePartition
+    piece is the n_shards-row offsets window, and the offsets come back via
+    broadcast — the row stream itself is never globally sorted."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import global_shuffle
+
+    d = read_table(spark, SF_DIR, "documents")
+    gs = global_shuffle(d, "doc_id")
+    plan = audit.plan_string(gs)
+    assert plan.count("SinglePartition") == 1, plan
+    assert audit.broadcast_join_count(gs) >= 1, plan
+    assert audit.exchange_count(gs) <= 4, plan
+
+
 def test_bm25_broadcasts_query_side(spark):
     """The query-term and df tables broadcast; the only key shuffles are the
     inverted-index aggregations."""
