@@ -20,7 +20,13 @@ SCRATCH = "/root/repo/.scratch"
 @query(
     "sink_partitioned_roundtrip",
     oracle="""
-    SELECT o_orderkey, o_custkey,
+    SELECT 'parquet' AS kind, o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           year(o_orderdate) AS yr
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    UNION ALL
+    SELECT 'csv' AS kind, o_orderkey, o_custkey,
            CAST(o_totalprice AS DOUBLE) AS o_totalprice,
            year(o_orderdate) AS yr
     FROM orders
@@ -28,13 +34,21 @@ SCRATCH = "/root/repo/.scratch"
     """,
 )
 def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1/K2/K5 + partition pruning as one driver-verified cycle: project
-    orders, hive-partition the parquet layout by year, overwrite-load it
-    (WRITE_TRUNCATE semantics, omnichannel_to_bq.py:147-152), then read it
-    back filtered to one year.  The read-side filter hits PartitionFilters
-    (directory pruning — only yr=1997 files are opened; asserted in
-    tests/test_sinks.py), which is the 100 TB time-series layout: partition
-    by time, prune by time."""
+    """K1/K2/K5 + partition pruning as one driver-verified cycle (marker
+    column ``kind``).
+
+    ``parquet``: project orders, hive-partition the layout by year,
+    overwrite-load it (WRITE_TRUNCATE semantics,
+    omnichannel_to_bq.py:147-152), read back filtered to one year — the
+    read-side filter hits PartitionFilters (directory pruning — only
+    yr=1997 files are opened; asserted in tests/test_sinks.py), which is
+    the 100 TB time-series layout: partition by time, prune by time.
+
+    ``csv``: the same subset through the CSV sink + explicit-schema read —
+    the reference's actual load path (``___temp_for_bq.csv``,
+    omnichannel_to_bq.py:145-152), proving the text round-trip preserves
+    values exactly (Java double repr round-trips bit-exactly; the read uses
+    an explicit schema, never autodetect re-inference)."""
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = f"{SCRATCH}/roundtrip_orders_{sf_tag}"
     out = read_table(spark, sf_dir, "orders").select(
@@ -45,6 +59,22 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out.write.mode("overwrite").partitionBy("yr").parquet(path)
     back = spark.read.parquet(path).filter(F.col("yr") == 1997)
-    return back.select(
-        "o_orderkey", "o_custkey", "o_totalprice", F.col("yr").cast("int").alias("yr")
+    parquet_side = back.select(
+        F.lit("parquet").alias("kind"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("yr").cast("int").alias("yr"),
     )
+
+    csv_path = f"{SCRATCH}/roundtrip_orders_csv_{sf_tag}"
+    out.filter(F.col("yr") == 1997).write.mode("overwrite").option("header", "true").csv(csv_path)
+    csv_back = (
+        spark.read.option("header", "true")
+        .schema("o_orderkey bigint, o_custkey bigint, o_totalprice double, yr int")
+        .csv(csv_path)
+    )
+    csv_side = csv_back.select(
+        F.lit("csv").alias("kind"), "o_orderkey", "o_custkey", "o_totalprice", "yr"
+    )
+    return parquet_side.unionByName(csv_side)
