@@ -69,6 +69,17 @@ def dedup_exact_keylist(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def dedup_exact_keep_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup returning the KEPT ROWS (all columns): semi-join the
+    winner ids from :func:`dedup_exact_keylist` back against the source.
+    The winner-id side carries only (fp, id) through its aggregate; the
+    source side shuffles once on ``id_col`` for the semi-join — store the
+    corpus bucketed by ``id_col`` (sinks/bucketed.py) and that exchange
+    disappears too."""
+    winners = dedup_exact_keylist(df, text_col, id_col).select(id_col)
+    return df.join(winners, id_col, "left_semi")
+
+
 def dedup_keep_latest(
     df: DataFrame, key: str, order_col: str, tie_break: str | None = None
 ) -> DataFrame:

@@ -267,3 +267,18 @@ def test_cosine_pairs_blocked_scale_consistency(spark):
     assert len(tiled) == len(single) > 0
     assert as_set(tiled) == as_set(single)
     big.unpersist()
+
+
+def test_dedup_exact_keep_rows(spark):
+    """Row-recovery form: one surviving row per distinct text, the min-id
+    winner, all source columns intact."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import dedup_exact_keep_rows
+
+    d = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "a b", "s2"), (3, "c", "s3"), (4, "c", "s1"), (5, "d", "s2")],
+        "doc_id long, text string, source string",
+    )
+    kept = dedup_exact_keep_rows(d, "text", "doc_id").collect()
+    assert {(r.doc_id, r.text, r.source) for r in kept} == {
+        (1, "a b", "s1"), (3, "c", "s3"), (5, "d", "s2")
+    }
