@@ -148,3 +148,39 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     streamed = spark.table("t_dedup_stream")
     assert streamed.count() == batch_n == 200
     assert streamed.select("event_id").distinct().count() == 200
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join ≡ the batch inequality join:
+    every (purchase, preceding-event-within-10min) pair, exactly once."""
+    from datapipeline_omnichanneltobigquery_spark.streaming.joins import interval_join
+
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts", "event_type")
+    lsrc, rsrc = str(tmp_path / "purchases"), str(tmp_path / "others")
+    ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    ).write.parquet(lsrc)
+    ev.select(
+        F.col("event_id").alias("e_id"), "user_id", F.col("ts").alias("e_ts")
+    ).write.parquet(rsrc)
+
+    lbatch, rbatch = spark.read.parquet(lsrc), spark.read.parquet(rsrc)
+    batch = {
+        (r.p_id, r.e_id)
+        for r in interval_join(lbatch, rbatch, "user_id", "p_ts", "e_ts", 600).collect()
+    }
+    assert batch  # the fixture must actually produce matches
+
+    lstream = spark.readStream.schema(lbatch.schema).parquet(lsrc)
+    rstream = spark.readStream.schema(rbatch.schema).parquet(rsrc)
+    sdf = interval_join(lstream, rstream, "user_id", "p_ts", "e_ts", 600)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {(r.p_id, r.e_id) for r in spark.table("ssj").collect()}
+    assert streamed == batch
