@@ -90,3 +90,36 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
     got_star = {r["id"]: r["cluster_id"] for r in connected_components_star(df).collect()}
     assert got_star == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "aa", "x"]), min_size=1, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_stats_match_python_reference(spark, docs):
+    """The explode+aggregate repetition fractions equal a direct per-doc
+    Python computation for arbitrary small token streams."""
+    from collections import Counter
+
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    for i, text in enumerate(docs):
+        toks = text.strip().lower().split()
+        n = len(toks)
+        tc = Counter(toks)
+        grams = [" ".join(p) for p in zip(toks, toks[1:])]
+        g = len(grams)
+        gc = Counter(grams)
+        r = got[i]
+        assert r.dup_token_frac == (n - len(tc)) / max(n, 1)
+        assert r.top_token_frac == max(tc.values()) / max(n, 1)
+        assert r.dup_2gram_frac == (g - len(gc)) / max(g, 1)
+        assert r.top_2gram_frac == (max(gc.values()) if gc else 0) / max(g, 1)
