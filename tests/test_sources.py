@@ -68,3 +68,16 @@ def test_orc_roundtrip(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.schema == nation.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_event_ts_normalized_regardless_of_physical_type(spark):
+    """The driver regenerates testdata between rounds and has already changed
+    events.ts's physical parquet type once (NANOS->MICROS-NTZ, round 3).
+    Whatever the layout, read_table must surface a session-local TIMESTAMP so
+    unix_micros/window/date_format consumers keep working."""
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp", ev.dtypes
+    # and it must actually be usable by the micros accessor
+    assert ev.select(F.unix_micros("ts")).first()[0] is not None
