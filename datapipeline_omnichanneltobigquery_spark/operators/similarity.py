@@ -439,7 +439,6 @@ def quantize_digest(
     quantization step — the property that makes int8 recall-stage scoring
     trustworthy.  All-scalar output so it sits under the hash-compare gate."""
     qd = quantize_int8(embeddings, id_col, vec_col)
-    x = F.transform(F.col("__x"), lambda v: v.cast("double"))
     joined = qd.join(
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__x")), "id"
     )

@@ -10,7 +10,7 @@ twin for the oracle gate.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long, md5_long_sql
 
@@ -172,8 +172,6 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     here: Catalyst higher-order functions are INTERPRETED, and the nested
     distinct×filter scan re-evaluated per output column measured ~100 ms/doc
     at sf0.1 — three orders of magnitude slower than this aggregate form.)"""
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(_ws_tokens(F.col(text_col))).alias("pos", "tok"),
