@@ -9,12 +9,15 @@ Design for 100 TB of images/audio/video:
   stages: Arrow moves each partition into Python in columnar batches, the
   UDF works on a whole batch, and partition sizing (``maxPartitionBytes``,
   ``arrow.maxRecordsPerBatch``) bounds executor memory — no per-row pickling;
-* PNG is handled with a REAL pure-stdlib codec path: :func:`encode_png`
-  emits spec-valid bytes and :func:`decode_image` parses the IHDR
-  (signature, chunk framing, CRC) — exercised end-to-end by the
-  ``multimodal_png_decode`` driver query.  Heavyweight codecs
-  (Pillow/ffmpeg/torchaudio) are NOT in this container, so full-pixel
-  decode of other formats raises ``NotImplementedError``, and
+* PNG is handled with a REAL pure-stdlib codec path: :func:`encode_png` /
+  :func:`encode_png_pixels` emit spec-valid bytes, :func:`decode_image`
+  parses the IHDR (signature, chunk framing, CRC) — exercised end-to-end
+  by the ``multimodal_png_decode`` driver query — and
+  :func:`decode_png_pixels` performs the full pixel decode (IDAT inflate +
+  all five scanline filters), which powers the real nearest-neighbor
+  :func:`resize_image` / :func:`resize_images` stage.  Heavyweight codecs
+  (Pillow/ffmpeg/torchaudio) are NOT in this container, so decode of
+  non-PNG formats raises ``NotImplementedError``, and
   :func:`fake_decode_meta` remains as the md5-derived stand-in.
 
 The ``attach_payload`` helper manufactures binary columns from text so the
@@ -135,10 +138,140 @@ def extract_meta(payloads: DataFrame, use_real_codec: bool = False) -> DataFrame
     return payloads.mapInPandas(run, schema=META_SCHEMA)
 
 
+def decode_png_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Full-pixel decode of an 8-bit grayscale PNG in pure stdlib: chunk
+    walk, IDAT concatenation, zlib inflate, and scanline unfiltering (all
+    five filter types per the PNG spec §9).  Returns (width, height, rows).
+    Non-PNG or non-gray8 payloads raise — other formats still need a real
+    codec library."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise NotImplementedError("non-PNG codecs not available in this environment")
+    pos, width = 8, None
+    height, idat = None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color = struct.unpack(">IIBB", body[:10])
+            if bit_depth != 8 or color != 0:
+                raise NotImplementedError("only 8-bit grayscale PNGs supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or height is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    rows: list[bytes] = []
+    prev = bytes(width)
+    stride = width + 1
+    for r in range(height):
+        line = raw[r * stride : (r + 1) * stride]
+        f, data = line[0], bytearray(line[1:])
+        if f == 1:  # Sub
+            for i in range(1, width):
+                data[i] = (data[i] + data[i - 1]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(width):
+                data[i] = (data[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(width):
+                left = data[i - 1] if i else 0
+                data[i] = (data[i] + (left + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(width):
+                a = data[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                data[i] = (data[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        prev = bytes(data)
+        rows.append(prev)
+    return width, height, rows
+
+
+def encode_png_pixels(rows: list[bytes]) -> bytes:
+    """Encode arbitrary 8-bit grayscale pixel rows as a spec-valid PNG
+    (filter 0 per row) — the write half of :func:`decode_png_pixels`."""
+    import struct
+    import zlib
+
+    height, width = len(rows), len(rows[0]) if rows else 0
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in rows)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize kernel — requires Pillow; see :func:`decode_image`.
-    Deployment body: decode → ``Image.resize((width, height))`` → re-encode."""
-    raise NotImplementedError("image codec not available in this environment")
+    """REAL resize kernel, pure stdlib: full PNG pixel decode →
+    nearest-neighbor resample → re-encode.  Deterministic (integer index
+    arithmetic, no rounding modes), so resized bytes are reproducible
+    across runs and engines."""
+    src_w, src_h, rows = decode_png_pixels(payload)
+    out_rows = []
+    for y in range(height):
+        sy = min(src_h - 1, (y * src_h) // height)
+        src = rows[sy]
+        out_rows.append(bytes(src[min(src_w - 1, (x * src_w) // width)] for x in range(width)))
+    return encode_png_pixels(out_rows)
+
+
+def resize_images(payloads: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize over PNG payload rows: (doc_id, payload) →
+    (doc_id, payload, width, height) with the payload replaced by the
+    resized PNG bytes — Arrow binary columns in and out, bounded batch
+    memory (output rows are width×height, independent of input size)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [bytes(resize_image(p, width, height)) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=schema)
 
 
 def byte_histogram(payloads: DataFrame, n_bins: int = 16) -> DataFrame:
