@@ -363,3 +363,28 @@ def test_resize_images_operator(spark):
     for r in resized:
         w, h, _ = decode_png_pixels(bytes(r.payload))
         assert (w, h) == (8, 8) == (r.width, r.height)
+
+
+def test_wav_codec_and_audio_meta(spark):
+    """WAV encode → RIFF parse round-trip, standalone and through the
+    mapInPandas audio-meta stage."""
+    from datapipeline_omnichanneltobigquery_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav_meta,
+        encode_wav,
+        extract_audio_meta,
+    )
+
+    pcm = bytes(range(200))
+    rate, ch, n, dur = decode_wav_meta(encode_wav(pcm, 8000))
+    assert (rate, ch, n) == (8000, 1, 200) and abs(dur - 200 / 8000) < 1e-12
+
+    docs = read_table(spark, SF_DIR, "documents").limit(10)
+    metas = extract_audio_meta(attach_wav_payload(docs, "doc_id", "text")).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(metas) == 10
+    for m in metas:
+        n_bytes = len(texts[m.doc_id].encode("utf-8"))
+        assert m.sample_rate == 16000 and m.channels == 1
+        assert m.n_samples == n_bytes
+        assert abs(m.duration_s - n_bytes / 16000) < 1e-12
