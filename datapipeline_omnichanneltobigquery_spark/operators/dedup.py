@@ -693,3 +693,34 @@ def connected_components_sql(pairs_sql: str) -> str:
     )
     SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
     """
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full production dedup chain in one call: exact dedup on the md5
+    fingerprint (byte-identical copies collapse first — the cheap pass that
+    typically removes most duplicates), then near-dup pairs via the n-gram
+    Jaccard inverted index, connected components (large-star/small-star)
+    to close transitively, and a keep-list of one canonical representative
+    per cluster.
+
+    Returns (id, cluster_id, keep): every surviving-exact-dedup document,
+    its near-dup cluster representative (min id; singleton docs are their
+    own cluster), and whether it is the kept canonical copy.  Filter
+    ``keep`` and semi-join ids against the (bucketed) source to materialize
+    the deduplicated corpus."""
+    exact_ids = dedup_exact_keylist(df, text_col, id_col).select(F.col(id_col).alias("id"))
+    survivors = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).join(
+        exact_ids, "id", "left_semi"
+    )
+    pairs = jaccard_pairs(survivors, "id", "text", n=n, threshold=threshold)
+    cc = connected_components_star(pairs)
+    labeled = survivors.join(cc, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
+    return labeled.withColumn("keep", F.col("id") == F.col("cluster_id"))

@@ -388,3 +388,25 @@ def test_wav_codec_and_audio_meta(spark):
         assert m.sample_rate == 16000 and m.channels == 1
         assert m.n_samples == n_bytes
         assert abs(m.duration_s - n_bytes / 16000) < 1e-12
+
+
+def test_dedup_pipeline_end_to_end(spark):
+    """Exact copies collapse, near-dups cluster transitively, singletons
+    keep themselves, and exactly one doc per cluster is kept."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import dedup_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " extra"
+    rows = [
+        (1, base), (2, base),          # exact dups -> 2 drops at stage 1
+        (3, near),                     # near-dup of 1 -> clusters with 1
+        (4, "completely different text about spark shuffles and joins"),
+    ]
+    out = {r.id: (r.cluster_id, r.keep) for r in dedup_pipeline(
+        spark.createDataFrame(rows, "doc_id long, text string"), "doc_id", "text"
+    ).collect()}
+    assert 2 not in out                      # exact dup never reaches clustering
+    assert out[1] == (1, True)
+    assert out[3] == (1, False)              # clustered under min id 1
+    assert out[4] == (4, True)               # singleton keeps itself
+    assert sum(1 for _, k in out.values() if k) == 2
