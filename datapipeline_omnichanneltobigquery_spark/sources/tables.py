@@ -102,6 +102,39 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_json_tolerant(spark: SparkSession, path: str, schema) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines scan that SURVIVES malformed rows instead of failing the
+    job: PERMISSIVE mode parks each unparseable line in ``_corrupt_record``
+    and nulls the data columns.  Returns (good, bad) DataFrames — the
+    quarantine pattern every long-running ingestion needs at scale (one bad
+    line in 100 TB must not kill the load; the reference's eager
+    ``resp.json()`` at omnichannel_to_bq.py:45 simply crashes).
+
+    ``schema`` is required (a StructType or DDL string WITHOUT the corrupt
+    column — it is appended here): schema inference would read the data
+    twice and silently drop the quarantine column."""
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    full = schema.add(CORRUPT_COL, StringType())
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    # The quarantine keeps the FULL row (partially-parsed columns + raw
+    # line) — also sidestepping Spark's restriction on querying only the
+    # corrupt column from a raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return good, bad
+
+
 def unwrap_envelope(df: DataFrame, obj_key: str) -> DataFrame:
     """Envelope projection (S3): select the one array field of an API
     response envelope and explode it to records —

@@ -81,3 +81,27 @@ def test_event_ts_normalized_regardless_of_physical_type(spark):
     assert dict(ev.dtypes)["ts"] == "timestamp", ev.dtypes
     # and it must actually be usable by the micros accessor
     assert ev.select(F.unix_micros("ts")).first()[0] is not None
+
+
+def test_read_json_tolerant_quarantines_bad_lines(spark, tmp_path):
+    """PERMISSIVE ingestion: good rows parse, malformed lines land in the
+    quarantine frame, nothing throws."""
+    from datapipeline_omnichanneltobigquery_spark.sources.tables import (
+        CORRUPT_COL,
+        read_json_tolerant,
+    )
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "name": "fine"}\n'
+        '{"id": "not-an-int", "name": 3}\n'
+    )
+    good, bad = read_json_tolerant(spark, str(p), "id BIGINT, name STRING")
+    good_rows = {(r.id, r.name) for r in good.collect()}
+    assert (1, "ok") in good_rows and (2, "fine") in good_rows
+    bad_rows = [r[CORRUPT_COL] for r in bad.collect()]
+    assert any("{this is not json}" in b for b in bad_rows)
+    # type-mismatch rows are also quarantined, not silently nulled away
+    assert len(good_rows) == 2 and len(bad_rows) == 2
