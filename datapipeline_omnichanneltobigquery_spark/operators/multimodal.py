@@ -437,3 +437,106 @@ def extract_audio_meta(payloads: DataFrame) -> DataFrame:
         run,
         schema="doc_id bigint, sample_rate int, channels int, n_samples bigint, duration_s double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Video modality: minimal frame container over real PNG frames
+# ---------------------------------------------------------------------------
+
+VID_MAGIC = b"SGV1"  # length-prefixed PNG frame container
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Pack PNG frame payloads into a minimal length-prefixed container —
+    magic, frame count, then (u32 length, bytes) per frame.  A stand-in
+    container whose FRAMES are spec-valid PNGs, so the decode side exercises
+    real chunk parsing end-to-end (a real deployment swaps this for
+    ffmpeg/pyav demuxing; the Spark-side plumbing is identical)."""
+    import struct
+
+    out = [VID_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_video_frames(payload: bytes) -> list[bytes]:
+    """Unpack the frame container; validates magic and length framing."""
+    import struct
+
+    if payload[:4] != VID_MAGIC:
+        raise NotImplementedError("non-container video codecs not available here")
+    (n,) = struct.unpack("<I", payload[4:8])
+    frames, pos = [], 8
+    for _ in range(n):
+        (length,) = struct.unpack("<I", payload[pos : pos + 4])
+        frames.append(payload[pos + 4 : pos + 4 + length])
+        pos += 4 + length
+    if pos != len(payload):
+        raise ValueError("trailing bytes in video container")
+    return frames
+
+
+def attach_video_payload(
+    df: DataFrame, id_col: str, text_col: str, max_frames: int = 5
+) -> DataFrame:
+    """Manufacture REAL video payloads: 1..max_frames PNG frames per doc
+    (count and per-frame dimensions md5-derived from the text)."""
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__text"]:
+                h = hashlib.md5(text.encode("utf-8")).digest()
+                n_frames = 1 + h[3] % max_frames
+                frames = [
+                    encode_png(1 + h[0] % 32, 1 + h[1] % 32, gray=(h[2] + i) & 0xFF)
+                    for i in range(n_frames)
+                ]
+                payloads.append(encode_video(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "video",
+                    "fmt": "video/x-sgv1",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return src.mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+def sample_video_frames(payloads: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling over video payloads: demux the container, keep every
+    ``every_n``-th frame, decode each kept frame's REAL PNG header — the
+    1→N expansion stage of a video-pretraining pipeline.  Output one row
+    per sampled frame: (doc_id, frame_idx, width, height, frame_bytes).
+    Batch memory is bounded: each output row carries one frame, not the
+    whole video."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, nb = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_video_frames(payload)
+                for i in range(0, len(frames), every_n):
+                    w, h = decode_image(frames[i])
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    nb.append(len(frames[i]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "width": ws, "height": hs,
+                 "frame_bytes": nb}
+            )
+
+    return payloads.mapInPandas(
+        run,
+        schema="doc_id bigint, frame_idx int, width int, height int, frame_bytes bigint",
+    )

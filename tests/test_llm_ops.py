@@ -410,3 +410,36 @@ def test_dedup_pipeline_end_to_end(spark):
     assert out[3] == (1, False)              # clustered under min id 1
     assert out[4] == (4, True)               # singleton keeps itself
     assert sum(1 for _, k in out.values() if k) == 2
+
+
+def test_video_container_and_frame_sampling(spark):
+    """Video container round-trips real PNG frames; the sampling stage emits
+    every 2nd frame with correct decoded dimensions."""
+    import hashlib
+
+    from datapipeline_omnichanneltobigquery_spark.operators.multimodal import (
+        attach_video_payload,
+        decode_video_frames,
+        encode_png,
+        encode_video,
+        sample_video_frames,
+    )
+
+    frames = [encode_png(3, 2, gray=g) for g in (0, 100, 200)]
+    assert decode_video_frames(encode_video(frames)) == frames
+
+    docs = read_table(spark, SF_DIR, "documents").limit(12)
+    vids = attach_video_payload(docs, "doc_id", "text")
+    sampled = sample_video_frames(vids, every_n=2).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_doc: dict = {}
+    for r in sampled:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, rows in by_doc.items():
+        h = hashlib.md5(texts[doc_id].encode("utf-8")).digest()
+        n_frames = 1 + h[3] % 5
+        assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == list(
+            range(0, n_frames, 2)
+        )
+        assert all((r.width, r.height) == (1 + h[0] % 32, 1 + h[1] % 32) for r in rows)
