@@ -278,3 +278,72 @@ def normalize_text_sql(table: str, id_col: str, text_col: str) -> str:
         + ", ".join(count_exprs)
         + f" FROM {table}"
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unigram language-model score per document: mean log P(token) under
+    the corpus's own add-one-smoothed unigram distribution — the cheap
+    perplexity-style quality filter (gibberish and boilerplate score far
+    from the corpus mode; no trained model needed).
+
+    Plan: token explode → corpus frequency aggregate (one shuffle on term)
+    → broadcast-join frequencies back to the token stream → per-doc ordered
+    sum.  The vocabulary table stays distributed; only corpus totals (two
+    scalars) broadcast.  ``ln`` agrees bitwise between the JVM and DuckDB's
+    libm on this platform (same discipline as operators/ir.py), and the
+    per-doc sum is term-ordered so the double addition order matches the
+    oracle's ``ORDER BY``.
+
+    Returns (id, n_tokens, avg_logprob) rounded to 6 decimals."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_ws_tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select("id", "pos", "term")
+    )
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = freqs.agg(
+        F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    scored = toks.join(freqs, "term").crossJoin(F.broadcast(totals))
+    logp = F.log(
+        (F.col("tf").cast("double") + 1.0)
+        / (F.col("n_total").cast("double") + F.col("n_vocab").cast("double"))
+    )
+    return (
+        scored.select("id", "pos", "term", logp.alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "term", "lp"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["lp"],
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
+def unigram_logprob_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    WITH toks0 AS (SELECT {id_col} AS id,
+                          UNNEST(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS term,
+                          generate_subscripts(regexp_split_to_array(trim(lower({text_col})), '\\s+'), 1) AS pos
+                   FROM {table}),
+    toks AS (SELECT id, pos, term FROM toks0 WHERE term <> ''),
+    freqs AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+    totals AS (SELECT SUM(tf) AS n_total, COUNT(*) AS n_vocab FROM freqs)
+    SELECT id AS {id_col}, COUNT(*) AS n_tokens,
+           ROUND(SUM(ln((CAST(tf AS DOUBLE) + 1.0)
+                        / (CAST(n_total AS DOUBLE) + CAST(n_vocab AS DOUBLE)))
+                     ORDER BY pos, term) / COUNT(*), 6) AS avg_logprob
+    FROM toks JOIN freqs USING (term), totals
+    GROUP BY id
+    """

@@ -151,6 +151,17 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_logprob",
+    driver=False,  # variant of the gated text-analysis family (text_profile)
+    oracle=ts.unigram_logprob_sql("documents", "doc_id", "text"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score: mean add-one-smoothed unigram log
+    probability per document under the corpus's own distribution."""
+    return ts.unigram_logprob(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
     "similarity_quantize_digest",
     driver=False,  # variant of the gated similarity family (3 driver entries)
     oracle=sim.quantize_digest_sql("embeddings"),

@@ -443,3 +443,16 @@ def test_video_container_and_frame_sampling(spark):
             range(0, n_frames, 2)
         )
         assert all((r.width, r.height) == (1 + h[0] % 32, 1 + h[1] % 32) for r in rows)
+
+
+def test_unigram_logprob_ranks_common_above_rare(spark):
+    """A doc made of corpus-frequent tokens must outscore one made of
+    hapaxes — the property that makes the unigram LM a gibberish filter."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import unigram_logprob
+
+    rows = [(i, "common words appear here " * 3) for i in range(8)]
+    rows.append((100, "common words appear here and again"))
+    rows.append((200, "zxqv jklw pmnb vcxz qwer"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_logprob for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert got[100] > got[200]
