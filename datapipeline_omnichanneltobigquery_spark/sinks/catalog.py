@@ -116,3 +116,59 @@ def row_count(spark: SparkSession, name: str) -> int:
 def table_columns(spark: SparkSession, name: str) -> list[str]:
     """:169-175 — schema introspection driving merge column lists."""
     return spark.table(name).columns
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots (time-travel-lite for the plain-parquet catalog)
+# ---------------------------------------------------------------------------
+
+
+def write_versioned(df: DataFrame, name: str, keep: int = 3) -> int:
+    """Write ``df`` as the next numbered snapshot of ``name`` and return the
+    new version number.  Snapshots are plain catalog tables
+    ``<name>__v<N>`` plus a current-pointer view ``<name>`` — the
+    time-travel-lite pattern for a non-transactional catalog:
+
+    * the snapshot is fully written BEFORE the pointer moves (a crash
+      mid-write leaves the previous version live — same safety argument as
+      :func:`swap_table`, but with readable history instead of one backup);
+    * readers of ``<name>`` always see a complete version;
+    * history is pruned to the newest ``keep`` snapshots AFTER the pointer
+      moves.
+
+    On Delta/Iceberg this whole mechanism is the format's own transaction
+    log; this is the parquet-catalog equivalent with the same API shape.
+    """
+    spark = df.sparkSession
+    versions = list_versions(spark, name)
+    v = (versions[-1] if versions else 0) + 1
+    snap = f"{name}__v{v}"
+    df.write.mode("errorifexists").saveAsTable(snap)
+    spark.sql(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM {snap}")
+    for old in versions[: max(0, len(versions) + 1 - keep)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}__v{old}")
+    return v
+
+
+def list_versions(spark: SparkSession, name: str) -> list[int]:
+    """Available snapshot numbers for ``name``, ascending."""
+    import re
+
+    pat = re.compile(re.escape(name.split(".")[-1]) + r"__v(\d+)$")
+    out = []
+    for t in spark.catalog.listTables():
+        m = pat.fullmatch(t.name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_version(spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
+    """Read a specific snapshot of ``name`` (default: the newest)."""
+    versions = list_versions(spark, name)
+    if not versions:
+        raise ValueError(f"no snapshots of {name}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} of {name} not available (have {versions})")
+    return spark.table(f"{name}__v{v}")

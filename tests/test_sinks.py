@@ -109,3 +109,31 @@ def test_png_codec_roundtrip():
         decode_image(corrupt)
     with _pytest.raises(NotImplementedError):
         decode_image(b"GIF89a not a png")
+
+
+def test_versioned_snapshots(spark):
+    """write_versioned keeps readable history, moves the current pointer
+    only after a complete write, and prunes beyond the retention window."""
+    from datapipeline_omnichanneltobigquery_spark.sinks.catalog import (
+        list_versions,
+        read_version,
+        write_versioned,
+    )
+
+    name = "vtest_tbl"
+    for t in list(spark.catalog.listTables()):
+        if t.name.startswith(name):
+            spark.sql(f"DROP {'VIEW' if t.tableType == 'VIEW' else 'TABLE'} IF EXISTS {t.name}")
+
+    for i in (1, 2, 3, 4):
+        df = spark.range(i * 10).withColumnRenamed("id", "n")
+        assert write_versioned(df, name, keep=2) == i
+
+    assert list_versions(spark, name) == [3, 4]          # pruned to keep=2
+    assert spark.table(name).count() == 40               # pointer at v4
+    assert read_version(spark, name).count() == 40
+    assert read_version(spark, name, 3).count() == 30    # history readable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_version(spark, name, 1)                     # pruned
