@@ -482,3 +482,62 @@ def quantize_digest_sql(table: str, id_col: str = "vec_id", vec_col: str = "embe
              <= scale * 0.5000001 AS within_half_step
     FROM q
     """
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Persist the IVF index: (id, unit vector, cluster) written as parquet
+    HIVE-PARTITIONED BY CLUSTER, plus the centroid table beside it.  This is
+    the deployment form of :func:`ivf_assign`'s docstring promise — probes
+    against the persisted index open only ``n_probe`` cluster directories
+    (PartitionFilters, pinned in tests), so each query reads
+    n_probe/n_centroids of the corpus instead of scanning it."""
+    unit = _unit_df(embeddings, id_col, vec_col, dim)
+    assign = _assign_from_unit(unit, n_centroids, id_col, dim)
+    indexed = unit.join(assign.select(id_col, "cluster"), id_col)
+    indexed.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/postings")
+    cent = unit.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("__u").alias("cv")
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k against a PERSISTED IVF index: rank centroids for the query
+    vector (tiny table, driver-side collect of n_probe ids is fine), then
+    scan ONLY the probed cluster partitions — the filter on ``cluster`` is a
+    directory-level PartitionFilter, so the 100 TB index reads
+    n_probe/n_centroids of its bytes per query."""
+    import math
+
+    nrm = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+    q = [v / nrm for v in query_vec]
+    cent = spark.read.parquet(f"{path}/centroids")
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    probe = [
+        r.cid
+        for r in cent.select("cid", dot(qcol, F.col("cv"), dim).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("cid"))
+        .limit(n_probe)
+        .collect()
+    ]
+    postings = spark.read.parquet(f"{path}/postings").filter(F.col("cluster").isin(probe))
+    return (
+        postings.select(id_col, dot(qcol, F.col("__u"), dim).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -456,3 +456,27 @@ def test_unigram_logprob_ranks_common_above_rare(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.avg_logprob for r in unigram_logprob(df, "doc_id", "text").collect()}
     assert got[100] > got[200]
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index answers probes by opening only the probed
+    cluster directories (PartitionFilters), and agrees with the in-memory
+    ivf_topk on the same deterministic index."""
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+    from datapipeline_omnichanneltobigquery_spark.plans.audit import plan_string
+
+    emb = read_table(spark, SF_DIR_MID, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=16)
+
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    got = ivf_topk_from_index(spark, path, qvec, k=11, n_probe=4)
+    plan = plan_string(got)
+    assert "PartitionFilters" in plan and "cluster" in plan, plan
+    ids_from_index = [r.vec_id for r in got.collect() if r.vec_id != 0][:10]
+    ids_in_memory = [r.vec_id for r in ivf_topk(emb, 0, 10, n_centroids=16, n_probe=4).collect()]
+    assert ids_from_index == ids_in_memory
