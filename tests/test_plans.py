@@ -162,3 +162,18 @@ def test_driver_outputs_have_no_complex_types(spark):
         if complex_cols:
             bad[name] = complex_cols
     assert not bad, f"driver-exported queries return complex-typed columns: {bad}"
+
+
+def test_driver_registry_cap_and_oracles():
+    """The driver verifies at most DRIVER_CAP entries: the exported registry
+    must stay at exactly the cap with an oracle for every entry (new
+    operator families merge into existing entries or displace one —
+    COVERAGE.md 'standing rule')."""
+    from datapipeline_omnichanneltobigquery_spark.plans.queries import (
+        DRIVER_CAP,
+        ORACLES,
+        QUERIES,
+    )
+
+    assert len(QUERIES) == DRIVER_CAP
+    assert set(ORACLES) == set(QUERIES)
