@@ -184,3 +184,31 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
     streamed = {(r.p_id, r.e_id) for r in spark.table("ssj").collect()}
     assert streamed == batch
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched with a static dimension
+    broadcasts the dim per micro-batch — no state store involved; stream
+    result ≡ batch join."""
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("segment")
+    )
+
+    batch = {
+        (r.event_id, r.segment)
+        for r in spark.read.parquet(src).join(dim, "user_id").collect()
+    }
+    stream = spark.readStream.schema(ev.schema).parquet(src).join(dim, "user_id")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ssenrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {(r.event_id, r.segment) for r in spark.table("ssenrich").collect()}
+    assert streamed == batch and batch
