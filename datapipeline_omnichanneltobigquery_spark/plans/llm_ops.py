@@ -424,6 +424,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_pipeline_oracle() -> str:
+    """Composite oracle for the full dedup chain: md5 exact dedup →
+    Jaccard pairs over survivors → recursive-CTE connected components →
+    keep flags.  Built from the same *_sql twins as each stage's own
+    oracle, so the composite check shares every constant."""
+    surv_docs = (
+        "(SELECT MIN(doc_id) AS doc_id, text FROM "
+        "(SELECT doc_id, text, md5(text) AS fp FROM documents) GROUP BY fp, text)"
+    )
+    cc = dd.connected_components_sql(
+        dd.jaccard_pairs_sql(surv_docs, "doc_id", "text", n=3, threshold=0.5)
+    )
+    return f"""
+    WITH labeled AS ({cc}),
+    surv AS (SELECT MIN(doc_id) AS id FROM
+             (SELECT doc_id, md5(text) AS fp FROM documents) GROUP BY fp)
+    SELECT s.id, COALESCE(l.cluster_id, s.id) AS cluster_id,
+           s.id = COALESCE(l.cluster_id, s.id) AS keep
+    FROM surv s LEFT JOIN labeled l ON l.id = s.id
+    """
+
+
+@query("dedup_pipeline_full", driver=False, oracle=_dedup_pipeline_oracle())
+def dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call dedup chain (exact fingerprint pass → near-dup pairs →
+    star clustering → keep-list) verified END-TO-END against the composed
+    SQL oracle — stage-level oracles prove each operator; this proves the
+    composition."""
+    return dd.dedup_pipeline(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @query(
     "multimodal_png_decode",
     oracle="""
