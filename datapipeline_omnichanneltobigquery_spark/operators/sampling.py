@@ -350,3 +350,27 @@ def mix_report_sql(
     SELECT grp, w, share, target, __ratio / MAX(__ratio) OVER () AS keep_fraction
     FROM r
     """
+
+
+def rebalance(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    targets: dict[str, float],
+    weight_col: str | None = None,
+    seed: str = "rebalance-v1",
+) -> DataFrame:
+    """One call from a target mix to the rebalanced corpus: compute
+    downsample-only keep fractions with :func:`mix_report` and apply them
+    with :func:`stratified_sample`.
+
+    The only driver-side data movement is the n_groups-row fractions table
+    (groups are sources/languages — inherently tiny); the resample itself
+    stays a map-side hash filter.  Fractions quantize to basis points
+    (1/10000) like every membership decision here, so realized shares track
+    targets to hash-sampling tolerance, deterministically."""
+    fr = {
+        r["grp"]: round(float(r["keep_fraction"]), 4)
+        for r in mix_report(df, group_col, weight_col, targets).collect()
+    }
+    return stratified_sample(df, id_col, group_col, fr, default_fraction=1.0, seed=seed)

@@ -173,3 +173,26 @@ def test_mix_report_keep_fractions(spark):
     kept0 = rows["src0"].w * rows["src0"].keep_fraction
     kept1 = rows["src1"].w * rows["src1"].keep_fraction
     assert abs(kept0 / kept1 - 2.0) < 1e-9
+
+
+def test_rebalance_hits_target_mix(spark):
+    """Rebalancing to a target mix realizes the requested ratios within
+    hash-sampling tolerance, without upsampling any group."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import rebalance
+
+    d = read_table(spark, SF_DIR_MID, "documents")
+    targets = {"src0": 0.15, "src1": 0.15}
+    out = rebalance(d, "doc_id", "source", targets, weight_col="n_chars")
+    w = {
+        r["source"]: r["w"]
+        for r in out.groupBy("source").agg(F.sum("n_chars").alias("w")).collect()
+    }
+    # equal targets -> roughly equal kept weight for the two boosted sources
+    ratio = w["src0"] / w["src1"]
+    assert 0.7 < ratio < 1.4, ratio
+    # downsample-only: nothing exceeds its original weight
+    orig = {
+        r["source"]: r["w"]
+        for r in d.groupBy("source").agg(F.sum("n_chars").alias("w")).collect()
+    }
+    assert all(w[g] <= orig[g] for g in w)
