@@ -140,23 +140,89 @@ def _shingles_sql(table: str, id_col: str, text_col: str, n: int) -> str:
 # ---------------------------------------------------------------------------
 
 
+# Absolute per-shingle document-frequency cap for candidate generation in
+# the exact-Jaccard pipeline.  Natural-language shingle frequencies are
+# Zipfian, and the inverted-index self-join emits Σ df² rows — one shingle in
+# 1% of a 10^8-doc corpus alone yields ~10^12 join rows, which no amount of
+# AQE skew-splitting can shrink (the OUTPUT is quadratic).  An ABSOLUTE cap c
+# bounds candidate rows by Σ df²·[df ≤ c] ≤ c·Σ df = c·|inverted index| —
+# LINEAR in corpus size — where a relative cap (fraction of n_docs) would
+# still grow quadratically.  Recall contract: a pair is discovered iff it
+# shares ≥ 1 shingle with df ≤ cap; near-dups at threshold 0.5 share many
+# rare shingles (measured on the test corpus: the worst true pair's
+# best-shared shingle has df = 10 at sf0.1, max df overall = 25), so 128
+# loses nothing at test scale and caps the hot tail at any scale.
+JACCARD_MAX_DF = 128
+
+
+def _jaccard_candidates(sh: DataFrame, max_df: int) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs sharing ≥1 shingle with document
+    frequency ≤ ``max_df``.  The df is a window count over the shingle — one
+    shuffle on ``shingle`` that the self-join immediately reuses (both join
+    children are the same sub-plan, hash-partitioned on the join key), so the
+    cap costs no extra exchange over the uncapped form."""
+    w = Window.partitionBy("shingle")
+    rare = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_df)
+        .select("id", "shingle")
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over the shingle inverted index.
 
     intersection counts come from the shingle self-join (only co-occurring
     pairs exist), union = |A|+|B|-∩; one integer division at the end keeps it
     engine-exact.  Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    With ``max_df`` set (see :data:`JACCARD_MAX_DF`), candidate generation
+    drops shingles whose document frequency exceeds the cap — the hot-key
+    self-join output goes from Σ df² (quadratic under Zipfian skew) to
+    ≤ max_df·|index| (linear) — and the Jaccard of each surviving candidate
+    is then computed over the FULL shingle sets (values are exact; only
+    discovery is capped).  The verify stage joins the candidate spine to each
+    side's full shingle list — Σ |A| rows over candidates, never quadratic in
+    a shingle's df.
     """
     sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("ic"))
-    )
+    if max_df is None:
+        inter = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("ic"))
+        )
+    else:
+        cand = _jaccard_candidates(sh, max_df)
+        # Exact intersection counts for candidates only: attach side-A's full
+        # shingle list (join on id_a), then keep the shingles side B also has
+        # (join on id_b AND shingle).  Row count = Σ_cand |A| — linear.
+        sha = sh.select(F.col("id").alias("id_a"), "shingle")
+        shb = sh.select(F.col("id").alias("id_b"), "shingle")
+        inter = (
+            cand.join(sha, "id_a")
+            .join(shb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("ic"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -171,13 +237,36 @@ def jaccard_pairs(
     )
 
 
-def jaccard_pairs_sql(table: str, id_col: str, text_col: str, n: int, threshold: float) -> str:
-    return f"""
-    WITH {_shingles_sql(table, id_col, text_col, n)},
-    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+def jaccard_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`jaccard_pairs` — same cap constant, same capped
+    candidate + full-set verify shape, so the oracle stays value-exact."""
+    if max_df is None:
+        inter = """
     inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-              GROUP BY 1, 2)
+              GROUP BY 1, 2)"""
+    else:
+        inter = f"""
+    rare AS (SELECT id, shingle FROM
+               (SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+             WHERE df <= {max_df}),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS ic
+              FROM cand c
+              JOIN sh a ON a.id = c.id_a
+              JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2)"""
+    return f"""
+    WITH {_shingles_sql(table, id_col, text_col, n)},
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),{inter}
     SELECT id_a, id_b,
            CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) AS jaccard
     FROM inter
@@ -321,6 +410,50 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def minhash_candidates_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`minhash_candidate_pairs` alone — the distinct
+    LSH bucket-mate (id_a, id_b) pairs, for oracles that intersect an
+    existing exact-similarity table with the candidate set instead of
+    re-running the full verify pipeline (the plan the merged driver entry
+    uses)."""
+    num_bands = num_hashes // rows_per_band
+    params = _minhash_params(num_hashes, seed)
+    mh_exprs = ",\n             ".join(
+        f"MIN(((h60 % {MERSENNE_P}) * {a} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n        UNION ALL\n".join(
+        "        SELECT id, {band} AS band, concat_ws(',', {cols}) AS key FROM sig".format(
+            band=i,
+            cols=", ".join(
+                f"CAST(mh_{i * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
+        )
+        for i in range(num_bands)
+    )
+    return f"""
+    WITH {_shingles_sql(table, id_col, text_col, n)},
+    hashed AS (SELECT id, {md5_long_sql("shingle")} AS h60 FROM sh),
+    sig AS (SELECT id,
+             {mh_exprs}
+            FROM hashed GROUP BY id),
+    keyed AS (
+{band_rows}
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM keyed a JOIN keyed b
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    """
 
 
 def minhash_near_dup_pairs_sql(
@@ -640,7 +773,13 @@ def connected_components_star(
 
     Convergence: the fixpoint of small∘large is a star per component
     (paper, Theorem 1), detected exactly — counts equal AND no edge of the
-    new round outside the previous round's set.
+    new round outside the previous round's set (both sides distinct, so
+    subset + equal cardinality ⇔ set equality).  The subset probe is folded
+    INTO the round's checkpoint job: each round left-joins its output
+    against the previous (already-materialized) edge set to carry a
+    ``__new`` flag, so one checkpoint job plus one tiny aggregate over the
+    checkpointed rows replaces the former count + exceptAll pair of extra
+    jobs per round.
     """
     # Materialize the input pairs ONCE: nodes and the edge normalization are
     # two consumers, and without this checkpoint each would re-execute the
@@ -656,14 +795,22 @@ def connected_components_star(
     edges = _star_edges(pairs_ck).localCheckpoint()
     prev_count = edges.count()
     for it in range(max_iterations):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
-        new_count = new_edges.count()
-        if new_count == prev_count and new_edges.exceptAll(edges).isEmpty():
+        stepped = _small_star(_large_star(edges))
+        flagged = (
+            stepped.join(edges.withColumn("__seen", F.lit(1)), ["u", "v"], "left")
+            .select("u", "v", F.col("__seen").isNull().alias("__new"))
+            .localCheckpoint()
+        )
+        probe = flagged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__new").cast("int")).alias("n_new"),
+        ).first()
+        edges = flagged.select("u", "v")
+        if probe.n == prev_count and (probe.n_new or 0) == 0:
             if stats is not None:
                 stats["rounds"] = it + 1
-            edges = new_edges
             break
-        edges, prev_count = new_edges, new_count
+        prev_count = probe.n
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iterations} iterations"
@@ -701,6 +848,7 @@ def dedup_pipeline(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = JACCARD_MAX_DF,
 ) -> DataFrame:
     """The full production dedup chain in one call: exact dedup on the md5
     fingerprint (byte-identical copies collapse first — the cheap pass that
@@ -718,7 +866,7 @@ def dedup_pipeline(
     survivors = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).join(
         exact_ids, "id", "left_semi"
     )
-    pairs = jaccard_pairs(survivors, "id", "text", n=n, threshold=threshold)
+    pairs = jaccard_pairs(survivors, "id", "text", n=n, threshold=threshold, max_df=max_df)
     cc = connected_components_star(pairs)
     labeled = survivors.join(cc, "id", "left").select(
         "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")

@@ -167,6 +167,12 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
     if width is None or height is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(idat)
+    if len(raw) != height * (width + 1):
+        # fail diagnosably instead of an IndexError mid-unfilter
+        raise ValueError(
+            f"truncated IDAT: inflated to {len(raw)} bytes, "
+            f"expected {height * (width + 1)} for {width}x{height}"
+        )
     rows: list[bytes] = []
     prev = bytes(width)
     stride = width + 1
@@ -356,12 +362,16 @@ def encode_wav(samples: bytes, sample_rate: int = 16000, channels: int = 1) -> b
 
     byte_rate = sample_rate * channels
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels, 8)
-    data = samples
-    riff_body = (
-        b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        # RIFF chunks are word-aligned: an odd-length body is followed by a
+        # zero pad byte that is EXCLUDED from the declared chunk length but
+        # included in the enclosing RIFF size — strict readers misparse the
+        # next chunk without it (8-bit PCM makes odd data lengths routine).
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    riff_body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", samples)
     return WAV_MAGIC + struct.pack("<I", len(riff_body)) + riff_body
 
 

@@ -313,7 +313,11 @@ def mix_report(
         target = expr.otherwise(F.col("share"))
     else:
         target = F.col("share")
-    ratio = (target / F.col("share")).alias("__ratio")
+    # zero-share guard: a group whose summed weight is 0 would yield an
+    # infinite/NaN ratio and poison the MAX normalization for every group
+    ratio = (
+        F.when(F.col("share") > 0, target / F.col("share")).otherwise(F.lit(1.0))
+    ).alias("__ratio")
     r = shared.select("grp", "w", "share", target.alias("target"), ratio)
     return r.select(
         "grp",
@@ -345,7 +349,7 @@ def mix_report_sql(
                       CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share
                FROM per),
     r AS (SELECT grp, w, share, {target} AS target,
-                 ({target}) / share AS __ratio
+                 CASE WHEN share > 0 THEN ({target}) / share ELSE 1.0 END AS __ratio
           FROM shared)
     SELECT grp, w, share, target, __ratio / MAX(__ratio) OVER () AS keep_fraction
     FROM r
@@ -366,11 +370,39 @@ def rebalance(
 
     The only driver-side data movement is the n_groups-row fractions table
     (groups are sources/languages — inherently tiny); the resample itself
-    stays a map-side hash filter.  Fractions quantize to basis points
-    (1/10000) like every membership decision here, so realized shares track
-    targets to hash-sampling tolerance, deterministically."""
+    stays a map-side hash filter.  Fractions quantize ONCE to basis points
+    (1/10000, round-half-even — the single rounding keeps the SQL twin
+    :func:`rebalance_sql` exactly mirrorable via round_even), so realized
+    shares track targets to hash-sampling tolerance, deterministically."""
     fr = {
-        r["grp"]: round(float(r["keep_fraction"]), 4)
+        r["grp"]: int(round(float(r["keep_fraction"]) * _BPS)) / _BPS
         for r in mix_report(df, group_col, weight_col, targets).collect()
     }
     return stratified_sample(df, id_col, group_col, fr, default_fraction=1.0, seed=seed)
+
+
+def rebalance_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    targets: dict[str, float],
+    weight_expr: str | None = None,
+    seed: str = "rebalance-v1",
+) -> str:
+    """DuckDB twin of :func:`rebalance`: fractions from
+    :func:`mix_report_sql`, quantized to basis points with ``round_even``
+    (DuckDB's banker's rounding — the same half-even rule as the Python
+    ``round`` the Spark path applies), then the identical md5 basis-point
+    membership filter.  Every group of ``table`` appears in the mix report,
+    so the threshold join is total."""
+    mix = mix_report_sql(table, group_col, weight_expr, targets)
+    bucket = _bucket_sql(id_col, seed)
+    return f"""
+    WITH mix AS ({mix}),
+    thresh AS (SELECT grp,
+                      CAST(round_even(keep_fraction * {_BPS}, 0) AS BIGINT) AS bp
+               FROM mix)
+    SELECT d.* FROM {table} d
+    JOIN thresh t ON d.{group_col} = t.grp
+    WHERE ({bucket}) < t.bp
+    """

@@ -269,9 +269,12 @@ def kmeans_refine(
             .agg(*[F.avg(F.element_at("__u", i)).alias(f"m_{i}") for i in range(1, dim + 1)])
         )
         mean_arr = F.array(*[F.col(f"m_{i}") for i in range(1, dim + 1)])
-        cent = means.select(
-            "cid", norm_unit(mean_arr, dim).alias("cv")
-        ).cache()
+        # one-shot localCheckpoint, not .cache(): the next iteration (and the
+        # caller) re-reads this tiny table from the checkpoint, and the RDD is
+        # dropped by the ContextCleaner when the reference dies — a .cache()
+        # here leaked one centroid table per iteration for the session
+        # lifetime (same fix as minhash_candidate_pairs, dedup.py).
+        cent = means.select("cid", norm_unit(mean_arr, dim).alias("cv")).localCheckpoint()
     return cent
 
 
@@ -377,12 +380,16 @@ def ivf_topk(
     one 64-term dot per comparison instead of a 3-dot cosine (3× less
     codegen to compile and run).
     """
-    # unit and the assignment index are tiny (one row per vector) but feed
-    # four separate jobs (query/centroid/probe broadcasts + final scan):
-    # cache them so the normalize and assignment pipelines run once.  At
-    # deployment the assignment is a persisted bucketed table instead.
-    unit = _unit_df(embeddings, id_col, vec_col, dim).cache()
-    assign = _assign_from_unit(unit, n_centroids, id_col, dim).cache()
+    # unit and the assignment index feed four separate jobs (query/centroid/
+    # probe broadcasts + final scan): materialize them ONCE via eager
+    # localCheckpoint, not .cache() — cached plans stay registered in the
+    # CacheManager for the session lifetime, so repeated ANN queries in one
+    # session accumulated memory; checkpointed RDDs are reclaimed by the
+    # ContextCleaner as soon as the query's references die.  At deployment
+    # the assignment is a persisted bucketed index (build_ivf_index) and
+    # neither table is materialized per-query.
+    unit = _unit_df(embeddings, id_col, vec_col, dim).localCheckpoint()
+    assign = _assign_from_unit(unit, n_centroids, id_col, dim).localCheckpoint()
     q = F.broadcast(
         unit.filter(F.col(id_col) == query_vec_id).select(F.col("__u").alias("__qv"))
     )

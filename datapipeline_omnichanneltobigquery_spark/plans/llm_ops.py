@@ -104,11 +104,22 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     driver=False,  # merged into dedup_neardup_pairs
-    oracle=dd.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5),
+    oracle=dd.jaccard_pairs_sql(
+        "documents", "doc_id", "text", n=3, threshold=0.5, max_df=dd.JACCARD_MAX_DF
+    ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs ≥ 0.5 over the shingle inverted index."""
-    return dd.jaccard_pairs(read_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)
+    """Exact 3-gram Jaccard pairs ≥ 0.5 over the shingle inverted index,
+    candidate generation df-capped (operators.dedup.JACCARD_MAX_DF) so the
+    hot-shingle self-join stays linear under Zipfian skew."""
+    return dd.jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_df=dd.JACCARD_MAX_DF,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -152,7 +163,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_unigram_logprob",
-    driver=False,  # variant of the gated text-analysis family (text_profile)
+    # rotated INTO the gate r4 (never driver-verified before)
     oracle=ts.unigram_logprob_sql("documents", "doc_id", "text"),
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,7 +174,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_quantize_digest",
-    driver=False,  # variant of the gated similarity family (3 driver entries)
+    # rotated INTO the gate r4 (never driver-verified before)
     oracle=sim.quantize_digest_sql("embeddings"),
 )
 def similarity_quantize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,12 +368,20 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mirrors the Spark plan exactly: ONE capped exact-Jaccard table feeds both
+# branches; the minhash branch is that table semi-joined to the LSH candidate
+# pairs (same sharing the builder does via localCheckpoint).
 _NEARDUP_ORACLE = f"""
-    SELECT 'minhash_lsh' AS method, id_a, id_b, jaccard
-    FROM ({dd.minhash_near_dup_pairs_sql("documents", "doc_id", "text")})
+    WITH jc AS ({dd.jaccard_pairs_sql(
+        "documents", "doc_id", "text", n=3, threshold=0.5, max_df=dd.JACCARD_MAX_DF
+    )}),
+    lsh_cand AS ({dd.minhash_candidates_sql("documents", "doc_id", "text", n=3)})
+    SELECT 'minhash_lsh' AS method, j.id_a, j.id_b, j.jaccard
+    FROM jc j
+    WHERE EXISTS (SELECT 1 FROM lsh_cand c
+                  WHERE c.id_a = j.id_a AND c.id_b = j.id_b)
     UNION ALL
-    SELECT 'ngram_jaccard' AS method, id_a, id_b, jaccard
-    FROM ({dd.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5)})
+    SELECT 'ngram_jaccard' AS method, id_a, id_b, jaccard FROM jc
 """
 
 
@@ -386,7 +405,9 @@ def dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the exact-Jaccard table once: both union branches consume
     # it, and without the checkpoint each re-executes the full inverted-index
     # pipeline (measured 2x the wall time at sf0.1).
-    jc = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).localCheckpoint()
+    jc = dd.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_df=dd.JACCARD_MAX_DF
+    ).localCheckpoint()
     cand = dd.minhash_candidate_pairs(d, "doc_id", "text", n=3)
     mh = jc.join(cand, ["id_a", "id_b"], "left_semi").select(
         F.lit("minhash_lsh").alias("method"), "id_a", "id_b", "jaccard"
@@ -400,7 +421,9 @@ _CLUSTERS_ORACLE = f"""
     SELECT w.id, w.cluster_id,
            w.id = w.cluster_id AS keep
     FROM ({dd.connected_components_sql(
-        dd.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.5)
+        dd.jaccard_pairs_sql(
+            "documents", "doc_id", "text", n=3, threshold=0.5, max_df=dd.JACCARD_MAX_DF
+        )
     )}) w
 """
 
@@ -417,7 +440,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round count the way it would for plain min-label propagation.  The
     DuckDB twin is a recursive CTE."""
     d = read_table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_df=dd.JACCARD_MAX_DF)
     cc = dd.connected_components_star(pairs)
     return cc.select(
         "id", "cluster_id", (F.col("id") == F.col("cluster_id")).alias("keep")
@@ -434,7 +457,9 @@ def _dedup_pipeline_oracle() -> str:
         "(SELECT doc_id, text, md5(text) AS fp FROM documents) GROUP BY fp, text)"
     )
     cc = dd.connected_components_sql(
-        dd.jaccard_pairs_sql(surv_docs, "doc_id", "text", n=3, threshold=0.5)
+        dd.jaccard_pairs_sql(
+            surv_docs, "doc_id", "text", n=3, threshold=0.5, max_df=dd.JACCARD_MAX_DF
+        )
     )
     return f"""
     WITH labeled AS ({cc}),
@@ -446,7 +471,7 @@ def _dedup_pipeline_oracle() -> str:
     """
 
 
-@query("dedup_pipeline_full", driver=False, oracle=_dedup_pipeline_oracle())
+@query("dedup_pipeline_full", oracle=_dedup_pipeline_oracle())  # rotated INTO the gate r4
 def dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-call dedup chain (exact fingerprint pass → near-dup pairs →
     star clustering → keep-list) verified END-TO-END against the composed
@@ -593,6 +618,23 @@ def sampling_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     target — the fractions stratified_sample consumes."""
     return sa.mix_report(
         read_table(spark, sf_dir, "documents"), "source", "n_chars", _MIX_TARGETS
+    )
+
+
+@query(
+    "sampling_rebalance",
+    # rotated INTO the gate r4: the full mix→fractions→resample chain
+    oracle=sa.rebalance_sql("documents", "doc_id", "source", _MIX_TARGETS, "n_chars"),
+)
+def sampling_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One call from a target training mix to the resampled corpus,
+    driver-gated END-TO-END: char-weighted keep fractions from the mix
+    report (a n_groups-row driver round-trip — sources/languages, inherently
+    tiny), applied as the map-side md5 basis-point filter.  Fractions
+    quantize once to basis points half-even on both engines (Python round /
+    DuckDB round_even), so the realized corpus is hash-identical."""
+    return sa.rebalance(
+        read_table(spark, sf_dir, "documents"), "doc_id", "source", _MIX_TARGETS, "n_chars"
     )
 
 

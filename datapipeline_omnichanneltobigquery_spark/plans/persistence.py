@@ -9,7 +9,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from datapipeline_omnichanneltobigquery_spark.functions.scalars import money
 from datapipeline_omnichanneltobigquery_spark.plans.queries import query
+from datapipeline_omnichanneltobigquery_spark.sinks.bucketed import write_bucketed
 from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
 
 # Scratch location inside the repo (gitignored) so the query is runnable from
@@ -78,3 +80,50 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("csv").alias("kind"), "o_orderkey", "o_custkey", "o_totalprice", "yr"
     )
     return parquet_side.unionByName(csv_side)
+
+
+@query(
+    "bucketed_revenue_join",
+    # new r4: the bucketed-layout path itself under the oracle gate
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring-fact-join layout end-to-end: write orders AND lineitem
+    bucketed by the join key, then compute per-order revenue reading the
+    bucketed copies — a sort-merge join with ZERO Exchange anywhere in the
+    plan (both join inputs arrive hash-clustered from the file layout, and
+    the per-order aggregate's clustering requirement is satisfied by the
+    same bucketing).  This is the single biggest recurring-cost saver for
+    fact-fact joins at 100 TB: the shuffle is paid once at write time,
+    amortized over every subsequent join.  The merge hint pins the join
+    strategy — at test SF the planner would otherwise broadcast the small
+    side, which proves nothing about the layout.  Plan shape asserted in
+    tests/test_bucketed.py; value fidelity by the oracle on the ORIGINAL
+    tables (the bucketed copies must be a faithful re-layout)."""
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    ot, lt = f"bkt_orders_{sf_tag}", f"bkt_lineitem_{sf_tag}"
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(o, ot, "o_orderkey", n_buckets=8, sort_col="o_orderkey")
+    write_bucketed(li, lt, "l_orderkey", n_buckets=8, sort_col="l_orderkey")
+    ob, lb = spark.table(ot), spark.table(lt)
+    return (
+        ob.hint("merge")
+        .join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(money(F.col("l_extendedprice")) * (F.lit(1) - money(F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

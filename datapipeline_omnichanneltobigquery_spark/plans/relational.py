@@ -508,6 +508,7 @@ def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_date_suite",
+    driver=False,  # rotated out r4 (stable r2+r3); components keep local hash-verification
     oracle="""
     SELECT o_orderkey,
            year(o_orderdate) AS yr,

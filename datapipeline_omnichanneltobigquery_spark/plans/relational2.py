@@ -44,6 +44,7 @@ def agg_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lateral_explode_tokens",
+    driver=False,  # rotated out r4 (stable r2+r3)
     oracle="""
     SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
     FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
@@ -66,6 +67,7 @@ def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "array_higher_order_ops",
+    driver=False,  # rotated out r4 (stable r2+r3)
     oracle="""
     SELECT vec_id,
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
@@ -165,6 +167,7 @@ def scalar_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unpivot_part_metrics",
+    driver=False,  # rotated out r4 (stable r2+r3)
     oracle="""
     SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
     UNION ALL
@@ -370,6 +373,7 @@ def set_bag_ops_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_null_math_suite",
+    driver=False,  # rotated out r4 (stable r2+r3); scalar_null/math extras keep coverage
     oracle="""
     SELECT c_custkey,
            COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,

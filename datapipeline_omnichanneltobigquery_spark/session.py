@@ -23,17 +23,35 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 
+# Spark's RocksDB-backed streaming state store: state lives off-heap in a
+# local RocksDB instance (changelog-checkpointed to the checkpoint location)
+# instead of the default in-memory HDFSBackedStateStoreProvider map.  At real
+# state sizes (billions of dedup keys / session windows) the in-memory
+# provider OOMs the executors; RocksDB is the deployable setting.
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     app_name: str = "datapipeline_omnichanneltobigquery_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     warehouse_dir: str | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine defaults.
 
     ``shuffle_partitions`` defaults to 2× local cores, which keeps every core
     busy through AQE coalescing; on a real cluster you would size it to
     ~2-3× total executor cores and let AQE coalesce down.
+
+    ``rocksdb_state_store=True`` switches Structured Streaming state to the
+    RocksDB provider (:data:`ROCKSDB_STATE_STORE`).  It is a session-level
+    SQL conf, so on an existing session it can also be flipped per-query via
+    ``spark.conf.set("spark.sql.streaming.stateStore.providerClass", ...)``
+    before ``start()`` — each query pins the provider it started with in its
+    checkpoint.
     """
     master = master or f"local[{DEFAULT_CPUS}]"
     builder = (
@@ -51,6 +69,10 @@ def get_spark(
         # only when this call actually launches the JVM (no-op afterwards).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
     )
+    if rocksdb_state_store:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_STORE
+        )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     if warehouse_dir is not None:

@@ -140,6 +140,16 @@ def write_versioned(df: DataFrame, name: str, keep: int = 3) -> int:
     log; this is the parquet-catalog equivalent with the same API shape.
     """
     spark = df.sparkSession
+    if spark.catalog.tableExists(name):
+        existing = spark.catalog.getTable(name)
+        if (existing.tableType or "").upper() != "VIEW":
+            # CREATE OR REPLACE VIEW cannot displace a plain table — fail
+            # with the remedy instead of a confusing catalog error.
+            raise ValueError(
+                f"{name} already exists as a {existing.tableType} table; drop or "
+                "rename it before versioned snapshots can own the name as a "
+                "pointer view"
+            )
     versions = list_versions(spark, name)
     v = (versions[-1] if versions else 0) + 1
     snap = f"{name}__v{v}"
@@ -151,12 +161,17 @@ def write_versioned(df: DataFrame, name: str, keep: int = 3) -> int:
 
 
 def list_versions(spark: SparkSession, name: str) -> list[int]:
-    """Available snapshot numbers for ``name``, ascending."""
+    """Available snapshot numbers for ``name``, ascending.  A db-qualified
+    name ('db.tbl') is resolved against that database — matching on the bare
+    suffix across the CURRENT database would list (and let write_versioned
+    prune) another namespace's snapshots."""
     import re
 
-    pat = re.compile(re.escape(name.split(".")[-1]) + r"__v(\d+)$")
+    parts = name.split(".")
+    db = parts[-2] if len(parts) > 1 else None
+    pat = re.compile(re.escape(parts[-1]) + r"__v(\d+)$")
     out = []
-    for t in spark.catalog.listTables():
+    for t in spark.catalog.listTables(db):
         m = pat.fullmatch(t.name)
         if m:
             out.append(int(m.group(1)))

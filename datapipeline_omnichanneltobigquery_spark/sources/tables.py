@@ -116,11 +116,14 @@ def read_json_tolerant(spark: SparkSession, path: str, schema) -> tuple[DataFram
     ``schema`` is required (a StructType or DDL string WITHOUT the corrupt
     column — it is appended here): schema inference would read the data
     twice and silently drop the quarantine column."""
-    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.types import StringType, StructField, StructType
 
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    full = schema.add(CORRUPT_COL, StringType())
+    # build a COPY — StructType.add mutates in place, so appending to the
+    # caller's object would leak the corrupt column into their schema (and
+    # append it twice if the same object were passed to two calls)
+    full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
     df = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

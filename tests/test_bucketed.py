@@ -33,3 +33,23 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         drop_table(spark, "b_orders")
         drop_table(spark, "b_lineitem")
+
+
+def test_bucketed_revenue_join_query_zero_exchange(spark):
+    """The driver-gated entry: merge-hinted join + per-order aggregate over
+    the bucketed copies plans with ZERO Exchange anywhere (join inputs
+    clustered by the file layout; the aggregate's clustering requirement is
+    satisfied by the same bucketing), and is a SortMergeJoin — not a
+    broadcast that would prove nothing about the layout."""
+    from datapipeline_omnichanneltobigquery_spark.plans.persistence import bucketed_revenue_join
+
+    df = bucketed_revenue_join(spark, SF_DIR)
+    plan = audit.plan_string(df)
+    try:
+        assert audit.exchange_count(df) == 0, plan
+        assert "SortMergeJoin" in plan, plan
+        assert df.count() > 0
+    finally:
+        sf_tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        drop_table(spark, f"bkt_orders_{sf_tag}")
+        drop_table(spark, f"bkt_lineitem_{sf_tag}")

@@ -480,3 +480,101 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     ids_from_index = [r.vec_id for r in got.collect() if r.vec_id != 0][:10]
     ids_in_memory = [r.vec_id for r in ivf_topk(emb, 0, 10, n_centroids=16, n_probe=4).collect()]
     assert ids_from_index == ids_in_memory
+
+
+def test_jaccard_max_df_caps_hot_shingle_candidates(spark):
+    """Zipf-head worst case: ONE shingle shared by every doc.  With the df
+    cap, candidate generation never touches it — the candidate set is exactly
+    the true near-dup pairs (linear in corpus size), not the ~n²/2 hot-key
+    join explosion — and the surviving pairs' Jaccard values are still exact
+    because the verify stage uses the FULL shingle sets."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        _jaccard_candidates,
+        shingles,
+    )
+
+    n_pairs, did, rows = 8, 0, []
+    for i in range(n_pairs):  # twin docs sharing 12 rare tokens + the hot tail
+        base = " ".join(f"pair{i}tok{j}" for j in range(12))
+        for _ in range(2):
+            rows.append((did, base + " common hot phrase"))
+            did += 1
+    for i in range(120):  # singletons that share ONLY the hot shingle
+        rows.append((did, f"solo{i}a solo{i}b solo{i}c common hot phrase"))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_docs = len(rows)
+
+    sh = shingles(docs, "doc_id", "text", 3)
+    blowup = _jaccard_candidates(sh, max_df=10**9).count()
+    assert blowup >= n_docs * (n_docs - 1) // 2  # the uncapped quadratic form
+    capped = {(r.id_a, r.id_b) for r in _jaccard_candidates(sh, max_df=16).collect()}
+    assert capped == {(2 * i, 2 * i + 1) for i in range(n_pairs)}  # linear
+
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_pairs(docs, "doc_id", "text", 3, 0.5, max_df=16).collect()
+    }
+    ref = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert got == ref  # same pairs, same exact values — only discovery is capped
+    assert len(got) == n_pairs
+
+
+def test_encode_wav_pads_odd_data_chunk_to_word_alignment(spark):
+    """RIFF requires word-aligned chunks: an odd-length PCM body gets a pad
+    byte (excluded from the declared length, included in the RIFF size) so
+    strict external readers parse the stream; decode metadata unchanged."""
+    import struct
+
+    from datapipeline_omnichanneltobigquery_spark.operators.multimodal import (
+        decode_wav_meta,
+        encode_wav,
+    )
+
+    wav = encode_wav(b"\x80" * 7, sample_rate=8000)  # odd data length
+    (riff_size,) = struct.unpack("<I", wav[4:8])
+    assert riff_size == len(wav) - 8  # pad byte counted in the RIFF size
+    assert len(wav) % 2 == 0  # stream ends word-aligned
+    rate, ch, n, dur = decode_wav_meta(wav)
+    assert (rate, ch, n) == (8000, 1, 7) and abs(dur - 7 / 8000) < 1e-12
+
+
+def test_decode_png_truncated_idat_raises_value_error(spark):
+    """A payload whose inflated IDAT is short must fail diagnosably, not
+    with a bare IndexError mid-unfilter."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    good = encode_png(4, 4, gray=7)
+    # rebuild the file with an IDAT one row short
+    short_raw = (b"\x00" + bytes([7] * 4)) * 3  # 3 of 4 rows
+    idat = zlib.compress(short_raw)
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bad = good[:8] + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="truncated IDAT"):
+        decode_png_pixels(bad)
+
+
+def test_ivf_topk_leaves_no_session_cache(spark):
+    """Repeated ANN queries in one session must not accumulate cached
+    DataFrames: the one-shot localCheckpoint pattern keeps the CacheManager
+    empty (checkpointed RDDs are reclaimed when their references die)."""
+    emb = read_table(spark, SF_DIR_MID, "embeddings")
+    for qid in (0, 1):
+        ivf_topk(emb, qid, 5, n_centroids=8, n_probe=2).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

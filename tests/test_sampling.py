@@ -196,3 +196,21 @@ def test_rebalance_hits_target_mix(spark):
         for r in d.groupBy("source").agg(F.sum("n_chars").alias("w")).collect()
     }
     assert all(w[g] <= orig[g] for g in w)
+
+
+def test_mix_report_zero_weight_group_does_not_poison_fractions(spark):
+    """A group whose summed weight is 0 must not yield an infinite/NaN ratio
+    that poisons the MAX normalization — it keeps ratio 1 (its own share)."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import mix_report
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 10.0), ("b", 5.0), ("z", 0.0)],
+        "src string, wt double",
+    )
+    rows = {r.grp: r for r in mix_report(df, "src", weight_col="wt").collect()}
+    assert set(rows) == {"a", "b", "z"}
+    for r in rows.values():
+        assert r.keep_fraction is not None and math.isfinite(r.keep_fraction)
+        assert 0.0 < r.keep_fraction <= 1.0

@@ -105,3 +105,22 @@ def test_read_json_tolerant_quarantines_bad_lines(spark, tmp_path):
     assert any("{this is not json}" in b for b in bad_rows)
     # type-mismatch rows are also quarantined, not silently nulled away
     assert len(good_rows) == 2 and len(bad_rows) == 2
+
+
+def test_read_json_tolerant_does_not_mutate_caller_schema(spark, tmp_path):
+    """StructType.add mutates in place — the tolerant reader must build a
+    copy, so a caller-supplied schema object survives reuse across calls."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from datapipeline_omnichanneltobigquery_spark.sources.tables import read_json_tolerant
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"id": 1}\n{"id": 2}\n')
+    schema = StructType([StructField("id", LongType())])
+    for _ in range(2):  # second call would see a duplicated corrupt column
+        good, bad = read_json_tolerant(spark, str(p), schema)
+        # collect() (not count()) — counts prune every column but the corrupt
+        # filter reference, a pattern Spark's json reader refuses to serve
+        assert good.columns == ["id"]
+        assert len(good.collect()) == 2 and len(bad.collect()) == 0
+    assert [f.name for f in schema.fields] == ["id"]
