@@ -377,11 +377,14 @@ def minhash_near_dup_pairs(
     # .cache(), whose serialization cost lands inside the job.
     sh = shingles(df, id_col, text_col, n)
     cand = minhash_candidate_pairs(df, id_col, text_col, n, num_hashes, rows_per_band, seed)
-    # Verify ONLY the LSH candidates: restrict the shingle inverted index to
-    # docs that appear in some candidate pair before the intersection join —
-    # identical result to verifying against the full pairwise Jaccard
-    # (non-candidates are dropped either way), but the O(n²) pair space never
-    # materializes.  This is what makes the pipeline scale past brute force.
+    # Verify ONLY the LSH candidates, candidate-spine form: attach side-A's
+    # full shingle list (join on id_a), keep the shingles side B also has
+    # (join on id_b AND shingle) — Σ_cand |A| rows, LINEAR in the candidate
+    # count.  A shingle-keyed self-join over the candidate docs would emit
+    # Σ df² rows per shingle WITHIN the candidate set, which a hot shingle
+    # (boilerplate shared by many near-dups) turns quadratic — the same
+    # Zipf-head failure the df cap removes from exact Jaccard's candidate
+    # stage.  Restricting sizes to candidate docs keeps that aggregate tiny.
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .unionByName(cand.select(F.col("id_b").alias("id")))
@@ -389,15 +392,14 @@ def minhash_near_dup_pairs(
     )
     sh_cand = sh.join(F.broadcast(cand_ids), "id", "left_semi")
     sizes = sh_cand.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    sa, sb = sh_cand.alias("a"), sh_cand.alias("b")
     inter = (
-        sa.join(sb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cand.join(sh_cand.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh_cand.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("ic"))
     )
     verified = (
-        cand.join(inter, ["id_a", "id_b"])
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .select(
             "id_a",

@@ -9,7 +9,32 @@ proof (no Exchange in the join) lives in tests/test_bucketed.py.
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clean_orphan_location(spark: SparkSession, table: str) -> None:
+    """Remove a managed-table directory that outlived its catalog entry.
+
+    A fresh (in-memory/derby) metastore over a persistent warehouse dir is
+    routine across driver runs: the table is gone from the catalog but its
+    location survives, and ``saveAsTable`` then refuses with
+    LOCATION_ALREADY_EXISTS even in overwrite mode.  Only applies to
+    local-filesystem warehouses; if the table IS registered, overwrite mode
+    handles it and nothing is touched here."""
+    if spark.catalog.tableExists(table):
+        return
+    parsed = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if parsed.scheme not in ("", "file"):
+        return
+    parts = table.lower().split(".")
+    sub = [parts[-2] + ".db", parts[-1]] if len(parts) > 1 else [parts[-1]]
+    loc = os.path.join(parsed.path, *sub)
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
 
 
 def write_bucketed(
@@ -20,6 +45,7 @@ def write_bucketed(
     sort_col: str | None = None,
 ) -> None:
     """Persist as a bucketed (optionally sort-bucketed) managed table."""
+    _clean_orphan_location(df.sparkSession, table)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)

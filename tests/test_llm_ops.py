@@ -574,6 +574,7 @@ def test_ivf_topk_leaves_no_session_cache(spark):
     """Repeated ANN queries in one session must not accumulate cached
     DataFrames: the one-shot localCheckpoint pattern keeps the CacheManager
     empty (checkpointed RDDs are reclaimed when their references die)."""
+    spark.catalog.clearCache()  # session-global registry; isolate from other tests
     emb = read_table(spark, SF_DIR_MID, "embeddings")
     for qid in (0, 1):
         ivf_topk(emb, qid, 5, n_centroids=8, n_probe=2).collect()
