@@ -155,18 +155,23 @@ def _shingles_sql(table: str, id_col: str, text_col: str, n: int) -> str:
 JACCARD_MAX_DF = 128
 
 
+def _rare_hot_split(sh: DataFrame, max_df: int) -> tuple[DataFrame, DataFrame]:
+    """Split the inverted index by per-shingle document frequency: (df ≤
+    max_df, df > max_df).  The df is a window count over the shingle — one
+    shuffle on ``shingle`` that the rare self-join immediately reuses (same
+    sub-plan, hash-partitioned on the join key)."""
+    w = Window.partitionBy("shingle")
+    flagged = sh.withColumn("__df", F.count(F.lit(1)).over(w))
+    rare = flagged.filter(F.col("__df") <= max_df).select("id", "shingle")
+    hot = flagged.filter(F.col("__df") > max_df).select("id", "shingle")
+    return rare, hot
+
+
 def _jaccard_candidates(sh: DataFrame, max_df: int) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs sharing ≥1 shingle with document
-    frequency ≤ ``max_df``.  The df is a window count over the shingle — one
-    shuffle on ``shingle`` that the self-join immediately reuses (both join
-    children are the same sub-plan, hash-partitioned on the join key), so the
-    cap costs no extra exchange over the uncapped form."""
-    w = Window.partitionBy("shingle")
-    rare = (
-        sh.withColumn("__df", F.count(F.lit(1)).over(w))
-        .filter(F.col("__df") <= max_df)
-        .select("id", "shingle")
-    )
+    frequency ≤ ``max_df`` — the discovery stage of the capped pipeline,
+    exposed for the skew tests that assert its volume stays linear."""
+    rare, _ = _rare_hot_split(sh, max_df)
     a, b = rare.alias("a"), rare.alias("b")
     return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
@@ -189,16 +194,27 @@ def jaccard_pairs(
     pairs exist), union = |A|+|B|-∩; one integer division at the end keeps it
     engine-exact.  Returns (id_a, id_b, jaccard), id_a < id_b.
 
-    With ``max_df`` set (see :data:`JACCARD_MAX_DF`), candidate generation
-    drops shingles whose document frequency exceeds the cap — the hot-key
-    self-join output goes from Σ df² (quadratic under Zipfian skew) to
-    ≤ max_df·|index| (linear) — and the Jaccard of each surviving candidate
-    is then computed over the FULL shingle sets (values are exact; only
-    discovery is capped).  The verify stage joins the candidate spine to each
-    side's full shingle list — Σ |A| rows over candidates, never quadratic in
-    a shingle's df.
+    With ``max_df`` set (see :data:`JACCARD_MAX_DF`), the self-join runs
+    over RARE shingles only (df ≤ cap) — its output goes from Σ df²
+    (quadratic under Zipfian skew) to ≤ max_df·|index| (linear) — giving
+    each discovered pair's rare-intersection count directly, at the same
+    cost as the uncapped join on a clean corpus.  The hot-shingle
+    contribution is then added exactly from per-document HOT-shingle sets:
+    hot shingles are the Zipf head (few distinct values, so each document
+    holds a tiny array), and one |pairs|-row join plus ``array_intersect``
+    completes ic without ever joining hot postings against each other.
+    Values are exact; only DISCOVERY is capped (a pair is found iff it
+    shares ≥ 1 rare shingle).
     """
     sh = shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        # The capped pipeline reads the inverted index from FOUR subplans
+        # (df-capped candidate self-join ×2, the two verify sides) plus
+        # sizes — materialize it once, or each consumer re-executes the
+        # whole shingle pipeline (measured 3× the query wall time at sf0.1).
+        # The uncapped two-consumer form stays lazy: its identical subplans
+        # share one exchange (ReusedExchange) within the job.
+        sh = sh.localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is None:
         inter = (
@@ -211,17 +227,32 @@ def jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("ic"))
         )
     else:
-        cand = _jaccard_candidates(sh, max_df)
-        # Exact intersection counts for candidates only: attach side-A's full
-        # shingle list (join on id_a), then keep the shingles side B also has
-        # (join on id_b AND shingle).  Row count = Σ_cand |A| — linear.
-        sha = sh.select(F.col("id").alias("id_a"), "shingle")
-        shb = sh.select(F.col("id").alias("id_b"), "shingle")
+        rare, hot = _rare_hot_split(sh, max_df)
+        inter_rare = (
+            rare.alias("a")
+            .join(
+                rare.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("ic_r"))
+        )
+        hotsets = hot.groupBy("id").agg(F.collect_set("shingle").alias("hots"))
+        ha = hotsets.select(F.col("id").alias("id_a"), F.col("hots").alias("hots_a"))
+        hb = hotsets.select(F.col("id").alias("id_b"), F.col("hots").alias("hots_b"))
         inter = (
-            cand.join(sha, "id_a")
-            .join(shb, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("ic"))
+            inter_rare.join(ha, "id_a", "left")
+            .join(hb, "id_b", "left")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("ic_r")
+                    + F.coalesce(
+                        F.size(F.array_intersect(F.col("hots_a"), F.col("hots_b"))), F.lit(0)
+                    )
+                ).alias("ic"),
+            )
         )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
@@ -254,16 +285,17 @@ def jaccard_pairs_sql(
               GROUP BY 1, 2)"""
     else:
         inter = f"""
-    rare AS (SELECT id, shingle FROM
-               (SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
-             WHERE df <= {max_df}),
-    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id),
-    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS ic
-              FROM cand c
-              JOIN sh a ON a.id = c.id_a
-              JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
-              GROUP BY 1, 2)"""
+    flagged AS (SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh),
+    rare AS (SELECT id, shingle FROM flagged WHERE df <= {max_df}),
+    hotsets AS (SELECT id, list(shingle) AS hots FROM flagged WHERE df > {max_df} GROUP BY id),
+    inter_rare AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic_r
+                   FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id
+                   GROUP BY 1, 2),
+    inter AS (SELECT id_a, id_b,
+                     ic_r + COALESCE(len(list_intersect(ha.hots, hb.hots)), 0) AS ic
+              FROM inter_rare
+              LEFT JOIN hotsets ha ON ha.id = id_a
+              LEFT JOIN hotsets hb ON hb.id = id_b)"""
     return f"""
     WITH {_shingles_sql(table, id_col, text_col, n)},
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),{inter}

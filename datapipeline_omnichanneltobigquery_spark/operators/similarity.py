@@ -388,8 +388,11 @@ def ivf_topk(
     # ContextCleaner as soon as the query's references die.  At deployment
     # the assignment is a persisted bucketed index (build_ivf_index) and
     # neither table is materialized per-query.
-    unit = _unit_df(embeddings, id_col, vec_col, dim).localCheckpoint()
-    assign = _assign_from_unit(unit, n_centroids, id_col, dim).localCheckpoint()
+    # eager=False: materialization happens inside the first consuming job
+    # instead of as two extra blocking jobs per call (measured 2× call
+    # latency); later consumers read the checkpointed blocks all the same.
+    unit = _unit_df(embeddings, id_col, vec_col, dim).localCheckpoint(eager=False)
+    assign = _assign_from_unit(unit, n_centroids, id_col, dim).localCheckpoint(eager=False)
     q = F.broadcast(
         unit.filter(F.col(id_col) == query_vec_id).select(F.col("__u").alias("__qv"))
     )

@@ -456,3 +456,69 @@ def subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE year(o.o_orderdate) = 1997
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigation rewrites under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_salted_agg",
+    driver=False,  # semantics-preserving rewrite of gated agg shapes
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py::salted_agg) under
+    the oracle gate: the salt only reshapes the shuffle — partial aggregate
+    over (key, salt), merge per key — so the PLAIN GROUP BY is its exact
+    oracle.  This is the explicit tool for the one skew case AQE cannot
+    split: a single giant aggregation group."""
+    from datapipeline_omnichanneltobigquery_spark.functions.scalars import money
+    from datapipeline_omnichanneltobigquery_spark.operators import skew as sk
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return sk.salted_agg(
+        li,
+        keys=["l_returnflag"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(money(F.col("l_quantity"))).alias("ps"),
+        ],
+        merge_aggs=[
+            F.sum("pn").alias("n"),
+            F.sum("ps").cast("double").alias("sum_qty"),
+        ],
+        unique_col="l_orderkey",
+        n_salts=8,
+    )
+
+
+@query(
+    "skew_salted_join",
+    driver=False,  # semantics-preserving rewrite of the gated join family
+    oracle="""
+    SELECT o.o_orderkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated-right join (operators/skew.py::salted_join) under
+    the oracle gate: each right row replicates n_salts times, the left side
+    draws a deterministic salt, the join runs on (key, salt) — a hot
+    customer's orders fan across n_salts tasks.  Result-identical to the
+    plain equi-join, which is therefore the oracle."""
+    from datapipeline_omnichanneltobigquery_spark.operators import skew as sk
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return sk.salted_join(o, c, key="c_custkey", unique_left_col="o_orderkey", n_salts=8).select(
+        "o_orderkey", "c_mktsegment"
+    )

@@ -579,3 +579,21 @@ def test_ivf_topk_leaves_no_session_cache(spark):
     for qid in (0, 1):
         ivf_topk(emb, qid, 5, n_centroids=8, n_probe=2).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_jaccard_capped_equals_uncapped_on_corpus(spark):
+    """On the test corpus the gated cap loses nothing: capped discovery is a
+    subset of uncapped by construction, and at JACCARD_MAX_DF (128, >> the
+    corpus's max shingle df) the two pair sets and values are identical."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import JACCARD_MAX_DF
+
+    docs = read_table(spark, SF_DIR_MID, "documents")
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(docs, "doc_id", "text", 3, 0.5, max_df=JACCARD_MAX_DF).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
