@@ -522,3 +522,35 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.salted_join(o, c, key="c_custkey", unique_left_col="o_orderkey", n_salts=8).select(
         "o_orderkey", "c_mktsegment"
     )
+
+
+@query(
+    "json_variant_ops",
+    driver=False,  # variant-typed twin of the gated JSON family (json_ops_suite)
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(NULL AS BIGINT) AS missing,
+           json_type(props) = 'OBJECT' AS is_obj
+    FROM events
+    """,
+)
+def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type: parse once
+    (``try_parse_json``), then typed path extraction (``variant_get``),
+    missing-path tolerance (``try_variant_get``), and shape introspection
+    (``schema_of_variant``).  VARIANT keeps the parsed binary form through
+    the plan — repeated path extraction does not re-parse the string the
+    way chained ``get_json_object`` calls do, which is the difference at
+    100 TB between one parse and one parse per extracted field.  The oracle
+    mirrors each extraction with DuckDB's JSON functions."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
+        F.schema_of_variant(v).startswith("OBJECT").alias("is_obj"),
+    )
