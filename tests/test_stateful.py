@@ -61,3 +61,52 @@ def test_stateful_stream_matches_batch(spark, tmp_path, provider):
         final[r.user_id] = (r.user_id, r.n_events, round(r.sum_value, 6))
     assert set(final.values()) == batch
     assert len(batch) > 0
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """The Spark 4 stateful-processor form (transformWithStateInPandas)
+    drains to the same final state as the batch aggregation.  The API
+    requires the RocksDB state store — set for this query, restored after.
+
+    transformWithState's driver worker speaks protobuf to the JVM
+    (pyspark/sql/streaming/proto/StateMessage_pb2) — skipped where
+    google.protobuf is not installed, the same capability-gate treatment
+    as the Kafka/BigQuery connector jars."""
+    pytest.importorskip("google.protobuf")
+    from datapipeline_omnichanneltobigquery_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select("user_id", "value")
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+
+    batch = {
+        (r.user_id, r.n_events, round(r.sum_value, 6))
+        for r in batch_user_stats(spark.read.parquet(src)).collect()
+    }
+
+    before = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, ROCKSDB_STATE_STORE)
+    try:
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            running_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_state_tws")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("t_state_tws").collect()
+    finally:
+        if before is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, before)
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.user_id, r.n_events, round(r.sum_value, 6))
+    assert set(final.values()) == batch and len(batch) > 0
