@@ -140,3 +140,22 @@ def preview(df: DataFrame, n: int = 5) -> tuple[list, list[str], int]:
     """Head-n + columns + count (:118-123).  Two jobs; the limit is a
     LocalLimit that short-circuits the scan."""
     return df.limit(n).collect(), df.columns, df.count()
+
+
+def observe_cast_nulls(df: DataFrame, cols: list[str] | None = None, name: str = "cast_telemetry"):
+    """Zero-pass cast telemetry: returns ``(df, observation)`` where the
+    observation collects row count and per-column null counts DURING the
+    caller's next action on ``df`` (``df.observe`` piggybacks the aggregates
+    on the job itself — at 100 TB the data-quality numbers ride the load
+    job instead of paying a second full scan, which is what a follow-up
+    ``SELECT COUNT(*) WHERE x IS NULL`` audit would cost).  Nulls created
+    by the cast policy's TRY-style coercions surface here; read
+    ``observation.get`` after the action completes."""
+    from pyspark.sql import Observation
+
+    cols = list(cols) if cols is not None else list(df.columns)
+    obs = Observation(name)
+    aggs = [F.count(F.lit(1)).alias("rows")] + [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}") for c in cols
+    ]
+    return df.observe(obs, *aggs), obs

@@ -554,3 +554,40 @@ def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
         F.schema_of_variant(v).startswith("OBJECT").alias("is_obj"),
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE parented AS (
+        SELECT o_orderkey, o_custkey,
+               LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS parent
+        FROM {orders}
+    ),
+    chain AS (
+        SELECT o_orderkey, o_orderkey AS root_order, 0 AS depth
+        FROM parented WHERE parent IS NULL
+        UNION ALL
+        SELECT p.o_orderkey, c.root_order, c.depth + 1
+        FROM parented p JOIN chain c ON p.parent = c.o_orderkey
+    )
+    SELECT o_orderkey, root_order, depth FROM chain
+"""
+
+
+@query(
+    "recursive_order_chain",
+    driver=False,  # SQL-frontend variant of the gated subquery family
+    oracle=_RECURSIVE_CHAIN_SQL.format(orders="orders"),
+)
+def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): walk each customer's order chain
+    (every order's parent = the customer's previous order — an acyclic
+    forest) to its first order, labeling (root_order, depth).  LITERALLY
+    the same SQL text runs on both engines — Spark executes the oracle.
+    Spark restricts recursive CTEs to UNION ALL, which is exactly why the
+    near-dup clustering stays on the iterative star-CC DataFrame loop:
+    symmetric edge lists are cyclic, and a UNION ALL walk would enumerate
+    paths, not nodes.  Safe here because chains are acyclic and each node
+    has one parent — rows stay linear, depth ≤ max orders per customer."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc")
+    return spark.sql(_RECURSIVE_CHAIN_SQL.format(orders="orders_rc"))

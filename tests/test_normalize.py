@@ -72,3 +72,24 @@ def test_preview_shape(spark):
     head, cols, n = preview(_dirty_df(spark), 2)
     assert len(head) == 2 and n == 4
     assert cols == ["id", "amount", "created_at", "subject"]
+
+
+def test_observe_cast_nulls_rides_the_action(spark):
+    """Cast-quality telemetry must arrive with the job, not a second scan:
+    the observation reports rows + per-column nulls after one action."""
+    from datapipeline_omnichanneltobigquery_spark.operators.normalize import (
+        cast_columns,
+        observe_cast_nulls,
+    )
+
+    raw = spark.createDataFrame(
+        [("1", "2024-01-01 00:00:00"), ("x", None), ("3", "2024-01-03 00:00:00")],
+        "amount string, created_at string",
+    )
+    cast = cast_columns(raw)  # 'amount' -> INT (reference name policy); 'x' -> NULL
+    observed, obs = observe_cast_nulls(cast)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows"] == 3
+    assert got["nulls_amount"] == 1  # the unparseable 'x'
+    assert got["nulls_created_at"] == 1
