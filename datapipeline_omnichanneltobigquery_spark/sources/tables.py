@@ -144,3 +144,44 @@ def unwrap_envelope(df: DataFrame, obj_key: str) -> DataFrame:
     ``resp.json().get(obj_key, [])`` (omnichannel_to_bq.py:45) as a plan.
     Missing/NULL envelopes contribute zero rows, like ``.get(key, [])``."""
     return df.select(F.explode(F.col(obj_key)).alias("record")).select("record.*")
+
+
+def _footer_stats_df(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """The aggregate whose scan is answered from parquet footer statistics
+    (caller must have v2 parquet + aggregatePushdown active)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return spark.read.parquet(path).agg(*aggs)
+
+
+def footer_stats(spark: SparkSession, path: str, cols: list[str]) -> dict:
+    """COUNT/MIN/MAX table profile answered from parquet FOOTER metadata —
+    the scan reads row-group statistics, not data pages (the plan carries
+    ``PushedAggregation``, pinned in tests).  At 100 TB this is instant
+    profiling vs a full scan: the numbers already sit in every footer.
+
+    Aggregate pushdown is a DSv2-only feature and the engine's default scans
+    stay on v1 (stable plan shapes), so the two confs are flipped for this
+    call and restored after — the aggregate must EXECUTE while they are
+    active, hence the collect inside.
+
+    Eligibility: every requested column must have a pushdown-supported type
+    (numerics, strings, dates — NOT timestamp_ntz), the path must be plain
+    parquet, and there must be no filters; otherwise Spark silently falls
+    back to a real scan — results identical, just not metadata-speed.  The
+    plan-shape test pins the pushdown for eligible columns."""
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
+    }
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        return _footer_stats_df(spark, path, cols).collect()[0].asDict()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -124,3 +124,48 @@ def test_read_json_tolerant_does_not_mutate_caller_schema(spark, tmp_path):
         assert good.columns == ["id"]
         assert len(good.collect()) == 2 and len(bad.collect()) == 0
     assert [f.name for f in schema.fields] == ["id"]
+
+
+def test_footer_stats_pushes_aggregate_to_parquet_metadata(spark):
+    """The profile must be answered from row-group statistics: the plan
+    carries PushedAggregation, and the values equal a real scan's."""
+    import pyspark.sql.functions as F2
+
+    from datapipeline_omnichanneltobigquery_spark.sources.tables import (
+        _footer_stats_df,
+        footer_stats,
+    )
+
+    # numeric columns: timestamp_ntz (this file's raw l_shipdate layout) is
+    # not pushdown-eligible, and one ineligible column disables pushdown for
+    # the whole scan (silent fallback to a real scan — values still correct)
+    path = f"{SF_DIR}/lineitem.parquet"
+    got = footer_stats(spark, path, ["l_quantity", "l_orderkey"])
+
+    ref_row = (
+        spark.read.parquet(path)
+        .agg(
+            F2.count(F2.lit(1)).alias("n_rows"),
+            F2.min("l_quantity").alias("min_l_quantity"),
+            F2.max("l_quantity").alias("max_l_quantity"),
+            F2.min("l_orderkey").alias("min_l_orderkey"),
+            F2.max("l_orderkey").alias("max_l_orderkey"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert got == ref_row and got["n_rows"] > 0
+
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        plan = (
+            _footer_stats_df(spark, path, ["l_quantity"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]" in plan, plan
