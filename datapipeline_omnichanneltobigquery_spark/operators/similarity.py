@@ -23,7 +23,7 @@ Everything is bitwise-reproducible against the DuckDB oracle constructions
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from datapipeline_omnichanneltobigquery_spark.functions.vectors import cosine, dot, norm_unit
 
@@ -551,3 +551,63 @@ def ivf_topk_from_index(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def cosine_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Batch similarity JOIN: for EVERY query vector, its exact top-k cosine
+    neighbors in the corpus — the retrieval/embedding-dedup primitive where
+    :func:`cosine_topk` answers one query.
+
+    Plan: both sides normalize once; the query side broadcasts (queries are
+    the small side by construction — a probe batch, not the corpus), so
+    scoring is a map-side crossJoin over one corpus scan; per-query top-k is
+    a row_number window on ``query_id``.  Exact-baseline shape: the window
+    shuffles |corpus|·|queries| scored rows, which is the honest cost of
+    EXACT batch top-k.  The scale path runs the same probe batch against the
+    persisted IVF index (cluster-pruned candidates per query) and applies
+    this window to candidates only."""
+    qu = queries.select(
+        F.col(id_col).alias("query_id"), norm_unit(F.col(vec_col), dim).alias("__qu")
+    )
+    cu = corpus.select(
+        F.col(id_col).alias("neighbor_id"), norm_unit(F.col(vec_col), dim).alias("__cu")
+    )
+    scored = (
+        cu.crossJoin(F.broadcast(qu))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot(F.col("__cu"), F.col("__qu"), dim).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def cosine_topk_join_sql(table: str, query_predicate: str, k: int, dim: int) -> str:
+    """DuckDB twin of :func:`cosine_topk_join` where the query batch is the
+    rows of ``table`` matching ``query_predicate`` — same ordered-fold dots,
+    same tie-break."""
+    norm = f"sqrt({_dot_sql('embedding', 'embedding', dim)})"
+    return f"""
+    WITH unit AS (
+        SELECT vec_id,
+               list_transform(range(1, {dim + 1}),
+                              i -> CAST(embedding[i] AS DOUBLE) / {norm}) AS u
+        FROM {table}
+    ),
+    q AS (SELECT vec_id AS query_id, u AS qu FROM unit WHERE {query_predicate}),
+    scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                      {_dot_sql("c.u", "q.qu", dim, cast=False)} AS cos_sim
+               FROM unit c CROSS JOIN q
+               WHERE c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored)
+    WHERE rn <= {k}
+    """

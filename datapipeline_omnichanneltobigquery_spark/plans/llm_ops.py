@@ -649,3 +649,18 @@ def sampling_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix-balancing primitive (one window shuffle on source, no rand())."""
     d = read_table(spark, sf_dir, "documents")
     return sa.cap_per_group(d, "doc_id", "source", 50).select("doc_id", "source")
+
+
+@query(
+    "similarity_topk_join",
+    driver=False,  # batch variant of the gated similarity family
+    oracle=sim.cosine_topk_join_sql("embeddings", "vec_id < 8", k=5, dim=EMB_DIM),
+)
+def similarity_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for EVERY vector in an 8-query probe
+    batch — one corpus scan, broadcast query side, per-query window top-k
+    (the retrieval / embedding-dedup primitive)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_join(
+        emb.filter(F.col("vec_id") < 8), emb, k=5, dim=EMB_DIM
+    )
