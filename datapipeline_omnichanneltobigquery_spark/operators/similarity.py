@@ -611,3 +611,52 @@ def cosine_topk_join_sql(table: str, query_predicate: str, k: int, dim: int) -> 
         FROM scored)
     WHERE rn <= {k}
     """
+
+
+def ivf_topk_join_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Batch ANN against the PERSISTED IVF index: every query vector gets
+    top-k from its own ``n_probe`` nearest clusters, in one distributed
+    plan — the deployment form of :func:`cosine_topk_join`.
+
+    Probe selection is a broadcast-centroids crossJoin + per-query window
+    (NO driver collect — the single-query path's collect of probe ids does
+    not scale to a query batch).  The (query, cluster) probe list then
+    broadcast-joins the hive-partitioned postings on ``cluster``, which
+    Spark compiles into a DYNAMIC partition-pruning filter: only the union
+    of probed cluster directories is read, however many queries share them
+    (pinned in tests).  Candidates score map-side and a per-query window
+    takes the top-k — the window input is |probed postings|·(queries per
+    cluster), the candidate set, never the corpus."""
+    qu = queries.select(
+        F.col(id_col).alias("query_id"), norm_unit(F.col(vec_col), dim).alias("__qu")
+    )
+    cent = spark.read.parquet(f"{path}/centroids")
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    probes = (
+        qu.crossJoin(F.broadcast(cent))
+        .select("query_id", "__qu", "cid", dot(F.col("cv"), F.col("__qu"), dim).alias("sim"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qu", F.col("cid").alias("cluster"))
+    )
+    postings = spark.read.parquet(f"{path}/postings")
+    scored = (
+        postings.join(F.broadcast(probes), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            dot(F.col("__u"), F.col("__qu"), dim).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")

@@ -597,3 +597,37 @@ def test_jaccard_capped_equals_uncapped_on_corpus(spark):
         for r in jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
     }
     assert capped == uncapped and len(capped) > 0
+
+
+def test_ivf_batch_join_prunes_partitions_dynamically(spark, tmp_path):
+    """The batch-ANN probe list must reach the postings scan as a DYNAMIC
+    partition-pruning filter (no driver collect of probe ids), and each
+    query's result must equal the single-query persisted-index path."""
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_from_index,
+        ivf_topk_join_from_index,
+    )
+    from datapipeline_omnichanneltobigquery_spark.plans.audit import plan_string
+
+    emb = read_table(spark, SF_DIR_MID, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=16)
+
+    batch = ivf_topk_join_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 4), k=7, n_probe=4
+    )
+    plan = plan_string(batch)
+    assert "dynamicpruning" in plan.lower(), plan
+
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    vecs = {r.vec_id: [float(v) for v in r.embedding] for r in emb.filter(F.col("vec_id") < 4).collect()}
+    for qid, qvec in vecs.items():
+        single = [
+            r.vec_id
+            for r in ivf_topk_from_index(spark, path, qvec, k=8, n_probe=4).collect()
+            if r.vec_id != qid
+        ][:7]
+        assert got[qid] == single, (qid, got[qid], single)
