@@ -123,3 +123,37 @@ def test_repetition_stats_match_python_reference(spark, docs):
         assert r.top_token_frac == max(tc.values()) / max(n, 1)
         assert r.dup_2gram_frac == (g - len(gc)) / max(g, 1)
         assert r.top_2gram_frac == (max(gc.values()) if gc else 0) / max(g, 1)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    max_df=st.integers(1, 6),
+)
+def test_jaccard_cap_invariants(spark, docs, max_df):
+    """On ANY corpus: capped discovery is a SUBSET of uncapped with
+    identical Jaccard values on shared pairs (verify uses full shingle
+    sets), and a cap at/above the corpus size changes nothing."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, "doc_id", "text", 3, 0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, "doc_id", "text", 3, 0.3, max_df=max_df).collect()
+    }
+    assert set(capped) <= set(full)
+    for pair, j in capped.items():
+        assert j == full[pair]  # values exact — only discovery is capped
+    uncut = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, "doc_id", "text", 3, 0.3, max_df=len(docs)).collect()
+    }
+    assert uncut == full
