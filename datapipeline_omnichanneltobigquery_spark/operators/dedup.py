@@ -207,16 +207,8 @@ def jaccard_pairs(
     shares ≥ 1 rare shingle).
     """
     sh = shingles(df, id_col, text_col, n)
-    if max_df is not None:
-        # The capped pipeline reads the inverted index from FOUR subplans
-        # (df-capped candidate self-join ×2, the two verify sides) plus
-        # sizes — materialize it once, or each consumer re-executes the
-        # whole shingle pipeline (measured 3× the query wall time at sf0.1).
-        # The uncapped two-consumer form stays lazy: its identical subplans
-        # share one exchange (ReusedExchange) within the job.
-        sh = sh.localCheckpoint()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is None:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
         inter = (
             sh.alias("a")
             .join(
@@ -226,43 +218,63 @@ def jaccard_pairs(
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("ic"))
         )
-    else:
-        rare, hot = _rare_hot_split(sh, max_df)
-        inter_rare = (
-            rare.alias("a")
-            .join(
-                rare.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
-            )
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("ic_r"))
-        )
-        hotsets = hot.groupBy("id").agg(F.collect_set("shingle").alias("hots"))
-        ha = hotsets.select(F.col("id").alias("id_a"), F.col("hots").alias("hots_a"))
-        hb = hotsets.select(F.col("id").alias("id_b"), F.col("hots").alias("hots_b"))
-        inter = (
-            inter_rare.join(ha, "id_a", "left")
-            .join(hb, "id_b", "left")
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+        return (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
             .select(
                 "id_a",
                 "id_b",
                 (
-                    F.col("ic_r")
-                    + F.coalesce(
-                        F.size(F.array_intersect(F.col("hots_a"), F.col("hots_b"))), F.lit(0)
-                    )
-                ).alias("ic"),
+                    F.col("ic").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("ic")).cast("double")
+                ).alias("jaccard"),
             )
+            .filter(F.col("jaccard") >= threshold)
         )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # Capped path.  The flagged index feeds THREE subplans (rare self-join
+    # ×2, the per-doc stats aggregate) — materialize it once, or each
+    # consumer re-executes the whole shingle pipeline (measured 3× the
+    # query wall time at sf0.1).  The uncapped two-consumer form stays
+    # lazy: its identical subplans share one exchange within the job.
+    w = Window.partitionBy("shingle")
+    flagged = sh.withColumn("__df", F.count(F.lit(1)).over(w)).localCheckpoint()
+    rare = flagged.filter(F.col("__df") <= max_df).select("id", "shingle")
+    inter_rare = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("ic_r"))
+    )
+    # ONE per-doc table carries both the full set size and the (tiny) hot
+    # shingle array, so the pair table joins per-doc state exactly twice —
+    # the same join count as the uncapped form's size joins.
+    per_id = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.collect_set(F.when(F.col("__df") > max_df, F.col("shingle"))).alias("hots"),
+    )
+    pa = per_id.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("hots").alias("hots_a")
+    )
+    pb = per_id.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("hots").alias("hots_b")
+    )
+    ic = F.col("ic_r") + F.coalesce(
+        F.size(F.array_intersect(F.col("hots_a"), F.col("hots_b"))), F.lit(0)
+    )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter_rare.join(pa, "id_a")
+        .join(pb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (F.col("ic").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("ic")).cast("double")).alias("jaccard"),
+            (ic.cast("double") / (F.col("sz_a") + F.col("sz_b") - ic).cast("double")).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -279,32 +291,39 @@ def jaccard_pairs_sql(
     """DuckDB twin of :func:`jaccard_pairs` — same cap constant, same capped
     candidate + full-set verify shape, so the oracle stays value-exact."""
     if max_df is None:
-        inter = """
+        return f"""
+    WITH {_shingles_sql(table, id_col, text_col, n)},
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
     inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-              GROUP BY 1, 2)"""
-    else:
-        inter = f"""
-    flagged AS (SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh),
-    rare AS (SELECT id, shingle FROM flagged WHERE df <= {max_df}),
-    hotsets AS (SELECT id, list(shingle) AS hots FROM flagged WHERE df > {max_df} GROUP BY id),
-    inter_rare AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic_r
-                   FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id
-                   GROUP BY 1, 2),
-    inter AS (SELECT id_a, id_b,
-                     ic_r + COALESCE(len(list_intersect(ha.hots, hb.hots)), 0) AS ic
-              FROM inter_rare
-              LEFT JOIN hotsets ha ON ha.id = id_a
-              LEFT JOIN hotsets hb ON hb.id = id_b)"""
-    return f"""
-    WITH {_shingles_sql(table, id_col, text_col, n)},
-    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),{inter}
+              GROUP BY 1, 2)
     SELECT id_a, id_b,
            CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
     WHERE CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) >= {threshold}
+    """
+    return f"""
+    WITH {_shingles_sql(table, id_col, text_col, n)},
+    flagged AS (SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh),
+    rare AS (SELECT id, shingle FROM flagged WHERE df <= {max_df}),
+    per_id AS (SELECT id, COUNT(*) AS sz,
+                      list(shingle) FILTER (WHERE df > {max_df}) AS hots
+               FROM flagged GROUP BY id),
+    inter_rare AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic_r
+                   FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id
+                   GROUP BY 1, 2),
+    scored AS (SELECT id_a, id_b,
+                      ic_r + COALESCE(len(list_intersect(pa.hots, pb.hots)), 0) AS ic,
+                      pa.sz AS sz_a, pb.sz AS sz_b
+               FROM inter_rare
+               JOIN per_id pa ON pa.id = id_a
+               JOIN per_id pb ON pb.id = id_b)
+    SELECT id_a, id_b,
+           CAST(ic AS DOUBLE) / CAST(sz_a + sz_b - ic AS DOUBLE) AS jaccard
+    FROM scored
+    WHERE CAST(ic AS DOUBLE) / CAST(sz_a + sz_b - ic AS DOUBLE) >= {threshold}
     """
 
 

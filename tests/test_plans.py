@@ -177,3 +177,32 @@ def test_driver_registry_cap_and_oracles():
 
     assert len(QUERIES) == DRIVER_CAP
     assert set(ORACLES) == set(QUERIES)
+
+
+def test_rebalance_resample_is_map_side(spark):
+    """sampling_rebalance's realized corpus must stay a narrow map-side
+    filter — zero shuffle exchanges in the resample plan (the n_groups-row
+    fractions round-trip happens before plan construction, by design)."""
+    from datapipeline_omnichanneltobigquery_spark.plans.queries import QUERIES
+
+    df = QUERIES["sampling_rebalance"](spark, SF_DIR)
+    assert audit.exchange_count(df) == 0, audit.plan_string(df)
+
+
+def test_capped_jaccard_has_no_extra_exchanges(spark):
+    """The df-capped exact-Jaccard plan must not out-shuffle the uncapped
+    form by more than the hot-set join pair: the cap's window reuses the
+    self-join's shingle partitioning, so the delta stays ≤ 2 exchanges
+    (hotsets aggregate + its join), not a recomputation blowup."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        JACCARD_MAX_DF,
+        jaccard_pairs,
+    )
+    from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plain = audit.exchange_count(jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
+    capped = audit.exchange_count(
+        jaccard_pairs(docs, "doc_id", "text", 3, 0.5, max_df=JACCARD_MAX_DF)
+    )
+    assert capped <= plain + 2, (plain, capped)
