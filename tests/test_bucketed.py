@@ -53,3 +53,28 @@ def test_bucketed_revenue_join_query_zero_exchange(spark):
         sf_tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
         drop_table(spark, f"bkt_orders_{sf_tag}")
         drop_table(spark, f"bkt_lineitem_{sf_tag}")
+
+
+def test_dedup_keep_rows_on_bucketed_corpus_drops_corpus_exchange(spark):
+    """The dedup materialization story end-to-end: recovering kept rows by
+    semi-joining winner ids against a corpus BUCKETED by id leaves only the
+    winner side's exchanges in the plan — the (100 TB) corpus arrives
+    pre-clustered from the file layout, one fewer shuffle than the plain
+    corpus (dedup_exact_keylist's docstring promise, proven)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import dedup_exact_keylist
+
+    docs = read_table(spark, SF_DIR, "documents")
+    write_bucketed(docs, "b_docs_dedup", "doc_id", n_buckets=4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        corpus = spark.table("b_docs_dedup")
+        winners = dedup_exact_keylist(corpus, "text", "doc_id").select("doc_id")
+        kept = corpus.hint("merge").join(winners, "doc_id", "left_semi")
+        plain = docs.hint("merge").join(
+            dedup_exact_keylist(docs, "text", "doc_id").select("doc_id"), "doc_id", "left_semi"
+        )
+        assert audit.exchange_count(kept) == audit.exchange_count(plain) - 1, audit.plan_string(kept)
+        assert kept.count() == docs.select("text").distinct().count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        drop_table(spark, "b_docs_dedup")
