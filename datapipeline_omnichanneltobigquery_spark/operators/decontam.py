@@ -1,0 +1,162 @@
+"""Benchmark decontamination — flag training documents that share n-grams
+with an evaluation/benchmark set (SURVEY.md §2.2 extension surface; the
+standard eval-contamination check in LLM data pipelines: a train doc that
+contains an eval doc's 13-gram leaks the benchmark into training).
+
+Scale design (the 100 TB shape):
+
+* the BENCHMARK side is small by construction (eval sets are 10^3-10^5
+  docs), so its shingle inverted index **broadcasts** — the train-side
+  shingle stream is probed map-side and never shuffles for discovery;
+* only (train_shingle = bench_shingle) matches survive the broadcast probe,
+  so the one real shuffle — the per-(train_doc, bench_doc) overlap count —
+  carries matched rows only, a tiny fraction of the corpus;
+* boilerplate n-grams (licence headers, navigation chrome) would make a
+  single shingle match every doc on both sides; ``max_df_bench`` drops
+  shingles that appear in more than that many BENCHMARK docs from the probe
+  (the eval set is small, so its df is exact and cheap).  Recall contract:
+  a (train, bench) pair is reported iff they share ≥ ``min_overlap``
+  distinct sub-cap shingles.
+
+Both builders have DuckDB SQL twins generated from the same constants, so
+the driver's oracle gate hash-checks them end-to-end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from datapipeline_omnichanneltobigquery_spark.operators.dedup import shingles
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    train_id: str,
+    train_text: str,
+    bench_id: str,
+    bench_text: str,
+    n: int = 8,
+    min_overlap: int = 1,
+    max_df_bench: int | None = None,
+) -> DataFrame:
+    """(train_id, bench_id, n_overlap) for every train/bench pair sharing at
+    least ``min_overlap`` distinct word n-grams — n_overlap = |distinct
+    shared shingles| (both shingle sets are distinct per doc, so a plain
+    COUNT after the equi-join is the distinct intersection size).
+
+    The bench shingle index is broadcast; with ``max_df_bench`` set, shingles
+    appearing in more than that many bench docs are dropped from the probe
+    BEFORE the broadcast (window df over the tiny bench side)."""
+    tsh = shingles(train, train_id, train_text, n).withColumnRenamed("id", "train_id")
+    bsh = shingles(bench, bench_id, bench_text, n).withColumnRenamed("id", "bench_id")
+    if max_df_bench is not None:
+        w = Window.partitionBy("shingle")
+        bsh = (
+            bsh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_df_bench)
+            .drop("__df")
+        )
+    return (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    train_id: str,
+    train_text: str,
+    bench_id: str,
+    bench_text: str,
+    n: int = 8,
+    min_overlap: int = 1,
+    max_df_bench: int | None = None,
+) -> DataFrame:
+    """The kept (clean) training rows: every train doc with NO benchmark
+    match at the given n/min_overlap/cap — an anti-join of the contaminated
+    id list back against the train side.  The contaminated list is tiny, so
+    the anti-join broadcasts; the corpus itself never shuffles."""
+    bad = contamination_pairs(
+        train, bench, train_id, train_text, bench_id, bench_text,
+        n=n, min_overlap=min_overlap, max_df_bench=max_df_bench,
+    ).select(F.col("train_id").alias(train_id)).distinct()
+    return train.join(F.broadcast(bad), train_id, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (same constants, same shingle construction as
+# dedup._shingles_sql — suffixed CTE names so train and bench coexist)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_cte(suffix: str, table_expr: str, id_col: str, text_col: str, n: int) -> str:
+    return f"""
+    toks_{suffix} AS (SELECT {id_col} AS id,
+                    regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+             FROM {table_expr}),
+    sh_{suffix} AS (SELECT DISTINCT id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+           FROM toks_{suffix}, UNNEST(range(1, len(w) - {n - 2})) AS u(i))
+    """
+
+
+def contamination_pairs_sql(
+    train_expr: str,
+    bench_expr: str,
+    train_id: str,
+    train_text: str,
+    bench_id: str,
+    bench_text: str,
+    n: int = 8,
+    min_overlap: int = 1,
+    max_df_bench: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`contamination_pairs`.  ``*_expr`` are table
+    names or parenthesized subqueries."""
+    if max_df_bench is not None:
+        probe = f"""
+    sh_b_capped AS (
+        SELECT id, shingle FROM (
+            SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh_b)
+        WHERE df <= {max_df_bench})"""
+        probe_name = "sh_b_capped"
+    else:
+        probe = ""
+        probe_name = "sh_b"
+    return f"""
+    WITH {_shingle_cte("t", train_expr, train_id, train_text, n)},
+    {_shingle_cte("b", bench_expr, bench_id, bench_text, n)}{"," if probe else ""}
+    {probe}
+    SELECT t.id AS train_id, b.id AS bench_id, COUNT(*) AS n_overlap
+    FROM sh_t t JOIN {probe_name} b USING (shingle)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {min_overlap}
+    """
+
+
+def decontaminate_sql(
+    train_expr: str,
+    bench_expr: str,
+    train_id: str,
+    train_text: str,
+    bench_id: str,
+    bench_text: str,
+    n: int = 8,
+    min_overlap: int = 1,
+    max_df_bench: int | None = None,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`decontaminate`."""
+    pairs = contamination_pairs_sql(
+        train_expr, bench_expr, train_id, train_text, bench_id, bench_text,
+        n=n, min_overlap=min_overlap, max_df_bench=max_df_bench,
+    )
+    return f"""
+    SELECT {select_cols} FROM {train_expr} tr
+    WHERE tr.{train_id} NOT IN (SELECT train_id FROM ({pairs}))
+    """

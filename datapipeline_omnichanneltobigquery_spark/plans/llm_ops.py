@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from datapipeline_omnichanneltobigquery_spark.operators import decontam as dc
 from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import ir
 from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
@@ -664,3 +665,64 @@ def similarity_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_join(
         emb.filter(F.col("vec_id") < 8), emb, k=5, dim=EMB_DIM
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (operators/decontam.py)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_TRAIN = "(SELECT * FROM documents WHERE doc_id % 29 <> 7)"
+_DECONTAM_BENCH = "(SELECT * FROM documents WHERE doc_id % 29 = 7)"
+_DECONTAM_N = 5
+_DECONTAM_MIN_OVERLAP = 3
+_DECONTAM_MAX_DF_BENCH = 8
+
+
+@query(
+    "text_decontaminate",
+    oracle=dc.contamination_pairs_sql(
+        _DECONTAM_TRAIN, _DECONTAM_BENCH, "doc_id", "text", "doc_id", "text",
+        n=_DECONTAM_N, min_overlap=_DECONTAM_MIN_OVERLAP,
+        max_df_bench=_DECONTAM_MAX_DF_BENCH,
+    ),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: (train doc, bench doc, overlap
+    count) for every training document sharing ≥ 3 distinct word 5-grams
+    with the held-out benchmark slice (doc_id % 29 = 7 plays the eval set;
+    the rest is the corpus).  The bench shingle index — df-capped at 8 to
+    drop boilerplate n-grams — BROADCASTS, so the corpus-side shingle
+    stream is probed map-side and only matches reach the one overlap-count
+    shuffle.  At 100 TB the eval set stays small by construction, so this
+    plan shape is scale-invariant (operators/decontam.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 29 != 7)
+    bench = docs.filter(F.col("doc_id") % 29 == 7)
+    return dc.contamination_pairs(
+        train, bench, "doc_id", "text", "doc_id", "text",
+        n=_DECONTAM_N, min_overlap=_DECONTAM_MIN_OVERLAP,
+        max_df_bench=_DECONTAM_MAX_DF_BENCH,
+    )
+
+
+@query(
+    "text_decontam_keep",
+    driver=False,  # keep-rows stage of the gated text_decontaminate family
+    oracle=dc.decontaminate_sql(
+        _DECONTAM_TRAIN, _DECONTAM_BENCH, "doc_id", "text", "doc_id", "text",
+        n=_DECONTAM_N, min_overlap=_DECONTAM_MIN_OVERLAP,
+        max_df_bench=_DECONTAM_MAX_DF_BENCH,
+        select_cols="doc_id, source, n_chars",
+    ),
+)
+def text_decontam_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clean training rows after decontamination — the contaminated id
+    list (tiny) anti-joins back against the corpus as a broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 29 != 7)
+    bench = docs.filter(F.col("doc_id") % 29 == 7)
+    return dc.decontaminate(
+        train, bench, "doc_id", "text", "doc_id", "text",
+        n=_DECONTAM_N, min_overlap=_DECONTAM_MIN_OVERLAP,
+        max_df_bench=_DECONTAM_MAX_DF_BENCH,
+    ).select("doc_id", "source", "n_chars")

@@ -258,6 +258,7 @@ def set_intersect_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_collect_sorted_users",
+    driver=False,  # rotated out r4 (hash-green r2+r3); slot given to text_decontaminate
     oracle="""
     SELECT event_type,
            array_to_string(list(DISTINCT user_id ORDER BY user_id), ',') AS users,

@@ -1,0 +1,106 @@
+"""Semantics + plan-shape tests for benchmark decontamination
+(operators/decontam.py) beyond oracle parity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datapipeline_omnichanneltobigquery_spark.operators.decontam import (
+    contamination_pairs,
+    decontaminate,
+)
+
+
+def _corpus(spark):
+    train = spark.createDataFrame(
+        [
+            # contains the bench doc's 4-gram "the quick brown fox" verbatim
+            (1, "intro text then the quick brown fox jumps over things"),
+            # shares nothing with the bench set
+            (2, "completely unrelated words about spark shuffles and joins"),
+            # shares ONLY the boilerplate line that every bench doc carries
+            (3, "copyright header all rights reserved plus original content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [
+            (101, "copyright header all rights reserved the quick brown fox runs"),
+            (102, "copyright header all rights reserved some eval question text"),
+            (103, "copyright header all rights reserved another eval item body"),
+        ],
+        ["doc_id", "text"],
+    )
+    return train, bench
+
+
+def test_contamination_pairs_flags_verbatim_ngram(spark):
+    train, bench = _corpus(spark)
+    pairs = contamination_pairs(
+        train, bench, "doc_id", "text", "doc_id", "text", n=4, min_overlap=1
+    )
+    got = {(r.train_id, r.bench_id) for r in pairs.collect()}
+    assert (1, 101) in got  # verbatim 4-gram leak found
+    assert not any(t == 2 for t, _ in got)  # clean doc untouched
+
+
+def test_bench_df_cap_drops_boilerplate(spark):
+    """The 'copyright header all rights' 4-gram appears in ALL 3 bench docs;
+    with max_df_bench=2 it leaves the probe, so doc 3 (boilerplate-only
+    overlap) is no longer flagged while the real leak (doc 1) still is."""
+    train, bench = _corpus(spark)
+    uncapped = contamination_pairs(
+        train, bench, "doc_id", "text", "doc_id", "text", n=4, min_overlap=1
+    )
+    assert any(r.train_id == 3 for r in uncapped.collect())
+    capped = contamination_pairs(
+        train, bench, "doc_id", "text", "doc_id", "text",
+        n=4, min_overlap=1, max_df_bench=2,
+    )
+    got = {(r.train_id, r.bench_id) for r in capped.collect()}
+    assert not any(t == 3 for t, _ in got)
+    assert (1, 101) in got
+
+
+def test_decontaminate_keeps_complement(spark):
+    """decontaminate(train) == train MINUS the flagged train ids — exactly."""
+    train, bench = _corpus(spark)
+    kept = decontaminate(
+        train, bench, "doc_id", "text", "doc_id", "text",
+        n=4, min_overlap=1, max_df_bench=2,
+    )
+    flagged = {
+        r.train_id
+        for r in contamination_pairs(
+            train, bench, "doc_id", "text", "doc_id", "text",
+            n=4, min_overlap=1, max_df_bench=2,
+        ).collect()
+    }
+    assert {r.doc_id for r in kept.collect()} == {1, 2, 3} - flagged
+
+
+def test_overlap_count_is_distinct_intersection(spark):
+    """n_overlap counts DISTINCT shared shingles even when a shingle repeats
+    inside a document (the per-doc shingle sets are distinct by
+    construction)."""
+    train = spark.createDataFrame(
+        [(1, "a b c d a b c d a b c d")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "a b c d x y z w")], ["doc_id", "text"])
+    rows = contamination_pairs(
+        train, bench, "doc_id", "text", "doc_id", "text", n=4, min_overlap=1
+    ).collect()
+    # train 4-gram set: {a b c d, b c d a, c d a b, d a b c}; bench contains
+    # only 'a b c d' among those -> exactly 1, not one per repetition
+    assert [(r.train_id, r.bench_id, r.n_overlap) for r in rows] == [(1, 9, 1)]
+
+
+def test_probe_join_is_broadcast(spark):
+    """The discovery join must broadcast the bench shingle index — the
+    corpus side is probed map-side, no shuffle for discovery."""
+    train, bench = _corpus(spark)
+    pairs = contamination_pairs(
+        train, bench, "doc_id", "text", "doc_id", "text", n=4, min_overlap=1
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
