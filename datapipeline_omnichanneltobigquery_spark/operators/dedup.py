@@ -101,16 +101,18 @@ def dedup_keep_latest(
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — the inverted-index building block.
+def shingle_stream(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs WITH positional repeats — one row per n-gram
+    occurrence.  The corpus-frequency consumers (textstats.ngram_topk) need
+    raw occurrence counts; the set-semantics consumers go through
+    :func:`shingles` (= this, distinct).
 
     Implementation: posexplode tokens (a codegen Generate) then stitch each
     shingle with window ``lead``s over (id, pos).  A higher-order
     ``transform(sequence, i -> concat_ws(slice))`` expresses the same thing
     with no shuffle, but Catalyst lambdas are *interpreted* — measured 7×
     slower at sf0.1 — while the window runs entirely in codegen; the
-    token-explosion shuffle is tiny (tokens, not documents) and the DISTINCT
-    needed the (id) shuffle anyway.
+    token-explosion shuffle is tiny (tokens, not documents).
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -121,7 +123,14 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     sh = toks.select("id", F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"), *leads)
     for j in range(1, n):
         sh = sh.filter(F.col(f"_l{j}").isNotNull())
-    return sh.select("id", "shingle").distinct()
+    return sh.select("id", "shingle")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index building block
+    (set semantics; the DISTINCT rides the (id) shuffle the window already
+    paid for)."""
+    return shingle_stream(df, id_col, text_col, n).distinct()
 
 
 def _shingles_sql(table: str, id_col: str, text_col: str, n: int) -> str:

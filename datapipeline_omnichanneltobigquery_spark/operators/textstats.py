@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long, md5_long_sql
+from datapipeline_omnichanneltobigquery_spark.operators.dedup import shingle_stream
 
 # Tiny per-language function-word profiles (public common stopwords).  The
 # heuristic scores each language by profile-word hits per token and argmaxes;
@@ -346,4 +347,49 @@ def unigram_logprob_sql(table: str, id_col: str, text_col: str) -> str:
                      ORDER BY pos, term) / COUNT(*), 6) AS avg_logprob
     FROM toks JOIN freqs USING (term), totals
     GROUP BY id
+    """
+
+
+def ngram_topk(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 20
+) -> DataFrame:
+    """Corpus heavy hitters: the top-``k`` word n-grams by occurrence count
+    — (ngram, n_occurrences, n_docs), ordered by count desc with the ngram
+    itself as the deterministic tie-break.
+
+    Plan: the positional shingle stream (dedup.shingle_stream — window-lead
+    construction, one (id) shuffle of tokens) feeds ONE hash aggregate on
+    the ngram (partial map-side combine collapses each partition's repeats
+    before the exchange, so the shuffle carries ≤ |distinct ngrams per
+    partition| rows); n_docs rides the same aggregate as a count-distinct
+    expansion.  The top-k is TakeOrderedAndProject — a per-partition heap +
+    k-row driver merge, never a global sort.  At 100 TB the aggregate keys
+    are the distinct-ngram space, which partial aggregation + AQE size
+    fine; for a cheaper screening pass swap count_distinct for
+    approx_count_distinct (the exact form is kept here for the oracle)."""
+    st = shingle_stream(df, id_col, text_col, n)
+    return (
+        st.groupBy(F.col("shingle").alias("ngram"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
+def ngram_topk_sql(table: str, id_col: str, text_col: str, n: int = 3, k: int = 20) -> str:
+    """DuckDB twin of :func:`ngram_topk` (same tokenization as
+    dedup._shingles_sql, minus the DISTINCT — occurrences, not sets)."""
+    return f"""
+    WITH toks AS (SELECT {id_col} AS id,
+                         regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+                  FROM {table}),
+    st AS (SELECT id, array_to_string(w[i:i+{n - 1}], ' ') AS ngram
+           FROM toks, UNNEST(range(1, len(w) - {n - 2})) AS u(i))
+    SELECT ngram, COUNT(*) AS n_occurrences, COUNT(DISTINCT id) AS n_docs
+    FROM st GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT {k}
     """

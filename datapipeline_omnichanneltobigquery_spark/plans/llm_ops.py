@@ -726,3 +726,15 @@ def text_decontam_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=_DECONTAM_N, min_overlap=_DECONTAM_MIN_OVERLAP,
         max_df_bench=_DECONTAM_MAX_DF_BENCH,
     ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "text_ngram_topk",
+    driver=False,  # heavy-hitter variant of the gated text-analysis family
+    oracle=ts.ngram_topk_sql("documents", "doc_id", "text", n=3, k=25),
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-25 trigrams by occurrence, with document
+    frequency riding the same aggregate (operators/textstats.py
+    ::ngram_topk)."""
+    return ts.ngram_topk(read_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=25)

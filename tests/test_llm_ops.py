@@ -631,3 +631,20 @@ def test_ivf_batch_join_prunes_partitions_dynamically(spark, tmp_path):
             if r.vec_id != qid
         ][:7]
         assert got[qid] == single, (qid, got[qid], single)
+
+
+def test_ngram_topk_counts_occurrences_and_docs(spark):
+    """n_occurrences counts every repetition; n_docs counts distinct docs;
+    ordering is count-desc with the ngram tie-break."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import ngram_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z x y z"),   # 'x y z' twice in doc 1 (+ 'y z x', 'z x y')
+            (2, "x y z a b c"),   # 'x y z' once more in doc 2
+        ],
+        ["doc_id", "text"],
+    )
+    rows = ngram_topk(df, "doc_id", "text", n=3, k=2).collect()
+    assert (rows[0].ngram, rows[0].n_occurrences, rows[0].n_docs) == ("x y z", 3, 2)
+    assert rows[1].n_occurrences == 1  # every other trigram appears once
