@@ -1,0 +1,76 @@
+"""Data-level table profiling — per-column null count, distinct count and
+min/max in ONE aggregate pass (SURVEY.md §2.2 extension surface; the data-
+quality screening step every ingestion pipeline runs before training jobs).
+
+Complements `sources/tables.py::footer_stats` (metadata-only COUNT/MIN/MAX
+via parquet-footer aggregate pushdown — zero data read, but no null/distinct
+info and only for columns with footer statistics): this operator reads the
+data once and profiles every requested column in a single wide aggregate.
+
+Scale design: one Aggregate over the table — no per-column scans.  Exact
+multi-column COUNT(DISTINCT) makes Catalyst plan an Expand (one input row
+fans out to n_cols rows before the partial aggregate): a single pass over
+the data, but with an n_cols× row multiplier through the first aggregate
+stage.  At 100 TB screening scale pass ``approx=True``: HLL++ sketches
+replace the exact distinct counts, the Expand disappears, and the whole
+profile is one partial+final hash aggregate (the exact form is the default
+because the driver's DuckDB oracle hash-checks it)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Long-form profile: one row per column — (col_name, n_rows, n_nulls,
+    n_distinct, min_val, max_val).  min/max are computed on the NATIVE type
+    (so numeric order, not lexicographic) and cast to string only for the
+    uniform long-form schema."""
+    cols = cols or df.columns
+    nd = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            nd(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # one wide row -> n_cols long rows: explode an array of per-column
+    # structs (no SQL identifier quoting, any column name survives)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_val"),
+            F.col(f"__mx_{c}").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def profile_columns_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`profile_columns` (exact form): one aggregate
+    CTE, UNION ALL per column for the long form."""
+    parts = [f"COUNT(*) AS __n"]
+    for c in cols:
+        parts += [
+            f"COUNT({c}) AS __nn_{c}",
+            f"COUNT(DISTINCT {c}) AS __nd_{c}",
+            f"CAST(MIN({c}) AS VARCHAR) AS __mn_{c}",
+            f"CAST(MAX({c}) AS VARCHAR) AS __mx_{c}",
+        ]
+    rows = [
+        f"""SELECT '{c}' AS col_name, __n AS n_rows, __n - __nn_{c} AS n_nulls,
+               __nd_{c} AS n_distinct, __mn_{c} AS min_val, __mx_{c} AS max_val
+        FROM agg"""
+        for c in cols
+    ]
+    return f"WITH agg AS (SELECT {', '.join(parts)} FROM {table})\n" + "\nUNION ALL\n".join(rows)

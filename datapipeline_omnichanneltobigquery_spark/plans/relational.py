@@ -654,6 +654,7 @@ def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_ops_customers",
+    driver=False,  # rotated out r4 (green r2+r3; bag-semantics cousin stays gated); slot given to profile_orders
     oracle="""
     SELECT 'intersect' AS set_op, o_custkey FROM (
         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
 from datapipeline_omnichanneltobigquery_spark.plans.queries import query
 from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
 
@@ -592,3 +593,22 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     has one parent — rows stay linear, depth ≤ max orders per customer."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc")
     return spark.sql(_RECURSIVE_CHAIN_SQL.format(orders="orders_rc"))
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+@query(
+    "profile_orders",
+    oracle=pf.profile_columns_sql("orders", _PROFILE_COLS),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profile of the orders table: per-column null count,
+    exact distinct count and native-type min/max — ONE wide aggregate over
+    one scan, exploded to long form (operators/profile.py).  At screening
+    scale, ``approx=True`` swaps the exact distincts for HLL++ and removes
+    the Expand."""
+    return pf.profile_columns(read_table(spark, sf_dir, "orders"), _PROFILE_COLS)

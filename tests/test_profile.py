@@ -1,0 +1,44 @@
+"""Semantics + plan-shape tests for the single-pass column profiler
+(operators/profile.py) beyond oracle parity."""
+
+from __future__ import annotations
+
+from datapipeline_omnichanneltobigquery_spark.operators.profile import profile_columns
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, None, 2.5), (3, "b", 2.5)],
+        ["k", "s", "v"],
+    )
+
+
+def test_profile_null_distinct_minmax(spark):
+    rows = {r.col_name: r for r in profile_columns(_df(spark)).collect()}
+    assert rows["k"].n_rows == 4 and rows["k"].n_nulls == 0 and rows["k"].n_distinct == 3
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
+    assert rows["s"].min_val == "a" and rows["s"].max_val == "b"
+    # min/max on the NATIVE type: 2.5 < 10.0 numerically even though
+    # "10.0" < "2.5" lexicographically
+    assert rows["v"].min_val == "2.5" and rows["v"].max_val == "10.0"
+    assert rows["v"].n_nulls == 1 and rows["v"].n_distinct == 2
+
+
+def test_profile_is_single_scan(spark):
+    """All columns profile off ONE scan — no per-column passes."""
+    df = _df(spark)
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") == 1
+
+
+def test_profile_approx_drops_expand(spark):
+    """approx=True replaces exact multi-distinct (Expand) with HLL++ —
+    the screening-scale form has no Expand node."""
+    df = _df(spark)
+    exact = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    approx = profile_columns(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact
+    assert "Expand" not in approx
+    rows = {r.col_name: r for r in profile_columns(df, approx=True).collect()}
+    # HLL++ at default rsd is exact-ish at tiny cardinalities
+    assert rows["k"].n_distinct == 3
