@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datapipeline_omnichanneltobigquery_spark.functions.scalars import money
 from datapipeline_omnichanneltobigquery_spark.plans.queries import query
 from datapipeline_omnichanneltobigquery_spark.sinks.bucketed import write_bucketed
+from datapipeline_omnichanneltobigquery_spark.sinks.layout import write_range_sorted
 from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
 
 # Scratch location inside the repo (gitignored) so the query is runnable from
@@ -126,4 +127,31 @@ def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
+    )
+
+
+@query(
+    "range_sorted_roundtrip",
+    driver=False,  # third member of the gated layout family (partitioned + bucketed gated)
+    oracle="""
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 199
+    """,
+)
+def range_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-sorted layout cycle (sinks/layout.py): write events range-
+    partitioned + sorted by user_id, read back with a range filter — the
+    filter prunes non-matching FILES via footer min/max statistics (the
+    spans are disjoint by construction; tests/test_layout.py proves it from
+    the footers), and the oracle on the ORIGINAL table proves the re-layout
+    lost nothing."""
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{SCRATCH}/events_range_sorted_{sf_tag}"
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    write_range_sorted(ev, path, "user_id", n_partitions=8)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("user_id").between(100, 199))
+        .select("event_id", "user_id", "event_type", F.col("value").cast("double").alias("value"))
     )

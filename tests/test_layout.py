@@ -1,0 +1,50 @@
+"""Range-sorted layout (sinks/layout.py): footer-statistics disjointness —
+the property data-skipping relies on — plus read-back fidelity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datapipeline_omnichanneltobigquery_spark.sinks.layout import (
+    file_ranges,
+    write_range_sorted,
+)
+from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+
+from tests.conftest import SF_DIR
+
+
+def test_range_sorted_files_are_disjoint(spark, tmp_path):
+    """After write_range_sorted, per-file [min,max] spans of the sort column
+    overlap at most at the range boundaries — so a point/range filter can
+    skip every non-matching file on footer stats alone."""
+    orders = read_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_by_key")
+    write_range_sorted(orders, path, "o_orderkey", n_partitions=8)
+
+    ranges = sorted(file_ranges(path, "o_orderkey"), key=lambda t: t[1])
+    assert len(ranges) >= 4  # range partitioner actually split the domain
+    for (_, _, hi_prev), (_, lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint up to boundary equality
+
+    # a point lookup's key falls inside exactly one file's span
+    probe = ranges[2][1]
+    containing = [r for r in ranges if r[1] <= probe <= r[2]]
+    assert len(containing) <= 2  # the file + possibly a boundary twin
+
+
+def test_range_sorted_roundtrip_fidelity(spark, tmp_path):
+    orders = read_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    path = str(tmp_path / "orders_rt")
+    write_range_sorted(orders, path, "o_orderkey", n_partitions=4)
+    back = spark.read.parquet(path)
+    lo, hi = 100, 500
+    expect = sorted(
+        (r.o_orderkey, r.o_custkey)
+        for r in orders.filter(F.col("o_orderkey").between(lo, hi)).collect()
+    )
+    got = sorted(
+        (r.o_orderkey, r.o_custkey)
+        for r in back.filter(F.col("o_orderkey").between(lo, hi)).collect()
+    )
+    assert got == expect
