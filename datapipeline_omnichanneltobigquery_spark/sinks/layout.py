@@ -55,3 +55,39 @@ def file_ranges(path: str, col: str) -> list[tuple[str, object, object]]:
         if mins:
             out.append((name, min(mins), max(maxs)))
     return out
+
+
+def compact_files(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and atomically swap it into place.
+
+    Streaming sinks, per-micro-batch upserts and over-parallel writes leave
+    thousands of KB-sized files; at scale the scan's task-scheduling and
+    footer-reading overhead then dwarfs the data read (the classic
+    small-file problem).  Compaction is pure re-layout: `repartition(n)` is
+    a round-robin exchange — no keys, no skew — sized so each output file
+    lands near the target (HDFS-block-ish 128 MiB default).
+
+    The rewrite goes to a sibling temp dir and replaces the original with
+    two renames (original → .old, temp → original, drop .old): readers see
+    either the old or the new complete directory, never a partial one.
+    Returns {files_before, files_after, bytes_total}."""
+    import math
+    import shutil
+
+    files = [
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    tmp, old = path.rstrip("/") + "__compact_tmp", path.rstrip("/") + "__compact_old"
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {"files_before": len(files), "files_after": after, "bytes_total": total}

@@ -48,3 +48,28 @@ def test_range_sorted_roundtrip_fidelity(spark, tmp_path):
         for r in back.filter(F.col("o_orderkey").between(lo, hi)).collect()
     )
     assert got == expect
+
+
+def test_compact_files_shrinks_and_preserves(spark, tmp_path):
+    """64 tiny files -> a handful; row multiset unchanged; directory swap
+    leaves no temp residue."""
+    import os
+
+    from datapipeline_omnichanneltobigquery_spark.sinks.layout import compact_files
+
+    orders = read_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "tiny")
+    orders.repartition(64).write.parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before == 64
+
+    stats = compact_files(spark, path, target_file_bytes=1 << 20)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 64
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert sorted(r.o_orderkey for r in back.collect()) == sorted(
+        r.o_orderkey for r in orders.collect()
+    )
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
