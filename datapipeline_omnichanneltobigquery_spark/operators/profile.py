@@ -7,13 +7,18 @@ via parquet-footer aggregate pushdown — zero data read, but no null/distinct
 info and only for columns with footer statistics): this operator reads the
 data once and profiles every requested column in a single wide aggregate.
 
-Scale design: one Aggregate over the table — no per-column scans.  Exact
-multi-column COUNT(DISTINCT) makes Catalyst plan an Expand (one input row
-fans out to n_cols rows before the partial aggregate): a single pass over
-the data, but with an n_cols× row multiplier through the first aggregate
-stage.  At 100 TB screening scale pass ``approx=True``: HLL++ sketches
-replace the exact distinct counts, the Expand disappears, and the whole
-profile is one partial+final hash aggregate (the exact form is the default
+Scale design: exact multi-column COUNT(DISTINCT) makes Catalyst plan an
+Expand (one input row fans out to n_cols rows before the partial
+aggregate).  A MIN/MAX whose aggregation buffer is a var-length type
+(string/binary columns) disqualifies HashAggregate, which would drag that
+entire expanded stream through SortAggregate — measured 2.5× slower at
+sf0.1.  So the exact form splits: counts + distincts + fixed-width min/max
+ride the hash aggregate over the Expand; string min/max run in a second,
+column-pruned aggregate subtree (no Expand, no grouping keys — its
+SortAggregate never sorts) and the two 1-row results cross-join back
+together in the same job.  At 100 TB screening scale pass ``approx=True``:
+HLL++ sketches replace the exact distincts, the Expand disappears, and one
+single-scan aggregate profiles everything (the exact form is the default
 because the driver's DuckDB oracle hash-checks it)."""
 
 from __future__ import annotations
@@ -31,15 +36,30 @@ def profile_columns(
     uniform long-form schema."""
     cols = cols or df.columns
     nd = F.approx_count_distinct if approx else F.countDistinct
+    types = dict(df.dtypes)
+    # string/binary min-max buffers disqualify HashAggregate; in exact mode
+    # keep them OUT of the Expand-carrying aggregate (see module docstring)
+    var_len = {c for c in cols if not approx and types[c] in ("string", "binary")}
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"__nn_{c}"),
             nd(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
+        if c not in var_len:
+            aggs += [
+                F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            ]
     wide = df.agg(*aggs)
+    if var_len:
+        str_aggs = []
+        for c in var_len:
+            str_aggs += [
+                F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            ]
+        wide = wide.crossJoin(df.select(*sorted(var_len)).agg(*str_aggs))
     # one wide row -> n_cols long rows: explode an array of per-column
     # structs (no SQL identifier quoting, any column name survives)
     entries = [
