@@ -1,0 +1,110 @@
+"""Time-series resampling — regularize an irregular event stream onto a
+fixed grid with forward-fill (SURVEY.md §2.2 extension surface; the
+hypertable/`time_bucket_gapfill` operation of time-series warehouses).
+
+Semantics: for each key, sample points run from ceil(min_ts) to
+floor(max_ts) on ``step_seconds`` boundaries; each point carries the LAST
+observed value at-or-before it (forward fill).  Multiple observations on
+one (key, ts) collapse deterministically to MAX(value) first.
+
+Scale design:
+
+* all bucket arithmetic is INTEGER microseconds (``unix_micros`` /
+  ``epoch_us`` + mod/div) — no floating-point epochs, so Spark and the
+  DuckDB oracle bucket identically down to the tick;
+* the grid is generated per key from its [min, max] aggregate —
+  ``sequence()`` arrays of at most (range/step)+1 entries, exploded
+  map-side; no driver-side loop, no cross join against a global calendar;
+* the fill is the union+window trick (same discipline as
+  operators/temporal.py::asof_join): grid points and observations union
+  into one stream, one window per key ordered by (ts, is_grid) forward-
+  fills via last_value(ignorenulls) — ONE shuffle on the key, no range
+  join, no per-point probe.  At 100 TB the state per task is one window
+  frame, and the only data movement is the key-partitioned exchange the
+  per-key semantics require.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def resample_ffill(
+    df: DataFrame, key_col: str, ts_col: str, val_col: str, step_seconds: int
+) -> DataFrame:
+    """(key, sample_ts, value): per-key fixed-step grid, forward-filled.
+    sample_ts is a real timestamp on exact step boundaries."""
+    step_us = int(step_seconds) * 1_000_000
+    m = F.unix_micros(F.col(ts_col))
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"), m.alias("m"), F.col(val_col).alias("value")
+        )
+        .groupBy("key", "m")
+        .agg(F.max("value").alias("value"))
+    )
+    floor_m = lambda c: c - F.pmod(c, F.lit(step_us))  # noqa: E731
+    bounds = (
+        obs.groupBy("key")
+        .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        .select(
+            "key",
+            floor_m(F.col("lo") + F.lit(step_us - 1)).alias("t0"),  # ceil
+            floor_m(F.col("hi")).alias("t1"),
+        )
+        .filter(F.col("t1") >= F.col("t0"))
+    )
+    grid = bounds.select(
+        "key", F.explode(F.sequence("t0", "t1", F.lit(step_us))).alias("m")
+    )
+    u = grid.select(
+        "key", "m", F.lit(None).cast("double").alias("value"), F.lit(1).alias("is_grid")
+    ).unionByName(obs.select("key", "m", "value", F.lit(0).alias("is_grid")))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("m", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("value", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select(
+            F.col("key").alias(key_col),
+            F.timestamp_micros(F.col("m")).alias("sample_ts"),
+            "value",
+        )
+    )
+
+
+def resample_ffill_sql(
+    table: str, key_col: str, ts_col: str, val_col: str, step_seconds: int
+) -> str:
+    """DuckDB twin of :func:`resample_ffill` — same integer-microsecond
+    bucket arithmetic, same union+window fill."""
+    step_us = int(step_seconds) * 1_000_000
+    return f"""
+    WITH obs AS (
+        SELECT {key_col} AS key, epoch_us({ts_col}) AS m, MAX({val_col}) AS value
+        FROM {table} GROUP BY 1, 2),
+    bounds AS (
+        SELECT key,
+               (MIN(m) + {step_us - 1}) - ((MIN(m) + {step_us - 1}) % {step_us}) AS t0,
+               MAX(m) - (MAX(m) % {step_us}) AS t1
+        FROM obs GROUP BY key),
+    grid AS (
+        SELECT key, UNNEST(generate_series(t0, t1, {step_us})) AS m
+        FROM bounds WHERE t1 >= t0),
+    u AS (
+        SELECT key, m, NULL::DOUBLE AS value, 1 AS is_grid FROM grid
+        UNION ALL
+        SELECT key, m, value, 0 AS is_grid FROM obs),
+    f AS (
+        SELECT key, m, is_grid,
+               LAST_VALUE(value IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY m, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM u)
+    SELECT key AS {key_col}, make_timestamp(m) AS sample_ts, value
+    FROM f WHERE is_grid = 1
+    """

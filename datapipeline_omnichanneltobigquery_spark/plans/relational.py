@@ -313,6 +313,7 @@ def window_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_running_revenue",
+    driver=False,  # rotated out r4 (green r2+r3; window family keeps window_topn gated); slot given to events_resample_hourly
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

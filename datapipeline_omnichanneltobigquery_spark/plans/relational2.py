@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
+from datapipeline_omnichanneltobigquery_spark.operators import timeseries as tsr
 from datapipeline_omnichanneltobigquery_spark.plans.queries import query
 from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
 
@@ -612,3 +613,25 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, ``approx=True`` swaps the exact distincts for HLL++ and removes
     the Expand."""
     return pf.profile_columns(read_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@query(
+    "events_resample_hourly",
+    oracle="""
+    SELECT user_id, strftime(sample_ts, '%Y-%m-%d %H:%M:%S') AS sample_ts, value
+    FROM (""" + tsr.resample_ffill_sql("events", "user_id", "ts", "value", 3600) + """)
+    """,
+)
+def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling (operators/timeseries.py): each user's
+    irregular event stream regularized onto an hourly grid with forward
+    fill — per-key sequence() grid, union+window last_value(ignorenulls),
+    integer-microsecond bucket arithmetic shared with the oracle.  One
+    key-partitioned shuffle; no range join, no calendar cross join."""
+    ev = read_table(spark, sf_dir, "events")
+    out = tsr.resample_ffill(ev, "user_id", "ts", "value", 3600)
+    return out.select(
+        "user_id",
+        F.date_format("sample_ts", "yyyy-MM-dd HH:mm:ss").alias("sample_ts"),
+        "value",
+    )

@@ -1,0 +1,87 @@
+"""Semantics tests for time-series resampling (operators/timeseries.py)
+beyond oracle parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from datapipeline_omnichanneltobigquery_spark.operators.timeseries import resample_ffill
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_resample_fills_gaps_forward(spark):
+    """Obs at 00:30 and 03:30; hourly samples 01:00-03:00 — the gap hours
+    carry the last value forward."""
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:30:00"), 10.0), (1, _ts("2024-01-01 03:30:00"), 99.0)],
+        ["uid", "ts", "v"],
+    )
+    rows = sorted(
+        (r.sample_ts, r.value) for r in resample_ffill(df, "uid", "ts", "v", 3600).collect()
+    )
+    assert rows == [
+        (_ts("2024-01-01 01:00:00"), 10.0),
+        (_ts("2024-01-01 02:00:00"), 10.0),
+        (_ts("2024-01-01 03:00:00"), 10.0),
+    ]
+
+
+def test_resample_grid_bounds_are_ceil_floor(spark):
+    """Grid = ceil(min) .. floor(max): an obs exactly on a boundary is its
+    own first sample; a single mid-bucket obs yields an empty grid."""
+    on_boundary = spark.createDataFrame(
+        [(1, _ts("2024-01-01 02:00:00"), 5.0), (1, _ts("2024-01-01 04:00:00"), 7.0)],
+        ["uid", "ts", "v"],
+    )
+    rows = sorted(
+        (r.sample_ts, r.value)
+        for r in resample_ffill(on_boundary, "uid", "ts", "v", 3600).collect()
+    )
+    assert rows[0] == (_ts("2024-01-01 02:00:00"), 5.0)  # boundary obs sampled
+    assert rows[-1] == (_ts("2024-01-01 04:00:00"), 7.0)
+
+    lone = spark.createDataFrame([(1, _ts("2024-01-01 02:30:00"), 5.0)], ["uid", "ts", "v"])
+    assert resample_ffill(lone, "uid", "ts", "v", 3600).count() == 0
+
+
+def test_resample_same_tick_collapses_to_max(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 01:00:00"), 3.0),
+            (1, _ts("2024-01-01 01:00:00"), 8.0),
+            (1, _ts("2024-01-01 02:00:00"), 1.0),
+        ],
+        ["uid", "ts", "v"],
+    )
+    rows = sorted(
+        (r.sample_ts, r.value) for r in resample_ffill(df, "uid", "ts", "v", 3600).collect()
+    )
+    assert rows[0] == (_ts("2024-01-01 01:00:00"), 8.0)
+
+
+def test_resample_keys_are_independent(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1.0),
+            (1, _ts("2024-01-01 02:00:00"), 2.0),
+            (2, _ts("2024-01-01 00:00:00"), 100.0),
+            (2, _ts("2024-01-01 01:00:00"), 200.0),
+        ],
+        ["uid", "ts", "v"],
+    )
+    out = resample_ffill(df, "uid", "ts", "v", 3600)
+    by_uid = {}
+    for r in out.collect():
+        by_uid.setdefault(r.uid, []).append((r.sample_ts, r.value))
+    assert sorted(by_uid[1]) == [
+        (_ts("2024-01-01 00:00:00"), 1.0),
+        (_ts("2024-01-01 01:00:00"), 1.0),  # uid 2's 200.0 must not leak in
+        (_ts("2024-01-01 02:00:00"), 2.0),
+    ]
+    assert sorted(by_uid[2]) == [
+        (_ts("2024-01-01 00:00:00"), 100.0),
+        (_ts("2024-01-01 01:00:00"), 200.0),
+    ]
