@@ -108,3 +108,116 @@ def resample_ffill_sql(
     SELECT key AS {key_col}, make_timestamp(m) AS sample_ts, value
     FROM f WHERE is_grid = 1
     """
+
+
+def resample_interp(
+    df: DataFrame, key_col: str, ts_col: str, val_col: str, step_seconds: int
+) -> DataFrame:
+    """Linear-interpolation resampling: like :func:`resample_ffill` but each
+    sample point takes pv + (nv - pv) * ((t - pm) / (nm - pm)) between its
+    bracketing observations (pv@pm before-or-at t, nv@nm after-or-at t).
+    Same union+window shape — one extra descending-frame window carries the
+    NEXT observation, still a single key-partitioned shuffle (both windows
+    share the exchange and sort).  The arithmetic is ordered identically in
+    the SQL twin, so results are bitwise engine-equal."""
+    step_us = int(step_seconds) * 1_000_000
+    m = F.unix_micros(F.col(ts_col))
+    obs = (
+        df.select(F.col(key_col).alias("key"), m.alias("m"), F.col(val_col).alias("value"))
+        .groupBy("key", "m")
+        .agg(F.max("value").alias("value"))
+    )
+    floor_m = lambda c: c - F.pmod(c, F.lit(step_us))  # noqa: E731
+    bounds = (
+        obs.groupBy("key")
+        .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        .select(
+            "key",
+            floor_m(F.col("lo") + F.lit(step_us - 1)).alias("t0"),
+            floor_m(F.col("hi")).alias("t1"),
+        )
+        .filter(F.col("t1") >= F.col("t0"))
+    )
+    grid = bounds.select("key", F.explode(F.sequence("t0", "t1", F.lit(step_us))).alias("m"))
+    u = grid.select(
+        "key", "m", F.lit(None).cast("double").alias("value"), F.lit(1).alias("is_grid")
+    ).unionByName(obs.select("key", "m", "value", F.lit(0).alias("is_grid")))
+    # obs sort BEFORE the grid point on ties (is_grid asc) so a boundary obs
+    # is both its own prev and next
+    fwd = (
+        Window.partitionBy("key")
+        .orderBy("m", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("key")
+        .orderBy("m", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_m = F.when(F.col("is_grid") == 0, F.col("m"))
+    filled = (
+        u.withColumn("pv", F.last("value", ignorenulls=True).over(fwd))
+        .withColumn("pm", F.last(obs_m, ignorenulls=True).over(fwd))
+        .withColumn("nv", F.first("value", ignorenulls=True).over(bwd))
+        .withColumn("nm", F.first(obs_m, ignorenulls=True).over(bwd))
+        .filter(F.col("is_grid") == 1)
+    )
+    frac = (F.col("m") - F.col("pm")).cast("double") / (F.col("nm") - F.col("pm")).cast(
+        "double"
+    )
+    # nm is NULL when the last observation falls exactly ON the final grid
+    # boundary (the obs row sorts before its grid twin, so the backward
+    # frame starting at the grid row never sees it) — degrade to the
+    # forward-filled value, which IS that observation
+    interp = F.when(
+        F.col("nm").isNull() | (F.col("nm") == F.col("pm")), F.col("pv")
+    ).otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    return filled.select(
+        F.col("key").alias(key_col),
+        F.timestamp_micros(F.col("m")).alias("sample_ts"),
+        interp.alias("value"),
+    )
+
+
+def resample_interp_sql(
+    table: str, key_col: str, ts_col: str, val_col: str, step_seconds: int
+) -> str:
+    """DuckDB twin of :func:`resample_interp` (identical operation order)."""
+    step_us = int(step_seconds) * 1_000_000
+    return f"""
+    WITH obs AS (
+        SELECT {key_col} AS key, epoch_us({ts_col}) AS m, MAX({val_col}) AS value
+        FROM {table} GROUP BY 1, 2),
+    bounds AS (
+        SELECT key,
+               (MIN(m) + {step_us - 1}) - ((MIN(m) + {step_us - 1}) % {step_us}) AS t0,
+               MAX(m) - (MAX(m) % {step_us}) AS t1
+        FROM obs GROUP BY key),
+    grid AS (
+        SELECT key, UNNEST(generate_series(t0, t1, {step_us})) AS m
+        FROM bounds WHERE t1 >= t0),
+    u AS (
+        SELECT key, m, NULL::DOUBLE AS value, 1 AS is_grid FROM grid
+        UNION ALL
+        SELECT key, m, value, 0 AS is_grid FROM obs),
+    f AS (
+        SELECT key, m, is_grid,
+               LAST_VALUE(value IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY m, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               LAST_VALUE(CASE WHEN is_grid = 0 THEN m END IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY m, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+               FIRST_VALUE(value IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY m, is_grid
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               FIRST_VALUE(CASE WHEN is_grid = 0 THEN m END IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY m, is_grid
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm
+        FROM u)
+    SELECT key AS {key_col}, make_timestamp(m) AS sample_ts,
+           CASE WHEN nm IS NULL OR nm = pm THEN pv
+                ELSE pv + (nv - pv) * (CAST(m - pm AS DOUBLE) / CAST(nm - pm AS DOUBLE))
+           END AS value
+    FROM f WHERE is_grid = 1
+    """

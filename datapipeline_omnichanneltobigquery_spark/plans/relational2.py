@@ -635,3 +635,23 @@ def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("sample_ts", "yyyy-MM-dd HH:mm:ss").alias("sample_ts"),
         "value",
     )
+
+
+@query(
+    "events_resample_interp",
+    driver=False,  # interpolation variant of the gated events_resample_hourly family
+    oracle="""
+    SELECT user_id, strftime(sample_ts, '%Y-%m-%d %H:%M:%S') AS sample_ts, value
+    FROM (""" + tsr.resample_interp_sql("events", "user_id", "ts", "value", 3600) + """)
+    """,
+)
+def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation twin of events_resample_hourly — both bracketing
+    windows share one exchange+sort (operators/timeseries.py)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = tsr.resample_interp(ev, "user_id", "ts", "value", 3600)
+    return out.select(
+        "user_id",
+        F.date_format("sample_ts", "yyyy-MM-dd HH:mm:ss").alias("sample_ts"),
+        "value",
+    )

@@ -85,3 +85,28 @@ def test_resample_keys_are_independent(spark):
         (_ts("2024-01-01 00:00:00"), 100.0),
         (_ts("2024-01-01 01:00:00"), 200.0),
     ]
+
+
+def test_interp_midpoint_and_boundary(spark):
+    """Linear interpolation hits the exact midpoint between bracketing
+    observations; a boundary-coincident obs (including the FINAL one, whose
+    backward window is empty) yields its own value."""
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import resample_interp
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 01:00:00"), 10.0),  # on-boundary
+            (1, _ts("2024-01-01 01:30:00"), 20.0),
+            (1, _ts("2024-01-01 02:30:00"), 40.0),
+            (1, _ts("2024-01-01 04:00:00"), 70.0),  # FINAL obs on-boundary
+        ],
+        ["uid", "ts", "v"],
+    )
+    rows = dict(
+        (r.sample_ts, r.value)
+        for r in resample_interp(df, "uid", "ts", "v", 3600).collect()
+    )
+    assert rows[_ts("2024-01-01 01:00:00")] == 10.0
+    assert rows[_ts("2024-01-01 02:00:00")] == 30.0  # midpoint of 20@1:30, 40@2:30
+    assert rows[_ts("2024-01-01 03:00:00")] == 50.0  # 40 + (70-40)*(30/90)
+    assert rows[_ts("2024-01-01 04:00:00")] == 70.0  # empty backward frame
