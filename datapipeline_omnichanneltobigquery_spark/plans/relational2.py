@@ -655,3 +655,46 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("sample_ts", "yyyy-MM-dd HH:mm:ss").alias("sample_ts"),
         "value",
     )
+
+
+@query(
+    "dq_referential_integrity",
+    driver=False,  # data-quality face of the gated anti-join family
+    oracle="""
+    SELECT 'lineitem_without_order' AS chk, COUNT(*) AS n_bad
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'order_without_customer' AS chk, COUNT(*) AS n_bad
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer_without_nation' AS chk, COUNT(*) AS n_bad
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity screening: orphan counts for every FK edge of
+    the star schema as broadcast anti-joins (the FK parent's key set is the
+    small side everywhere — customer/nation broadcast outright, and the
+    orders KEY LIST (one bigint column, deduplicated map-side by the
+    aggregate) broadcasts against lineitem).  Zero-orphan tables are the
+    expected fixture state; the checks exist to catch ingestion drift."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def check(name, child, parent, on):
+        return (
+            child.join(F.broadcast(parent), on, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_bad"))
+            .select(F.lit(name).alias("chk"), "n_bad")
+        )
+
+    return (
+        check("lineitem_without_order", li, o.select("o_orderkey").distinct(),
+              li.l_orderkey == F.col("o_orderkey"))
+        .unionByName(check("order_without_customer", o, c.select("c_custkey"),
+                           o.o_custkey == F.col("c_custkey")))
+        .unionByName(check("customer_without_nation", c, n,
+                           c.c_nationkey == F.col("n_nationkey")))
+    )
