@@ -698,3 +698,47 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check("customer_without_nation", c, n,
                            c.c_nationkey == F.col("n_nationkey")))
     )
+
+
+@query(
+    "agg_regression_per_user",
+    driver=False,  # closed-form analytic variant of the gated aggregation family
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               SUM(epoch_us(ts) // 1000000 - 1704067200) AS sx,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sy,
+               SUM((epoch_us(ts) // 1000000 - 1704067200)
+                   * CAST(value AS DECIMAL(18,6))) AS sxy,
+               SUM((epoch_us(ts) // 1000000 - 1704067200)
+                   * (epoch_us(ts) // 1000000 - 1704067200)) AS sxx
+        FROM events GROUP BY user_id)
+    SELECT user_id, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS slope
+    FROM s WHERE n >= 2
+    """,
+)
+def agg_regression_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (value ~ seconds-since-2024): the sums are
+    EXACT (bigint x, decimal(18,6) y — no float accumulation order to
+    disagree on), and the slope is assembled from them in one identical
+    double expression on both engines, so a statistic that is normally
+    float-fuzzy hash-matches bitwise.  One shuffle (the groupBy); the five
+    sums ride a single aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    x = (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("bigint") - F.lit(1_704_067_200)
+    y = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd, sxd, syd = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.filter(F.col("n") >= 2).select("user_id", "n", slope.alias("slope"))
