@@ -11,6 +11,7 @@ from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
 from datapipeline_omnichanneltobigquery_spark.operators import timeseries as tsr
 from datapipeline_omnichanneltobigquery_spark.plans.queries import query
 from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+from datapipeline_omnichanneltobigquery_spark.streaming.windows import hopping_counts
 
 ORDER_STATUSES = ("F", "O", "P")  # verified closed domain of o_orderstatus
 
@@ -742,3 +743,28 @@ def agg_regression_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
     slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
     return s.filter(F.col("n") >= 2).select("user_id", "n", slope.alias("slope"))
+
+
+@query(
+    "events_hopping_halfhour",
+    driver=False,  # hopping variant of the gated events_tumbling_hourly family
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(value AS DECIMAL(18,6)) AS value,
+               epoch_us(ts) AS m
+        FROM events),
+    x AS (
+        SELECT event_type, value,
+               ((m // 1800000000) - i) * 1800000000 AS start_us
+        FROM e, UNNEST(range(0, 2)) AS u(i))
+    SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS sum_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def events_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (1 h length, 30 min slide): every event counted in
+    exactly 2 overlapping windows (streaming/windows.py::hopping_counts —
+    the same callable runs on readStream).  The oracle expands each event
+    to its len/slide window starts with integer-microsecond arithmetic."""
+    return hopping_counts(read_table(spark, sf_dir, "events"), "1 hour", "30 minutes")

@@ -48,6 +48,37 @@ def tumbling_counts(
     )
 
 
+def hopping_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Hopping (sliding) windows: like :func:`tumbling_counts` but each
+    event lands in window_len/slide overlapping windows — `F.window(ts,
+    len, slide)` expands map-side (an Expand of len/slide rows per event),
+    then the same partial+final combine keyed on (window, event_type).
+    Works unchanged on a streaming DataFrame; state per ACTIVE window, so
+    the multiplier costs len/slide× state, which the watermark still
+    bounds."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(ts_col, window_len, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_seconds: int = SESSION_GAP_SECONDS,

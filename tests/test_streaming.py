@@ -212,3 +212,28 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     q.awaitTermination(120)
     streamed = {(r.event_id, r.segment) for r in spark.table("ssenrich").collect()}
     assert streamed == batch and batch
+
+
+def test_hopping_stream_matches_batch(spark, tmp_path):
+    """The hopping-window operator is the SAME callable in batch and under
+    readStream + availableNow — results must be identical."""
+    from datapipeline_omnichanneltobigquery_spark.streaming.windows import hopping_counts
+
+    ev = read_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_hop_src")
+    ev.write.parquet(src)
+
+    batch = {
+        tuple(r)
+        for r in hopping_counts(spark.read.parquet(src), "1 hour", "30 minutes").collect()
+    }
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sdf = hopping_counts(stream, "1 hour", "30 minutes", watermark="2 hours")
+    q = write_stream_to_memory(sdf, "t_hop_stream").start()
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.table("t_hop_stream").collect()}
+    assert streamed == batch
+    assert len(streamed) > 0
+    # every event lands in exactly len/slide = 2 windows
+    n_events = spark.read.parquet(src).count()
+    assert sum(r[2] for r in batch) == 2 * n_events
