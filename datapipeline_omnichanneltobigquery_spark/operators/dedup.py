@@ -934,3 +934,84 @@ def dedup_pipeline(
         "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
     )
     return labeled.withColumn("keep", F.col("id") == F.col("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching (edit distance)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-identical string pairs by Levenshtein distance ≤ ``max_dist``
+    over DISTINCT values of ``name_col`` — (name_a, name_b, dist), a < b.
+
+    Scale design: never all-pairs.  Candidates come from the whitespace-
+    token inverted index (pairs sharing ≥ 1 exact token), with an optional
+    ``max_df`` token-frequency cap exactly like the Jaccard path; the
+    length-difference pregate (|len a − len b| ≤ k ⇒ necessary for
+    edit ≤ k) kills most candidates before the DP runs, and the exact
+    ``levenshtein`` verifies the rest — integer DP, engine-identical, so
+    the DuckDB twin hash-matches.
+
+    Recall contract (documented trade-off of token blocking): a pair is
+    discovered iff at least one token is edit-free — edits confined to ≤
+    max_dist characters of OTHER tokens.  A pair whose every token is
+    edited (possible when max_dist ≥ #tokens) is missed; at 100 TB that is
+    the standard candidate-generation economy (PassJoin-style segment
+    blocking is the exact-recall upgrade path)."""
+    names = df.select(F.trim(F.lower(F.col(name_col))).alias("name")).distinct()
+    toks = names.select(
+        "name", F.explode(F.split(F.col("name"), r"\s+")).alias("tok")
+    ).distinct()
+    if max_df is not None:
+        w = Window.partitionBy("tok")
+        toks = (
+            toks.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    a, b = toks.alias("a"), toks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.name") < F.col("b.name")))
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+    return (
+        cand.filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def fuzzy_pairs_sql(
+    table: str, name_col: str, max_dist: int = 2, max_df: int | None = None
+) -> str:
+    """DuckDB twin of :func:`fuzzy_pairs` (same blocking, same pregate)."""
+    cap = (
+        f"""toks AS (
+        SELECT name, tok FROM (
+            SELECT name, tok, COUNT(*) OVER (PARTITION BY tok) AS df FROM toks0)
+        WHERE df <= {max_df})"""
+        if max_df is not None
+        else "toks AS (SELECT name, tok FROM toks0)"
+    )
+    return f"""
+    WITH names AS (SELECT DISTINCT trim(lower({name_col})) AS name FROM {table}),
+    toks0 AS (SELECT DISTINCT name, UNNEST(regexp_split_to_array(name, '\\s+')) AS tok
+              FROM names),
+    {cap},
+    cand AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name)
+    SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+    FROM cand
+    WHERE abs(length(name_a) - length(name_b)) <= {max_dist}
+      AND levenshtein(name_a, name_b) <= {max_dist}
+    """

@@ -738,3 +738,15 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency riding the same aggregate (operators/textstats.py
     ::ngram_topk)."""
     return ts.ngram_topk(read_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=25)
+
+
+@query(
+    "fuzzy_part_names",
+    driver=False,  # edit-distance cousin of the gated near-dup family
+    oracle=dd.fuzzy_pairs_sql("part", "p_name", max_dist=2),
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: part-name pairs within Levenshtein distance 2
+    — token-blocked candidates, length pregate, exact integer DP verify
+    (operators/dedup.py::fuzzy_pairs)."""
+    return dd.fuzzy_pairs(read_table(spark, sf_dir, "part"), "p_name", max_dist=2)

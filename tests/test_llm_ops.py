@@ -648,3 +648,26 @@ def test_ngram_topk_counts_occurrences_and_docs(spark):
     rows = ngram_topk(df, "doc_id", "text", n=3, k=2).collect()
     assert (rows[0].ngram, rows[0].n_occurrences, rows[0].n_docs) == ("x y z", 3, 2)
     assert rows[1].n_occurrences == 1  # every other trigram appears once
+
+
+def test_fuzzy_pairs_blocking_and_verify(spark):
+    """Token-blocked fuzzy matching: one-token-edited pairs found with the
+    exact distance; all-tokens-edited pairs missed (the documented recall
+    contract); distance > k verified away."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "red bolt"), (2, "red bolts"),      # dist 1, share 'red'
+            (3, "blue gear"), (4, "blux gearz"),    # dist 2 but EVERY token edited -> missed
+            (5, "hot widget"), (6, "hot wodget"),   # dist 1, share 'hot'
+            (7, "green ring"), (8, "green bolts"),   # share 'green', passes the
+            # length pregate (10 vs 11) but dist 5 -> killed by the DP verify
+        ],
+        ["id", "name"],
+    )
+    got = {(r.name_a, r.name_b): r.dist for r in fuzzy_pairs(df, "name", max_dist=2).collect()}
+    assert got[("red bolt", "red bolts")] == 1
+    assert got[("hot widget", "hot wodget")] == 1
+    assert ("blue gear", "blux gearz") not in got   # recall contract
+    assert not any("green" in a for a, _ in got)    # dist 3 rejected
