@@ -768,3 +768,43 @@ def events_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same callable runs on readStream).  The oracle expands each event
     to its len/slide window starts with integer-microsecond arithmetic."""
     return hopping_counts(read_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@query(
+    "events_retention_cohorts",
+    driver=False,  # cohort face of the gated window+agg families
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+    act AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+        FROM events e JOIN firsts f USING (user_id))
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+           COUNT(*) AS n_active_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day, counted as active
+    per day-offset since their cohort — the product-analytics triangle.
+    The firsts aggregate is (user, day) sized and broadcasts back onto the
+    event stream; the distinct + count pair shuffles (user, cohort, offset)
+    keys only.  Day arithmetic is integer date-diff — engine-exact."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"), "day_offset"
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
