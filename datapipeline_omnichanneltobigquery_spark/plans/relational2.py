@@ -808,3 +808,57 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy(
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"), "day_offset"
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+@query(
+    "events_funnel_signup_purchase",
+    driver=False,  # ordered-sequence face of the gated agg/join families
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (
+        SELECT e.user_id, MIN(e.ts) AS t1
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s.t0 GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > v.t1 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM v) AS n_view_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+)
+def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (signup -> later view -> later purchase): each
+    stage's entry time is the user's earliest qualifying event STRICTLY
+    AFTER the previous stage's — the order constraint a naive
+    per-event-type count gets wrong.  Stage tables shrink monotonically and
+    broadcast onto the next filter; three aggregates, three broadcast
+    joins, no self-join explosion."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
