@@ -35,6 +35,8 @@ def profile_columns(
     (so numeric order, not lexicographic) and cast to string only for the
     uniform long-form schema."""
     cols = cols or df.columns
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
     nd = F.approx_count_distinct if approx else F.countDistinct
     types = dict(df.dtypes)
     # string/binary min-max buffers disqualify HashAggregate; in exact mode

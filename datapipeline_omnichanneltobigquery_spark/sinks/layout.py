@@ -77,9 +77,23 @@ def compact_files(
     import math
     import shutil
 
+    subdirs = [
+        f for f in os.listdir(path)
+        if os.path.isdir(os.path.join(path, f)) and not f.startswith((".", "_"))
+    ]
+    if subdirs:
+        # a hive-partitioned layout: a flat rewrite would silently discard
+        # the directory partitioning (and its pruning) — refuse; compact
+        # each partition directory individually instead
+        raise ValueError(
+            f"{path} contains partition subdirectories {subdirs[:3]}...; "
+            "compact each partition directory, not the root"
+        )
     files = [
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
     ]
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     tmp, old = path.rstrip("/") + "__compact_tmp", path.rstrip("/") + "__compact_old"

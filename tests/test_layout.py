@@ -73,3 +73,17 @@ def test_compact_files_shrinks_and_preserves(spark, tmp_path):
     )
     assert not os.path.exists(path + "__compact_tmp")
     assert not os.path.exists(path + "__compact_old")
+
+
+def test_compact_refuses_partitioned_layout(spark, tmp_path):
+    """Compacting the ROOT of a hive-partitioned layout would flatten the
+    directory partitioning — must refuse."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.sinks.layout import compact_files
+
+    orders = read_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    path = str(tmp_path / "parted")
+    orders.write.partitionBy("o_orderstatus").parquet(path)
+    with pytest.raises(ValueError, match="partition subdirectories"):
+        compact_files(spark, path)
