@@ -742,7 +742,6 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fuzzy_part_names",
-    driver=False,  # edit-distance cousin of the gated near-dup family
     oracle=dd.fuzzy_pairs_sql("part", "p_name", max_dist=2),
 )
 def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -425,6 +425,7 @@ def scalar_null_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "subquery_suite",
+    driver=False,  # rotated out r4 (green r2+r3; family keeps local parity x3); slot given to fuzzy_part_names
     oracle="""
     SELECT 'above_avg' AS subq_kind, o_orderkey, CAST(o_totalprice AS DOUBLE) AS val
     FROM orders
