@@ -425,3 +425,124 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    driver=False,  # filter+agg shape; scan family gated via event_time_filter/q1
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + ungrouped aggregate — every predicate
+    must reach the parquet scan (PushedFilters carries all four), and the
+    aggregate is a two-phase partial/final with no grouping keys: the
+    minimal full-scan query, bounded only by IO."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(money(F.col("l_extendedprice")) * money(F.col("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    driver=False,  # agg + scalar-subquery-max shape; families gated via q18/topk
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' consumed twice — by the max
+    scalar subquery and the equality filter.  The two consumers are NOT
+    identical exchange subtrees, so exchange reuse cannot dedupe them; the
+    per-supplier aggregate (supplier-count rows, tiny at any corpus scale)
+    is one-shot localCheckpointed instead — the quarter's lineitem scan +
+    aggregate runs exactly once, both branches read the materialized rows
+    (the dedup.py:238 discipline).  Ties return every top supplier,
+    exactly like the spec."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(money(F.col("l_extendedprice")) * (F.lit(1) - money(F.col("l_discount"))))
+            .cast("double")
+            .alias("total_revenue")
+        )
+        .localCheckpoint()
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    driver=False,  # correlated-avg shape; subquery family keeps local parity
+    oracle="""
+    WITH avg_q AS (
+        SELECT l_partkey, 0.2 * AVG(CAST(l_quantity AS DECIMAL(18,2))) AS threshold
+        FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_q a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < a.threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated per-part average de-correlated into
+    an aggregate-then-join (what Catalyst does to the subquery form): the
+    per-part threshold table is fact-sized-by-key, so it broadcasts after
+    its aggregate; the brand filter prunes the probe side first.  The
+    /7.0 ratio is applied once on the DECIMAL-exact sum."""
+    l = read_table(spark, sf_dir, "lineitem")
+    avg_q = l.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg(money(F.col("l_quantity")))).alias("threshold")
+    )
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_q.withColumnRenamed("l_partkey", "pk")), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(money(F.col("l_extendedprice"))) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
