@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from datapipeline_omnichanneltobigquery_spark.operators import corpus_prep as cp
 from datapipeline_omnichanneltobigquery_spark.operators import decontam as dc
 from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import ir
@@ -749,3 +750,26 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     — token-blocked candidates, length pregate, exact integer DP verify
     (operators/dedup.py::fuzzy_pairs)."""
     return dd.fuzzy_pairs(read_table(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
+@query(
+    "corpus_prep_full",
+    oracle=cp.prepare_corpus_sql(
+        _DECONTAM_TRAIN, _DECONTAM_BENCH, "doc_id", "text",
+        min_quality=0.7,
+        out_cols="doc_id, lang, source, n_chars, split",
+    ),
+)
+def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus prep as one verified composition: dedup
+    (exact → near-dup clusters → canonical keep) → benchmark
+    decontamination (same fixture as text_decontaminate) → quality filter
+    (score ≥ 0.7) → deterministic train/val/test hash split — each stage
+    already gated alone; this row hash-checks their composition end-to-end
+    (operators/corpus_prep.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 29 != 7)
+    bench = docs.filter(F.col("doc_id") % 29 == 7)
+    return cp.prepare_corpus(
+        train, bench, "doc_id", "text", min_quality=0.7
+    ).select("doc_id", "lang", "source", "n_chars", "split")

@@ -588,6 +588,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_grouping_multi",
+    driver=False,  # rotated out r4 (green r2+r3; agg family keeps 4 gated rows); slot given to corpus_prep_full
     oracle="""
     SELECT 'rollup' AS agg_kind, l_returnflag AS g1, l_linestatus AS g2, COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)

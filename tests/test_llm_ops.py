@@ -671,3 +671,46 @@ def test_fuzzy_pairs_blocking_and_verify(spark):
     assert got[("hot widget", "hot wodget")] == 1
     assert ("blue gear", "blux gearz") not in got   # recall contract
     assert not any("green" in a for a, _ in got)    # dist 3 rejected
+
+
+def test_corpus_prep_stage_invariants(spark):
+    """Every surviving row individually satisfies each stage's contract:
+    canonical under dedup, uncontaminated, quality >= threshold; split
+    labels are a valid deterministic partition."""
+    from datapipeline_omnichanneltobigquery_spark.operators import corpus_prep as cp
+    from datapipeline_omnichanneltobigquery_spark.operators import decontam as dc
+    from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
+    from datapipeline_omnichanneltobigquery_spark.operators import textstats as tst
+
+    docs = read_table(spark, SF_DIR, "documents")
+    train = docs.filter(F.col("doc_id") % 29 != 7)
+    bench = docs.filter(F.col("doc_id") % 29 == 7)
+    out = cp.prepare_corpus(train, bench, "doc_id", "text", min_quality=0.7)
+    rows = out.collect()
+    ids = {r.doc_id for r in rows}
+    assert rows and len(ids) == len(rows)  # no duplicate ids emitted
+
+    keep = {
+        r.id
+        for r in dd.dedup_pipeline(train, "doc_id", "text").filter(F.col("keep")).collect()
+    }
+    assert ids <= keep
+    contaminated = {
+        r.train_id
+        for r in dc.contamination_pairs(
+            train, bench, "doc_id", "text", "doc_id", "text",
+            n=5, min_overlap=3, max_df_bench=8,
+        ).collect()
+    }
+    assert not (ids & contaminated)
+    quality = {
+        r.doc_id: r.quality_score
+        for r in tst.text_quality(train, "doc_id", "text").collect()
+    }
+    assert all(quality[i] >= 0.7 for i in ids)
+
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    again = {(r.doc_id, r.split) for r in
+             cp.prepare_corpus(train, bench, "doc_id", "text", min_quality=0.7).collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}  # deterministic
