@@ -59,12 +59,8 @@ def prepare_corpus(
         max_df_bench=decontam_max_df_bench,
     )
 
-    good_ids = (
-        ts.text_quality(clean, id_col, text_col)
-        .filter(F.col("quality_score") >= min_quality)
-        .select(id_col)
-    )
-    good = clean.join(good_ids, id_col, "left_semi")
+    # map-side score-and-filter: no metrics projection, no semi-join back
+    good = clean.filter(ts.quality_score(F.col(text_col)) >= F.lit(min_quality))
 
     return sa.hash_split(good, id_col, split_weights, seed=split_seed)
 

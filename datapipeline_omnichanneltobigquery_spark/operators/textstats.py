@@ -35,6 +35,25 @@ def _ws_tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+def quality_score(text: Column) -> Column:
+    """The composite [0,1] quality score as a bare column expression — long
+    enough, mostly alphabetic, not punctuation soup.  Exposed separately so
+    pipeline stages (operators/corpus_prep.py) can FILTER on it map-side
+    without materializing the full metrics projection."""
+    toks = _ws_tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    return (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + alpha_ratio * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+
+
 def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality features: char/token counts, mean word length,
     alpha & punctuation & stopword ratios, plus a composite [0,1] score
@@ -50,12 +69,7 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
     punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
     mean_word_len = n_alpha.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
-    # composite: long enough, mostly alphabetic, not punctuation soup
-    score = (
-        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
-        + alpha_ratio * F.lit(0.4)
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
-    )
+    score = quality_score(text)
     return df.select(
         F.col(id_col),
         n_chars.cast("bigint").alias("n_chars"),
