@@ -473,7 +473,12 @@ def _dedup_pipeline_oracle() -> str:
     """
 
 
-@query("dedup_pipeline_full", oracle=_dedup_pipeline_oracle())  # rotated INTO the gate r4
+@query(
+    "dedup_pipeline_full",
+    driver=False,  # superseded mid-r4 by corpus_prep_full, whose composed oracle RUNS this
+    # whole chain as its first stage — keeping both gated would verify it twice
+    oracle=_dedup_pipeline_oracle(),
+)
 def dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-call dedup chain (exact fingerprint pass → near-dup pairs →
     star clustering → keep-list) verified END-TO-END against the composed

@@ -225,7 +225,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_local_supplier_volume",
-    driver=False,  # variant of the gated multiway-join family
+    # gated (rotated in mid-r4, slot from the superseded dedup_pipeline_full):
+    # the snowflake + cross-dimension-equality shape
     oracle="""
     SELECT n.n_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
