@@ -863,3 +863,33 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
     )
+
+
+@query(
+    "window_rank_distribution",
+    driver=False,  # distribution-function face of the gated window family
+    oracle="""
+    SELECT c_custkey,
+           NTILE(10) OVER w AS decile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    over one fully-deterministic ordering (unique-key tie-break — without
+    it every one of these is nondeterministic under ties).  One window,
+    one sort; the ratios are rank arithmetic, bitwise-identical across
+    engines."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("c_acctbal", "c_custkey")
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
