@@ -96,3 +96,38 @@ def profile_columns_sql(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return f"WITH agg AS (SELECT {', '.join(parts)} FROM {table})\n" + "\nUNION ALL\n".join(rows)
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Equal-width histogram over a FIXED [lo, hi) range: (bin, bin_lo,
+    n) with out-of-range values clamped into the edge bins — one map-side
+    bucket projection + one aggregate (the two-pass min/max+bucket dance is
+    for when you don't know the domain; fixing it keeps this a single
+    shuffle and makes the bucket arithmetic an identical double expression
+    on both engines).  NULLs are dropped."""
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)).cast("bigint")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"), "n")
+    )
+
+
+def histogram_sql(table: str, col: str, lo: float, hi: float, n_bins: int) -> str:
+    """DuckDB twin of :func:`histogram` (identical bucket arithmetic)."""
+    width = (hi - lo) / n_bins
+    raw = f"CAST(floor((CAST({col} AS DOUBLE) - {lo!r}) / {width!r}) AS BIGINT)"
+    b = f"least(greatest({raw}, 0), {n_bins - 1})"
+    return f"""
+    SELECT bin, {lo!r} + bin * {width!r} AS bin_lo, COUNT(*) AS n
+    FROM (SELECT {b} AS bin FROM {table} WHERE {col} IS NOT NULL)
+    GROUP BY bin
+    """

@@ -893,3 +893,14 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "histogram_order_totals",
+    driver=False,  # binned face of the gated profiling/agg families
+    oracle=pf.histogram_sql("orders", "o_totalprice", 0.0, 600000.0, 24),
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals — fixed-domain single-shuffle
+    binning (operators/profile.py::histogram)."""
+    return pf.histogram(read_table(spark, sf_dir, "orders"), "o_totalprice", 0.0, 600000.0, 24)
