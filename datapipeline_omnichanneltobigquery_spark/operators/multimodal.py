@@ -550,3 +550,53 @@ def sample_video_frames(payloads: DataFrame, every_n: int = 2) -> DataFrame:
         run,
         schema="doc_id bigint, frame_idx int, width int, height int, frame_bytes bigint",
     )
+
+
+def _wav_pcm(payload: bytes) -> tuple[int, int, bytes]:
+    """(sample_rate, channels, raw 8-bit PCM bytes) of a WAV payload —
+    the data-plane counterpart of :func:`decode_wav_meta`."""
+    import struct
+
+    if payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
+        raise NotImplementedError("non-WAV audio codecs not available in this environment")
+    pos = 12
+    rate = channels = None
+    data = b""
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            _, channels, rate = struct.unpack("<HHI", body[:8])
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # odd chunks carry a pad byte
+    if rate is None:
+        raise ValueError("WAV payload missing fmt chunk")
+    return rate, channels, data
+
+
+def decimate_audio(payloads: DataFrame, factor: int) -> DataFrame:
+    """Audio downsampling by integer decimation: keep every ``factor``-th
+    PCM frame and re-encode at sample_rate/factor — (doc_id, payload) with
+    spec-valid WAV output.  A mapInPandas stage like every codec here: the
+    payload column never leaves the executor, one Arrow batch in, one out;
+    at 100 TB the decimation is embarrassingly parallel and shuffle-free.
+    (Nearest-sample decimation, not filtered resampling — the honest
+    stdlib-only scope, mirroring the NN-resize choice for images.)"""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                rate, ch, data = _wav_pcm(bytes(p))
+                frames = [data[i : i + ch] for i in range(0, len(data), ch)]
+                kept = b"".join(frames[::factor])
+                out.append(encode_wav(kept, max(1, rate // factor), ch))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, payload binary"
+    )

@@ -714,3 +714,19 @@ def test_corpus_prep_stage_invariants(spark):
     again = {(r.doc_id, r.split) for r in
              cp.prepare_corpus(train, bench, "doc_id", "text", min_quality=0.7).collect()}
     assert again == {(r.doc_id, r.split) for r in rows}  # deterministic
+
+
+def test_audio_decimation_meta(spark):
+    """decimate_audio(4): sample rate divides by 4, frame count is
+    ceil(n/4), duration is preserved within one output sample period, and
+    the output is spec-valid WAV (re-parsed by the strict decoder)."""
+    docs = read_table(spark, SF_DIR, "documents").limit(8)
+    wavs = mm.attach_wav_payload(docs, "doc_id", "text", sample_rate=16000)
+    orig = {r.doc_id: r for r in mm.extract_audio_meta(wavs).collect()}
+    dec = {r.doc_id: r for r in mm.extract_audio_meta(mm.decimate_audio(wavs, 4)).collect()}
+    assert set(dec) == set(orig)
+    for k, d in dec.items():
+        o = orig[k]
+        assert d.sample_rate == 4000
+        assert d.n_samples == (o.n_samples + 3) // 4
+        assert abs(d.duration_s - o.duration_s) <= 1.0 / 4000 * 4
