@@ -104,3 +104,29 @@ def test_probe_join_is_broadcast(spark):
     )
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_sql_twin_matches_spark_without_cap(spark):
+    """The uncapped branch of contamination_pairs_sql (no df-cap CTE) is a
+    faithful twin: Spark and DuckDB agree on an in-memory corpus."""
+    import duckdb
+
+    from datapipeline_omnichanneltobigquery_spark.operators.decontam import (
+        contamination_pairs_sql,
+    )
+
+    train, bench = _corpus(spark)
+    con = duckdb.connect()
+    con.register("train_t", train.toPandas())
+    con.register("bench_t", bench.toPandas())
+    sql = contamination_pairs_sql(
+        "train_t", "bench_t", "doc_id", "text", "doc_id", "text", n=4, min_overlap=1
+    )
+    duck = {(int(a), int(b), int(c)) for a, b, c in con.sql(sql).fetchall()}
+    got = {
+        (r.train_id, r.bench_id, r.n_overlap)
+        for r in contamination_pairs(
+            train, bench, "doc_id", "text", "doc_id", "text", n=4, min_overlap=1
+        ).collect()
+    }
+    assert got == duck and got
