@@ -778,3 +778,43 @@ def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.prepare_corpus(
         train, bench, "doc_id", "text", min_quality=0.7
     ).select("doc_id", "lang", "source", "n_chars", "split")
+
+
+@query(
+    "corpus_report",
+    driver=False,  # one-row reporting face of the gated text/agg families
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate,
+           SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS total_tokens,
+           CAST(SUM(CAST(
+                 least(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) * 0.4
+                 + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                                / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0, 1.0)) * 0.2
+               AS DECIMAL(18,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
+           COUNT(*) FILTER (WHERE lang = 'en') AS n_en
+    FROM documents
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report in ONE aggregate row: size, exact-dup rate (md5
+    fingerprints), token volume, mean quality (decimal-summed so the double
+    average is order-independent and engine-exact), language share."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    q = ts.quality_score(F.col("text")).cast("decimal(18,9)")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("exact_dup_rate"),
+        F.sum(toks).alias("total_tokens"),
+        (F.sum(q).cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_quality"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+    )
