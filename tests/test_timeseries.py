@@ -110,3 +110,19 @@ def test_interp_midpoint_and_boundary(spark):
     assert rows[_ts("2024-01-01 02:00:00")] == 30.0  # midpoint of 20@1:30, 40@2:30
     assert rows[_ts("2024-01-01 03:00:00")] == 50.0  # 40 + (70-40)*(30/90)
     assert rows[_ts("2024-01-01 04:00:00")] == 70.0  # empty backward frame
+
+
+def test_interp_windows_share_one_sort(spark):
+    """The forward and backward bracketing windows must ride ONE sort (same
+    partitioning and ordering) — a second sort would double the dominant
+    cost of the fill stage."""
+    import re
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import resample_interp
+
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01 01:00:00"), 1.0), (1, _ts("2024-01-01 03:00:00"), 2.0)],
+        ["uid", "ts", "v"],
+    )
+    plan = resample_interp(df, "uid", "ts", "v", 3600)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bSort ", plan)) == 1
