@@ -904,3 +904,44 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram of order totals — fixed-domain single-shuffle
     binning (operators/profile.py::histogram)."""
     return pf.histogram(read_table(spark, sf_dir, "orders"), "o_totalprice", 0.0, 600000.0, 24)
+
+
+@query(
+    "cdc_snapshot_diff",
+    driver=False,  # CDC-extract inverse of the gated upsert_merge
+    oracle="""
+    SELECT op, o_orderkey, o_orderstatus, o_totalprice FROM (
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                     AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice THEN NULL
+                    ELSE 'update' END AS op,
+               COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+               CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice
+        FROM (SELECT * FROM orders) o
+        FULL OUTER JOIN (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 3
+        ) n ON o.o_orderkey = n.o_orderkey
+    ) WHERE op IS NOT NULL
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction (operators/upsert.py::snapshot_diff): diff yesterday's
+    snapshot against today's (deterministic synthetic mutation: every 7th
+    order deleted, every 5th repriced) into the insert/delete/update stream
+    that replays one into the other.  One full-outer key join, null-safe
+    comparison."""
+    from datapipeline_omnichanneltobigquery_spark.operators.upsert import snapshot_diff
+
+    old = read_table(spark, sf_dir, "orders")
+    new = old.filter(F.col("o_orderkey") % 7 != 3).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"])

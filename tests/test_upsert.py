@@ -82,3 +82,26 @@ def test_scd2_apply_versions(spark):
     assert rows[(1, "platinum")] == ("2024-04-01 00:00:00", None)  # current
     assert rows[(2, "bronze")] == ("2024-01-15 00:00:00", None)  # untouched
     assert out.count() == 5
+
+
+def test_snapshot_diff_classification(spark):
+    """insert/delete/update classified correctly; unchanged rows dropped;
+    NULL->NULL is unchanged and NULL->value is update (null-safe compare);
+    deleted rows carry their OLD values."""
+    from datapipeline_omnichanneltobigquery_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None), (5, "e")],
+        "id long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (3, None), (4, "now"), (5, "E"), (6, "f")],
+        "id long, v string",
+    )
+    got = {(r.op, r.id, r.v) for r in snapshot_diff(old, new, "id", ["v"]).collect()}
+    assert got == {
+        ("delete", 2, "b"),     # gone, old value carried
+        ("update", 4, "now"),   # NULL -> value
+        ("update", 5, "E"),
+        ("insert", 6, "f"),
+    }  # 1 (same) and 3 (NULL==NULL) are absent
