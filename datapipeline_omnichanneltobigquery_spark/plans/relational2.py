@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
 from datapipeline_omnichanneltobigquery_spark.operators import timeseries as tsr
+from datapipeline_omnichanneltobigquery_spark.operators.upsert import snapshot_diff_sql
 from datapipeline_omnichanneltobigquery_spark.plans.queries import query
 from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
 from datapipeline_omnichanneltobigquery_spark.streaming.windows import hopping_counts
@@ -909,25 +910,15 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cdc_snapshot_diff",
     driver=False,  # CDC-extract inverse of the gated upsert_merge
-    oracle="""
-    SELECT op, o_orderkey, o_orderstatus, o_totalprice FROM (
-        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
-                    WHEN n.o_orderkey IS NULL THEN 'delete'
-                    WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
-                     AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice THEN NULL
-                    ELSE 'update' END AS op,
-               COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
-               CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
-               CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice
-        FROM (SELECT * FROM orders) o
-        FULL OUTER JOIN (
-            SELECT o_orderkey, o_orderstatus,
+    oracle=snapshot_diff_sql(
+        "orders",
+        """(SELECT o_orderkey, o_orderstatus,
                    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
                         ELSE o_totalprice END AS o_totalprice
-            FROM orders WHERE o_orderkey % 7 <> 3
-        ) n ON o.o_orderkey = n.o_orderkey
-    ) WHERE op IS NOT NULL
-    """,
+            FROM orders WHERE o_orderkey % 7 <> 3)""",
+        "o_orderkey",
+        ["o_orderstatus", "o_totalprice"],
+    ),
 )
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC extraction (operators/upsert.py::snapshot_diff): diff yesterday's
