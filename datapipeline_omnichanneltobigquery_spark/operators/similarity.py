@@ -406,10 +406,16 @@ def ivf_topk(
         .limit(n_probe)
         .select("cid")
     )
+    # probe is ≤ n_probe rows (bounded by construction) — broadcast is safe.
+    # probed_ids is n_probe/n_centroids of the WHOLE corpus's ids: at 10⁹
+    # vectors a forced broadcast of it is a multi-GB driver/executor OOM, so
+    # NO hint — Catalyst/AQE picks a shuffle semi-join once it outgrows the
+    # auto-broadcast threshold.  The deployment path avoids this semi-join
+    # entirely (ivf_topk_from_index: partition-pruned postings reads).
     probed_ids = assign.join(F.broadcast(probe), assign.cluster == probe.cid, "left_semi").select(
         id_col
     )
-    cand = unit.join(F.broadcast(probed_ids), id_col, "left_semi")
+    cand = unit.join(probed_ids, id_col, "left_semi")
     return (
         cand.crossJoin(q)
         .filter(F.col(id_col) != query_vec_id)
@@ -526,12 +532,17 @@ def ivf_topk_from_index(
     n_probe: int = 4,
     id_col: str = "vec_id",
     dim: int | None = None,
+    exclude_id: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a PERSISTED IVF index: rank centroids for the query
     vector (tiny table, driver-side collect of n_probe ids is fine), then
     scan ONLY the probed cluster partitions — the filter on ``cluster`` is a
     directory-level PartitionFilter, so the 100 TB index reads
-    n_probe/n_centroids of its bytes per query."""
+    n_probe/n_centroids of its bytes per query.
+
+    ``exclude_id`` drops that corpus id BEFORE the top-k (the "don't return
+    the query itself" contract when the query vector came from the corpus —
+    filtering after the limit would shortchange k)."""
     import math
 
     nrm = math.sqrt(sum(v * v for v in query_vec)) or 1.0
@@ -546,6 +557,8 @@ def ivf_topk_from_index(
         .collect()
     ]
     postings = spark.read.parquet(f"{path}/postings").filter(F.col("cluster").isin(probe))
+    if exclude_id is not None:
+        postings = postings.filter(F.col(id_col) != exclude_id)
     return (
         postings.select(id_col, dot(qcol, F.col("__u"), dim).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))

@@ -482,6 +482,31 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     assert ids_from_index == ids_in_memory
 
 
+def test_gated_ann_probes_persisted_index(spark):
+    """The driver-gated similarity_ann_ivf entry runs the PERSISTED-index
+    path: its probe plan is a join-free partition-pruned postings scan —
+    no corpus-id set is broadcast (or even joined) at query time."""
+    from datapipeline_omnichanneltobigquery_spark.plans.audit import plan_string
+    from datapipeline_omnichanneltobigquery_spark.plans.llm_ops import similarity_ann_ivf
+
+    df = similarity_ann_ivf(spark, SF_DIR_MID)
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan and "cluster" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_inline_ivf_broadcasts_only_bounded_inputs(spark):
+    """The inline ivf_topk fallback may hint broadcasts ONLY for inputs
+    bounded by construction: the 1-row query vector, the ≤n_probe probe
+    list, and the ≤n_centroids centroid table — never the probed corpus-id
+    set (n_probe/n_centroids of the whole corpus)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, SF_DIR_MID, "embeddings")
+    analyzed = ivf_topk(emb, 0, 10, n_centroids=16, n_probe=4)._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 3, analyzed
+
+
 def test_jaccard_max_df_caps_hot_shingle_candidates(spark):
     """Zipf-head worst case: ONE shingle shared by every doc.  With the df
     cap, candidate generation never touches it — the candidate set is exactly
