@@ -941,77 +941,146 @@ def dedup_pipeline(
 # ---------------------------------------------------------------------------
 
 
-def fuzzy_pairs(
-    df: DataFrame,
-    name_col: str,
-    max_dist: int = 2,
-    max_df: int | None = None,
-) -> DataFrame:
+def _passjoin_candidates(names: DataFrame, max_dist: int) -> DataFrame:
+    """EXACT-RECALL candidate pairs for edit distance ≤ k by PassJoin-style
+    segment blocking (Li, Deng & Feng, PVLDB 2011): (name_a, name_b),
+    name_a < name_b, guaranteed to contain every pair within distance k.
+
+    Why it's exact: partition the SHORTER string of a pair into k+1
+    contiguous segments.  An optimal alignment performs ≤ k edit
+    operations, so by pigeonhole at least one segment is untouched — it
+    appears VERBATIM in the longer string, shifted from its home position
+    by the net insertions/deletions before it, which is bounded by ±k.
+    So: every string INDEXES its own k+1 (position, length-anchored)
+    segments, and PROBES, for each candidate shorter-side length
+    la ∈ [L−k, L] and each segment slot, every substring within the ±k
+    position window — an equi-join on (la, seg_i, seg).
+
+    Why it's linear: per string the probe emits ≤ (k+1)²·(2k+1) keys (45
+    at k=2) and the index k+1 keys, regardless of vocabulary.  Unlike
+    token blocking — whose candidate count is Σ df² over the token index
+    and degenerates to ~n² on closed vocabularies where every token's df
+    grows with n — a key here is a position-anchored SUBSTRING of the
+    name, so two names only collide when they agree on that exact slice:
+    candidate volume tracks true near-duplicates, not vocabulary reuse
+    (asserted on a closed vocabulary in
+    tests/test_llm_ops.py::test_passjoin_linear_on_closed_vocabulary).
+
+    Strings shorter than k+1 characters can't donate k+1 non-empty
+    segments (and a ≤k-length string can be edited in EVERY character),
+    so they pair through a tiny side branch keyed on exact length — both
+    sides bounded by the count of near-empty strings."""
+    k = int(max_dist)
+    nseg = k + 1
+
+    def seg_exprs(lv: str) -> tuple[str, str]:
+        base, rem = f"({lv} div {nseg})", f"({lv} % {nseg})"
+        start = f"(i * {base} + least(i, {rem}) + 1)"
+        slen = f"({base} + if(i < {rem}, 1, 0))"
+        return start, slen
+
+    n = names.withColumn("L", F.length("name"))
+    i_start, i_len = seg_exprs("L")
+    idx = (
+        n.filter(F.col("L") >= nseg)
+        .select(
+            F.col("name").alias("name_a"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {k}), i -> named_struct("
+                    f"'la', L, 'seg_i', i, "
+                    f"'seg', substring(name, {i_start}, {i_len})))"
+                )
+            ).alias("s"),
+        )
+        .select("name_a", "s.la", "s.seg_i", "s.seg")
+    )
+    p_start, p_len = seg_exprs("la")
+    probe = (
+        n.filter(F.col("L") >= nseg)
+        .select(
+            "name",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(greatest({nseg}, L - {k}), L), la -> "
+                    f"flatten(transform(sequence(0, {k}), i -> "
+                    f"transform(sequence(greatest(1, {p_start} - {k}), "
+                    f"           least(L - {p_len} + 1, {p_start} + {k})), p -> "
+                    f"named_struct('la', la, 'seg_i', i, "
+                    f"'seg', substring(name, p, {p_len})))))))"
+                )
+            ).alias("s"),
+        )
+        .select(F.col("name").alias("name_b"), "s.la", "s.seg_i", "s.seg")
+        .distinct()  # overlapping windows re-emit identical slices
+    )
+    long_cand = (
+        idx.join(probe, ["la", "seg_i", "seg"])
+        .filter(F.col("name_a") != F.col("name_b"))
+        .select(
+            F.least("name_a", "name_b").alias("__pa"),
+            F.greatest("name_a", "name_b").alias("__pb"),
+        )
+        .select(F.col("__pa").alias("name_a"), F.col("__pb").alias("name_b"))
+    )
+    short_idx = n.filter(F.col("L") <= k).select(
+        F.col("L").alias("t"), F.col("name").alias("name_s")
+    )
+    short_cand = (
+        n.filter(F.col("L") <= 2 * k)
+        .select(
+            "name",
+            F.explode(F.expr(f"sequence(greatest(0, L - {k}), least({k}, L))")).alias("t"),
+        )
+        .join(short_idx, "t")
+        .filter(F.col("name") != F.col("name_s"))
+        .select(
+            F.least("name", "name_s").alias("name_a"),
+            F.greatest("name", "name_s").alias("name_b"),
+        )
+    )
+    return long_cand.unionByName(short_cand).distinct()
+
+
+def fuzzy_pairs(df: DataFrame, name_col: str, max_dist: int = 2) -> DataFrame:
     """Near-identical string pairs by Levenshtein distance ≤ ``max_dist``
     over DISTINCT values of ``name_col`` — (name_a, name_b, dist), a < b.
 
-    Scale design: never all-pairs.  Candidates come from the whitespace-
-    token inverted index (pairs sharing ≥ 1 exact token), with an optional
-    ``max_df`` token-frequency cap exactly like the Jaccard path; the
-    length-difference pregate (|len a − len b| ≤ k ⇒ necessary for
-    edit ≤ k) kills most candidates before the DP runs, and the exact
-    ``levenshtein`` verifies the rest — integer DP, engine-identical, so
-    the DuckDB twin hash-matches.
+    Scale design: never all-pairs.  Candidates come from PassJoin segment
+    blocking (:func:`_passjoin_candidates`) — EXACT recall with
+    per-string-linear candidate volume even on closed vocabularies, the
+    failure mode that makes token blocking quadratic.  The verify stage is
+    Spark's banded Levenshtein (``levenshtein(a, b, threshold)``): the DP
+    early-exits as soon as the distance provably exceeds ``max_dist``, so
+    each surviving candidate costs O(len·k) instead of O(len²).
 
-    Recall contract (documented trade-off of token blocking): a pair is
-    discovered iff at least one token is edit-free — edits confined to ≤
-    max_dist characters of OTHER tokens.  A pair whose every token is
-    edited (possible when max_dist ≥ #tokens) is missed; at 100 TB that is
-    the standard candidate-generation economy (PassJoin-style segment
-    blocking is the exact-recall upgrade path)."""
+    Because recall is exact, the DuckDB oracle is the DEFINITION (naive
+    length-pregated all-pairs, :func:`fuzzy_pairs_sql`) rather than a
+    mirrored blocking scheme — the hash gate therefore verifies the
+    blocking's exactness, not just engine agreement on one heuristic."""
     names = df.select(F.trim(F.lower(F.col(name_col))).alias("name")).distinct()
-    toks = names.select(
-        "name", F.explode(F.split(F.col("name"), r"\s+")).alias("tok")
-    ).distinct()
-    if max_df is not None:
-        w = Window.partitionBy("tok")
-        toks = (
-            toks.withColumn("__df", F.count(F.lit(1)).over(w))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-        )
-    a, b = toks.alias("a"), toks.alias("b")
-    cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.name") < F.col("b.name")))
-        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
-        .distinct()
-    )
+    cand = _passjoin_candidates(names, max_dist)
     return (
-        cand.filter(
-            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"), int(max_dist))
         )
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)  # banded DP returns -1 past the threshold
     )
 
 
-def fuzzy_pairs_sql(
-    table: str, name_col: str, max_dist: int = 2, max_df: int | None = None
-) -> str:
-    """DuckDB twin of :func:`fuzzy_pairs` (same blocking, same pregate)."""
-    cap = (
-        f"""toks AS (
-        SELECT name, tok FROM (
-            SELECT name, tok, COUNT(*) OVER (PARTITION BY tok) AS df FROM toks0)
-        WHERE df <= {max_df})"""
-        if max_df is not None
-        else "toks AS (SELECT name, tok FROM toks0)"
-    )
+def fuzzy_pairs_sql(table: str, name_col: str, max_dist: int = 2) -> str:
+    """DuckDB oracle of :func:`fuzzy_pairs` — the SEMANTIC definition
+    (all distinct-value pairs within edit distance ``max_dist``), not the
+    blocking scheme: segment blocking has exact recall, so matching this
+    naive form IS the recall proof.  The length pregate is the only
+    optimization (|len a − len b| ≤ k is necessary for edit ≤ k); fine at
+    oracle scale, while the Spark side stays linear."""
     return f"""
-    WITH names AS (SELECT DISTINCT trim(lower({name_col})) AS name FROM {table}),
-    toks0 AS (SELECT DISTINCT name, UNNEST(regexp_split_to_array(name, '\\s+')) AS tok
-              FROM names),
-    {cap},
-    cand AS (
-        SELECT DISTINCT a.name AS name_a, b.name AS name_b
-        FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name)
-    SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
-    FROM cand
-    WHERE abs(length(name_a) - length(name_b)) <= {max_dist}
-      AND levenshtein(name_a, name_b) <= {max_dist}
+    WITH names AS (SELECT DISTINCT trim(lower({name_col})) AS name FROM {table})
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM names a JOIN names b
+      ON a.name < b.name
+     AND abs(length(a.name) - length(b.name)) <= {max_dist}
+    WHERE levenshtein(a.name, b.name) <= {max_dist}
     """

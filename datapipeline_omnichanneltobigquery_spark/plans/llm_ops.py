@@ -767,8 +767,10 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: part-name pairs within Levenshtein distance 2
-    — token-blocked candidates, length pregate, exact integer DP verify
-    (operators/dedup.py::fuzzy_pairs)."""
+    — PassJoin segment-blocked candidates (exact recall, linear even on
+    closed vocabularies) + banded-DP verify (operators/dedup.py
+    ::fuzzy_pairs).  The oracle is the naive all-pairs DEFINITION, so the
+    hash gate proves the blocking misses nothing."""
     return dd.fuzzy_pairs(read_table(spark, sf_dir, "part"), "p_name", max_dist=2)
 
 

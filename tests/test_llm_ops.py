@@ -676,26 +676,75 @@ def test_ngram_topk_counts_occurrences_and_docs(spark):
 
 
 def test_fuzzy_pairs_blocking_and_verify(spark):
-    """Token-blocked fuzzy matching: one-token-edited pairs found with the
-    exact distance; all-tokens-edited pairs missed (the documented recall
-    contract); distance > k verified away."""
+    """Segment-blocked fuzzy matching has EXACT recall: pairs with every
+    token edited (which token blocking missed) are found with the exact
+    distance; distance > k candidates are verified away."""
     from datapipeline_omnichanneltobigquery_spark.operators.dedup import fuzzy_pairs
 
     df = spark.createDataFrame(
         [
-            (1, "red bolt"), (2, "red bolts"),      # dist 1, share 'red'
-            (3, "blue gear"), (4, "blux gearz"),    # dist 2 but EVERY token edited -> missed
-            (5, "hot widget"), (6, "hot wodget"),   # dist 1, share 'hot'
-            (7, "green ring"), (8, "green bolts"),   # share 'green', passes the
-            # length pregate (10 vs 11) but dist 5 -> killed by the DP verify
+            (1, "red bolt"), (2, "red bolts"),      # dist 1
+            (3, "blue gear"), (4, "blux gearz"),    # dist 2, EVERY token edited
+            (5, "hot widget"), (6, "hot wodget"),   # dist 1
+            (7, "green ring"), (8, "green bolts"),  # passes the length
+            # pregate (10 vs 11) but dist 5 -> killed by the DP verify
         ],
         ["id", "name"],
     )
     got = {(r.name_a, r.name_b): r.dist for r in fuzzy_pairs(df, "name", max_dist=2).collect()}
     assert got[("red bolt", "red bolts")] == 1
     assert got[("hot widget", "hot wodget")] == 1
-    assert ("blue gear", "blux gearz") not in got   # recall contract
-    assert not any("green" in a for a, _ in got)    # dist 3 rejected
+    assert got[("blue gear", "blux gearz")] == 2    # exact recall upgrade
+    assert not any("green" in a for a, _ in got)    # dist 5 rejected
+
+
+def test_passjoin_linear_on_closed_vocabulary(spark):
+    """The closed-vocabulary worst case that makes token blocking quadratic
+    (every token's df grows with n): PassJoin segment blocking must (a)
+    agree EXACTLY with the naive all-pairs definition — recall proof — and
+    (b) generate candidates linear in n, not Σ df² ≈ n²."""
+    import hashlib
+
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        _passjoin_candidates,
+        fuzzy_pairs,
+    )
+
+    vocab = [f"word{v:02d}" for v in range(92)]
+    def make(i):
+        return " ".join(
+            vocab[int(hashlib.md5(f"{i}:{j}".encode()).hexdigest(), 16) % 92]
+            for j in range(5)
+        )
+
+    names = sorted({make(i) for i in range(1500)})
+    mutated = [n[:3] + "x" + n[4:] for n in names[:40]]          # substitute
+    mutated += [n[:5] + n[6:] for n in names[40:80]]             # delete
+    df = spark.createDataFrame([(n,) for n in names + mutated], ["name"])
+
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_pairs(df, "name", max_dist=2).collect()
+    }
+    nm = df.select(F.trim(F.lower("name")).alias("name")).distinct()
+    a, b = nm.alias("a"), nm.alias("b")
+    naive = (
+        a.crossJoin(b)
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+    want = {(r.name_a, r.name_b, r.dist) for r in naive.collect()}
+    assert got == want
+    assert len(want) >= 80  # the injected mutations are all discovered
+
+    n = nm.count()
+    n_cand = _passjoin_candidates(nm, 2).count()
+    assert n_cand < 30 * n, (n_cand, n)  # linear, nowhere near n²/2
 
 
 def test_corpus_prep_stage_invariants(spark):
