@@ -18,6 +18,7 @@ from datapipeline_omnichanneltobigquery_spark.streaming.windows import (
 
 @query(
     "events_tumbling_hourly",
+    driver=False,  # rotated out r5 (green r3+r4; events_session_stats keeps the streaming-twin family gated)
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,

@@ -292,6 +292,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_chunking",
+    driver=False,  # rotated out r5 (green r3+r4; profile/scrub/bm25/logprob/decontam keep text gated)
     oracle="""
     SELECT doc_id, CAST(pos // 32 AS BIGINT) AS chunk_id,
            string_agg(tok, ' ' ORDER BY pos) AS chunk,

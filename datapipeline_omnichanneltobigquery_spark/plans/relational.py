@@ -56,6 +56,7 @@ def join_inner_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_left_order_counts",
+    driver=False,  # rotated out r5 (green r3+r4; inner/anti/multiway keep the join family gated)
     oracle="""
     SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
@@ -76,6 +77,7 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_semi_active_customers",
+    driver=False,  # rotated out r5 (green r3+r4; anti-join cousin stays gated)
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
@@ -537,6 +539,7 @@ def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_percentiles",
+    driver=False,  # rotated out r5 (green r3+r4; sketches/pivot keep the agg family gated)
     oracle="""
     SELECT l_returnflag,
            quantile_cont(l_extendedprice, 0.5) AS p50,

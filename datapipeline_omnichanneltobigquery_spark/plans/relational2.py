@@ -507,7 +507,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "skew_salted_join",
-    driver=False,  # semantics-preserving rewrite of the gated join family
+    # rotated INTO the gate r5 (never driver-verified before)
     oracle="""
     SELECT o.o_orderkey, c.c_mktsegment
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
@@ -532,7 +532,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_variant_ops",
-    driver=False,  # variant-typed twin of the gated JSON family (json_ops_suite)
+    # rotated INTO the gate r5 (never driver-verified before)
     oracle="""
     SELECT event_id,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
@@ -774,7 +774,7 @@ def events_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_retention_cohorts",
-    driver=False,  # cohort face of the gated window+agg families
+    # rotated INTO the gate r5 (never driver-verified before)
     oracle="""
     WITH firsts AS (
         SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
@@ -791,15 +791,17 @@ def events_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen day, counted as active
     per day-offset since their cohort — the product-analytics triangle.
-    The firsts aggregate is (user, day) sized and broadcasts back onto the
-    event stream; the distinct + count pair shuffles (user, cohort, offset)
-    keys only.  Day arithmetic is integer date-diff — engine-exact."""
+    The firsts aggregate is one row per user — NOT bounded-small, so no
+    broadcast hint (AQE decides); its join with the event stream shares the
+    user_id clustering with the aggregate that built it.  The distinct +
+    count pair shuffles (user, cohort, offset) keys only.  Day arithmetic
+    is integer date-diff — engine-exact."""
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
     firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     act = (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_day",
@@ -814,7 +816,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_funnel_signup_purchase",
-    driver=False,  # ordered-sequence face of the gated agg/join families
+    # rotated INTO the gate r5 (never driver-verified before)
     oracle="""
     WITH s AS (
         SELECT user_id, MIN(ts) AS t0 FROM events
@@ -836,8 +838,10 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     """Sequential funnel (signup -> later view -> later purchase): each
     stage's entry time is the user's earliest qualifying event STRICTLY
     AFTER the previous stage's — the order constraint a naive
-    per-event-type count gets wrong.  Stage tables shrink monotonically and
-    broadcast onto the next filter; three aggregates, three broadcast
+    per-event-type count gets wrong.  Stage tables shrink monotonically but
+    are NOT bounded-small (stage 1 is every signed-up user), so no
+    broadcast hints — AQE broadcasts when a stage is actually small and
+    falls back to a shuffle join when it isn't.  Three aggregates, three
     joins, no self-join explosion."""
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     s = (
@@ -847,14 +851,14 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     v = (
         ev.filter(F.col("event_type") == "view")
-        .join(F.broadcast(s), "user_id")
+        .join(s, "user_id")
         .filter(F.col("ts") > F.col("t0"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
@@ -909,7 +913,7 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_snapshot_diff",
-    driver=False,  # CDC-extract inverse of the gated upsert_merge
+    # rotated INTO the gate r5 (never driver-verified before)
     oracle=snapshot_diff_sql(
         "orders",
         """(SELECT o_orderkey, o_orderstatus,
