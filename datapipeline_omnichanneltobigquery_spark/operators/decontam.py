@@ -156,7 +156,11 @@ def decontaminate_sql(
         train_expr, bench_expr, train_id, train_text, bench_id, bench_text,
         n=n, min_overlap=min_overlap, max_df_bench=max_df_bench,
     )
+    # NOT EXISTS, not NOT IN: Spark's left_anti keeps a NULL-id train row
+    # (a null join key matches nothing), while NOT IN over any non-empty
+    # list yields NULL for it and drops it — NOT EXISTS matches the
+    # left_anti semantics exactly (same pattern as upsert_sql)
     return f"""
     SELECT {select_cols} FROM {train_expr} tr
-    WHERE tr.{train_id} NOT IN (SELECT train_id FROM ({pairs}))
+    WHERE NOT EXISTS (SELECT 1 FROM ({pairs}) p WHERE p.train_id = tr.{train_id})
     """

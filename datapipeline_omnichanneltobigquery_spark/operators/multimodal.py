@@ -560,19 +560,25 @@ def _wav_pcm(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
         raise NotImplementedError("non-WAV audio codecs not available in this environment")
     pos = 12
-    rate = channels = None
+    rate = channels = bits = None
     data = b""
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            _, channels, rate = struct.unpack("<HHI", body[:8])
+            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
         elif tag == b"data":
             data = body
         pos += 8 + ln + (ln & 1)  # odd chunks carry a pad byte
     if rate is None:
         raise ValueError("WAV payload missing fmt chunk")
+    if bits != 8:
+        # mirror decode_wav_meta's strictness: silently treating 16-bit
+        # samples as 8-bit frames would emit corrupted audio, not raise
+        raise NotImplementedError(
+            f"only 8-bit PCM WAV is decodable in this environment (got {bits}-bit)"
+        )
     return rate, channels, data
 
 

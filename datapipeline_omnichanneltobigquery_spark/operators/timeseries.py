@@ -30,12 +30,20 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def resample_ffill(
-    df: DataFrame, key_col: str, ts_col: str, val_col: str, step_seconds: int
-) -> DataFrame:
-    """(key, sample_ts, value): per-key fixed-step grid, forward-filled.
-    sample_ts is a real timestamp on exact step boundaries."""
-    step_us = int(step_seconds) * 1_000_000
+def _obs_and_grid(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step_us: int,
+    max_points_per_key: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of both resamplers: deduped observations in integer
+    microseconds, and the per-key grid — with a span guard.  A single
+    pathological key (years of span at a 1 s step) would otherwise
+    materialize one ``sequence()`` array of range/step entries in a single
+    row before the explode and OOM that task; the guard turns it into a
+    diagnosable per-key error naming the key and the point count."""
     m = F.unix_micros(F.col(ts_col))
     obs = (
         df.select(
@@ -55,9 +63,36 @@ def resample_ffill(
         )
         .filter(F.col("t1") >= F.col("t0"))
     )
-    grid = bounds.select(
-        "key", F.explode(F.sequence("t0", "t1", F.lit(step_us))).alias("m")
+    npts = (F.col("t1") - F.col("t0")) / F.lit(step_us) + 1
+    guarded = F.when(
+        npts <= F.lit(int(max_points_per_key)), F.sequence("t0", "t1", F.lit(step_us))
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "resample grid for key %s spans %s points at step "
+                f"{step_us} us (max_points_per_key={int(max_points_per_key)}) "
+                "— widen the step or raise the cap",
+                F.col("key").cast("string"),
+                npts.cast("bigint").cast("string"),
+            )
+        )
     )
+    grid = bounds.select("key", F.explode(guarded).alias("m"))
+    return obs, grid
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step_seconds: int,
+    max_points_per_key: int = 10_000_000,
+) -> DataFrame:
+    """(key, sample_ts, value): per-key fixed-step grid, forward-filled.
+    sample_ts is a real timestamp on exact step boundaries."""
+    step_us = int(step_seconds) * 1_000_000
+    obs, grid = _obs_and_grid(df, key_col, ts_col, val_col, step_us, max_points_per_key)
     u = grid.select(
         "key", "m", F.lit(None).cast("double").alias("value"), F.lit(1).alias("is_grid")
     ).unionByName(obs.select("key", "m", "value", F.lit(0).alias("is_grid")))
@@ -88,9 +123,13 @@ def resample_ffill_sql(
         SELECT {key_col} AS key, epoch_us({ts_col}) AS m, MAX({val_col}) AS value
         FROM {table} GROUP BY 1, 2),
     bounds AS (
+        -- floor-mod, not DuckDB's sign-following %: pre-1970 timestamps
+        -- have negative epoch-micros, and Spark's pmod is non-negative —
+        -- ((x % s) + s) % s buckets identically down to the tick
         SELECT key,
-               (MIN(m) + {step_us - 1}) - ((MIN(m) + {step_us - 1}) % {step_us}) AS t0,
-               MAX(m) - (MAX(m) % {step_us}) AS t1
+               (MIN(m) + {step_us - 1})
+                 - ((((MIN(m) + {step_us - 1}) % {step_us}) + {step_us}) % {step_us}) AS t0,
+               MAX(m) - (((MAX(m) % {step_us}) + {step_us}) % {step_us}) AS t1
         FROM obs GROUP BY key),
     grid AS (
         SELECT key, UNNEST(generate_series(t0, t1, {step_us})) AS m
@@ -111,7 +150,12 @@ def resample_ffill_sql(
 
 
 def resample_interp(
-    df: DataFrame, key_col: str, ts_col: str, val_col: str, step_seconds: int
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step_seconds: int,
+    max_points_per_key: int = 10_000_000,
 ) -> DataFrame:
     """Linear-interpolation resampling: like :func:`resample_ffill` but each
     sample point takes pv + (nv - pv) * ((t - pm) / (nm - pm)) between its
@@ -121,24 +165,7 @@ def resample_interp(
     share the exchange and sort).  The arithmetic is ordered identically in
     the SQL twin, so results are bitwise engine-equal."""
     step_us = int(step_seconds) * 1_000_000
-    m = F.unix_micros(F.col(ts_col))
-    obs = (
-        df.select(F.col(key_col).alias("key"), m.alias("m"), F.col(val_col).alias("value"))
-        .groupBy("key", "m")
-        .agg(F.max("value").alias("value"))
-    )
-    floor_m = lambda c: c - F.pmod(c, F.lit(step_us))  # noqa: E731
-    bounds = (
-        obs.groupBy("key")
-        .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
-        .select(
-            "key",
-            floor_m(F.col("lo") + F.lit(step_us - 1)).alias("t0"),
-            floor_m(F.col("hi")).alias("t1"),
-        )
-        .filter(F.col("t1") >= F.col("t0"))
-    )
-    grid = bounds.select("key", F.explode(F.sequence("t0", "t1", F.lit(step_us))).alias("m"))
+    obs, grid = _obs_and_grid(df, key_col, ts_col, val_col, step_us, max_points_per_key)
     u = grid.select(
         "key", "m", F.lit(None).cast("double").alias("value"), F.lit(1).alias("is_grid")
     ).unionByName(obs.select("key", "m", "value", F.lit(0).alias("is_grid")))
@@ -189,9 +216,13 @@ def resample_interp_sql(
         SELECT {key_col} AS key, epoch_us({ts_col}) AS m, MAX({val_col}) AS value
         FROM {table} GROUP BY 1, 2),
     bounds AS (
+        -- floor-mod, not DuckDB's sign-following %: pre-1970 timestamps
+        -- have negative epoch-micros, and Spark's pmod is non-negative —
+        -- ((x % s) + s) % s buckets identically down to the tick
         SELECT key,
-               (MIN(m) + {step_us - 1}) - ((MIN(m) + {step_us - 1}) % {step_us}) AS t0,
-               MAX(m) - (MAX(m) % {step_us}) AS t1
+               (MIN(m) + {step_us - 1})
+                 - ((((MIN(m) + {step_us - 1}) % {step_us}) + {step_us}) % {step_us}) AS t0,
+               MAX(m) - (((MAX(m) % {step_us}) + {step_us}) % {step_us}) AS t1
         FROM obs GROUP BY key),
     grid AS (
         SELECT key, UNNEST(generate_series(t0, t1, {step_us})) AS m

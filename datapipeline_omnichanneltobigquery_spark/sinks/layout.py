@@ -58,21 +58,36 @@ def file_ranges(path: str, col: str) -> list[tuple[str, object, object]]:
 
 
 def compact_files(
-    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
 ) -> dict[str, int]:
     """Small-file compaction: rewrite a parquet directory into
-    ceil(total_bytes / target) files and atomically swap it into place.
+    ceil(total_bytes / target) files and swap it into place.
 
     Streaming sinks, per-micro-batch upserts and over-parallel writes leave
     thousands of KB-sized files; at scale the scan's task-scheduling and
     footer-reading overhead then dwarfs the data read (the classic
-    small-file problem).  Compaction is pure re-layout: `repartition(n)` is
-    a round-robin exchange — no keys, no skew — sized so each output file
-    lands near the target (HDFS-block-ish 128 MiB default).
+    small-file problem).  Default compaction is pure re-layout:
+    `repartition(n)` is a round-robin exchange — no keys, no skew — sized
+    so each output file lands near the target (HDFS-block-ish 128 MiB
+    default).  Round-robin DESTROYS any range-sorted layout (and its
+    footer min/max data-skipping): to compact a directory produced by
+    :func:`write_range_sorted`, pass ``sort_col`` — the rewrite then uses
+    repartitionByRange + sortWithinPartitions, preserving tight per-file
+    spans at the new file count.
 
-    The rewrite goes to a sibling temp dir and replaces the original with
-    two renames (original → .old, temp → original, drop .old): readers see
-    either the old or the new complete directory, never a partial one.
+    Swap discipline (NOT atomic — plain filesystems have no atomic
+    directory swap): the rewrite lands complete in a sibling
+    ``__compact_tmp``, then two renames run (original → ``__compact_old``,
+    tmp → original) with a short window in between where ``path`` does not
+    exist; a concurrent reader in that window fails and should retry.  Use
+    under the same external mutual exclusion as any overwrite of ``path``
+    (a table-format commit protocol is the real fix at scale).  Crash
+    recovery: the ORIGINAL data survives every failure point — before the
+    first rename it is still at ``path``; between the renames and until
+    cleanup it is intact under ``__compact_old`` (rename it back to
+    ``path``, drop ``__compact_tmp``); only after the new directory is in
+    place is ``__compact_old`` deleted.
     Returns {files_before, files_after, bytes_total}."""
     import math
     import shutil
@@ -97,7 +112,12 @@ def compact_files(
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     tmp, old = path.rstrip("/") + "__compact_tmp", path.rstrip("/") + "__compact_old"
-    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(tmp)
+    src = spark.read.parquet(path)
+    if sort_col is not None:
+        rewritten = src.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    else:
+        rewritten = src.repartition(n_out)
+    rewritten.write.mode("overwrite").parquet(tmp)
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)

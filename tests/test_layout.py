@@ -87,3 +87,25 @@ def test_compact_refuses_partitioned_layout(spark, tmp_path):
     orders.write.partitionBy("o_orderstatus").parquet(path)
     with pytest.raises(ValueError, match="partition subdirectories"):
         compact_files(spark, path)
+
+
+def test_compact_preserves_range_layout_with_sort_col(spark, tmp_path):
+    """compact_files(sort_col=...) must keep per-file [min, max] spans
+    disjoint (the footer data-skipping property write_range_sorted paid
+    for); the default round-robin mode documents that it discards it."""
+    from datapipeline_omnichanneltobigquery_spark.sinks.layout import (
+        compact_files,
+        file_ranges,
+        write_range_sorted,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    path = str(tmp_path / "ev_sorted")
+    write_range_sorted(ev, path, "user_id", n_partitions=8)
+    stats = compact_files(spark, path, target_file_bytes=2 * 1024, sort_col="user_id")
+    assert stats["files_after"] >= 2  # multiple files, so disjointness is non-trivial
+    ranges = sorted(file_ranges(path, "user_id"), key=lambda r: r[1])
+    for (_, _, hi_prev), (_, lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, ranges
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()

@@ -126,3 +126,27 @@ def test_interp_windows_share_one_sort(spark):
     )
     plan = resample_interp(df, "uid", "ts", "v", 3600)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"\bSort ", plan)) == 1
+
+
+def test_resample_grid_guard_raises_diagnosably(spark):
+    """One key spanning far more grid points than max_points_per_key must
+    fail with an error naming the key and the point count — not OOM a task
+    materializing a giant sequence() array."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            (7, _ts("2020-01-01 00:00:00"), 1.0),
+            (7, _ts("2024-01-01 00:00:00"), 2.0),  # 4 years at 1 s step
+        ],
+        ["uid", "ts", "v"],
+    )
+    with pytest.raises(Exception, match=r"key 7 spans .*max_points_per_key=1000"):
+        resample_ffill(df, "uid", "ts", "v", 1, max_points_per_key=1000).collect()
+    # and the same span is fine when the cap allows it
+    n = resample_ffill(
+        df, "uid", "ts", "v", 86400 * 30, max_points_per_key=1000
+    ).count()
+    assert n > 0
