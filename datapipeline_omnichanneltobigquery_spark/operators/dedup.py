@@ -450,7 +450,7 @@ def minhash_near_dup_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    sh_cand = sh.join(cand_ids, "id", "left_semi")
     sizes = sh_cand.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh_cand.select(F.col("id").alias("id_a"), "shingle"), "id_a")

@@ -51,7 +51,7 @@ def scd2_apply(
     cols = [key, *attr_cols, "valid_from", "valid_to"]
     closed = (
         history.filter(F.col("valid_to").isNull())
-        .join(F.broadcast(first_change), key)
+        .join(first_change, key)
         .select(
             key,
             *attr_cols,
@@ -60,7 +60,7 @@ def scd2_apply(
         )
     )
     untouched_current = history.filter(F.col("valid_to").isNull()).join(
-        F.broadcast(first_change), key, "left_anti"
+        first_change, key, "left_anti"
     )
     past = history.filter(F.col("valid_to").isNotNull())
     return (

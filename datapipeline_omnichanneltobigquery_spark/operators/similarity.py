@@ -566,6 +566,60 @@ def ivf_topk_from_index(
     )
 
 
+def ivf_topk_join_sql(
+    table: str,
+    query_predicate: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`build_ivf_index` + :func:`ivf_topk_join_from_index`
+    where the query batch is the rows of ``table`` matching
+    ``query_predicate`` — the deployment-shape batch ANN, hash-checkable
+    because the whole index is deterministic (same constructions as
+    :func:`ivf_topk_sql`: first-n centroids, argmax assignment tie-broken
+    to the smaller centroid id, probe ranking tie-broken by cid, ordered-
+    fold dots)."""
+    norm = f"sqrt({_dot_sql('embedding', 'embedding', dim)})"
+    return f"""
+    WITH unit AS (
+        SELECT vec_id,
+               list_transform(range(1, {dim + 1}),
+                              i -> CAST(embedding[i] AS DOUBLE) / {norm}) AS u
+        FROM {table}
+    ),
+    cent AS (SELECT vec_id AS cid, u AS cv FROM unit ORDER BY vec_id LIMIT {n_centroids}),
+    scored AS (SELECT u.vec_id, c.cid, {_dot_sql("u.u", "c.cv", dim, cast=False)} AS sim
+               FROM unit u CROSS JOIN cent c),
+    assign AS (SELECT vec_id, cid AS cluster FROM (
+                   SELECT vec_id, cid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY sim DESC, cid) AS rn
+                   FROM scored)
+               WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, u AS qu FROM unit WHERE {query_predicate}),
+    probes AS (SELECT query_id, qu, cid AS cluster FROM (
+                   SELECT q.query_id, q.qu, c.cid,
+                          ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                             ORDER BY {_dot_sql("c.cv", "q.qu", dim, cast=False)} DESC,
+                                                      c.cid) AS rn
+                   FROM q CROSS JOIN cent c)
+               WHERE rn <= {n_probe}),
+    candidates AS (SELECT p.query_id, u.vec_id AS neighbor_id,
+                          {_dot_sql("u.u", "p.qu", dim, cast=False)} AS cos_sim
+                   FROM probes p
+                   JOIN assign a ON a.cluster = p.cluster
+                   JOIN unit u ON u.vec_id = a.vec_id
+                   WHERE u.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM candidates)
+    WHERE rn <= {k}
+    """
+
+
 def cosine_topk_join(
     queries: DataFrame,
     corpus: DataFrame,

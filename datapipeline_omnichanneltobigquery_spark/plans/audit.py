@@ -70,6 +70,128 @@ def codegen_stage_count_of(build, spark) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", s)))
 
 
+def _hint_subtrees(analyzed: str) -> list[str]:
+    """The subtree text of every ResolvedHint node in an analyzed-plan tree
+    string (a hint's subtree = the following lines whose tree-marker sits
+    deeper than the hint's own)."""
+    lines = analyzed.splitlines()
+
+    def depth(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else -1
+
+    out = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        d = depth(line)
+        sub = [line]
+        for nxt in lines[i + 1 :]:
+            nd = depth(nxt)
+            if nd >= 0 and nd <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+#: Leaf relations whose cardinality is FIXED by the data model at every
+#: scale factor (TPC-H nation=25, region=5) — safe to force-broadcast.
+_FIXED_DIM_FIRST_COLS = ("n_nationkey", "r_regionkey", "cid", "cv")
+
+
+def broadcast_hint_audit(df: DataFrame) -> tuple[int, int]:
+    """(n broadcast hints, n NOT provably bounded) for a DataFrame's plan.
+
+    A forced broadcast is only safe when its input's cardinality is bounded
+    by CONSTRUCTION, not by today's data size — at 100× a "small" side
+    that scales with the data becomes a multi-GB driver/executor OOM (the
+    round-4 ANN and funnel findings).  Provably bounded, mechanically, is:
+
+    * a limit in the subtree (top-k, ``limit(n_probe)`` probe lists);
+    * an ungrouped aggregate (single-row scalar statistics);
+    * an equality filter against a literal (point lookup, e.g. the 1-row
+      query-vector fetch);
+    * an inline ``LocalRelation``/``range(n)`` (tile grids, salt lists);
+    * leaf relations that are all fixed-cardinality dims (nation/region,
+      the IVF centroid table).
+
+    Everything else is flagged.  Flags are not automatically errors —
+    inputs bounded by CONTRACT (a BM25 query's term list, a benchmark's
+    eval suite) legitimately carry hints — but every flag must appear in
+    tests/test_plans.py's justification allowlist, so a new unbounded
+    broadcast fails CI instead of an executor."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    n = flagged = 0
+    for sub in _hint_subtrees(analyzed):
+        head, _, body = sub.partition("\n")
+        if "broadcast" not in head.lower():
+            continue
+        n += 1
+        if not _subtree_bounded(body):
+            flagged += 1
+    return n, flagged
+
+
+def _subtree_bounded(body: str) -> bool:
+    """Recursive cardinality-bound check over an analyzed-plan subtree text.
+
+    A node is bounded when it is itself a hard bound — a limit, an
+    UNGROUPED aggregate (one row), a point filter (= literal on an
+    id/key-named column), inline data (LocalRelation / LogicalRDD /
+    OneRowRelation / Range(n)), or a fixed-cardinality dim scan — or when
+    it merely preserves/reduces cardinality (project, filter, distinct,
+    grouped aggregate, sort, window, join) and ALL its children are
+    bounded.  A scan of anything else is unbounded, and unboundedness
+    propagates up through joins and grouped aggregates."""
+
+    def node_depth(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else 0
+
+    lines = [ln for ln in body.splitlines() if ln.strip()]
+    if not lines:
+        return False
+
+    def is_self_bounded(text: str) -> bool:
+        return bool(
+            "GlobalLimit" in text
+            or "LocalLimit" in text
+            # ungrouped Aggregate prints ONE bracket list; grouped prints
+            # "Aggregate [keys], [outputs]"
+            or (re.search(r"Aggregate \[", text) and "], [" not in text)
+            or re.search(r"Filter \(*\w*(?:id|key)#\d+L? = (?:cast\()?-?\d+", text)
+            or "LocalRelation" in text
+            or "LogicalRDD" in text
+            or "OneRowRelation" in text
+            or re.search(r"Range \(", text)
+            or any(
+                cols.split(",")[0].split("#")[0].strip() in _FIXED_DIM_FIRST_COLS
+                for cols in re.findall(r"Relation\w* \[([^\]]*)\]", text)
+            )
+        )
+
+    def walk(i: int) -> tuple[bool, int]:
+        """(bounded, next index) for the subtree rooted at lines[i]."""
+        line = lines[i]
+        d = node_depth(line)
+        children = []
+        j = i + 1
+        while j < len(lines) and node_depth(lines[j]) > d:
+            ok, j2 = walk(j)
+            children.append(ok)
+            j = j2
+        if is_self_bounded(line):
+            return True, j
+        if "Relation" in line and "LocalRelation" not in line:
+            return False, j  # a scan that scales with the data
+        # pass-through/reducing operators: bounded iff every input is
+        return bool(children) and all(children), j
+
+    ok, _ = walk(0)
+    return ok
+
+
 def uses_python_eval(df: DataFrame) -> bool:
     """True if the plan contains a row-at-a-time Python UDF eval (BatchEvalPython);
     ArrowEvalPython / mapInPandas stages are the sanctioned Python path."""

@@ -190,6 +190,32 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ann_batch",
+    driver=False,  # batch face of the gated similarity_ann_ivf (same persisted index)
+    oracle=sim.ivf_topk_join_sql(
+        "embeddings", "vec_id < 4", k=5, n_centroids=16, n_probe=4, dim=EMB_DIM
+    ),
+)
+def similarity_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment-shape BATCH ANN: build the hive-partitioned IVF index once,
+    then answer a whole query batch in ONE distributed plan —
+    :func:`~...similarity.ivf_topk_join_from_index` ranks centroids per
+    query with a window (no driver collect), and the probe list reaches the
+    postings scan as a DYNAMIC partition-pruning filter, so only the union
+    of probed cluster directories is read.  Fully deterministic index →
+    full hash oracle."""
+    from datapipeline_omnichanneltobigquery_spark.plans.persistence import SCRATCH
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"{SCRATCH}/ivf_index_{sf_tag}"
+    sim.build_ivf_index(emb, path, n_centroids=16)
+    return sim.ivf_topk_join_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 4), k=5, n_probe=4
+    )
+
+
+@query(
     "similarity_quantize_digest",
     # rotated INTO the gate r4 (never driver-verified before)
     oracle=sim.quantize_digest_sql("embeddings"),

@@ -8,8 +8,10 @@ query surface a real engine owes its users on top of that.
 
 Scale notes are per-query; the common themes:
 
-* dimension joins broadcast (region/nation/customer vs a 100 TB fact table
-  → BroadcastHashJoin, no shuffle of the big side);
+* FIXED-cardinality dims (region=5, nation=25 at every SF) broadcast by
+  hint; dims that scale with the data (customer/part/supplier) are left to
+  AQE — broadcast while small, shuffle join at 100× (see
+  plans/audit.py::broadcast_hint_audit for the mechanical rule);
 * fact-fact joins shuffle on the join key and rely on AQE skew splitting;
 * every aggregate is partial+final (map-side combine) by construction.
 """
@@ -39,13 +41,14 @@ from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
     """,
 )
 def join_inner_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join, dim side broadcast: orders(fact) ⋈ customer(dim).
-    At 100 TB the customer projection (custkey, mktsegment) stays well under
-    the broadcast threshold → no shuffle of the fact side."""
+    """Inner equi-join: orders(fact) ⋈ customer.  Customer SCALES WITH THE
+    DATA (TPC-H: 15 rows per SF — ~1.5B rows at 100 TB), so no forced
+    broadcast hint: AQE broadcasts the 2-column projection while it
+    measures small and falls back to a shuffle join when it doesn't."""
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = read_table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -129,10 +132,12 @@ def join_anti_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_multiway_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: a 5-table snowflake join.  region/nation/customer all
-    broadcast; the only shuffle is lineitem⋈orders on orderkey.  The ASIA
-    filter prunes through the broadcast chain before the fact scan (DPP on a
-    partitioned deployment)."""
+    """TPC-H Q5 shape: a 5-table snowflake join.  region/nation broadcast
+    (fixed 5/25-row dims); customer scales with the data, so its join is
+    AQE's call — broadcast while small, shuffle at 100×.  The remaining
+    shuffle is lineitem⋈orders on orderkey.  The ASIA filter prunes
+    through the dim chain before the fact scan (DPP on a partitioned
+    deployment)."""
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = read_table(spark, sf_dir, "nation")
     c = read_table(spark, sf_dir, "customer")
@@ -145,7 +150,7 @@ def join_multiway_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(
             F.sum(money(F.col("l_extendedprice")) * (F.lit(1) - money(F.col("l_discount"))))

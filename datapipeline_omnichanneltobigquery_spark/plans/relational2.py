@@ -35,7 +35,7 @@ def agg_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", list(ORDER_STATUSES))
         .agg(F.count(F.lit(1)))
@@ -688,7 +688,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def check(name, child, parent, on):
         return (
-            child.join(F.broadcast(parent), on, "left_anti")
+            child.join(parent, on, "left_anti")
             .agg(F.count(F.lit(1)).alias("n_bad"))
             .select(F.lit(name).alias("chk"), "n_bad")
         )

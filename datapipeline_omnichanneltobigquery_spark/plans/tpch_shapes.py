@@ -31,15 +31,16 @@ from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: segment dim filter broadcasts into the orders scan,
-    one fact-fact shuffle, top-10 via TakeOrderedAndProject with unique-key
-    tie-break."""
+    """TPC-H Q3 shape: the segment-filtered customer keylist joins into
+    orders (unhinted — customer scales with the data, AQE broadcasts it
+    only while it measures small), one fact-fact shuffle, top-10 via
+    TakeOrderedAndProject with unique-key tie-break."""
     c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-03-15")
     l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
         .agg(
             F.sum(money(F.col("l_extendedprice")) * (F.lit(1) - money(F.col("l_discount"))))
@@ -72,7 +73,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-filtered aggregate feeding a semi-join back
     into the fact join — the 'big order' pattern.  The big-orders set is
-    tiny after the HAVING, so it broadcasts as the semi-join side."""
+    tiny after the HAVING *today*, but a HAVING output is not bounded by
+    construction — no hint; AQE broadcasts the semi-join side while it
+    measures small."""
     l = read_table(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
@@ -83,9 +86,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer").select("c_custkey")
     return (
-        l.join(F.broadcast(big), "l_orderkey", "left_semi")
+        l.join(big, "l_orderkey", "left_semi")
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_totalprice")
         .agg(F.sum(money(F.col("l_quantity"))).cast("double").alias("total_qty"))
         .select(
@@ -122,8 +125,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by ship
     year.  The fact side shuffles once (lineitem ⋈ orders on orderkey);
-    supplier/customer/nation all ride broadcasts, and the nation-pair
-    disjunction prunes through them before the fact join."""
+    nation (fixed dim) broadcasts by hint, supplier/customer joins are
+    AQE-sized, and the nation-pair disjunction prunes through them before
+    the fact join."""
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -140,8 +144,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(sd), li.l_suppkey == sd.s_suppkey)
-        .join(F.broadcast(cd), o.o_custkey == cd.c_custkey)
+        .join(sd, li.l_suppkey == sd.s_suppkey)
+        .join(cd, o.o_custkey == cd.c_custkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
@@ -246,10 +250,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation where the CUSTOMER and the SUPPLIER
     share a nation — the classic snowflake with a cross-dimension equality.
-    region→nation→supplier collapse into one broadcast dim; the only
-    shuffles are the two fact joins (lineitem ⋈ orders ⋈ customer).  The
-    s_nationkey = c_nationkey predicate rides the supplier broadcast join,
-    so mismatched-nation rows die before the aggregate."""
+    region→nation broadcast into supplier (fixed dims by hint; supplier
+    itself is AQE-sized); the only shuffles are the two fact joins
+    (lineitem ⋈ orders ⋈ customer).  The s_nationkey = c_nationkey
+    predicate rides the supplier join, so mismatched-nation rows die
+    before the aggregate."""
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = read_table(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -267,7 +272,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .groupBy("n_name")
         .agg(
             F.sum(money(F.col("l_extendedprice")) * (F.lit(1) - money(F.col("l_discount"))))
@@ -300,7 +305,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by lost (returned) revenue in a
     quarter.  Both selective filters (date on orders, returnflag on
-    lineitem) push to their scans; customer+nation broadcast; the top-20
+    lineitem) push to their scans; nation broadcasts by hint, customer by
+    AQE sizing; the top-20
     is TakeOrderedAndProject with the unique c_custkey tie-break."""
     c = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
@@ -314,7 +320,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -354,7 +360,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share for one ship month — a
-    conditional aggregate ratio over a fact ⋈ broadcast-dim join.  Both
+    conditional aggregate ratio over a fact ⋈ part join (AQE-sized —
+    part scales with the data).  Both
     sums ride ONE aggregate (single shuffle of two partials); the division
     happens once on two DECIMAL-exact totals cast to double, so the ratio
     is bitwise-stable across engines."""
@@ -366,7 +373,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,2)")
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -418,7 +425,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Brand#33", 35, 20, 30
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.sum(money(F.col("l_extendedprice")) * (F.lit(1) - money(F.col("l_discount"))))
@@ -502,7 +509,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
-        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .join(s, rev.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -525,8 +532,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: the correlated per-part average de-correlated into
     an aggregate-then-join (what Catalyst does to the subquery form): the
-    per-part threshold table is fact-sized-by-key, so it broadcasts after
-    its aggregate; the brand filter prunes the probe side first.  The
+    per-part threshold table is fact-sized-by-key — AQE broadcasts it
+    after its aggregate only while it measures small; the brand filter
+    prunes the probe side first.  The
     /7.0 ratio is applied once on the DECIMAL-exact sum."""
     l = read_table(spark, sf_dir, "lineitem")
     avg_q = l.groupBy("l_partkey").agg(
@@ -538,8 +546,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_q.withColumnRenamed("l_partkey", "pk")), F.col("l_partkey") == F.col("pk"))
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(avg_q.withColumnRenamed("l_partkey", "pk"), F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(
             (F.sum(money(F.col("l_extendedprice"))) / F.lit(7.0))

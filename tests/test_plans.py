@@ -35,10 +35,13 @@ def test_dim_joins_broadcast(spark):
 
 
 def test_multiway_join_shape(spark):
-    """Q5 shape: dims broadcast; at most the fact-fact join shuffles."""
+    """Q5 shape: the FIXED dims (nation/region) broadcast by hint; the
+    customer-side join is AQE's call (it scales with the data), so the
+    static plan may show it as a sort-merge join that AQE converts at
+    runtime — at most the two data-scaling joins shuffle."""
     df = QUERIES["join_multiway_nation_revenue"](spark, SF_DIR)
-    assert audit.broadcast_join_count(df) >= 3, audit.plan_string(df)
-    assert audit.sort_merge_join_count(df) <= 1, audit.plan_string(df)
+    assert audit.broadcast_join_count(df) >= 2, audit.plan_string(df)
+    assert audit.sort_merge_join_count(df) <= 2, audit.plan_string(df)
 
 
 def test_cast_policy_is_shuffle_free(spark):
@@ -206,3 +209,39 @@ def test_capped_jaccard_has_no_extra_exchanges(spark):
         jaccard_pairs(docs, "doc_id", "text", 3, 0.5, max_df=JACCARD_MAX_DF)
     )
     assert capped <= plain + 2, (plain, capped)
+
+
+# Forced-broadcast hints whose input is NOT mechanically provably bounded
+# (audit.broadcast_hint_audit) but IS bounded by a documented CONTRACT.
+# Every flagged hint in a driver query must be listed here with its reason;
+# a new unbounded broadcast anywhere else fails the test below — the
+# mechanical form of the round-4 lesson (the ANN corpus-id broadcast and
+# the funnel stage broadcasts would both have tripped this).
+BROADCAST_REVIEW_ALLOWLIST = {
+    # bench-side shingle index + contaminated-id list: evaluation suites
+    # are small by construction (operators/decontam.py module contract)
+    "text_decontaminate": 1,
+    # same two decontam broadcasts riding inside the composed pipeline
+    "corpus_prep_full": 2,
+    # per-query-term document frequencies: rows <= |query terms| by the
+    # semi-join construction (operators/ir.py::bm25_scores)
+    "text_bm25_scores": 1,
+}
+
+
+def test_no_unjustified_unbounded_broadcast_hints(spark):
+    """Every driver query's forced broadcasts are provably bounded
+    (limit / scalar agg / point filter / inline data / fixed dim) or
+    explicitly justified in BROADCAST_REVIEW_ALLOWLIST."""
+    from datapipeline_omnichanneltobigquery_spark.plans.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception:
+            continue  # build errors are other tests' business
+        _, flagged = audit.broadcast_hint_audit(df)
+        if flagged != BROADCAST_REVIEW_ALLOWLIST.get(name, 0):
+            offenders[name] = flagged
+    assert not offenders, offenders
