@@ -24,7 +24,7 @@ because the driver's DuckDB oracle hash-checks it)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def profile_columns(
@@ -130,4 +130,46 @@ def histogram_sql(table: str, col: str, lo: float, hi: float, n_bins: int) -> st
     SELECT bin, {lo!r} + bin * {width!r} AS bin_lo, COUNT(*) AS n
     FROM (SELECT {b} AS bin FROM {table} WHERE {col} IS NOT NULL)
     GROUP BY bin
+    """
+
+
+def histogram_equidepth(
+    df: DataFrame, col: str, tie_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """EQUI-DEPTH histogram: ``n_buckets`` buckets of (near-)equal row count
+    with their [lo, hi] value spans — (bucket, lo, hi, n).  The dual of
+    :func:`histogram`'s equal-width bins: quantile boundaries adapt to the
+    distribution, which is what optimizers store and what skew diagnosis
+    reads (a bucket whose span collapses to a point is a heavy hitter).
+
+    Determinism: ntile over (col, tie_col) — the unique tie column makes
+    bucket assignment total, so the result is engine-exact.  Cost: one
+    global sort (the honest price of exact quantile buckets; the
+    approximate screening path is approx_percentile in the profiling
+    suite)."""
+    x = df.select(F.col(col).cast("double").alias("__v"), F.col(tie_col)).filter(
+        F.col("__v").isNotNull()
+    )
+    w = Window.orderBy(F.col("__v"), F.col(tie_col))
+    return (
+        x.withColumn("bucket", F.ntile(int(n_buckets)).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def histogram_equidepth_sql(table: str, col: str, tie_col: str, n_buckets: int = 10) -> str:
+    """DuckDB twin of :func:`histogram_equidepth` — NTILE has the same
+    remainder rule (first buckets take the extra row) in both engines."""
+    return f"""
+    SELECT bucket, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+    FROM (
+        SELECT CAST({col} AS DOUBLE) AS v,
+               NTILE({int(n_buckets)}) OVER (ORDER BY CAST({col} AS DOUBLE), {tie_col}) AS bucket
+        FROM {table} WHERE {col} IS NOT NULL)
+    GROUP BY bucket
     """

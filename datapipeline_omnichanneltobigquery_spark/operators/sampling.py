@@ -406,3 +406,127 @@ def rebalance_sql(
     JOIN thresh t ON d.{group_col} = t.grp
     WHERE ({bucket}) < t.bp
     """
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    anchor_predicate,
+    k: int = 4,
+    n_buckets: int = 64,
+    seed: str = "neg-v1",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive/retrieval training:
+    for every ANCHOR row (those matching ``anchor_predicate``), ``k``
+    pseudo-random negatives drawn from the whole corpus — (anchor_id,
+    neg_rank 1..k, neg_id).
+
+    Scale design — never rank the full corpus per anchor (|A|·|C| scoring
+    is the naive trap).  The corpus hashes once into ``n_buckets`` pools
+    (md5, map-side); each anchor's slot j probes ONE pseudo-random bucket
+    (md5(anchor, j)) and takes the argmin-md5 candidate inside it.  Work is
+    |A|·k·(|C|/n_buckets) and every step is an equi-join + windowed argmin
+    — at 10⁹ docs pick n_buckets ≈ |C|/10⁵ and each slot scans ~10⁵
+    candidates.  All choices are md5-deterministic (reproducible across
+    runs, engines, cluster sizes; exact DuckDB twin
+    :func:`negative_samples_sql`).
+
+    Slots draw independently (two slots of one anchor can, rarely, land the
+    same negative — with-replacement semantics, standard for in-batch
+    negative mining).  The anchor itself is excluded; to also exclude an
+    anchor's near-duplicates, pre-filter ``df`` through the dedup keep-list
+    (operators/dedup.py) so the pool is canonical documents only."""
+    pool = df.select(
+        F.col(id_col).alias("neg_id"),
+        (
+            md5_long(F.concat_ws(":", F.lit(seed), F.lit("pool"), F.col(id_col).cast("string")))
+            % n_buckets
+        ).alias("bucket"),
+    )
+    anchors = (
+        df.filter(anchor_predicate)
+        .select(F.col(id_col).alias("anchor_id"))
+        .select(
+            "anchor_id",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("neg_rank"),
+        )
+        .select(
+            "anchor_id",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            (
+                md5_long(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.lit("probe"),
+                        F.col("anchor_id").cast("string"),
+                        F.col("neg_rank").cast("string"),
+                    )
+                )
+                % n_buckets
+            ).alias("bucket"),
+        )
+    )
+    cand = (
+        anchors.join(pool, "bucket")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "neg_rank",
+            "neg_id",
+            md5_long(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.lit("pair"),
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_rank").cast("string"),
+                    F.col("neg_id").cast("string"),
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "neg_rank").orderBy("score", "neg_id")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("anchor_id", "neg_rank", "neg_id")
+    )
+
+
+def negative_samples_sql(
+    table: str,
+    id_col: str,
+    anchor_predicate: str,
+    k: int = 4,
+    n_buckets: int = 64,
+    seed: str = "neg-v1",
+) -> str:
+    """DuckDB twin of :func:`negative_samples` — same md5 constructions,
+    same bucket math, same argmin tie-break."""
+    pool_h = md5_long_sql(f"'{seed}:pool:' || CAST({id_col} AS VARCHAR)")
+    probe_h = md5_long_sql(
+        f"'{seed}:probe:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    )
+    pair_h = md5_long_sql(
+        f"'{seed}:pair:' || CAST(p.anchor_id AS VARCHAR) || ':' "
+        f"|| CAST(p.neg_rank AS VARCHAR) || ':' || CAST(pool.neg_id AS VARCHAR)"
+    )
+    return f"""
+    WITH pool AS (
+        SELECT {id_col} AS neg_id, ({pool_h}) % {n_buckets} AS bucket FROM {table}),
+    anch AS (SELECT {id_col} AS anchor_id FROM {table} WHERE {anchor_predicate}),
+    probes AS (
+        SELECT anchor_id, CAST(j AS INTEGER) AS neg_rank,
+               ({probe_h}) % {n_buckets} AS bucket
+        FROM anch, UNNEST(range(1, {int(k) + 1})) AS u(j)),
+    cand AS (
+        SELECT p.anchor_id, p.neg_rank, pool.neg_id, ({pair_h}) AS score
+        FROM probes p JOIN pool USING (bucket)
+        WHERE pool.neg_id <> p.anchor_id)
+    SELECT anchor_id, neg_rank, neg_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, neg_rank
+                                     ORDER BY score, neg_id) AS rn
+        FROM cand)
+    WHERE rn = 1
+    """

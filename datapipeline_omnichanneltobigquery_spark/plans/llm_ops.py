@@ -862,3 +862,24 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(q).cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_quality"),
         F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
     )
+
+
+@query(
+    "sampling_negatives",
+    driver=False,  # retrieval-training face of the gated sampling family
+    oracle=sa.negative_samples_sql(
+        "documents", "doc_id", "doc_id % 10 = 0", k=4, n_buckets=64
+    ),
+)
+def sampling_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every 10th
+    document is an anchor; each draws 4 md5-deterministic negatives from
+    hash-bucketed corpus pools (|A|·k·|C|/64 work, never |A|·|C|;
+    operators/sampling.py::negative_samples)."""
+    return sa.negative_samples(
+        read_table(spark, sf_dir, "documents"),
+        "doc_id",
+        F.col("doc_id") % 10 == 0,
+        k=4,
+        n_buckets=64,
+    )

@@ -940,3 +940,74 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return snapshot_diff(old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+
+
+@query(
+    "histogram_equidepth_orders",
+    driver=False,  # quantile-bucket face of the gated profiling family
+    oracle=pf.histogram_equidepth_sql("orders", "o_totalprice", "o_orderkey", 12),
+)
+def histogram_equidepth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram of order totals — the
+    optimizer-statistics dual of the equal-width bins; deterministic via
+    the unique-key ntile tie-break (operators/profile.py
+    ::histogram_equidepth)."""
+    return pf.histogram_equidepth(
+        read_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", 12
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    driver=False,  # attribution face of the gated funnel/cohort analytics
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(value AS DECIMAL(18,6)) AS value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events),
+    tagged AS (
+        SELECT *,
+               LAST_VALUE(CASE WHEN is_p = 0 THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_p, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+        FROM ev)
+    SELECT COALESCE(channel, 'none') AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(value) AS DOUBLE) AS revenue
+    FROM tagged WHERE is_p = 1
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most recent
+    preceding non-purchase event type (ties at one timestamp resolve
+    touch-before-purchase, then event_id — fully deterministic).  The same
+    union+window discipline as as-of join / resample: ONE user-partitioned
+    sort carries the last touch forward, no self-join, no range probe;
+    revenue is DECIMAL-exact then cast once."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touch = F.when(F.col("is_p") == 0, F.col("event_type"))
+    return (
+        ev.withColumn("channel", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value").cast("double").alias("revenue"),
+        )
+    )

@@ -48,3 +48,16 @@ def test_profile_approx_drops_expand(spark):
     rows = {r.col_name: r for r in profile_columns(df, approx=True).collect()}
     # HLL++ at default rsd is exact-ish at tiny cardinalities
     assert rows["k"].n_distinct == 3
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark):
+    """Equi-depth bucket counts differ by at most one row and spans are
+    non-overlapping in bucket order."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import histogram_equidepth
+
+    df = spark.createDataFrame([(i, float(i * i % 997)) for i in range(500)], ["id", "x"])
+    rows = sorted(histogram_equidepth(df, "x", "id", 7).collect(), key=lambda r: r.bucket)
+    counts = [r.n for r in rows]
+    assert max(counts) - min(counts) <= 1 and sum(counts) == 500
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo

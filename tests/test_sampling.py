@@ -214,3 +214,21 @@ def test_mix_report_zero_weight_group_does_not_poison_fractions(spark):
     for r in rows.values():
         assert r.keep_fraction is not None and math.isfinite(r.keep_fraction)
         assert 0.0 < r.keep_fraction <= 1.0
+
+
+def test_negative_samples_contract(spark):
+    """Every anchor gets exactly k negatives, never itself, ranks 1..k,
+    and the draw is deterministic across invocations."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    out = negative_samples(df, "doc_id", F.col("doc_id") < 10, k=3, n_buckets=8)
+    rows = out.collect()
+    by_anchor = {}
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append(r.neg_rank)
+    assert set(by_anchor) == set(range(10))
+    assert all(sorted(v) == [1, 2, 3] for v in by_anchor.values())
+    again = negative_samples(df, "doc_id", F.col("doc_id") < 10, k=3, n_buckets=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
