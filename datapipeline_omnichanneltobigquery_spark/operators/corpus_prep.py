@@ -125,3 +125,256 @@ def prepare_corpus_sql(
     )"""
     split = sa.hash_split_sql(good, id_col, split_weights, seed=split_seed)
     return f"SELECT {out_cols} FROM ({split})"
+
+
+def prepare_corpus_incremental(
+    existing: DataFrame,
+    batch: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    jaccard_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    neardup_threshold: float = 0.5,
+    decontam_n: int = 5,
+    decontam_min_overlap: int = 3,
+    decontam_max_df_bench: int = 8,
+    min_quality: float = 0.5,
+    split_weights: dict[str, float] | None = None,
+    split_seed: str = "corpus-v1",
+) -> DataFrame:
+    """INCREMENTAL corpus prep: the rows of a NEW ``batch`` that should be
+    appended to an already-prepared ``existing`` corpus — the nightly shape
+    once the corpus exists (re-running :func:`prepare_corpus` over
+    existing+batch rescans the whole 100 TB corpus for a 0.1% delta).
+
+    Stage shapes, each linear in the BATCH, never the corpus:
+
+    1. exact — within-batch min-id winners, then an anti-join of batch
+       fingerprints against the existing fingerprint keylist (in
+       deployment a maintained table from dedup_exact_keylist; corpus text
+       is never rescanned);
+    2. near-dup — LSH band keys of the batch probe the existing corpus's
+       band-bucket index (in deployment the persisted keyed table this
+       function derives; only buckets a batch doc lands in are read) plus
+       a batch self-join; candidates verify with EXACT Jaccard restricted
+       to candidate ids (dedup.verify_jaccard_pairs).  A batch doc
+       verified against ANY existing doc drops (the corpus already holds
+       its canonical); surviving batch-batch pairs cluster
+       (large-star/small-star) and keep the min-id winner;
+    3-5. decontam / quality / hash split run on the batch alone —
+       map-side, and ``hash_split``'s (seed, id)-only membership keeps new
+       rows' split assignment consistent with every earlier batch.
+
+    Ids must be unique across existing ∪ batch (the upsert key contract).
+    Deterministic end to end; composed DuckDB twin:
+    :func:`prepare_corpus_incremental_sql`."""
+    split_weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    num_bands = num_hashes // rows_per_band
+
+    ex = existing.select(F.col(id_col), F.col(text_col))
+
+    # -- stage 1: exact ---------------------------------------------------
+    win = dd.dedup_exact_keylist(batch, text_col, id_col).select(id_col)
+    ex_fp = ex.select(F.md5(F.col(text_col)).alias("__fp"))
+    b1 = (
+        batch.join(win, id_col, "left_semi")
+        .withColumn("__fp", F.md5(F.col(text_col)))
+        .join(ex_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+    # -- stage 2: near-dup via LSH index probe ----------------------------
+    def keyed(df: DataFrame) -> DataFrame:
+        sig = dd.minhash_signatures(df, id_col, text_col, n=jaccard_n, num_hashes=num_hashes)
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    dd._band_key(num_hashes, rows_per_band, i).alias("key"),
+                )
+                for i in range(num_bands)
+            ]
+        )
+        return sig.select("id", F.explode(bands).alias("bk")).select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+
+    kb = keyed(b1).localCheckpoint(eager=False)
+    ke = keyed(ex)
+    cross = (
+        kb.join(
+            ke.select(F.col("id").alias("id2"), "band", "key"), ["band", "key"]
+        )
+        .select(
+            F.least("id", "id2").alias("id_a"), F.greatest("id", "id2").alias("id_b")
+        )
+        .distinct()
+    )
+    kb2 = kb.select(F.col("id").alias("id2"), "band", "key")
+    bb_cand = (
+        kb.join(kb2, ["band", "key"])
+        .filter(F.col("id") < F.col("id2"))
+        .select(F.col("id").alias("id_a"), F.col("id2").alias("id_b"))
+        .distinct()
+    )
+    cand = cross.unionByName(bb_cand).distinct().localCheckpoint()
+
+    docs_all = ex.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).unionByName(b1.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")))
+    sh = dd.shingles(docs_all, "id", "text", jaccard_n)
+    verified = dd.verify_jaccard_pairs(sh, cand, neardup_threshold).localCheckpoint()
+
+    bids = b1.select(F.col(id_col).alias("id"), F.lit(1).alias("__isb"))
+    v2 = (
+        verified.join(
+            bids.select(F.col("id").alias("id_a"), F.col("__isb").alias("__ba")),
+            "id_a",
+            "left",
+        )
+        .join(
+            bids.select(F.col("id").alias("id_b"), F.col("__isb").alias("__bb")),
+            "id_b",
+            "left",
+        )
+    )
+    drop = v2.filter(
+        F.coalesce("__ba", F.lit(0)) != F.coalesce("__bb", F.lit(0))
+    ).select(
+        F.when(F.col("__ba") == 1, F.col("id_a")).otherwise(F.col("id_b")).alias("id")
+    )
+    s1 = bids.select("id").join(drop, "id", "left_anti")
+    bb_pairs = (
+        v2.filter((F.col("__ba") == 1) & (F.col("__bb") == 1))
+        .join(s1.select(F.col("id").alias("id_a")), "id_a", "left_semi")
+        .join(s1.select(F.col("id").alias("id_b")), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
+    cc = dd.connected_components_star(bb_pairs)
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select("id")
+    keep = s1.join(losers, "id", "left_anti").select(F.col("id").alias(id_col))
+    kept = b1.join(keep, id_col, "left_semi")
+
+    # -- stages 3-5: batch-only -------------------------------------------
+    clean = dc.decontaminate(
+        kept, bench, id_col, text_col, id_col, text_col,
+        n=decontam_n, min_overlap=decontam_min_overlap,
+        max_df_bench=decontam_max_df_bench,
+    )
+    good = clean.filter(ts.quality_score(F.col(text_col)) >= F.lit(min_quality))
+    return sa.hash_split(good, id_col, split_weights, seed=split_seed)
+
+
+def prepare_corpus_incremental_sql(
+    existing_expr: str,
+    batch_expr: str,
+    bench_expr: str,
+    id_col: str,
+    text_col: str,
+    *,
+    jaccard_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    neardup_threshold: float = 0.5,
+    decontam_n: int = 5,
+    decontam_min_overlap: int = 3,
+    decontam_max_df_bench: int = 8,
+    min_quality: float = 0.5,
+    split_weights: dict[str, float] | None = None,
+    split_seed: str = "corpus-v1",
+    out_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`prepare_corpus_incremental`, composed from the
+    same stage twins and hash constants (candidates = LSH band-mates among
+    existing ∪ batch restricted to pairs touching the batch — exactly the
+    pair set the Spark side's index-probe + batch self-join produces)."""
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import (
+        MERSENNE_P,
+        _minhash_params,
+        md5_long_sql,
+    )
+
+    split_weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    num_bands = num_hashes // rows_per_band
+    params = _minhash_params(num_hashes)
+    mh_exprs = ",\n             ".join(
+        f"MIN(((h60 % {MERSENNE_P}) * {a} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n        UNION ALL\n".join(
+        "        SELECT id, {band} AS band, concat_ws(',', {cols}) AS key FROM sig".format(
+            band=i,
+            cols=", ".join(
+                f"CAST(mh_{i * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
+        )
+        for i in range(num_bands)
+    )
+    cc = dd.connected_components_sql("SELECT id_a, id_b FROM bbp")
+    kept = f"""(
+    WITH b1 AS (
+        SELECT d.* FROM {batch_expr} d
+        WHERE d.{id_col} IN (
+            SELECT MIN({id_col}) FROM
+            (SELECT {id_col}, md5({text_col}) AS fp FROM {batch_expr}) GROUP BY fp)
+          AND NOT EXISTS (SELECT 1 FROM {existing_expr} e
+                          WHERE md5(e.{text_col}) = md5(d.{text_col}))),
+    docs_all AS (SELECT {id_col} AS id, {text_col} AS text FROM {existing_expr}
+                 UNION ALL
+                 SELECT {id_col} AS id, {text_col} AS text FROM b1),
+    {dd._shingles_sql("docs_all", "id", "text", jaccard_n)},
+    hashed AS (SELECT id, {md5_long_sql("shingle")} AS h60 FROM sh),
+    sig AS (SELECT id,
+             {mh_exprs}
+            FROM hashed GROUP BY id),
+    keyed AS (
+{band_rows}
+    ),
+    bids AS (SELECT {id_col} AS id FROM b1),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM keyed a JOIN keyed b
+               ON a.band = b.band AND a.key = b.key AND a.id < b.id
+             WHERE a.id IN (SELECT id FROM bids) OR b.id IN (SELECT id FROM bids)),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2),
+    verified AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.id = c.id_a
+        JOIN sizes sb ON sb.id = c.id_b
+        WHERE CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE)
+              >= {neardup_threshold}),
+    flags AS (SELECT id_a, id_b,
+                     id_a IN (SELECT id FROM bids) AS ba,
+                     id_b IN (SELECT id FROM bids) AS bb
+              FROM verified),
+    drop1 AS (SELECT CASE WHEN ba THEN id_a ELSE id_b END AS id
+              FROM flags WHERE ba <> bb),
+    s1 AS (SELECT id FROM bids t
+           WHERE NOT EXISTS (SELECT 1 FROM drop1 x WHERE x.id = t.id)),
+    bbp AS (SELECT id_a, id_b FROM flags
+            WHERE ba AND bb
+              AND id_a IN (SELECT id FROM s1) AND id_b IN (SELECT id FROM s1)),
+    labeled AS ({cc}),
+    losers AS (SELECT id FROM labeled WHERE id <> cluster_id),
+    keep AS (SELECT id FROM s1 t
+             WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = t.id))
+    SELECT d.* FROM b1 d WHERE d.{id_col} IN (SELECT id FROM keep)
+    )"""
+    clean = "(" + dc.decontaminate_sql(
+        kept, bench_expr, id_col, text_col, id_col, text_col,
+        n=decontam_n, min_overlap=decontam_min_overlap,
+        max_df_bench=decontam_max_df_bench, select_cols="tr.*",
+    ) + ")"
+    quality = ts.text_quality_sql(clean, id_col, text_col)
+    good = f"""(
+    SELECT * FROM {clean}
+    WHERE {id_col} IN (SELECT {id_col} FROM ({quality}) WHERE quality_score >= {min_quality})
+    )"""
+    split = sa.hash_split_sql(good, id_col, split_weights, seed=split_seed)
+    return f"SELECT {out_cols} FROM ({split})"

@@ -437,14 +437,21 @@ def minhash_near_dup_pairs(
     # .cache(), whose serialization cost lands inside the job.
     sh = shingles(df, id_col, text_col, n)
     cand = minhash_candidate_pairs(df, id_col, text_col, n, num_hashes, rows_per_band, seed)
-    # Verify ONLY the LSH candidates, candidate-spine form: attach side-A's
-    # full shingle list (join on id_a), keep the shingles side B also has
-    # (join on id_b AND shingle) — Σ_cand |A| rows, LINEAR in the candidate
-    # count.  A shingle-keyed self-join over the candidate docs would emit
-    # Σ df² rows per shingle WITHIN the candidate set, which a hot shingle
-    # (boilerplate shared by many near-dups) turns quadratic — the same
-    # Zipf-head failure the df cap removes from exact Jaccard's candidate
-    # stage.  Restricting sizes to candidate docs keeps that aggregate tiny.
+    return verify_jaccard_pairs(sh, cand, threshold)
+
+
+def verify_jaccard_pairs(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair list against a
+    (id, shingle) set table — (id_a, id_b, jaccard ≥ threshold).
+
+    Candidate-spine form: attach side-A's full shingle list (join on id_a),
+    keep the shingles side B also has (join on id_b AND shingle) — Σ_cand
+    |A| rows, LINEAR in the candidate count.  A shingle-keyed self-join
+    over the candidate docs would emit Σ df² rows per shingle WITHIN the
+    candidate set, which a hot shingle (boilerplate shared by many
+    near-dups) turns quadratic — the same Zipf-head failure the df cap
+    removes from exact Jaccard's candidate stage.  Restricting sizes to
+    candidate docs keeps that aggregate tiny."""
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .unionByName(cand.select(F.col("id_b").alias("id")))
@@ -458,7 +465,7 @@ def minhash_near_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("ic"))
     )
-    verified = (
+    return (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .select(
@@ -471,7 +478,6 @@ def minhash_near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified
 
 
 def minhash_candidates_sql(

@@ -825,6 +825,34 @@ def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_prep_incremental",
+    driver=False,  # nightly-batch face of the gated corpus_prep_full composition
+    oracle=cp.prepare_corpus_incremental_sql(
+        "(SELECT * FROM documents WHERE doc_id % 29 <> 7 AND doc_id % 3 <> 0)",
+        "(SELECT * FROM documents WHERE doc_id % 29 <> 7 AND doc_id % 3 = 0)",
+        _DECONTAM_BENCH, "doc_id", "text",
+        min_quality=0.7,
+        out_cols="doc_id, lang, source, n_chars, split",
+    ),
+)
+def corpus_prep_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (nightly-batch) corpus prep: every third document plays
+    the new batch against the rest as the already-prepared corpus —
+    exact-fingerprint anti-join, LSH index probe + batch self-join with
+    exact-Jaccard verify, batch-only decontam/quality/split.  Work is
+    linear in the batch; the composed oracle hash-checks the whole
+    incremental path (operators/corpus_prep.py
+    ::prepare_corpus_incremental)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 != 7)
+    bench = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 7)
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return cp.prepare_corpus_incremental(
+        existing, batch, bench, "doc_id", "text", min_quality=0.7
+    ).select("doc_id", "lang", "source", "n_chars", "split")
+
+
+@query(
     "corpus_report",
     driver=False,  # one-row reporting face of the gated text/agg families
     oracle="""

@@ -804,3 +804,39 @@ def test_audio_decimation_meta(spark):
         assert d.sample_rate == 4000
         assert d.n_samples == (o.n_samples + 3) // 4
         assert abs(d.duration_s - o.duration_s) <= 1.0 / 4000 * 4
+
+
+def test_incremental_prep_contract(spark):
+    """Incremental prep semantics: a batch row whose text already exists in
+    the corpus (exactly or as a near-duplicate) is dropped; batch-internal
+    near-dups keep the min-id winner; a genuinely new doc survives with the
+    same split label hash_split would ever give it."""
+    from datapipeline_omnichanneltobigquery_spark.operators import corpus_prep as cp
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import hash_split
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    fresh = " ".join(f"new{i}" for i in range(40))
+    existing = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (10, base),                          # exact dup of existing -> drop
+            (11, base + " tail"),                # near-dup of existing -> drop
+            (12, fresh),                         # new -> keep (min id of its pair)
+            (13, fresh + " tail"),               # near-dup of 12 -> lose to 12
+            (14, fresh),                         # exact dup of 12 within batch -> drop
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(99, "completely unrelated benchmark words")],
+                                  ["doc_id", "text"])
+    out = cp.prepare_corpus_incremental(
+        existing, batch, bench, "doc_id", "text", min_quality=0.0
+    )
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert set(rows) == {12}
+    expected_split = {
+        r.doc_id: r.split
+        for r in hash_split(batch, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+                            seed="corpus-v1").collect()
+    }
+    assert rows[12] == expected_split[12]
