@@ -555,3 +555,225 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+@query(
+    "q8_market_share",
+    driver=False,  # variant of the gated multiway-join family (q5 gated)
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND p.p_type = 'ECONOMY'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): the widest snowflake in the suite —
+    lineitem joined out to part, supplier, orders, customer and BOTH
+    nation roles plus region.  nation/region are fixed-cardinality (25/5
+    at every SF) so their broadcasts are provably bounded and hinted;
+    part/supplier/customer scale with the data and are left to AQE.  The
+    share is a ratio of two DECIMAL-exact sums over the SAME rows (one
+    conditional), computed in a single aggregate pass — never two scans —
+    then one double division."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    vol = money(F.col("l_extendedprice")) * (F.lit(1) - money(F.col("l_discount")))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0))).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    driver=False,  # conditional-agg variant (q14/pivot family gated)
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → adapted to late-shipment, the testdata
+    lineitem carries no shipmode/commit/receipt columns): fact-fact equi
+    join with a non-equi residual (shipdate > orderdate + 30 days — stays
+    a join residual, never a post-join filter losing pushdown), then the
+    canonical high/low CASE-pair aggregate.  The one-year shipdate window
+    is pushed to the lineitem scan."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    driver=False,  # correlated exists/not-exists shape (semi/anti families gated)
+    oracle="""
+    WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting; 'late' adapted
+    to shipdate > orderdate + 60 days — the testdata has no commit/receipt
+    dates).  The oracle is the textbook double-correlated EXISTS/NOT
+    EXISTS DEFINITION; the Spark plan is its aggregate de-correlation —
+    per-order distinct-supplier count and distinct-LATE-supplier count
+    computed once, then 'another supplier exists' ⇔ n_supp ≥ 2 and 'no
+    other late supplier' ⇔ n_late = 1.  Two per-key aggregates replace two
+    correlated self-joins: one pass over lineitem each, no Σdf² candidate
+    blowup, and the hash gate proves the rewrite exact."""
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = l.join(
+        o,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+    ).select("l_orderkey", "l_suppkey")
+    n_supp = l.groupBy("l_orderkey").agg(F.countDistinct("l_suppkey").alias("n_supp"))
+    n_late = late.groupBy("l_orderkey").agg(F.countDistinct("l_suppkey").alias("n_late"))
+    eligible = (
+        n_supp.join(n_late, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .select("l_orderkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(eligible, "l_orderkey", "left_semi")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "q22_dormant_rich_customers",
+    driver=False,  # scalar-subquery + anti-join shape (join_anti gated)
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / CAST(COUNT(c_acctbal) AS DOUBLE)
+                         FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    """,
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity; country-code substring
+    adapted to the nation dim, 'no orders' adapted to 'no orders since
+    2000' so the testdata yields a non-empty answer).  One ungrouped
+    aggregate produces the acctbal cutoff — provably bounded (1 row), so
+    the crossJoin broadcast is hinted; the AVG is DECIMAL-exact then one
+    cast, order-independent across engines.  Dormancy is a left_anti
+    against the date-pruned orders scan — null-safe, and the filter is
+    pushed below the anti-join's shuffle."""
+    c = read_table(spark, sf_dir, "customer")
+    cutoff = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(money(F.col("c_acctbal"))).cast("double")
+                / F.count("c_acctbal").cast("double")
+            ).alias("cutoff")
+        )
+    )
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(money(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )
