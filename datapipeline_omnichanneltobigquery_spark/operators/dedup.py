@@ -114,16 +114,29 @@ def shingle_stream(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     slower at sf0.1 — while the window runs entirely in codegen; the
     token-explosion shuffle is tiny (tokens, not documents).
     """
+    return positional_shingle_stream(df, id_col, text_col, n).select("id", "shingle")
+
+
+def positional_shingle_stream(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, pos, shingle) — :func:`shingle_stream` keeping the 0-based token
+    offset each n-gram starts at.  Span-level consumers (duplicate_spans)
+    need the position to merge hits back into intervals; frequency
+    consumers project it away (the column costs nothing — it already
+    exists as posexplode's output)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "tok"),
     )
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("tok", j).over(w).alias(f"_l{j}") for j in range(1, n)]
-    sh = toks.select("id", F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"), *leads)
+    sh = toks.select(
+        "id", "pos", F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"), *leads
+    )
     for j in range(1, n):
         sh = sh.filter(F.col(f"_l{j}").isNotNull())
-    return sh.select("id", "shingle")
+    return sh.select("id", "pos", "shingle")
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -1089,4 +1102,103 @@ def fuzzy_pairs_sql(table: str, name_col: str, max_dist: int = 2) -> str:
       ON a.name < b.name
      AND abs(length(a.name) - length(b.name)) <= {max_dist}
     WHERE levenshtein(a.name, b.name) <= {max_dist}
+    """
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Span-level exact dedup: merged token intervals of every ``n``-token
+    passage that occurs ≥ ``min_count`` times ANYWHERE in the corpus —
+    (doc_id, span_start, span_end, span_tokens), positions 0-based token
+    offsets, intervals maximal (overlapping/adjacent hits coalesced).
+
+    Doc-level dedup (exact/MinHash/SimHash above) removes whole
+    near-identical documents; this catches the other failure mode of web
+    corpora — boilerplate passages (license headers, nav text, quoted
+    chunks) repeated inside otherwise-unique documents.  Feeding the spans
+    to a cut step yields the passage-deduplicated corpus.
+
+    Plan (100 TB): the positional shingle stream pays the one
+    token-level (id) shuffle the window construction needs; each shingle
+    immediately collapses to a 60-bit md5 BIGINT, so the frequency
+    aggregate and the semi-join back onto the stream move 12-byte rows,
+    never passage text.  The count aggregate partial-combines map-side
+    (repeats of a hot passage collapse per-partition before the
+    exchange); the duplicated-hash set is NOT broadcast-hinted — it
+    scales with the corpus, AQE sizes the join.  Survivor hits (a small
+    subset) reshuffle by id once for the gaps-and-islands merge: one
+    running-max window flags interval starts, one running-sum numbers the
+    islands, one hash aggregate emits min/max per island — both window
+    passes share a single exchange+sort.  Everything is codegen
+    (posexplode + lead + md5 + windows); no Python crosses the boundary.
+    """
+    st = positional_shingle_stream(df, id_col, text_col, n).select(
+        "id", "pos", md5_long(F.col("shingle")).alias("h")
+    )
+    dup = (
+        st.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    hits = st.join(dup, "h", "left_semi").select(
+        "id", "pos", (F.col("pos") + F.lit(n - 1)).alias("e")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "ni", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(F.col("id").alias("doc_id"), "island")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("x"))
+        .select(
+            "doc_id",
+            F.col("s").cast("bigint").alias("span_start"),
+            F.col("x").cast("bigint").alias("span_end"),
+            (F.col("x") - F.col("s") + 1).cast("bigint").alias("span_tokens"),
+        )
+    )
+
+
+def duplicate_spans_sql(
+    table: str, id_col: str, text_col: str, n: int = 8, min_count: int = 2
+) -> str:
+    """DuckDB twin of :func:`duplicate_spans` — same tokenization as
+    _shingles_sql, same 60-bit md5 hash, same gaps-and-islands merge
+    (COALESCE(-1) ≡ the Spark isNull branch: positions are ≥ 0)."""
+    h = md5_long_sql(f"array_to_string(w[i:i+{n - 1}], ' ')")
+    return f"""
+    WITH toks AS (SELECT {id_col} AS id,
+                         regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+                  FROM {table}),
+    st AS (SELECT id, i - 1 AS pos, {h} AS h
+           FROM toks, UNNEST(range(1, len(w) - {n - 2})) AS u(i)),
+    dup AS (SELECT h FROM st GROUP BY h HAVING COUNT(*) >= {min_count}),
+    hits AS (SELECT id, pos, pos + {n - 1} AS e
+             FROM st WHERE h IN (SELECT h FROM dup)),
+    isl AS (SELECT id, pos, e,
+                   CASE WHEN pos > COALESCE(MAX(e) OVER (
+                            PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS ni
+            FROM hits),
+    isl2 AS (SELECT id, pos, e,
+                    SUM(ni) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             FROM isl)
+    SELECT id AS doc_id,
+           MIN(pos) AS span_start,
+           MAX(e) AS span_end,
+           MAX(e) - MIN(pos) + 1 AS span_tokens
+    FROM isl2
+    GROUP BY id, island
     """

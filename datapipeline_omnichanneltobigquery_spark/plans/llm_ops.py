@@ -491,6 +491,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_span_dedup",
+    oracle=dd.duplicate_spans_sql("documents", "doc_id", "text", n=8, min_count=2),
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al., 'Deduplicating Training Data
+    Makes Language Models Better'): maximal token intervals of every
+    8-token passage occurring ≥ 2 times in the corpus — the boilerplate/
+    quoted-chunk failure mode doc-level dedup can't see.  Shingles collapse
+    to 60-bit hashes before any exchange, the frequency aggregate partial-
+    combines map-side, the duplicated-hash set is NOT broadcast-hinted
+    (it scales with the corpus), and the gaps-and-islands merge shares one
+    (id) exchange+sort across both window passes
+    (operators/dedup.py::duplicate_spans)."""
+    return dd.duplicate_spans(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", n=8, min_count=2
+    )
+
+
 def _dedup_pipeline_oracle() -> str:
     """Composite oracle for the full dedup chain: md5 exact dedup →
     Jaccard pairs over survivors → recursive-CTE connected components →

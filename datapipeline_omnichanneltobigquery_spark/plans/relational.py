@@ -32,6 +32,7 @@ from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
 
 @query(
     "join_inner_segment_revenue",
+    driver=False,  # r5 rotation: green r3+r4; join family keeps anti/multiway/bucketed/salted gated
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) AS n_orders,

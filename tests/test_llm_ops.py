@@ -840,3 +840,26 @@ def test_incremental_prep_contract(spark):
                             seed="corpus-v1").collect()
     }
     assert rows[12] == expected_split[12]
+
+
+def test_duplicate_spans_merges_overlaps_and_skips_unique_text(spark):
+    """Contract of duplicate_spans: (a) only passages repeated >= min_count
+    are reported; (b) overlapping/adjacent duplicated shingles coalesce into
+    ONE maximal interval; (c) positions are 0-based token offsets covering
+    exactly the duplicated run."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"unrelated opening words here {boiler} trailing text"),
+        (3, "completely unique sentence with no repeats whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_spans(df, "doc_id", "text", n=4, min_count=2)
+    got = {r.doc_id: (r.span_start, r.span_end, r.span_tokens) for r in out.collect()}
+    # six overlapping duplicated 4-gram hits per doc merge into one 9-token span
+    assert got[1] == (2, 10, 9), got  # after 'alpha beta'
+    assert got[2] == (4, 12, 9), got  # after 4 opening tokens
+    assert 3 not in got
+    assert len(got) == 2
