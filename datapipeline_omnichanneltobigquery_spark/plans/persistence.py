@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from datapipeline_omnichanneltobigquery_spark.functions.scalars import money
 from datapipeline_omnichanneltobigquery_spark.plans.queries import query
 from datapipeline_omnichanneltobigquery_spark.sinks.bucketed import write_bucketed
-from datapipeline_omnichanneltobigquery_spark.sinks.layout import write_range_sorted
+from datapipeline_omnichanneltobigquery_spark.sinks.layout import (
+    write_range_sorted,
+    zorder_scaled,
+    zorder_scaled_sql,
+)
 from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
 
 # Scratch location inside the repo (gitignored) so the query is runnable from
@@ -155,3 +159,30 @@ def range_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").between(100, 199))
         .select("event_id", "user_id", "event_type", F.col("value").cast("double").alias("value"))
     )
+
+
+@query(
+    "layout_zorder_values",
+    driver=False,  # z-value math under the oracle; write path pinned in test_layout
+    oracle=f"""
+    SELECT o_orderkey, zval FROM {zorder_scaled_sql(
+        "(SELECT o_orderkey, o_custkey,"
+        " date_diff('day', DATE '1970-01-01', o_orderdate) AS o_day FROM orders)",
+        "o_custkey", "o_day")} z
+    """,
+)
+def layout_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-curve) clustering values over (customer, order-day) — the
+    multi-column data-skipping layout (Delta's OPTIMIZE ZORDER): both
+    columns min-max scale to 16-bit integer ranks via exact integer
+    arithmetic, then bit-interleave into one 32-bit zval, all
+    shift/and/or codegen.  The oracle recomputes every bit in DuckDB, so
+    the hash gate proves the curve math; write_zordered range-partitions
+    on this value and test_layout proves the resulting files prune on
+    BOTH columns."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("o_day"),
+    )
+    return zorder_scaled(o, "o_custkey", "o_day").select("o_orderkey", "zval")

@@ -125,3 +125,107 @@ def compact_files(
     shutil.rmtree(old)
     after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     return {"files_before": len(files), "files_after": after, "bytes_total": total}
+
+
+# ---------------------------------------------------------------------------
+# Z-order (multi-column clustering)
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16  # per-column resolution; 2 cols × 16 bits = 32-bit z-value
+
+
+def zorder_value(a, b, bits: int = ZORDER_BITS):
+    """Interleave the low ``bits`` bits of two non-negative BIGINT columns
+    into one Morton (Z-curve) value: z = …b₁a₁b₀a₀.  Pure shift/and/or —
+    whole-stage codegen, no UDF.  Inputs must already be scaled to
+    [0, 2^bits) (see :func:`zorder_scaled`)."""
+    import pyspark.sql.functions as F
+
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("bigint"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i + 1)).bitwiseOR(F.shiftleft(bbit, 2 * i))
+    return z
+
+
+def zorder_value_sql(a: str, b: str, bits: int = ZORDER_BITS) -> str:
+    """DuckDB twin of :func:`zorder_value` — identical shift/mask algebra."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(parts)
+
+
+def zorder_scaled(df, col_a: str, col_b: str, bits: int = ZORDER_BITS):
+    """``df`` plus a ``zval`` column: both columns min-max scaled to
+    ``bits``-bit integer ranks — pure integer arithmetic
+    ``(x-lo)*(2^bits-1) div (hi-lo)`` so Spark and the SQL twin produce
+    bit-identical ranks (no floating rounding at bucket boundaries;
+    degenerate hi == lo range maps to 0) — then Morton-interleaved.  The
+    global bounds come from one ungrouped aggregate (provably bounded at
+    1 row, so its broadcast is hinted)."""
+    import pyspark.sql.functions as F
+
+    bounds = df.agg(
+        F.min(col_a).alias("_alo"), F.max(col_a).alias("_ahi"),
+        F.min(col_b).alias("_blo"), F.max(col_b).alias("_bhi"),
+    )
+    m = (1 << bits) - 1
+    with_b = df.crossJoin(F.broadcast(bounds))
+    a_s = F.expr(
+        f"CASE WHEN (_ahi - _alo) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE (CAST({col_a} AS BIGINT) - CAST(_alo AS BIGINT)) * {m} "
+        f"div (CAST(_ahi AS BIGINT) - CAST(_alo AS BIGINT)) END"
+    )
+    b_s = F.expr(
+        f"CASE WHEN (_bhi - _blo) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE (CAST({col_b} AS BIGINT) - CAST(_blo AS BIGINT)) * {m} "
+        f"div (CAST(_bhi AS BIGINT) - CAST(_blo AS BIGINT)) END"
+    )
+    return with_b.withColumn("zval", zorder_value(a_s, b_s, bits)).drop(
+        "_alo", "_ahi", "_blo", "_bhi"
+    )
+
+
+def zorder_scaled_sql(table: str, col_a: str, col_b: str, bits: int = ZORDER_BITS) -> str:
+    """DuckDB twin of :func:`zorder_scaled` as a derived-table body —
+    columns: the source table's plus ``zval``."""
+    m = (1 << bits) - 1
+    a_s = (
+        f"CASE WHEN (_ahi - _alo) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE (CAST({col_a} AS BIGINT) - CAST(_alo AS BIGINT)) * {m} "
+        f"// (CAST(_ahi AS BIGINT) - CAST(_alo AS BIGINT)) END"
+    )
+    b_s = (
+        f"CASE WHEN (_bhi - _blo) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE (CAST({col_b} AS BIGINT) - CAST(_blo AS BIGINT)) * {m} "
+        f"// (CAST(_bhi AS BIGINT) - CAST(_blo AS BIGINT)) END"
+    )
+    return f"""
+    (SELECT t.*, {zorder_value_sql(f"({a_s})", f"({b_s})", bits)} AS zval
+     FROM {table} t CROSS JOIN
+          (SELECT MIN({col_a}) AS _alo, MAX({col_a}) AS _ahi,
+                  MIN({col_b}) AS _blo, MAX({col_b}) AS _bhi
+           FROM {table}) bounds)
+    """
+
+
+def write_zordered(df, path: str, col_a: str, col_b: str, n_partitions: int) -> None:
+    """Persist ``df`` Z-ordered on (``col_a``, ``col_b``): Morton-value
+    range partitioning + in-file sort, so parquet footer min/max become
+    selective on BOTH columns at once — the multi-column data-skipping
+    layout single-column range sort can't provide (sorting by A leaves B
+    scattered across every file).  This is what Delta's OPTIMIZE ZORDER
+    does; here it is one extra integer column at write time, dropped
+    before the rows hit disk.  At 100 TB a point/range filter on either
+    clustered column prunes most files before any data IO."""
+    z = zorder_scaled(df, col_a, col_b)
+    (
+        z.repartitionByRange(n_partitions, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -109,3 +109,39 @@ def test_compact_preserves_range_layout_with_sort_col(spark, tmp_path):
         assert hi_prev <= lo_next, ranges
     back = spark.read.parquet(path)
     assert back.count() == ev.count()
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered layout makes footer min/max selective on BOTH clustered
+    columns, where single-column range sort leaves the second column
+    unprunable: a mid-domain point probe on each column must overlap only
+    a strict subset of the z-ordered files, while the range-sorted layout
+    overlaps EVERY file on the non-sort column."""
+    from datapipeline_omnichanneltobigquery_spark.sinks.layout import write_zordered
+
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("o_day"),
+    )
+    n_files = 16
+
+    zpath = str(tmp_path / "orders_z")
+    write_zordered(orders, zpath, "o_custkey", "o_day", n_partitions=n_files)
+    rpath = str(tmp_path / "orders_r")
+    write_range_sorted(orders, rpath, "o_custkey", n_partitions=n_files)
+
+    def overlapping(path, col, probe):
+        return sum(1 for _, lo, hi in file_ranges(path, col) if lo <= probe <= hi)
+
+    mid_cust = orders.agg(F.expr("percentile_approx(o_custkey, 0.5)")).first()[0]
+    mid_day = orders.agg(F.expr("percentile_approx(o_day, 0.5)")).first()[0]
+
+    z_files = len(file_ranges(zpath, "o_custkey"))
+    assert z_files >= n_files // 2  # the writer actually split the domain
+    # z-order: both columns prune (each probe touches < half the files)
+    assert overlapping(zpath, "o_custkey", mid_cust) < z_files / 2
+    assert overlapping(zpath, "o_day", mid_day) < z_files / 2
+    # range sort: the sort column prunes, the OTHER column cannot
+    r_files = len(file_ranges(rpath, "o_day"))
+    assert overlapping(rpath, "o_day", mid_day) == r_files
