@@ -727,3 +727,49 @@ def ivf_topk_join_from_index(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Recall@k of an approximate neighbor set against the exact one:
+    (query_id, recall) where recall = |approx ∩ exact| / |exact| per
+    query — the quality dial for IVF tuning (n_probe/n_centroids trade
+    recall for bytes read; this measures what a setting actually buys).
+
+    Both inputs are (query_id, neighbor_id, ...) top-k results (e.g.
+    :func:`cosine_topk_join` as truth, :func:`ivf_topk_join_from_index`
+    as candidate).  The denominator is |exact| per query, not the nominal
+    k, so small corpora (< k neighbors) still score in [0, 1].
+
+    Plan: id-pair semi-join + two tiny per-query aggregates — inputs are
+    |queries|·k rows, negligible next to the searches that produced them;
+    the joins are on (query_id, neighbor_id) id pairs, never vectors."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = e.join(a, ["query_id", "neighbor_id"], "left_semi")
+    per_q = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hit_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return per_q.join(hit_q, "query_id", "left").select(
+        "query_id",
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )
+
+
+def ann_recall_sql(exact_sql: str, approx_sql: str) -> str:
+    """DuckDB twin of :func:`ann_recall` over two top-k subqueries (each a
+    complete SELECT, e.g. from :func:`cosine_topk_join_sql` /
+    :func:`ivf_topk_join_sql`)."""
+    return f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({exact_sql})),
+         approx AS (SELECT query_id, neighbor_id FROM ({approx_sql})),
+         hits AS (SELECT e.query_id, e.neighbor_id
+                  FROM exact e JOIN approx a
+                    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+         per_q AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+         hit_q AS (SELECT query_id, COUNT(*) AS n_hit FROM hits GROUP BY 1)
+    SELECT p.query_id,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(p.n_exact AS DOUBLE) AS recall
+    FROM per_q p LEFT JOIN hit_q h ON h.query_id = p.query_id
+    """

@@ -216,6 +216,36 @@ def similarity_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ann_recall",
+    driver=False,  # quality-eval face of the gated ANN family (same index, same oracle algebra)
+    oracle=sim.ann_recall_sql(
+        sim.cosine_topk_join_sql("embeddings", "vec_id < 16", k=5, dim=EMB_DIM),
+        sim.ivf_topk_join_sql(
+            "embeddings", "vec_id < 16", k=5, n_centroids=16, n_probe=4, dim=EMB_DIM
+        ),
+    ),
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the persisted IVF index against exact brute-force top-k,
+    per query — the measurement that justifies an n_probe setting instead
+    of guessing.  Exact truth comes from the honest batch crossJoin
+    (cosine_topk_join); the candidate set probes the SAME hive-partitioned
+    index the gated entry builds; the recall math is id-pair semi-join +
+    two tiny aggregates.  Fully deterministic end to end, so the hash gate
+    checks the recall NUMBERS, not just the plumbing."""
+    from datapipeline_omnichanneltobigquery_spark.plans.persistence import SCRATCH
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"{SCRATCH}/ivf_index_{sf_tag}"
+    sim.build_ivf_index(emb, path, n_centroids=16)
+    exact = sim.cosine_topk_join(queries, emb, k=5)
+    approx = sim.ivf_topk_join_from_index(spark, path, queries, k=5, n_probe=4)
+    return sim.ann_recall(exact, approx)
+
+
+@query(
     "similarity_quantize_digest",
     # rotated INTO the gate r4 (never driver-verified before)
     oracle=sim.quantize_digest_sql("embeddings"),
