@@ -773,3 +773,38 @@ def ann_recall_sql(exact_sql: str, approx_sql: str) -> str:
            CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(p.n_exact AS DOUBLE) AS recall
     FROM per_q p LEFT JOIN hit_q h ON h.query_id = p.query_id
     """
+
+
+def append_to_ivf_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Append a new vector batch to a PERSISTED IVF index without
+    rebuilding it — the nightly-ingest shape (the ANN twin of
+    corpus_prep.prepare_corpus_incremental): a full rebuild rescans the
+    100 TB corpus for a 0.1% delta; this touches only the batch.
+
+    Batch vectors normalize and assign against the index's EXISTING
+    centroid table (broadcast — n_centroids rows, provably bounded), then
+    land as an APPEND into the hive-partitioned postings: new files inside
+    existing cluster directories, no rewrite of prior postings, and probes
+    keep their partition pruning.  Because assignment depends only on the
+    vector and the frozen centroids, incremental build ≡ full build over
+    the union corpus, bit for bit — which is exactly what the gated oracle
+    checks.  Centroid drift under sustained ingest is the known IVF
+    trade-off; re-running :func:`build_ivf_index` periodically re-seeds.
+    """
+    unit = _unit_df(batch, id_col, vec_col, dim)
+    cent = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    scored = unit.crossJoin(cent).select(
+        id_col, "__u", "cid", dot(F.col("__u"), F.col("cv"), dim).alias("sim")
+    )
+    assign = scored.groupBy(id_col).agg(
+        F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("tb"))).alias("cluster"),
+    )
+    indexed = unit.join(assign, id_col)
+    indexed.write.mode("append").partitionBy("cluster").parquet(f"{path}/postings")

@@ -246,6 +246,34 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ann_incremental",
+    driver=False,  # nightly-ingest face of the gated ANN family (append ≡ full rebuild)
+    oracle=sim.ivf_topk_join_sql(
+        "embeddings", "vec_id < 4", k=5, n_centroids=16, n_probe=4, dim=EMB_DIM
+    ),
+)
+def similarity_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance: build the index from the base corpus,
+    APPEND the new batch against the frozen centroids (new files in
+    existing cluster directories — no rebuild, work linear in the batch),
+    then probe the union.  Assignment depends only on the vector and the
+    frozen centroids, so the oracle is the FULL-BUILD search over the whole
+    table — the hash match proves append ≡ rebuild, bit for bit (the
+    centroid seeds, vec_id 0..15, all live in the base split)."""
+    from datapipeline_omnichanneltobigquery_spark.plans.persistence import SCRATCH
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_batch = (F.col("vec_id") >= 16) & (F.col("vec_id") % 7 == 3)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"{SCRATCH}/ivf_index_incr_{sf_tag}"
+    sim.build_ivf_index(emb.filter(~is_batch), path, n_centroids=16)
+    sim.append_to_ivf_index(spark, path, emb.filter(is_batch))
+    return sim.ivf_topk_join_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 4), k=5, n_probe=4
+    )
+
+
+@query(
     "similarity_quantize_digest",
     # rotated INTO the gate r4 (never driver-verified before)
     oracle=sim.quantize_digest_sql("embeddings"),
