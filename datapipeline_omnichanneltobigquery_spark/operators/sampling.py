@@ -530,3 +530,80 @@ def negative_samples_sql(
         FROM cand)
     WHERE rn = 1
     """
+
+
+# 2^60 — the md5_long hash space; exact as a double (power of two).
+_H_SPACE = float(1 << 60)
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "prio-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    q = w / u with u = md5-uniform in (0, 1]; the sample is the k highest
+    priorities, and est_weight = max(w, τ) — τ the (k+1)-th priority —
+    is the unbiased subset-sum estimator (Σ est over any sampled subset
+    estimates that subset's true Σw), which is what makes a weighted
+    sample USEFUL for downstream aggregation, not just selection.
+
+    Determinism: u = (md5₆₀(seed:id) + 1) / 2^60 and q = w / u use only
+    IEEE *, /, + — no transcendentals — so Spark and the DuckDB twin
+    produce bit-identical priorities, and the hash gate checks the sampled
+    SET and the estimates, not just row counts.
+
+    Plan (100 TB): priorities are map-side expressions; the k+1 survivors
+    come from orderBy().limit(k+1) — TakeOrderedAndProject, a per-partition
+    heap + driver merge of k+1 rows per partition, never a global sort.
+    The survivor set is one-shot localCheckpointed (the q15 discipline):
+    both consumers (τ scalar, sample rows) read the materialized k+1 rows
+    instead of re-running the corpus scan.  τ is a 1-row aggregate —
+    provably bounded, broadcast-hinted."""
+    u = (
+        md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) + F.lit(1)
+    ).cast("double") / F.lit(_H_SPACE)
+    pr = df.select(
+        F.col(id_col),
+        F.col(weight_col).alias("weight"),
+        (F.col(weight_col).cast("double") / u).alias("priority"),
+    )
+    ranked = (
+        pr.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k + 1).localCheckpoint()
+    )
+    tau = ranked.agg(
+        F.when(F.count(F.lit(1)) > k, F.min("priority")).otherwise(F.lit(0.0)).alias("tau")
+    )
+    sample = ranked.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k)
+    return sample.crossJoin(F.broadcast(tau)).select(
+        id_col,
+        "weight",
+        "priority",
+        F.greatest(F.col("weight").cast("double"), F.col("tau")).alias("est_weight"),
+    )
+
+
+def priority_sample_sql(
+    table: str, id_col: str, weight_col: str, k: int, seed: str = "prio-v1"
+) -> str:
+    """DuckDB twin of :func:`priority_sample` — same hash, same two-division
+    expression shape, same (k+1)-th-priority threshold."""
+    h = md5_long_sql(f"'{seed}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH pr AS (
+        SELECT {id_col}, {weight_col} AS weight,
+               CAST({weight_col} AS DOUBLE)
+                 / (CAST(({h}) + 1 AS DOUBLE) / {_H_SPACE!r}) AS priority
+        FROM {table}),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, {id_col}) AS rn
+               FROM pr),
+    tau AS (SELECT COALESCE(MAX(CASE WHEN rn = {k + 1} THEN priority END), 0.0) AS tau
+            FROM ranked)
+    SELECT {id_col}, weight, priority,
+           GREATEST(CAST(weight AS DOUBLE), tau) AS est_weight
+    FROM ranked, tau
+    WHERE rn <= {k}
+    """

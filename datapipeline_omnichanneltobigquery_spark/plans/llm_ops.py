@@ -970,6 +970,22 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sampling_weighted_priority",
+    driver=False,  # weighted face of the gated sampling family
+    oracle=sa.priority_sample_sql("documents", "doc_id", "n_chars", k=50),
+)
+def sampling_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): 50 documents weighted by
+    length, without replacement, with the unbiased subset-sum estimator
+    est_weight = max(w, τ) — md5-uniform priorities built from IEEE basic
+    ops only, so the hash gate verifies the sampled SET and the estimates
+    bit for bit (operators/sampling.py::priority_sample)."""
+    return sa.priority_sample(
+        read_table(spark, sf_dir, "documents"), "doc_id", "n_chars", k=50
+    )
+
+
+@query(
     "sampling_negatives",
     driver=False,  # retrieval-training face of the gated sampling family
     oracle=sa.negative_samples_sql(

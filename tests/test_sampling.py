@@ -232,3 +232,21 @@ def test_negative_samples_contract(spark):
     assert all(sorted(v) == [1, 2, 3] for v in by_anchor.values())
     again = negative_samples(df, "doc_id", F.col("doc_id") < 10, k=3, n_buckets=8).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_priority_sample_contract(spark):
+    """k rows come back, estimates never fall below the true weight, and
+    when the population fits inside k the sample is exhaustive with EXACT
+    estimates (tau = 0 -> est_weight == weight)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import priority_sample
+
+    rows = [(i, 10 * (i + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+
+    out = priority_sample(df, "id", "w", k=8).collect()
+    assert len(out) == 8
+    assert all(r.est_weight >= float(r.weight) for r in out)
+
+    full = priority_sample(df, "id", "w", k=30).collect()
+    assert len(full) == 20
+    assert all(r.est_weight == float(r.weight) for r in full)
