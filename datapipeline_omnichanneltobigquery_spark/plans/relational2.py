@@ -1011,3 +1011,73 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("value").cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "basket_pair_lift",
+    driver=False,  # analytics-batch face (funnel/cohort gated); self-join family has gated kin
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+         pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                          COUNT(*) AS n_ab
+                   FROM items a JOIN items b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2),
+         cnt AS (SELECT l_partkey, COUNT(*) AS n_one FROM items GROUP BY 1)
+    SELECT p.part_a, p.part_b, p.n_ab,
+           (CAST(p.n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / (CAST(ca.n_one AS DOUBLE) * CAST(cb.n_one AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN cnt ca ON ca.l_partkey = p.part_a
+    JOIN cnt cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    ORDER BY p.n_ab DESC, p.part_a, p.part_b
+    LIMIT 20
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity: the top-20 part pairs by co-occurrence
+    count across orders, with lift = P(a,b)/(P(a)·P(b)) — the classic
+    association-rule screen (support + lift), done set-semantically on
+    (order, part).
+
+    Scale shape: the within-order self-join emits Σ lines² pairs per order
+    — bounded because basket sizes are (TPC-H: ≤ 7 lines; real carts are
+    small constants), so candidates stay linear in orders, NOT quadratic
+    in parts.  The distinct, the pair aggregate and the per-part counts
+    partial-combine map-side; the 1-row order-count aggregate is provably
+    bounded (broadcast-hinted), while the per-part count table scales with
+    the catalog — no hint, AQE sizes those joins.  Lift is one double
+    expression over exact integer counts, identical on both engines; the
+    top-20 is TakeOrderedAndProject with the pair as tie-break."""
+    items = (
+        read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, (a.l_orderkey == b.ok_b) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_one"))
+    ca = cnt.select(F.col("l_partkey").alias("ka"), F.col("n_one").alias("n_a"))
+    cb = cnt.select(F.col("l_partkey").alias("kb"), F.col("n_one").alias("n_b"))
+    return (
+        pairs.join(ca, F.col("part_a") == F.col("ka"))
+        .join(cb, F.col("part_b") == F.col("kb"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (
+                (F.col("n_ab").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(20)
+    )
