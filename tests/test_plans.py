@@ -30,7 +30,7 @@ def test_column_pruning(spark):
 
 
 def test_dim_joins_broadcast(spark):
-    df = QUERIES["join_inner_segment_revenue"](spark, SF_DIR)
+    df = EXTRA_QUERIES["join_inner_segment_revenue"](spark, SF_DIR)  # rotated out r5
     assert audit.broadcast_join_count(df) >= 1, audit.plan_string(df)
 
 
