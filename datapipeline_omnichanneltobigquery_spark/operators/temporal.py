@@ -104,3 +104,80 @@ def range_join(
         .filter((rt >= lo) & (rt < hi))
         .drop("__b")
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_id: str,
+    payload_cols: list[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """As-of join in the NEAREST direction with an optional tolerance (the
+    pandas ``merge_asof(direction='nearest', tolerance=...)`` surface):
+    each left row attaches the right row of the same ``key`` whose
+    timestamp is closest in EITHER direction, NULLs when none lands within
+    ``tolerance_us`` microseconds.  Equal distance resolves to the earlier
+    (backward) match; equal right timestamps to the largest ``right_id`` —
+    fully deterministic.
+
+    Plan: the same union trick as :func:`asof_join`, but TWO window passes
+    over the one (key, ts) sort — a running ``last`` (preceding frame) for
+    the backward candidate and a ``first`` over the following frame for
+    the forward candidate; both windows share a single exchange+sort
+    because partition and order match.  Candidate distances compare
+    map-side; still ONE shuffle total, no inequality join."""
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.col(right_id).alias("__rid"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload_cols]
+        ).alias("__payload"),
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__rid"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # backward: right rows at the same ts sort BEFORE left (is_left asc) so
+    # an equal-timestamp right row is visible to the left row's frame;
+    # forward: the following frame starts at +1 row, so the same ordering
+    # keeps equal-ts rows in the backward branch only (distance 0 wins
+    # there anyway — matching the earlier-on-tie contract).
+    w = Window.partitionBy(key).orderBy("__ts", "__is_left", "__rid")
+    back = F.last("__payload", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = F.first("__payload", ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    carried = (
+        r.unionByName(l)
+        .withColumn("__back", back)
+        .withColumn("__fwd", fwd)
+        .filter(F.col("__is_left") == 1)
+    )
+    bdist = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__back.__rts"))
+    fdist = F.unix_micros(F.col("__fwd.__rts")) - F.unix_micros(F.col("__ts"))
+    if tolerance_us is not None:
+        bdist = F.when(bdist <= tolerance_us, bdist)
+        fdist = F.when(fdist <= tolerance_us, fdist)
+    pick_back = F.when(
+        bdist.isNotNull() & (fdist.isNull() | (bdist <= fdist)), True
+    ).otherwise(False)
+    chosen = F.when(pick_back, F.col("__back")).otherwise(
+        F.when(fdist.isNotNull(), F.col("__fwd"))
+    )
+    return carried.withColumn("__chosen", chosen).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__chosen")[c].alias(c) for c in payload_cols],
+    )

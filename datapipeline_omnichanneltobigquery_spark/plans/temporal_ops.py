@@ -134,3 +134,56 @@ def window_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.sum(money(F.col("o_totalprice"))).over(w).cast("double").alias("rev_7d"),
     )
+
+
+@query(
+    "asof_nearest_tolerance",
+    driver=False,  # nearest/tolerance face of the gated as-of family
+    oracle="""
+    SELECT p.event_id,
+           v.event_id AS view_event_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 300000000
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+        ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC,
+                 (epoch_us(v.ts) <= epoch_us(p.ts)) DESC,
+                 CASE WHEN epoch_us(v.ts) <= epoch_us(p.ts)
+                      THEN -v.event_id ELSE v.event_id END ASC) = 1
+    """,
+)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of with a 5-minute tolerance (the
+    merge_asof(direction='nearest', tolerance=...) surface): each purchase
+    attaches the closest view in EITHER direction within 300 s, NULLs
+    beyond it.  Tie contract (mirrored in the definitional oracle): equal
+    distance prefers the backward match; equal-timestamp views resolve to
+    the largest id backward / smallest forward (the union+window plan's
+    single sort order serves both frames, so the two candidate passes
+    share ONE exchange+sort — still no inequality join)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.temporal import asof_join_nearest
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    joined = asof_join_nearest(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        right_id="view_event_id",
+        payload_cols=["view_event_id", "view_ts"],
+        tolerance_us=300_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "view_event_id",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
