@@ -1202,3 +1202,91 @@ def duplicate_spans_sql(
     FROM isl2
     GROUP BY id, island
     """
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The CUT step completing span-level dedup: given
+    :func:`duplicate_spans` output, rebuild each document WITHOUT the
+    tokens its duplicated spans cover — (id, clean_text, n_tokens,
+    n_removed).  Works in the detector's normalized token space
+    (trim/lower/whitespace-split), so positions line up by construction;
+    a doc whose every token is covered comes back with empty text, and
+    docs with no spans pass through untouched.
+
+    Plan: tokens posexplode once (codegen Generate); covered tokens drop
+    via a LEFT ANTI join on (id equi + pos BETWEEN span bounds) — the
+    range residual rides the equi-join, and spans-per-doc is small, so the
+    anti-join is linear; the rebuild is one groupBy(id) with an
+    array_sort(collect_list(struct(pos, tok))) — order restored inside the
+    aggregate, no extra sort exchange.  Token counts ride the same
+    aggregates."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "tok"),
+    )
+    sp = spans.select(
+        F.col("doc_id").alias("__sid"), "span_start", "span_end"
+    )
+    kept = toks.join(
+        sp,
+        (toks.id == sp.__sid)
+        & (toks.pos >= sp.span_start)
+        & (toks.pos <= sp.span_end),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s.tok
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def cut_spans_sql(
+    table: str, id_col: str, text_col: str, n: int = 8, min_count: int = 2
+) -> str:
+    """DuckDB twin of :func:`duplicate_spans` + :func:`cut_spans` composed
+    — detect then cut in one query, same tokenization and interval
+    algebra."""
+    spans = duplicate_spans_sql(table, id_col, text_col, n=n, min_count=min_count)
+    return f"""
+    WITH spans AS ({spans}),
+    toks AS (SELECT {id_col} AS id, i - 1 AS pos, w[i] AS tok
+             FROM (SELECT {id_col},
+                          regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+                   FROM {table}),
+                  UNNEST(range(1, len(w) + 1)) AS u(i)),
+    kept AS (SELECT t.id, t.pos, t.tok FROM toks t
+             WHERE NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = t.id
+                                 AND t.pos BETWEEN s.span_start AND s.span_end)),
+    rebuilt AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY id),
+    totals AS (SELECT id, COUNT(*) AS n_tokens FROM toks GROUP BY id)
+    SELECT t.id AS {id_col},
+           COALESCE(r.clean_text, '') AS clean_text,
+           t.n_tokens,
+           t.n_tokens - COALESCE(r.n_kept, 0) AS n_removed
+    FROM totals t LEFT JOIN rebuilt r ON r.id = t.id
+    """

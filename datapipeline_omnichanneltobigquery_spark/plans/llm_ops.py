@@ -568,6 +568,21 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_span_cut",
+    driver=False,  # cut face of the gated text_span_dedup family (composed oracle)
+    oracle=dd.cut_spans_sql("documents", "doc_id", "text", n=8, min_count=2),
+)
+def text_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-then-cut: rebuild every document without its duplicated
+    8-token passages — the output corpus of span-level dedup.  The oracle
+    composes the detector and the cut into one DuckDB query, so the hash
+    gate verifies the CLEANED TEXT itself, not just the span list."""
+    docs = read_table(spark, sf_dir, "documents")
+    spans = dd.duplicate_spans(docs, "doc_id", "text", n=8, min_count=2)
+    return dd.cut_spans(docs, spans, "doc_id", "text")
+
+
 def _dedup_pipeline_oracle() -> str:
     """Composite oracle for the full dedup chain: md5 exact dedup →
     Jaccard pairs over survivors → recursive-CTE connected components →

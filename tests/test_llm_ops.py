@@ -863,3 +863,28 @@ def test_duplicate_spans_merges_overlaps_and_skips_unique_text(spark):
     assert got[2] == (4, 12, 9), got  # after 4 opening tokens
     assert 3 not in got
     assert len(got) == 2
+
+
+def test_cut_spans_removes_exactly_the_duplicated_run(spark):
+    """cut_spans drops precisely the tokens duplicate_spans flagged: the
+    planted boilerplate disappears, surrounding unique tokens survive in
+    order, and the untouched doc passes through verbatim (normalized)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        cut_spans,
+        duplicate_spans,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"unrelated opening words here {boiler} trailing text"),
+        (3, "completely unique sentence with no repeats whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicate_spans(df, "doc_id", "text", n=4, min_count=2)
+    got = {r.doc_id: r for r in cut_spans(df, spans, "doc_id", "text").collect()}
+    assert got[1].clean_text == "alpha beta gamma delta"
+    assert got[1].n_removed == 9
+    assert got[2].clean_text == "unrelated opening words here trailing text"
+    assert got[3].clean_text == "completely unique sentence with no repeats whatsoever"
+    assert got[3].n_removed == 0
