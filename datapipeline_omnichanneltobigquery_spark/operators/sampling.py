@@ -607,3 +607,77 @@ def priority_sample_sql(
     FROM ranked, tau
     WHERE rn <= {k}
     """
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Token-budget mixture planning: given target mix weights and a total
+    token budget, compute per-source availability, target, sampling rate,
+    epoch count and deficit — the bookkeeping that turns 'we want 70% web
+    / 20% code / 10% papers' into executable per-source sampling rates
+    (feed ``sample_rate`` to :func:`stratified_sample`, or repeat a source
+    ``epochs`` times when the target exceeds what exists).
+
+    Per source: tokens_target = budget·w; sample_rate = min(1, target /
+    available); epochs = target/available (> 1 ⇒ the source must repeat);
+    deficit = max(0, target − available).  Sums are exact integers; the
+    ratios are single IEEE divisions — bit-identical in the SQL twin.
+
+    Plan: one partial-aggregated groupBy over the corpus + a join against
+    the inline weight table (bounded by construction — it IS the
+    argument)."""
+    w_rows = [(s, float(w)) for s, w in sorted(weights.items())]
+    wdf = df.sparkSession.createDataFrame(w_rows, ["source", "w"])
+    agg = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).cast("bigint").alias("tokens_available"),
+        )
+    )
+    target = F.lit(float(budget_tokens)) * F.col("w")
+    avail = F.col("tokens_available").cast("double")
+    return (
+        agg.join(F.broadcast(wdf), "source")
+        .select(
+            "source",
+            "n_docs",
+            "tokens_available",
+            target.alias("tokens_target"),
+            F.least(F.lit(1.0), target / avail).alias("sample_rate"),
+            (target / avail).alias("epochs"),
+            F.greatest(F.lit(0.0), target - avail).alias("deficit_tokens"),
+        )
+    )
+
+
+def mixture_plan_sql(
+    table: str,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> str:
+    """DuckDB twin of :func:`mixture_plan` — same inline weight table, same
+    single-division expressions."""
+    vals = ", ".join(f"({_sql_str(s)}, {float(w)!r})" for s, w in sorted(weights.items()))
+    return f"""
+    WITH w(source, w) AS (VALUES {vals}),
+    agg AS (SELECT {source_col} AS source, COUNT(*) AS n_docs,
+                   SUM({token_col}) AS tokens_available
+            FROM {table} GROUP BY 1)
+    SELECT a.source, a.n_docs, a.tokens_available,
+           CAST({float(budget_tokens)!r} AS DOUBLE) * w.w AS tokens_target,
+           LEAST(1.0, (CAST({float(budget_tokens)!r} AS DOUBLE) * w.w)
+                        / CAST(a.tokens_available AS DOUBLE)) AS sample_rate,
+           (CAST({float(budget_tokens)!r} AS DOUBLE) * w.w)
+             / CAST(a.tokens_available AS DOUBLE) AS epochs,
+           GREATEST(0.0, CAST({float(budget_tokens)!r} AS DOUBLE) * w.w
+                           - CAST(a.tokens_available AS DOUBLE)) AS deficit_tokens
+    FROM agg a JOIN w ON w.source = a.source
+    """

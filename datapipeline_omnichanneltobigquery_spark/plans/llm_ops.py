@@ -984,6 +984,26 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"src0": 0.7, "src1": 0.2, "src2": 0.1}
+_MIX_BUDGET = 20_000
+
+
+@query(
+    "sampling_mixture_plan",
+    driver=False,  # mix-planning face of the gated sampling family
+    oracle=sa.mixture_plan_sql("documents", "source", "n_chars", _MIX_WEIGHTS, _MIX_BUDGET),
+)
+def sampling_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture plan: per-source availability vs target under a
+    70/20/10 mix and a 20k-token budget — sampling rates where the target
+    fits, epochs > 1 and a deficit where it doesn't.  Exact-integer sums,
+    single-division ratios; the weight table is inline (bounded by
+    construction) (operators/sampling.py::mixture_plan)."""
+    return sa.mixture_plan(
+        read_table(spark, sf_dir, "documents"), "source", "n_chars", _MIX_WEIGHTS, _MIX_BUDGET
+    )
+
+
 @query(
     "sampling_weighted_priority",
     driver=False,  # weighted face of the gated sampling family
