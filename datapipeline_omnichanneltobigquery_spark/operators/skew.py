@@ -71,3 +71,57 @@ def salted_join(
     )
     out = l_s.join(r_s, on=[key, SALT_COL], how=how)
     return out.drop(SALT_COL)
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Diagnose key skew BEFORE a join/agg chooses its strategy: one row
+    per hot key — (key, n_rows, share, skew_factor, rank) for the
+    ``top_k`` heaviest keys, where ``share`` is the key's fraction of all
+    rows and ``skew_factor`` = n_rows / mean-rows-per-key (how many
+    average keys this one weighs).  skew_factor ≳ n_shuffle_partitions
+    means the key serializes a whole task → reach for :func:`salted_agg` /
+    :func:`salted_join` or AQE skew splitting; this report is the
+    measurement that justifies that choice (the diagnose half of the
+    diagnose → salt workflow).
+
+    Plan: ONE partial-aggregated groupBy(key) (the same shuffle the
+    skewed operation itself would pay, so the diagnosis costs what one
+    run of the problem costs), a 1-row global aggregate off those counts
+    (provably bounded → broadcast), and a top-k TakeOrderedAndProject —
+    never a global sort.  Ratios are single IEEE divisions over exact
+    integer counts."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_keys"),
+    )
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+    )
+    return top.select(
+        "key",
+        "n_rows",
+        (F.col("n_rows").cast("double") / F.col("__total").cast("double")).alias("share"),
+        (
+            F.col("n_rows").cast("double")
+            / (F.col("__total").cast("double") / F.col("__n_keys").cast("double"))
+        ).alias("skew_factor"),
+    )
+
+
+def skew_report_sql(table: str, key_col: str, top_k: int = 5) -> str:
+    """DuckDB twin of :func:`skew_report` — same counts, same division
+    order."""
+    return f"""
+    WITH counts AS (SELECT {key_col} AS key, COUNT(*) AS n_rows
+                    FROM {table} GROUP BY 1),
+    totals AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM counts),
+    top AS (SELECT * FROM counts ORDER BY n_rows DESC, key LIMIT {top_k})
+    SELECT t.key, t.n_rows,
+           CAST(t.n_rows AS DOUBLE) / CAST(x.total AS DOUBLE) AS share,
+           CAST(t.n_rows AS DOUBLE)
+             / (CAST(x.total AS DOUBLE) / CAST(x.n_keys AS DOUBLE)) AS skew_factor
+    FROM top t CROSS JOIN totals x
+    """

@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
+from datapipeline_omnichanneltobigquery_spark.operators import skew as sk
 from datapipeline_omnichanneltobigquery_spark.operators import timeseries as tsr
 from datapipeline_omnichanneltobigquery_spark.operators.upsert import snapshot_diff_sql
 from datapipeline_omnichanneltobigquery_spark.plans.queries import query
@@ -503,6 +504,20 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_col="l_orderkey",
         n_salts=8,
     )
+
+
+@query(
+    "skew_report_events",
+    driver=False,  # diagnose face of the gated skew family (salted_join gated)
+    oracle=sk.skew_report_sql("events", "user_id", top_k=5),
+)
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis on events.user_id — the measurement that decides
+    between a plain shuffle, AQE skew splitting, or salted_agg/salted_join
+    (the diagnose half of the gated skew family).  One groupBy + a 1-row
+    bounded aggregate + TakeOrderedAndProject
+    (operators/skew.py::skew_report)."""
+    return sk.skew_report(read_table(spark, sf_dir, "events"), "user_id", top_k=5)
 
 
 @query(
