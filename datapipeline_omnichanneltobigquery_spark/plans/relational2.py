@@ -1096,3 +1096,62 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "weighted_median_prices",
+    driver=False,  # robust-stats face of the gated window/agg families
+    oracle="""
+    WITH cum AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS val,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+                            l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag) AS tw
+        FROM lineitem)
+    SELECT l_returnflag,
+           CAST(MIN(val) AS DOUBLE) AS weighted_median
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group (price weighted by quantity) — the
+    robust location statistic percentile_approx can't give you exactly:
+    sort within group, accumulate DECIMAL-exact weights, and the median is
+    the first value whose cumulative weight reaches half the total
+    (lower weighted median — deterministic via the (value, unique-key)
+    sort).  One window shuffle on the group key; the running and total
+    sums share the same exchange+sort; every comparison is exact decimal
+    arithmetic, so both engines select the identical row."""
+    from pyspark.sql import Window as W
+
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("val"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wrun = (
+        W.partitionBy("l_returnflag")
+        .orderBy("val", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag")
+    cum = l.select(
+        "l_returnflag",
+        "val",
+        F.sum("wt").over(wrun).alias("cw"),
+        F.sum("wt").over(wall).alias("tw"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("val").cast("double").alias("weighted_median"))
+    )
