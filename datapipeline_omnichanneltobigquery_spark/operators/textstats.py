@@ -407,3 +407,47 @@ def ngram_topk_sql(table: str, id_col: str, text_col: str, n: int = 3, k: int = 
     ORDER BY n_occurrences DESC, ngram
     LIMIT {k}
     """
+
+
+def quality_calibrate(
+    df: DataFrame, id_col: str, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-domain quality calibration: the raw composite score's scale
+    drifts between sources (a boilerplate-heavy domain saturates the
+    punctuation term; a short-form domain the length term), so a single
+    global threshold over-prunes some domains and under-prunes others.
+    This returns each document's PERCENTILE of quality within its own
+    source — (id, group, quality_score, quality_pctile) — making
+    'keep the top 60%' mean the same thing in every domain.
+
+    Plan: the quality features are map-side (text_quality: one projection,
+    no shuffle); the calibration is a single percent_rank window per
+    source — ONE shuffle on the group key, deterministic via the
+    (score, id) tie-broken sort."""
+    from pyspark.sql import Window
+
+    q = text_quality(df, id_col, text_col).select(id_col, "quality_score")
+    g = df.select(F.col(id_col), F.col(group_col))
+    w = Window.partitionBy(group_col).orderBy("quality_score", id_col)
+    return (
+        q.join(g, id_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            "quality_score",
+            F.percent_rank().over(w).alias("quality_pctile"),
+        )
+    )
+
+
+def quality_calibrate_sql(table: str, id_col: str, text_col: str, group_col: str) -> str:
+    """DuckDB twin of :func:`quality_calibrate` — percent_rank over the
+    generated quality twin, same (score, id) tie-break."""
+    return f"""
+    WITH q AS ({text_quality_sql(table, id_col, text_col)}),
+    g AS (SELECT {id_col}, {group_col} FROM {table})
+    SELECT q.{id_col}, g.{group_col}, q.quality_score,
+           PERCENT_RANK() OVER (PARTITION BY g.{group_col}
+                                ORDER BY q.quality_score, q.{id_col}) AS quality_pctile
+    FROM q JOIN g ON g.{id_col} = q.{id_col}
+    """

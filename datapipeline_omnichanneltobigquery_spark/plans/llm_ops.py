@@ -296,6 +296,21 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.text_quality(read_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@query(
+    "text_quality_calibrated",
+    driver=False,  # per-domain calibration face of the gated text-quality family
+    oracle=ts.quality_calibrate_sql("documents", "doc_id", "text", "source"),
+)
+def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentiles: 'keep the top 60%' means the same
+    thing in every domain, instead of a global threshold silently
+    over-pruning boilerplate-heavy sources
+    (operators/textstats.py::quality_calibrate)."""
+    return ts.quality_calibrate(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
 @query("text_lang_id", driver=False, oracle=ts.lang_id_sql("documents", "doc_id", "text"))
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-word language-ID heuristic with deterministic argmax."""
