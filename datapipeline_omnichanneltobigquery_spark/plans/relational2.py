@@ -7,6 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from datapipeline_omnichanneltobigquery_spark.operators import graph as gr
 from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
 from datapipeline_omnichanneltobigquery_spark.operators import skew as sk
 from datapipeline_omnichanneltobigquery_spark.operators import timeseries as tsr
@@ -1096,6 +1097,39 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+_COPURCHASE_EDGES_SQL = """
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+
+
+@query(
+    "graph_pagerank_parts",
+    driver=False,  # iterative-graph face (CC gated via dedup_clusters); fixed-point exact
+    oracle=gr.pagerank_fixedpoint_sql(_COPURCHASE_EDGES_SQL, iterations=3),
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (parts linked when one order
+    contains both), 3 fixed-point iterations — which parts sit at the
+    center of the catalog's basket structure.  Integer-only arithmetic
+    makes distributed float-sum nondeterminism impossible: the oracle's
+    unrolled CTEs reproduce every rank bit for bit
+    (operators/graph.py::pagerank_fixedpoint)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import pagerank_fixedpoint
+
+    items = (
+        read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, (a.l_orderkey == b.ok) & (F.col("src") != F.col("dst"))).select(
+        "src", "dst"
+    )
+    return pagerank_fixedpoint(edges, iterations=3)
 
 
 @query(
