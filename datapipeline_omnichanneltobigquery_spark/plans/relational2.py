@@ -1189,3 +1189,47 @@ def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("val").cast("double").alias("weighted_median"))
     )
+
+
+@query(
+    "events_transition_matrix",
+    driver=False,  # sequence-analytics face (funnel/cohort/attribution gated)
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    pairs AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+              FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT prev_type, SUM(n) AS t FROM pairs GROUP BY 1)
+    SELECT p.prev_type, p.next_type, p.n,
+           CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS prob
+    FROM pairs p JOIN tot t ON t.prev_type = p.prev_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | previous) with raw counts — the sequence-structure
+    summary behind funnel design (which transitions actually happen) and
+    synthetic-stream generation.  One lag window over the (user, time,
+    unique-id) order — the same single shuffle every sequence op in this
+    catalog pays — then two tiny aggregates; the probability is one double
+    division over exact counts."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy(F.col("prev_type").alias("pt")).agg(F.sum("n").alias("t"))
+    return pairs.join(tot, pairs.prev_type == tot.pt).select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("prob"),
+    )
