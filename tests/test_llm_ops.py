@@ -888,3 +888,49 @@ def test_cut_spans_removes_exactly_the_duplicated_run(spark):
     assert got[2].clean_text == "unrelated opening words here trailing text"
     assert got[3].clean_text == "completely unique sentence with no repeats whatsoever"
     assert got[3].n_removed == 0
+
+
+def test_pagerank_fixedpoint_contract(spark):
+    """Fixed-point PageRank: on a directed cycle every node is symmetric,
+    so all ranks are EQUAL and total mass stays within flooring loss of
+    SCALE; a hub (everyone points at node 0) ranks node 0 strictly
+    highest."""
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import (
+        SCALE,
+        pagerank_fixedpoint,
+    )
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], ["src", "dst"]
+    )
+    ranks = {r.node: r.rank for r in pagerank_fixedpoint(cycle, 3).collect()}
+    assert len(set(ranks.values())) == 1  # symmetry => identical ranks
+    assert 0 <= SCALE - sum(ranks.values()) < 100  # conservation up to flooring
+
+    hub = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)] + [(0, 1)], ["src", "dst"]
+    )
+    hranks = {r.node: r.rank for r in pagerank_fixedpoint(hub, 3).collect()}
+    assert hranks[0] == max(hranks.values())
+    assert hranks[0] > 2 * min(hranks.values())
+
+
+def test_mixture_plan_contract(spark):
+    """mixture_plan: rate caps at 1 where the target exceeds supply (with
+    the gap reported as deficit and epochs > 1), and scales linearly where
+    it fits."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import mixture_plan
+
+    rows = [("a", i, 100) for i in range(10)] + [("b", i, 1000) for i in range(10)]
+    df = spark.createDataFrame(rows, ["source", "i", "toks"])
+    plan = {
+        r.source: r
+        for r in mixture_plan(df, "source", "toks", {"a": 0.5, "b": 0.5}, 4000).collect()
+    }
+    # a: avail 1000, target 2000 -> capped, 2 epochs, 1000 deficit
+    assert plan["a"].sample_rate == 1.0
+    assert plan["a"].epochs == 2.0
+    assert plan["a"].deficit_tokens == 1000.0
+    # b: avail 10000, target 2000 -> rate 0.2, no deficit
+    assert plan["b"].sample_rate == 0.2
+    assert plan["b"].deficit_tokens == 0.0
