@@ -451,3 +451,57 @@ def quality_calibrate_sql(table: str, id_col: str, text_col: str, group_col: str
                                 ORDER BY q.quality_score, q.{id_col}) AS quality_pctile
     FROM q JOIN g ON g.{id_col} = q.{id_col}
     """
+
+
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    n-grams that appear in NO other document — (id, n_shingles, n_novel,
+    novelty).  Low novelty flags boilerplate/near-copies that slipped past
+    pairwise dedup (their duplicates may have been deleted already, or
+    spread one shingle at a time across many docs); high novelty marks the
+    content that actually adds information to a corpus.
+
+    Plan: one distinct shingle stream (the inverted-index construction
+    every dedup op shares), document frequency via ONE partial-aggregated
+    groupBy(shingle) counting distinct docs, then a doc-level rollup —
+    novelty = a single double division over exact counts.  No pairwise
+    work: this is the linear-cost screen to run when the quadratic
+    question ('which doc copies which') isn't needed."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import shingles
+
+    sh = shingles(df, id_col, text_col, n)
+    docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(docfreq, "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def ngram_novelty_sql(table: str, id_col: str, text_col: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`ngram_novelty` — same distinct-shingle stream
+    (dedup._shingles_sql construction), same counts and division."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import _shingles_sql
+
+    return f"""
+    WITH {_shingles_sql(table, id_col, text_col, n)},
+    docfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+    SELECT s.id AS {id_col},
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh s JOIN docfreq d ON d.shingle = s.shingle
+    GROUP BY s.id
+    """

@@ -311,6 +311,19 @@ def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_ngram_novelty",
+    driver=False,  # novelty face of the gated text/dedup families (shared shingle stream)
+    oracle=ts.ngram_novelty_sql("documents", "doc_id", "text", n=3),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 3-grams unique to that doc corpus-wide — the
+    linear-cost boilerplate/memorization screen when the quadratic
+    'which doc copies which' question isn't needed
+    (operators/textstats.py::ngram_novelty)."""
+    return ts.ngram_novelty(read_table(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
 @query("text_lang_id", driver=False, oracle=ts.lang_id_sql("documents", "doc_id", "text"))
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-word language-ID heuristic with deterministic argmax."""
