@@ -28,12 +28,19 @@ SCALE = 10**12  # fixed-point denominator
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
 
 
-def pagerank_fixedpoint(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def pagerank_fixedpoint(
+    edges: DataFrame, iterations: int = 3, checkpoint_every: int = 4
+) -> DataFrame:
     """PageRank over directed ``edges`` (src, dst) — ``iterations`` exact
     fixed-point rounds from a uniform start.  Returns (node, rank) with
     rank in units of 1/SCALE.  Nodes are the union of srcs and dsts;
     dangling nodes (no out-edges) simply stop propagating — their rank
-    mass decays into the teleport term, the standard simplification."""
+    mass decays into the teleport term, the standard simplification.
+    An empty edge set returns an empty (node, rank) frame instead of
+    dividing by n = 0.  The evolving ``ranks`` state is localCheckpointed
+    every ``checkpoint_every`` rounds so plan depth (and Catalyst analysis
+    cost) stays bounded at high iteration counts — the same discipline as
+    ``connected_components``."""
     e = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -43,10 +50,12 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 3) -> DataFrame:
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = nodes.count()  # scalar: fixes r0 and the teleport base
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("bigint").alias("rank")).limit(0)
     r0 = SCALE // n
     base = (15 * SCALE) // (100 * n)
     ranks = nodes.withColumn("r", F.lit(r0).cast("bigint"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .join(deg, "src")
@@ -60,6 +69,8 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 3) -> DataFrame:
             "node",
             (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("bigint").alias("r"),
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank"))
 
 

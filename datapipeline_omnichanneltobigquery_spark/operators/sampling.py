@@ -625,8 +625,11 @@ def mixture_plan(
 
     Per source: tokens_target = budget·w; sample_rate = min(1, target /
     available); epochs = target/available (> 1 ⇒ the source must repeat);
-    deficit = max(0, target − available).  Sums are exact integers; the
-    ratios are single IEEE divisions — bit-identical in the SQL twin.
+    deficit = max(0, target − available).  A source whose token sum is 0
+    (all-empty docs) gets sample_rate = epochs = 0.0 and deficit = the
+    full target — defined values instead of an ANSI DIVIDE_BY_ZERO.
+    Sums are exact integers; the ratios are single IEEE divisions —
+    bit-identical in the SQL twin.
 
     Plan: one partial-aggregated groupBy over the corpus + a join against
     the inline weight table (bounded by construction — it IS the
@@ -642,6 +645,7 @@ def mixture_plan(
     )
     target = F.lit(float(budget_tokens)) * F.col("w")
     avail = F.col("tokens_available").cast("double")
+    empty = F.col("tokens_available") == 0
     return (
         agg.join(F.broadcast(wdf), "source")
         .select(
@@ -649,8 +653,10 @@ def mixture_plan(
             "n_docs",
             "tokens_available",
             target.alias("tokens_target"),
-            F.least(F.lit(1.0), target / avail).alias("sample_rate"),
-            (target / avail).alias("epochs"),
+            F.when(empty, F.lit(0.0))
+            .otherwise(F.least(F.lit(1.0), target / avail))
+            .alias("sample_rate"),
+            F.when(empty, F.lit(0.0)).otherwise(target / avail).alias("epochs"),
             F.greatest(F.lit(0.0), target - avail).alias("deficit_tokens"),
         )
     )
@@ -673,10 +679,12 @@ def mixture_plan_sql(
             FROM {table} GROUP BY 1)
     SELECT a.source, a.n_docs, a.tokens_available,
            CAST({float(budget_tokens)!r} AS DOUBLE) * w.w AS tokens_target,
-           LEAST(1.0, (CAST({float(budget_tokens)!r} AS DOUBLE) * w.w)
-                        / CAST(a.tokens_available AS DOUBLE)) AS sample_rate,
-           (CAST({float(budget_tokens)!r} AS DOUBLE) * w.w)
-             / CAST(a.tokens_available AS DOUBLE) AS epochs,
+           CASE WHEN a.tokens_available = 0 THEN 0.0
+                ELSE LEAST(1.0, (CAST({float(budget_tokens)!r} AS DOUBLE) * w.w)
+                        / CAST(a.tokens_available AS DOUBLE)) END AS sample_rate,
+           CASE WHEN a.tokens_available = 0 THEN 0.0
+                ELSE (CAST({float(budget_tokens)!r} AS DOUBLE) * w.w)
+             / CAST(a.tokens_available AS DOUBLE) END AS epochs,
            GREATEST(0.0, CAST({float(budget_tokens)!r} AS DOUBLE) * w.w
                            - CAST(a.tokens_available AS DOUBLE)) AS deficit_tokens
     FROM agg a JOIN w ON w.source = a.source

@@ -96,7 +96,10 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("__n_keys"),
     )
     top = (
-        counts.orderBy(F.col("n_rows").desc(), F.col("key"))
+        # explicit NULLS LAST on the key tie-break: Spark defaults ascending
+        # NULLS FIRST, DuckDB NULLS LAST — and a NULL key is a classic hot
+        # key, so it can land exactly on the top_k boundary
+        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
         .limit(top_k)
         .crossJoin(F.broadcast(totals))
     )
@@ -118,7 +121,7 @@ def skew_report_sql(table: str, key_col: str, top_k: int = 5) -> str:
     WITH counts AS (SELECT {key_col} AS key, COUNT(*) AS n_rows
                     FROM {table} GROUP BY 1),
     totals AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM counts),
-    top AS (SELECT * FROM counts ORDER BY n_rows DESC, key LIMIT {top_k})
+    top AS (SELECT * FROM counts ORDER BY n_rows DESC, key ASC NULLS LAST LIMIT {top_k})
     SELECT t.key, t.n_rows,
            CAST(t.n_rows AS DOUBLE) / CAST(x.total AS DOUBLE) AS share,
            CAST(t.n_rows AS DOUBLE)

@@ -50,7 +50,9 @@ def asof_join(
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast("long").alias("__rid"),
+        # null placeholder must carry right_id's ACTUAL type (string ids
+        # etc.), or unionByName fails type resolution at analysis time
+        F.lit(None).cast(right.schema[right_id].dataType).alias("__rid"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
@@ -144,7 +146,9 @@ def asof_join_nearest(
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast("long").alias("__rid"),
+        # null placeholder must carry right_id's ACTUAL type (string ids
+        # etc.), or unionByName fails type resolution at analysis time
+        F.lit(None).cast(right.schema[right_id].dataType).alias("__rid"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )

@@ -163,7 +163,10 @@ def zorder_scaled(df, col_a: str, col_b: str, bits: int = ZORDER_BITS):
     ``bits``-bit integer ranks — pure integer arithmetic
     ``(x-lo)*(2^bits-1) div (hi-lo)`` so Spark and the SQL twin produce
     bit-identical ranks (no floating rounding at bucket boundaries;
-    degenerate hi == lo range maps to 0) — then Morton-interleaved.  The
+    degenerate hi == lo range maps to 0) — then Morton-interleaved.
+    Non-integral columns are FLOORed before the BIGINT cast (Spark's bare
+    cast truncates toward zero, DuckDB's rounds — floor makes the two
+    twins agree on fractional inputs).  The
     global bounds come from one ungrouped aggregate (provably bounded at
     1 row, so its broadcast is hinted)."""
     import pyspark.sql.functions as F
@@ -176,13 +179,13 @@ def zorder_scaled(df, col_a: str, col_b: str, bits: int = ZORDER_BITS):
     with_b = df.crossJoin(F.broadcast(bounds))
     a_s = F.expr(
         f"CASE WHEN (_ahi - _alo) = 0 THEN CAST(0 AS BIGINT) "
-        f"ELSE (CAST({col_a} AS BIGINT) - CAST(_alo AS BIGINT)) * {m} "
-        f"div (CAST(_ahi AS BIGINT) - CAST(_alo AS BIGINT)) END"
+        f"ELSE (CAST(FLOOR({col_a}) AS BIGINT) - CAST(FLOOR(_alo) AS BIGINT)) * {m} "
+        f"div (CAST(FLOOR(_ahi) AS BIGINT) - CAST(FLOOR(_alo) AS BIGINT)) END"
     )
     b_s = F.expr(
         f"CASE WHEN (_bhi - _blo) = 0 THEN CAST(0 AS BIGINT) "
-        f"ELSE (CAST({col_b} AS BIGINT) - CAST(_blo AS BIGINT)) * {m} "
-        f"div (CAST(_bhi AS BIGINT) - CAST(_blo AS BIGINT)) END"
+        f"ELSE (CAST(FLOOR({col_b}) AS BIGINT) - CAST(FLOOR(_blo) AS BIGINT)) * {m} "
+        f"div (CAST(FLOOR(_bhi) AS BIGINT) - CAST(FLOOR(_blo) AS BIGINT)) END"
     )
     return with_b.withColumn("zval", zorder_value(a_s, b_s, bits)).drop(
         "_alo", "_ahi", "_blo", "_bhi"
@@ -195,13 +198,13 @@ def zorder_scaled_sql(table: str, col_a: str, col_b: str, bits: int = ZORDER_BIT
     m = (1 << bits) - 1
     a_s = (
         f"CASE WHEN (_ahi - _alo) = 0 THEN CAST(0 AS BIGINT) "
-        f"ELSE (CAST({col_a} AS BIGINT) - CAST(_alo AS BIGINT)) * {m} "
-        f"// (CAST(_ahi AS BIGINT) - CAST(_alo AS BIGINT)) END"
+        f"ELSE (CAST(FLOOR({col_a}) AS BIGINT) - CAST(FLOOR(_alo) AS BIGINT)) * {m} "
+        f"// (CAST(FLOOR(_ahi) AS BIGINT) - CAST(FLOOR(_alo) AS BIGINT)) END"
     )
     b_s = (
         f"CASE WHEN (_bhi - _blo) = 0 THEN CAST(0 AS BIGINT) "
-        f"ELSE (CAST({col_b} AS BIGINT) - CAST(_blo AS BIGINT)) * {m} "
-        f"// (CAST(_bhi AS BIGINT) - CAST(_blo AS BIGINT)) END"
+        f"ELSE (CAST(FLOOR({col_b}) AS BIGINT) - CAST(FLOOR(_blo) AS BIGINT)) * {m} "
+        f"// (CAST(FLOOR(_bhi) AS BIGINT) - CAST(FLOOR(_blo) AS BIGINT)) END"
     )
     return f"""
     (SELECT t.*, {zorder_value_sql(f"({a_s})", f"({b_s})", bits)} AS zval

@@ -145,3 +145,32 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
     # range sort: the sort column prunes, the OTHER column cannot
     r_files = len(file_ranges(rpath, "o_day"))
     assert overlapping(rpath, "o_day", mid_day) == r_files
+
+
+def test_zorder_scaled_fractional_column_parity(spark, duck):
+    """zorder_scaled on a NON-integral column: FLOOR-before-cast makes
+    Spark (truncating cast) and DuckDB (rounding cast) produce identical
+    ranks — the r5 ADVICE divergence."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.sinks.layout import (
+        zorder_scaled,
+        zorder_scaled_sql,
+    )
+    from tests.helpers import compare_spark_duckdb
+
+    rows = [(i, i * 0.7 + 0.5, (100 - i) * 1.3) for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    duck.sql(
+        "CREATE OR REPLACE TEMP TABLE _zfrac AS "
+        "SELECT i AS id, i * CAST(0.7 AS DOUBLE) + CAST(0.5 AS DOUBLE) AS a, "
+        "(100 - i) * CAST(1.3 AS DOUBLE) AS b FROM range(50) t(i)"
+    )
+    try:
+        compare_spark_duckdb(
+            zorder_scaled(df, "a", "b").select("id", "zval"),
+            duck,
+            f"SELECT id, zval FROM {zorder_scaled_sql('_zfrac', 'a', 'b')} z",
+        )
+    finally:
+        duck.sql("DROP TABLE _zfrac")

@@ -934,3 +934,72 @@ def test_mixture_plan_contract(spark):
     # b: avail 10000, target 2000 -> rate 0.2, no deficit
     assert plan["b"].sample_rate == 0.2
     assert plan["b"].deficit_tokens == 0.0
+
+
+def test_mixture_plan_zero_token_source(spark, duck):
+    """A source whose token sum is 0 must produce DEFINED values (rate =
+    epochs = 0.0, deficit = full target) instead of an ANSI
+    DIVIDE_BY_ZERO — and the SQL twin must agree cell-for-cell."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import (
+        mixture_plan,
+        mixture_plan_sql,
+    )
+    from tests.helpers import compare_spark_duckdb
+
+    rows = [("a", 0), ("a", 0), ("b", 500), ("b", 500)]
+    df = spark.createDataFrame(rows, ["source", "toks"])
+    plan = {
+        r.source: r
+        for r in mixture_plan(df, "source", "toks", {"a": 0.5, "b": 0.5}, 2000).collect()
+    }
+    assert plan["a"].sample_rate == 0.0
+    assert plan["a"].epochs == 0.0
+    assert plan["a"].deficit_tokens == 1000.0
+    assert plan["b"].epochs == 1.0
+    duck.sql("CREATE OR REPLACE TEMP TABLE _mix_zero AS SELECT * FROM (VALUES "
+             "('a', 0), ('a', 0), ('b', 500), ('b', 500)) t(source, toks)")
+    try:
+        compare_spark_duckdb(
+            mixture_plan(df, "source", "toks", {"a": 0.5, "b": 0.5}, 2000),
+            duck,
+            mixture_plan_sql("_mix_zero", "source", "toks", {"a": 0.5, "b": 0.5}, 2000),
+        )
+    finally:
+        duck.sql("DROP TABLE _mix_zero")
+
+
+def test_pagerank_empty_edges(spark):
+    """An empty edge set returns an empty (node, rank) frame instead of
+    raising ZeroDivisionError on n = 0."""
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import pagerank_fixedpoint
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    out = pagerank_fixedpoint(empty, 3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_pagerank_deep_iterations_checkpointed(spark, duck):
+    """k = 12 rounds with the default checkpoint cadence: the evolving
+    state is localCheckpointed every 4 rounds so plan depth stays bounded,
+    AND the result still matches the unrolled-CTE DuckDB twin bit-for-bit
+    (checkpointing must not change a single rank unit)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import (
+        pagerank_fixedpoint,
+        pagerank_fixedpoint_sql,
+    )
+
+    edges = [(i, (i + 1) % 7) for i in range(7)] + [(i, 0) for i in range(1, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank_fixedpoint(df, 12).collect()}
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = pagerank_fixedpoint_sql(f"SELECT * FROM (VALUES {vals}) e(src, dst)", 12)
+    want = {n: r for n, r in duck.sql(sql).fetchall()}
+    assert got == want
+    # the plan string must not grow linearly with k: after a checkpoint the
+    # lineage root is a cached RDD scan, not 12 nested join/agg rounds
+    plan = pagerank_fixedpoint(df, 12)._jdf.queryExecution().optimizedPlan().toString()
+    # 3 joins per round (edges-ranks, deg, nodes-sums); only the 4 rounds
+    # after the last checkpoint (at it 8) remain in lineage -> <= 12, where
+    # the un-checkpointed plan would carry 36
+    assert plan.count("Join") <= 12

@@ -51,3 +51,29 @@ def test_salted_join_equals_plain(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_skew_report_null_key_at_boundary(spark, duck):
+    """A NULL hot key tying in n_rows at the top_k boundary must select the
+    SAME row set on both engines: Spark defaults ascending NULLS FIRST,
+    DuckDB NULLS LAST — the explicit NULLS LAST tie-break pins it."""
+    from datapipeline_omnichanneltobigquery_spark.operators.skew import (
+        skew_report,
+        skew_report_sql,
+    )
+    from tests.helpers import compare_spark_duckdb
+
+    # keys a,b,NULL all tie at 3 rows; top_k=2 cuts through the tie
+    rows = [("a",)] * 3 + [("b",)] * 3 + [(None,)] * 3 + [("z",)]
+    df = spark.createDataFrame(rows, "key_col string")
+    duck.sql("CREATE OR REPLACE TEMP TABLE _skew_null AS "
+             "SELECT * FROM (VALUES ('a'),('a'),('a'),('b'),('b'),('b'),"
+             "(NULL),(NULL),(NULL),('z')) t(key_col)")
+    try:
+        compare_spark_duckdb(
+            skew_report(df, "key_col", top_k=2),
+            duck,
+            skew_report_sql("_skew_null", "key_col", top_k=2),
+        )
+    finally:
+        duck.sql("DROP TABLE _skew_null")

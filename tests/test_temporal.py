@@ -1,0 +1,60 @@
+"""As-of join unit tests: non-long right-id types (ADVICE r5) and
+nearest-direction semantics sanity on tiny frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from datapipeline_omnichanneltobigquery_spark.operators.temporal import (
+    asof_join,
+    asof_join_nearest,
+)
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_string_right_id(spark):
+    """right_id of STRING type must not break unionByName resolution —
+    the null placeholder on the left branch carries right_id's actual
+    type, not a hardcoded long."""
+    left = spark.createDataFrame([(1, _ts(10)), (1, _ts(30))], ["k", "lt"])
+    right = spark.createDataFrame(
+        [(1, _ts(5), "r-a", 100.0), (1, _ts(25), "r-b", 200.0)],
+        ["k", "rt", "rid", "price"],
+    )
+    out = {
+        r.lt.minute: r.price
+        for r in asof_join(
+            left, right, key="k", left_ts="lt", right_ts="rt",
+            right_id="rid", payload_cols=["price"],
+        ).collect()
+    }
+    assert out == {10: 100.0, 30: 200.0}
+
+
+def test_asof_nearest_string_right_id_and_tolerance(spark):
+    """Nearest-direction as-of with a STRING right id: picks the closer
+    side, honors the tolerance, NULLs when nothing is in range."""
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(21)), (1, _ts(50))], ["k", "lt"]
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), "a", 1.0), (1, _ts(24), "b", 2.0)],
+        ["k", "rt", "rid", "v"],
+    )
+    out = {
+        r.lt.minute: r.v
+        for r in asof_join_nearest(
+            left, right, key="k", left_ts="lt", right_ts="rt",
+            right_id="rid", payload_cols=["v"],
+            tolerance_us=10 * 60 * 1_000_000,
+        ).collect()
+    }
+    # 10 -> backward 8 (dist 2) beats forward 24 (dist 14 > tol anyway)
+    # 21 -> forward 24 (dist 3) beats backward 8 (dist 13)
+    # 50 -> nothing within 10 minutes -> NULL
+    assert out == {10: 1.0, 21: 2.0, 50: None}
