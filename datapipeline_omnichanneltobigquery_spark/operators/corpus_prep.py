@@ -127,8 +127,97 @@ def prepare_corpus_sql(
     return f"SELECT {out_cols} FROM ({split})"
 
 
+def _dedup_artifacts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    rows_per_band: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three per-doc dedup artifacts of a document set: (id, fp) exact
+    fingerprints, (id, h60) distinct hashed shingle sets, (id, band, key)
+    LSH band keys.  One shingle explode feeds both the shingle sets and
+    the MinHash signatures."""
+    num_bands = num_hashes // rows_per_band
+    ids = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    fp = ids.select("id", F.md5("text").alias("fp"))
+    hashed = dd.hashed_shingles(ids, "id", "text", n)
+    sig = dd._signatures_from_hashed(hashed, num_hashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                dd._band_key(num_hashes, rows_per_band, i).alias("key"),
+            )
+            for i in range(num_bands)
+        ]
+    )
+    keyed = sig.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    return fp, hashed, keyed
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    *,
+    jaccard_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> None:
+    """Persist the corpus's DEDUP INDEX — the maintained artifact that makes
+    :func:`prepare_corpus_incremental` linear in the batch (the
+    build/append discipline of similarity.build_ivf_index, applied to
+    dedup).  Three tables under ``index_path``:
+
+      fingerprints/  (id, fp)          exact md5 fingerprints
+      shingles/      (id, h60)         distinct 60-bit hashed shingle sets
+      bands/         (id, band, key)   LSH band-bucket keys, hive-
+                                       partitioned by band
+
+    Together ~1-3% of corpus text bytes; a nightly batch reads ONLY these —
+    never corpus text.  The (jaccard_n, num_hashes, rows_per_band)
+    constants are part of the index contract: probes must pass the same
+    values (the IVF-index convention).  At cluster scale, write bands/
+    bucketed by ``key`` and shingles/ bucketed by ``id`` (sinks/bucketed)
+    to make every probe join shuffle-free on the index side."""
+    fp, hashed, keyed = _dedup_artifacts(
+        docs, id_col, text_col, jaccard_n, num_hashes, rows_per_band
+    )
+    fp.write.mode("overwrite").parquet(f"{index_path}/fingerprints")
+    hashed.write.mode("overwrite").parquet(f"{index_path}/shingles")
+    keyed.write.mode("overwrite").partitionBy("band").parquet(f"{index_path}/bands")
+
+
+def append_to_dedup_index(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    *,
+    jaccard_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> None:
+    """Append a KEPT batch's artifacts to an existing dedup index — new
+    parquet files beside the old (no rewrite; work linear in the batch).
+    Call with exactly the rows :func:`prepare_corpus_incremental` kept, and
+    the same constants the index was built with."""
+    fp, hashed, keyed = _dedup_artifacts(
+        new_docs, id_col, text_col, jaccard_n, num_hashes, rows_per_band
+    )
+    fp.write.mode("append").parquet(f"{index_path}/fingerprints")
+    hashed.write.mode("append").parquet(f"{index_path}/shingles")
+    keyed.write.mode("append").partitionBy("band").parquet(f"{index_path}/bands")
+
+
 def prepare_corpus_incremental(
-    existing: DataFrame,
+    spark,
+    index_path: str,
     batch: DataFrame,
     bench: DataFrame,
     id_col: str,
@@ -146,67 +235,59 @@ def prepare_corpus_incremental(
     split_seed: str = "corpus-v1",
 ) -> DataFrame:
     """INCREMENTAL corpus prep: the rows of a NEW ``batch`` that should be
-    appended to an already-prepared ``existing`` corpus — the nightly shape
-    once the corpus exists (re-running :func:`prepare_corpus` over
-    existing+batch rescans the whole 100 TB corpus for a 0.1% delta).
+    appended to an already-prepared corpus whose dedup index lives at
+    ``index_path`` (:func:`build_dedup_index`) — the nightly shape once the
+    corpus exists.  The plan reads the INDEX TABLES and the batch, never
+    the corpus text (pinned by a plan test): re-running
+    :func:`prepare_corpus` over existing+batch would rescan the whole
+    100 TB corpus for a 0.1% delta.
 
-    Stage shapes, each linear in the BATCH, never the corpus:
+    Stage shapes, each linear in the batch (plus index-table reads):
 
     1. exact — within-batch min-id winners, then an anti-join of batch
-       fingerprints against the existing fingerprint keylist (in
-       deployment a maintained table from dedup_exact_keylist; corpus text
-       is never rescanned);
-    2. near-dup — LSH band keys of the batch probe the existing corpus's
-       band-bucket index (in deployment the persisted keyed table this
-       function derives; only buckets a batch doc lands in are read) plus
-       a batch self-join; candidates verify with EXACT Jaccard restricted
-       to candidate ids (dedup.verify_jaccard_pairs).  A batch doc
-       verified against ANY existing doc drops (the corpus already holds
-       its canonical); surviving batch-batch pairs cluster
+       fingerprints against the persisted fingerprint keylist;
+    2. near-dup — the batch's LSH band keys probe the persisted
+       band-bucket index (only matching buckets survive the join) plus a
+       batch self-join; candidates verify with EXACT Jaccard over 60-bit
+       hashed shingle sets — batch sets explode from batch text, existing
+       sets are READ from the shingles table semi-joined to candidate ids
+       BEFORE any explode, so no full-corpus Generate exists anywhere.  A
+       batch doc verified against ANY existing doc drops (the corpus
+       already holds its canonical); surviving batch-batch pairs cluster
        (large-star/small-star) and keep the min-id winner;
     3-5. decontam / quality / hash split run on the batch alone —
        map-side, and ``hash_split``'s (seed, id)-only membership keeps new
        rows' split assignment consistent with every earlier batch.
 
-    Ids must be unique across existing ∪ batch (the upsert key contract).
-    Deterministic end to end; composed DuckDB twin:
-    :func:`prepare_corpus_incremental_sql`."""
+    Ids must be unique across corpus ∪ batch (the upsert key contract);
+    (jaccard_n, num_hashes, rows_per_band) must match the index build.
+    After appending the kept rows to the corpus, call
+    :func:`append_to_dedup_index` with the SAME kept rows.  Deterministic
+    end to end; composed DuckDB twin (which recomputes the index
+    definition from the raw existing docs — same values, oracle-side
+    cost): :func:`prepare_corpus_incremental_sql`."""
     split_weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    num_bands = num_hashes // rows_per_band
 
-    ex = existing.select(F.col(id_col), F.col(text_col))
+    ix_fp = spark.read.parquet(f"{index_path}/fingerprints")
+    ix_sh = spark.read.parquet(f"{index_path}/shingles")
+    ix_bands = spark.read.parquet(f"{index_path}/bands")
 
     # -- stage 1: exact ---------------------------------------------------
     win = dd.dedup_exact_keylist(batch, text_col, id_col).select(id_col)
-    ex_fp = ex.select(F.md5(F.col(text_col)).alias("__fp"))
     b1 = (
         batch.join(win, id_col, "left_semi")
         .withColumn("__fp", F.md5(F.col(text_col)))
-        .join(ex_fp, "__fp", "left_anti")
+        .join(ix_fp.select(F.col("fp").alias("__fp")), "__fp", "left_anti")
         .drop("__fp")
     )
 
     # -- stage 2: near-dup via LSH index probe ----------------------------
-    def keyed(df: DataFrame) -> DataFrame:
-        sig = dd.minhash_signatures(df, id_col, text_col, n=jaccard_n, num_hashes=num_hashes)
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    dd._band_key(num_hashes, rows_per_band, i).alias("key"),
-                )
-                for i in range(num_bands)
-            ]
-        )
-        return sig.select("id", F.explode(bands).alias("bk")).select(
-            "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-        )
-
-    kb = keyed(b1).localCheckpoint(eager=False)
-    ke = keyed(ex)
+    _, hb, kb = _dedup_artifacts(b1, id_col, text_col, jaccard_n, num_hashes, rows_per_band)
+    hb = hb.localCheckpoint(eager=False)
+    kb = kb.localCheckpoint(eager=False)
     cross = (
         kb.join(
-            ke.select(F.col("id").alias("id2"), "band", "key"), ["band", "key"]
+            ix_bands.select(F.col("id").alias("id2"), "band", "key"), ["band", "key"]
         )
         .select(
             F.least("id", "id2").alias("id_a"), F.greatest("id", "id2").alias("id_b")
@@ -222,11 +303,18 @@ def prepare_corpus_incremental(
     )
     cand = cross.unionByName(bb_cand).distinct().localCheckpoint()
 
-    docs_all = ex.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).unionByName(b1.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")))
-    sh = dd.shingles(docs_all, "id", "text", jaccard_n)
-    verified = dd.verify_jaccard_pairs(sh, cand, neardup_threshold).localCheckpoint()
+    # existing shingle sets come from the INDEX, restricted to candidate
+    # ids BEFORE anything else touches them; batch sets are hb (already
+    # hashed).  verify_jaccard_pairs then computes exact Jaccard over the
+    # h60 sets — equal to string-shingle Jaccard up to mirrored collisions.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_ex = ix_sh.join(cand_ids, "id", "left_semi")
+    sh_all = hb.unionByName(sh_ex).select("id", F.col("h60").alias("shingle"))
+    verified = dd.verify_jaccard_pairs(sh_all, cand, neardup_threshold).localCheckpoint()
 
     bids = b1.select(F.col(id_col).alias("id"), F.lit(1).alias("__isb"))
     v2 = (
@@ -326,7 +414,7 @@ def prepare_corpus_incremental_sql(
                  UNION ALL
                  SELECT {id_col} AS id, {text_col} AS text FROM b1),
     {dd._shingles_sql("docs_all", "id", "text", jaccard_n)},
-    hashed AS (SELECT id, {md5_long_sql("shingle")} AS h60 FROM sh),
+    hashed AS (SELECT DISTINCT id, {md5_long_sql("shingle")} AS h60 FROM sh),
     sig AS (SELECT id,
              {mh_exprs}
             FROM hashed GROUP BY id),
@@ -338,9 +426,9 @@ def prepare_corpus_incremental_sql(
              FROM keyed a JOIN keyed b
                ON a.band = b.band AND a.key = b.key AND a.id < b.id
              WHERE a.id IN (SELECT id FROM bids) OR b.id IN (SELECT id FROM bids)),
-    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
     inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              FROM hashed a JOIN hashed b ON a.h60 = b.h60 AND a.id < b.id
               GROUP BY 1, 2),
     verified AS (
         SELECT c.id_a, c.id_b FROM cand c

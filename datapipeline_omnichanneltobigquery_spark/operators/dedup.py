@@ -354,6 +354,33 @@ def jaccard_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, h60) 60-bit-hashed shingle sets — the persisted-index
+    representation of a document's shingle set (corpus_prep.build_dedup_index
+    stores these so incremental batches verify exact Jaccard WITHOUT ever
+    re-reading corpus text).  Jaccard over h60 sets equals Jaccard over
+    shingle strings up to 60-bit collisions, and both engines hash with the
+    identical md5→60-bit construction, so even a collision is mirrored in
+    the SQL twin — parity stays bit-exact."""
+    return (
+        shingles(df, id_col, text_col, n)
+        .select("id", md5_long(F.col("shingle")).alias("h60"))
+        .distinct()
+    )
+
+
+def _signatures_from_hashed(hashed: DataFrame, num_hashes: int, seed: int = 42) -> DataFrame:
+    """MinHash signatures from an already-hashed (id, h60) shingle table —
+    identical output to :func:`_signatures_from_shingles` composed with
+    md5_long (duplicate or collided h60 values cannot change a MIN)."""
+    h = F.col("h60") % F.lit(MERSENNE_P)
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
+    ]
+    return hashed.groupBy("id").agg(*aggs)
+
+
 def _signatures_from_shingles(sh: DataFrame, num_hashes: int, seed: int) -> DataFrame:
     # 31-bit residue keeps a*h+b inside native bigint on both engines —
     # no BigDecimal in the generated code (see functions.hashing.MERSENNE_P)

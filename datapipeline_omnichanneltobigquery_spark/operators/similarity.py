@@ -808,3 +808,161 @@ def append_to_ivf_index(
     )
     indexed = unit.join(assign, id_col)
     indexed.write.mode("append").partitionBy("cluster").parquet(f"{path}/postings")
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (sign random projection) — hyperplane LSH for cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _srp_hyperplanes(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """``n_bits`` deterministic hyperplanes of ``dim`` integer-valued
+    components in [-1000, 1000], from the same LCG family as the MinHash
+    params (functions/hashing.py).  The constants are BAKED into both the
+    Spark expressions and the generated SQL, so the two engines evaluate
+    literally the same arithmetic.  Integer-valued components keep the SQL
+    twin readable; the dot products are IEEE doubles either way."""
+    state = seed
+    planes = []
+    for _ in range(n_bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(float(state % 2001 - 1000))
+        planes.append(row)
+    return planes
+
+
+def srp_keys(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, key): SRP band-bucket keys per vector — the embedding-space
+    analogue of MinHash banding (Charikar STOC'02 sign-random-projection):
+    bit_j = sign(v·h_j); vectors agreeing on ALL bits of some band become
+    candidates.  P(bit agree) = 1 − θ/π, so a 4-bit band fires at
+    (1 − θ/π)^4 — steep in angle, which is what makes the bucket join
+    sub-quadratic on real corpora.  All n_bits dots compile into one
+    whole-stage-codegen projection (no UDF, no shuffle); the only shuffle
+    anywhere downstream is the bucket equi-join.  The sign comparison is on
+    bit-identical doubles, so buckets match the SQL twin exactly."""
+    planes = _srp_hyperplanes(n_bits, dim, seed)
+    num_bands = n_bits // rows_per_band
+    bits = [
+        dot(F.col(vec_col), F.array(*[F.lit(c) for c in p]), dim) >= 0
+        for p in planes
+    ]
+    band_structs = []
+    for b in range(num_bands):
+        key = None
+        for r in range(rows_per_band):
+            term = F.when(bits[b * rows_per_band + r], F.lit(1 << r)).otherwise(F.lit(0))
+            key = term if key is None else key + term
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.cast("bigint").alias("key"))
+        )
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def srp_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: SRP band buckets generate the
+    candidates, exact cosine verifies — the cosine analogue of
+    minhash_near_dup_pairs, and the 100 TB replacement for the exact
+    all-pairs ``cosine_pairs`` baseline (which stays the oracle of record
+    for recall).  Returns (id_a, id_b, cos_sim ≥ threshold) among
+    band-colliding pairs; deterministic end to end, so the DuckDB twin
+    reproduces both the candidate set and the verified values bit-exact."""
+    keyed = srp_keys(embeddings, id_col, vec_col, dim, n_bits, rows_per_band, seed)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__va"), F.col("__vb"), dim).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _srp_key_sql(table_alias: str, vec_col: str, plane_rows: list[list[float]], dim: int) -> str:
+    """One band's packed-bit key over ``rows_per_band`` hyperplanes."""
+    terms = []
+    for r, p in enumerate(plane_rows):
+        lit = "[" + ", ".join(repr(c) for c in p) + "]"
+        d = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({table_alias}.{vec_col}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        terms.append(f"CASE WHEN {d} >= 0 THEN {1 << r} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def srp_near_dup_pairs_sql(
+    table: str,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`srp_near_dup_pairs` — identical hyperplane
+    constants, fold order, band packing, and verify algebra."""
+    planes = _srp_hyperplanes(n_bits, dim, seed)
+    num_bands = n_bits // rows_per_band
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT {id_col} AS id, {b} AS band, "
+        f"CAST({_srp_key_sql('e', vec_col, planes[b * rows_per_band:(b + 1) * rows_per_band], dim)} AS BIGINT) AS key "
+        f"FROM {table} e"
+        for b in range(num_bands)
+    )
+    return f"""
+    WITH keyed AS (
+{band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM keyed a JOIN keyed b
+               ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           {_dot_sql("x." + vec_col, "y." + vec_col, dim)}
+             / (sqrt({_dot_sql("x." + vec_col, "x." + vec_col, dim)})
+                * sqrt({_dot_sql("y." + vec_col, "y." + vec_col, dim)})) AS cos_sim
+    FROM cand c
+    JOIN {table} x ON x.{id_col} = c.id_a
+    JOIN {table} y ON y.{id_col} = c.id_b
+    WHERE {_dot_sql("x." + vec_col, "y." + vec_col, dim)}
+             / (sqrt({_dot_sql("x." + vec_col, "x." + vec_col, dim)})
+                * sqrt({_dot_sql("y." + vec_col, "y." + vec_col, dim)})) >= {threshold}
+    """

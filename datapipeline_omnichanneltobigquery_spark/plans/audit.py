@@ -196,3 +196,35 @@ def uses_python_eval(df: DataFrame) -> bool:
     """True if the plan contains a row-at-a-time Python UDF eval (BatchEvalPython);
     ArrowEvalPython / mapInPandas stages are the sanctioned Python path."""
     return "BatchEvalPython" in plan_string(df)
+
+
+# ---------------------------------------------------------------------------
+# Partial-aggregation audit (map-side combine evidence)
+# ---------------------------------------------------------------------------
+
+_AGG_LINE_RE = re.compile(
+    r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[(.*?)\], functions=\[(.*?)\]",
+)
+
+
+def partial_agg_audit(df: DataFrame) -> tuple[int, int]:
+    """(n final grouped aggregates, n partial/merge stages) in the physical
+    plan — the mechanical form of the 'every shuffled aggregate combines
+    map-side' claim.  A GROUPED final aggregate (non-empty keys, non-empty
+    non-partial functions) without any partial stage in the plan means the
+    full pre-aggregation row stream crosses the exchange — the shape that
+    melts at 100 TB.  tests/test_plans.py asserts partial >= final for
+    every gated query; PLANS.md carries the counts."""
+    final = partial = 0
+    for m in _AGG_LINE_RE.finditer(plan_string(df, mode="simple")):
+        keys, fns = m.group(1).strip(), m.group(2).strip()
+        if not fns:
+            # distinct-style dedup node (functions=[]) — keys-only partial
+            # and final stages look identical; they neither prove nor
+            # violate map-side combine
+            continue
+        if "partial_" in fns or "merge_" in fns:
+            partial += 1
+        elif keys:
+            final += 1
+    return final, partial

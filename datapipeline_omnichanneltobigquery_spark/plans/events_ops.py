@@ -84,6 +84,7 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scd2_user_state_history",
+    driver=False,  # rotated out r6 (green r4+r5); upsert family keeps upsert_merge + cdc_snapshot_diff gated
     oracle="""
     SELECT user_id, event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,

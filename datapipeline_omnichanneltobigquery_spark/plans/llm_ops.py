@@ -16,6 +16,7 @@ from datapipeline_omnichanneltobigquery_spark.operators import corpus_prep as cp
 from datapipeline_omnichanneltobigquery_spark.operators import decontam as dc
 from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import ir
+from datapipeline_omnichanneltobigquery_spark.operators import membership as mb
 from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
 from datapipeline_omnichanneltobigquery_spark.operators import sampling as sa
 from datapipeline_omnichanneltobigquery_spark.operators import similarity as sim
@@ -47,6 +48,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_keep_latest",
+    driver=False,  # rotated out r6 (green r1-r5) to free the slot for the new bloom_membership_screen family
     oracle="""
     SELECT event_id, user_id, event_type, value FROM (
         SELECT event_id, user_id, event_type, value,
@@ -129,7 +131,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("similarity_cosine_topk", oracle=sim.cosine_topk_sql("embeddings", 0, 10, EMB_DIM))
+@query(
+    "similarity_cosine_topk",
+    driver=False,  # rotated out r6 (green r2-r5); similarity family keeps neardup/ann_ivf/quantize + ann_recall gated
+    oracle=sim.cosine_topk_sql("embeddings", 0, 10, EMB_DIM),
+)
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for corpus vector 0 — broadcast query, one
     scan, TakeOrderedAndProject; doubles bitwise-equal to the oracle."""
@@ -143,6 +149,23 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.35), exact all-pairs baseline."""
     return sim.cosine_pairs(read_table(spark, sf_dir, "embeddings"), threshold=0.35, dim=EMB_DIM)
+
+
+@query(
+    "similarity_srp_pairs",
+    driver=False,  # LSH-candidate face of the gated embedding near-dup family (similarity_neardup_pairs is its exact-all-pairs baseline)
+    oracle=sim.srp_near_dup_pairs_sql("embeddings", 0.35, dim=EMB_DIM),
+)
+def similarity_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH near-dup pairs: sign-random-projection band buckets generate
+    candidates, exact cosine verifies (operators/similarity.py
+    ::srp_near_dup_pairs) — the sub-quadratic 100 TB path for embedding
+    near-dedup, where the gated ``similarity_neardup_pairs`` is the exact
+    O(n²) baseline.  Deterministic hyperplanes → the hash gate checks the
+    candidate set AND the verified cosines bit-for-bit."""
+    return sim.srp_near_dup_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.35, dim=EMB_DIM
+    )
 
 
 @query(
@@ -217,7 +240,7 @@ def similarity_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ann_recall",
-    driver=False,  # quality-eval face of the gated ANN family (same index, same oracle algebra)
+    # rotated INTO the gate r6: the recall NUMBERS themselves hash-gate (VERDICT r5 #3)
     oracle=sim.ann_recall_sql(
         sim.cosine_topk_join_sql("embeddings", "vec_id < 16", k=5, dim=EMB_DIM),
         sim.ivf_topk_join_sql(
@@ -598,7 +621,7 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_span_cut",
-    driver=False,  # cut face of the gated text_span_dedup family (composed oracle)
+    # rotated INTO the gate r6: completes the detect->cut span-dedup story (VERDICT r5 #3)
     oracle=dd.cut_spans_sql("documents", "doc_id", "text", n=8, min_count=2),
 )
 def text_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -841,6 +864,34 @@ def similarity_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECONTAM_TRAIN = "(SELECT * FROM documents WHERE doc_id % 29 <> 7)"
 _DECONTAM_BENCH = "(SELECT * FROM documents WHERE doc_id % 29 = 7)"
+
+@query(
+    "bloom_membership_screen",
+    # NEW FAMILY r6 (approximate membership): gates per the standing rule;
+    # dedup_keep_latest rotated out to free the slot (green r1-r5, dedup
+    # family keeps exact/neardup/simhash/clusters/span gated)
+    oracle=mb.bloom_screen_sql(
+        "(SELECT * FROM documents WHERE doc_id % 29 = 7)",
+        "documents",
+        "md5(text)",
+        "doc_id",
+        "md5(text)",
+    ),
+)
+def bloom_membership_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screen: compress the benchmark set's
+    fingerprints into a fixed 8 KiB bit table, then test EVERY document
+    map-side against the broadcast words (operators/membership.py) — the
+    shuffle-free way to screen a 100 TB probe side against a bounded
+    membership set.  One-sided error; the twin builds the identical bit
+    table, so even the false positives hash-match."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 7).select(F.md5("text").alias("v"))
+    words = mb.bloom_build(bench, "v")
+    probe = docs.select("doc_id", F.md5("text").alias("v"))
+    return mb.bloom_probe(probe, "v", words).select("doc_id", "maybe_member")
+
+
 _DECONTAM_N = 5
 _DECONTAM_MIN_OVERLAP = 3
 _DECONTAM_MAX_DF_BENCH = 8
@@ -956,19 +1007,28 @@ def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def corpus_prep_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental (nightly-batch) corpus prep: every third document plays
-    the new batch against the rest as the already-prepared corpus —
-    exact-fingerprint anti-join, LSH index probe + batch self-join with
-    exact-Jaccard verify, batch-only decontam/quality/split.  Work is
-    linear in the batch; the composed oracle hash-checks the whole
-    incremental path (operators/corpus_prep.py
-    ::prepare_corpus_incremental)."""
+    """Incremental (nightly-batch) corpus prep against the PERSISTED dedup
+    index: build the index from the existing corpus (fingerprint keylist +
+    hashed shingle sets + LSH band buckets,
+    operators/corpus_prep.py::build_dedup_index), then run every third
+    document as the new batch — exact-fingerprint anti-join against the
+    keylist table, band-bucket index probe + batch self-join with
+    exact-Jaccard verify over the persisted h60 sets, batch-only
+    decontam/quality/split.  The batch plan reads ONLY the index tables
+    and the batch (pinned in tests/test_llm_ops.py) — corpus text is never
+    rescanned; the composed oracle hash-checks the whole incremental path
+    (::prepare_corpus_incremental)."""
+    from datapipeline_omnichanneltobigquery_spark.plans.persistence import SCRATCH
+
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 != 7)
     bench = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 7)
     existing = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"{SCRATCH}/dedup_index_{sf_tag}"
+    cp.build_dedup_index(existing, "doc_id", "text", path)
     return cp.prepare_corpus_incremental(
-        existing, batch, bench, "doc_id", "text", min_quality=0.7
+        spark, path, batch, bench, "doc_id", "text", min_quality=0.7
     ).select("doc_id", "lang", "source", "n_chars", "split")
 
 
@@ -1034,7 +1094,7 @@ def sampling_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_weighted_priority",
-    driver=False,  # weighted face of the gated sampling family
+    # rotated INTO the gate r6: bit-exact DLT priority sampling (VERDICT r5 #3)
     oracle=sa.priority_sample_sql("documents", "doc_id", "n_chars", k=50),
 )
 def sampling_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,7 @@ ORDER_STATUSES = ("F", "O", "P")  # verified closed domain of o_orderstatus
 
 @query(
     "agg_pivot_status_by_segment",
+    driver=False,  # rotated out r6 (green r3-r5); agg family keeps sketches/q1/flagship gated
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_F,
@@ -1109,7 +1110,7 @@ _COPURCHASE_EDGES_SQL = """
 
 @query(
     "graph_pagerank_parts",
-    driver=False,  # iterative-graph face (CC gated via dedup_clusters); fixed-point exact
+    # rotated INTO the gate r6: first iterative-fixed-point entry (VERDICT r5 #3)
     oracle=gr.pagerank_fixedpoint_sql(_COPURCHASE_EDGES_SQL, iterations=3),
 )
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,6 +54,7 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "range_join_recent_activity",
+    driver=False,  # rotated out r6 (green r3-r5); temporal family keeps asof_last_view_before_purchase gated
     oracle="""
     SELECT p.event_id, COUNT(*) AS n_recent
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -226,6 +226,17 @@ BROADCAST_REVIEW_ALLOWLIST = {
     # per-query-term document frequencies: rows <= |query terms| by the
     # semi-join construction (operators/ir.py::bm25_scores)
     "text_bm25_scores": 1,
+    # the Bloom words table: <= m_bits/WORD_BITS rows BY CONSTRUCTION
+    # (operators/membership.py geometry constants — 8 KiB at the default),
+    # but a grouped aggregate, which the mechanical bound checker can't
+    # prove one level deep
+    "bloom_membership_screen": 1,
+    # batch-ANN probe set: the query batch (vec_id < 16 literal range) is
+    # bounded by the caller's contract — broadcasting the probe batch IS
+    # the batch-ANN plan shape (operators/similarity.py
+    # ::cosine_topk_join / ivf_topk_join_from_index); 3 hints = exact
+    # truth + candidate probe + centroid ranking
+    "similarity_ann_recall": 3,
 }
 
 
@@ -244,4 +255,25 @@ def test_no_unjustified_unbounded_broadcast_hints(spark):
         _, flagged = audit.broadcast_hint_audit(df)
         if flagged != BROADCAST_REVIEW_ALLOWLIST.get(name, 0):
             offenders[name] = flagged
+    assert not offenders, offenders
+
+
+def test_every_gated_aggregate_combines_map_side(spark):
+    """Spill/memory evidence for the wide aggregates (r5 VERDICT #6), made
+    mechanical: every gated query whose plan carries a GROUPED final
+    aggregate also carries partial/merge stages — the full pre-aggregation
+    row stream never crosses an exchange uncombined.  A query that loses
+    its partial stage (e.g. by aggregating on a non-deterministic column
+    or disabling partial agg) fails here, not on a 100 TB shuffle."""
+    from datapipeline_omnichanneltobigquery_spark.plans.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception:
+            continue  # build errors are other tests' business
+        final, partial = audit.partial_agg_audit(df)
+        if final > 0 and partial == 0:
+            offenders[name] = (final, partial)
     assert not offenders, offenders
