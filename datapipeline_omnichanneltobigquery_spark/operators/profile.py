@@ -173,3 +173,120 @@ def histogram_equidepth_sql(table: str, col: str, tie_col: str, n_buckets: int =
         FROM {table} WHERE {col} IS NOT NULL)
     GROUP BY bucket
     """
+
+
+# ---------------------------------------------------------------------------
+# Explicit HyperLogLog (cross-engine-exact sketch)
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    """The standard HLL bias constant — computed once in Python and baked
+    into BOTH engines' expressions as the same literal."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_explicit(
+    df, group_col: str, value_col: str, n_buckets: int = 512
+):
+    """Per-group HyperLogLog distinct estimate built EXPLICITLY — md5
+    bucket/rank registers, exact power-of-two register sums — so Spark and
+    DuckDB compute the IDENTICAL estimate (native HLL++ sketches differ per
+    engine and can only be rows-only checked; this one hash-gates the
+    estimate itself, the agg_approx_sketches family's missing rigor).
+
+    Register math with no float accumulation: rank uses bit-length (bin()
+    string length — identical on both engines), and Σ 2^{−M_j} scales by
+    2^60 into exact DECIMAL integer sums — order-independent across any
+    shuffle.  The final estimate (bias constant α baked as a shared
+    literal, linear-counting small-range correction) is one IEEE
+    expression.  Two partial-aggregated shuffles: (group, bucket) → max
+    rank, then (group); register state is m rows per group, constant in
+    data size.
+
+    Flink/Presto ship the same explicit-register construction for their
+    approx_distinct; standard estimator per Flajolet et al. '07."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long
+
+    rest_bits = 60 - n_buckets.bit_length() + 1  # bits left after bucketing
+    alpha = _hll_alpha(n_buckets)
+    h = md5_long(F.col(value_col).cast("string"))
+    keyed = (
+        df.select(F.col(group_col).alias("grp"), h.alias("__h"))
+        .select(
+            "grp",
+            (F.col("__h") % n_buckets).alias("bucket"),
+            # integer div, NOT '/': pyspark '/' is double division, which
+            # loses the low bits of a 60-bit hash before truncation
+            F.expr(f"__h div {n_buckets}").alias("rest"),
+        )
+    )
+    rho = F.when(
+        F.col("rest") == 0, F.lit(rest_bits + 1)
+    ).otherwise(F.lit(rest_bits) - F.length(F.expr("bin(rest)")) + 1)
+    regs = keyed.groupBy("grp", "bucket").agg(F.max(rho).alias("m_j"))
+    per = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 60 - m_j) AS DECIMAL(38,0))")).alias(
+            "s_present"
+        ),
+    )
+    m = F.lit(float(n_buckets))
+    v_empty = (F.lit(n_buckets) - F.col("present")).cast("bigint")
+    s_total = (
+        F.col("s_present")
+        + v_empty.cast("decimal(38,0)") * F.lit(1 << 60).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(alpha) * m * m * F.lit(float(1 << 60)) / s_total
+    est = F.when(
+        (raw <= F.lit(2.5) * m) & (v_empty > 0),
+        m * F.log(m / v_empty.cast("double")),
+    ).otherwise(raw)
+    return per.select(F.col("grp").alias(group_col), est.alias("est_distinct"))
+
+
+def hll_explicit_sql(
+    table: str, group_col: str, value_col: str, n_buckets: int = 512
+) -> str:
+    """DuckDB twin of :func:`hll_explicit` — identical hash, register, and
+    estimator algebra."""
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long_sql
+
+    rest_bits = 60 - n_buckets.bit_length() + 1
+    alpha = _hll_alpha(n_buckets)
+    h = md5_long_sql(f"CAST({value_col} AS VARCHAR)")
+    # every numeric literal is CAST AS DOUBLE: DuckDB parses bare decimal
+    # literals as DECIMAL and the products overflow DECIMAL(18)
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    md = f"CAST({float(n_buckets)!r} AS DOUBLE)"
+    p60 = f"CAST({float(1 << 60)!r} AS DOUBLE)"
+    s_total = (
+        f"CAST(s_present + CAST({n_buckets} - present AS DECIMAL(38,0))"
+        f" * CAST({1 << 60} AS DECIMAL(38,0)) AS DOUBLE)"
+    )
+    raw = f"{a} * {md} * {md} * {p60} / {s_total}"
+    return f"""
+    WITH keyed AS (
+        SELECT {group_col} AS grp,
+               ({h}) % {n_buckets} AS bucket,
+               CAST(({h}) // {n_buckets} AS BIGINT) AS rest
+        FROM {table}),
+    regs AS (
+        SELECT grp, bucket,
+               MAX(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                        ELSE {rest_bits} - length(bin(rest)) + 1 END) AS m_j
+        FROM keyed GROUP BY 1, 2),
+    per AS (
+        SELECT grp, COUNT(*) AS present,
+               SUM(CAST(CAST(1 AS BIGINT) << (60 - m_j) AS DECIMAL(38,0))) AS s_present
+        FROM regs GROUP BY 1)
+    SELECT grp AS {group_col},
+           CASE WHEN {raw} <= CAST(2.5 AS DOUBLE) * {md}
+                 AND {n_buckets} - present > 0
+                THEN {md} * ln({md} / CAST({n_buckets} - present AS DOUBLE))
+                ELSE {raw}
+           END AS est_distinct
+    FROM per
+    """

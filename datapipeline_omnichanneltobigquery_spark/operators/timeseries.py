@@ -252,3 +252,110 @@ def resample_interp_sql(
            END AS value
     FROM f WHERE is_grid = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    window_rows: int = 10,
+    min_prev: int = 5,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each observation scored
+    against the mean/std of its own TRAILING window (the ``window_rows``
+    previous rows per key, current row excluded — scoring a point against
+    a window containing itself dampens the very spike being detected).
+    Returns (unique, key, zscore, is_anomaly) for rows with at least
+    ``min_prev`` history rows and non-zero spread.
+
+    Cross-engine determinism: the value quantizes to integer micro-units
+    via FLOOR (truncating vs rounding casts differ between engines; floor
+    does not), window sums run over exact integers/decimals (moving-frame
+    float summation is engine-dependent — DuckDB uses segment trees, Spark
+    re-adds the frame), and mean/var/z are then SINGLE IEEE expressions in
+    the same order on both sides — bit-identical.  One shuffle: the (key)
+    window's exchange+sort; everything else is map-side."""
+    v = F.expr(f"CAST(FLOOR({val_col} * 1000000) AS BIGINT)")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, unique_col)
+        .rowsBetween(-window_rows, -1)
+    )
+    base = df.select(
+        F.col(unique_col), F.col(key_col), F.col(ts_col), v.alias("__v")
+    )
+    stats = base.select(
+        unique_col,
+        key_col,
+        "__v",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum("__v").over(w).alias("__s"),
+        F.sum(F.expr("CAST(__v AS DECIMAL(19,0)) * __v")).over(w).alias("__sq"),
+    )
+    n_d = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n_d
+    var = F.col("__sq").cast("double") / n_d - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("__v").cast("double") - mean) / std
+    return (
+        stats.filter((F.col("__n") >= min_prev) & (std > 0))
+        .select(
+            unique_col,
+            key_col,
+            z.alias("zscore"),
+            (F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
+        )
+    )
+
+
+def rolling_zscore_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    window_rows: int = 10,
+    min_prev: int = 5,
+    z_threshold: float = 2.0,
+) -> str:
+    """DuckDB twin of :func:`rolling_zscore` — same integer quantization,
+    same frame, same single-expression statistics (HUGEINT plays the role
+    of Spark's DECIMAL(38,0): both are exact, and equal integers cast to
+    equal doubles)."""
+    return f"""
+    WITH base AS (
+        SELECT {unique_col}, {key_col}, {ts_col},
+               CAST(FLOOR({val_col} * 1000000) AS BIGINT) AS v
+        FROM {table}),
+    stats AS (
+        SELECT {unique_col}, {key_col}, v,
+               COUNT(*) OVER w AS n,
+               SUM(v) OVER w AS s,
+               SUM(CAST(v AS HUGEINT) * v) OVER w AS sq
+        FROM base
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {unique_col}
+                     ROWS BETWEEN {window_rows} PRECEDING AND 1 PRECEDING))
+    SELECT {unique_col}, {key_col},
+           (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(GREATEST(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS zscore,
+           abs((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(GREATEST(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)))
+             > {z_threshold} AS is_anomaly
+    FROM stats
+    WHERE n >= {min_prev}
+      AND sqrt(GREATEST(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) > 0
+    """

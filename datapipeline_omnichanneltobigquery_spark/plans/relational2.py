@@ -636,6 +636,21 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_explicit",
+    driver=False,  # engine-exact sketch face of the gated agg_approx_sketches (which is rows-only by nature)
+    oracle=pf.hll_explicit_sql("events", "event_type", "user_id"),
+)
+def agg_hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit HyperLogLog distinct-users-per-event-type: md5 registers,
+    exact decimal register sums, shared bias constants — the ESTIMATE
+    itself hash-matches across engines, where native HLL++ can only be
+    rows-only checked (operators/profile.py::hll_explicit)."""
+    return pf.hll_explicit(
+        read_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+@query(
     "events_resample_hourly",
     oracle="""
     SELECT user_id, strftime(sample_ts, '%Y-%m-%d %H:%M:%S') AS sample_ts, value
@@ -654,6 +669,22 @@ def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("sample_ts", "yyyy-MM-dd HH:mm:ss").alias("sample_ts"),
         "value",
+    )
+
+
+@query(
+    "events_rolling_zscore",
+    driver=False,  # anomaly-detection face of the gated window/resample families
+    oracle=tsr.rolling_zscore_sql("events", "user_id", "ts", "value", "event_id"),
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value scored against
+    its user's trailing 10-observation window (current row excluded) —
+    integer-quantized moving sums, single-expression statistics, so the
+    anomaly FLAGS (not just the plumbing) hash-match the twin
+    (operators/timeseries.py::rolling_zscore)."""
+    return tsr.rolling_zscore(
+        read_table(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id"
     )
 
 

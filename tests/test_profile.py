@@ -61,3 +61,24 @@ def test_equidepth_buckets_are_balanced_and_ordered(spark):
     assert max(counts) - min(counts) <= 1 and sum(counts) == 500
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
+
+
+def test_hll_explicit_accuracy(spark):
+    """The explicit-HLL estimate lands within the sketch's expected error
+    (~1.04/sqrt(512) ≈ 4.6%; assert a generous 10%) of the exact distinct
+    count for every group."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import hll_explicit
+    from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    est = {r.event_type: r.est_distinct for r in hll_explicit(ev, "event_type", "user_id").collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n <= 0.10, (k, n, est[k])
