@@ -137,3 +137,141 @@ def bm25_scores_sql(
            ROUND(SUM(w ORDER BY term), 6) AS score
     FROM hits GROUP BY id
     """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF document-document similarity
+# ---------------------------------------------------------------------------
+
+#: candidate-generation document-frequency cap — the dedup module's
+#: Zipf-head discipline (operators/dedup.py::JACCARD_MAX_DF rationale):
+#: pairs are DISCOVERED through terms with df <= cap (bounding the
+#: inverted-index self-join at cap * |index| rows), then scored EXACTLY
+#: over all shared terms.  Recall contract: a pair is found iff it shares
+#: >= 1 term rarer than the cap — near-dup/topical-dup pairs always do.
+TFIDF_MAX_DF = 128
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    max_df: int = TFIDF_MAX_DF,
+) -> DataFrame:
+    """Document-document TF-IDF cosine pairs ≥ ``threshold`` — topical /
+    near-duplicate similarity WITHOUT an embedding model (the classic
+    sparse-vector complement to embedding cosine and n-gram Jaccard:
+    Jaccard sees token overlap, TF-IDF weights it by informativeness).
+
+    Weights: w = tf · (ln((N+1)/(df+1)) + 1) (smooth idf); cosine over
+    the full shared-term products, normalized by per-doc L2 norms.
+
+    Scale shape: candidates come from the df-capped inverted-index
+    self-join (linear under Zipf — see TFIDF_MAX_DF); the exact dot then
+    joins candidates back to the FULL postings (candidate-spine form, the
+    verify_jaccard_pairs discipline).  Every double sum is an ordered
+    fold over sorted terms (the BM25 idiom), and the final cosine rounds
+    to 6 decimals on both engines — the oracle hash never rides a
+    last-ulp difference."""
+    tok = _tokens(df, id_col, text_col)
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    w = tf.join(dfreq, "term").crossJoin(F.broadcast(stats)).select(
+        "id",
+        "term",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("n_docs").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            )
+        ).alias("w"),
+    )
+    norms = w.groupBy("id").agg(
+        F.sqrt(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", (F.col("w") * F.col("w")).alias("ww")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["ww"],
+            )
+        ).alias("norm")
+    )
+    rare = w.filter(F.col("df") <= max_df).select("id", "term")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    wa = w.select(F.col("id").alias("id_a"), "term", F.col("w").alias("w_a"))
+    wb = w.select(F.col("id").alias("id_b"), "term", F.col("w").alias("w_b"))
+    prods = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "term"])
+        .select("id_a", "id_b", "term", (F.col("w_a") * F.col("w_b")).alias("p"))
+    )
+    dots = prods.groupBy("id_a", "id_b").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("dot")
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def tfidf_cosine_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    max_df: int = TFIDF_MAX_DF,
+) -> str:
+    """DuckDB twin of :func:`tfidf_cosine_pairs` — same weights, same
+    df-capped candidates, same ordered sums (SUM ... ORDER BY term), same
+    6-decimal rounding."""
+    return f"""
+    WITH {_tokens_sql(table, id_col, text_col)},
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(DISTINCT {id_col}) AS n_docs FROM {table}),
+    w AS (SELECT tf.id, tf.term, dfreq.df,
+                 CAST(tf AS DOUBLE)
+                 * (ln((CAST(n_docs AS DOUBLE) + 1.0)
+                        / (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS w
+          FROM tf JOIN dfreq USING (term), stats),
+    norms AS (SELECT id, sqrt(SUM(w * w ORDER BY term)) AS norm
+              FROM w GROUP BY id),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM (SELECT id, term FROM w WHERE df <= {max_df}) a
+             JOIN (SELECT id, term FROM w WHERE df <= {max_df}) b
+               ON a.term = b.term AND a.id < b.id),
+    dots AS (SELECT c.id_a, c.id_b, SUM(wa.w * wb.w ORDER BY wa.term) AS dot
+             FROM cand c
+             JOIN w wa ON wa.id = c.id_a
+             JOIN w wb ON wb.id = c.id_b AND wb.term = wa.term
+             GROUP BY c.id_a, c.id_b)
+    SELECT d.id_a, d.id_b,
+           ROUND(d.dot / (na.norm * nb.norm), 6) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.id = d.id_a
+    JOIN norms nb ON nb.id = d.id_b
+    WHERE ROUND(d.dot / (na.norm * nb.norm), 6) >= {threshold}
+    """

@@ -152,6 +152,21 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_pairs",
+    driver=False,  # sparse-vector face of the gated text/similarity families (bm25 + neardup gated)
+    oracle=ir.tfidf_cosine_pairs_sql("documents", "doc_id", "text", threshold=0.3),
+)
+def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF document-document cosine pairs (operators/ir.py
+    ::tfidf_cosine_pairs): topical/near-dup similarity from the token
+    inverted index alone — df-capped candidate discovery, exact
+    ordered-fold scoring, 6-decimal rounding shared with the twin."""
+    return ir.tfidf_cosine_pairs(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.3
+    )
+
+
+@query(
     "similarity_srp_pairs",
     driver=False,  # LSH-candidate face of the gated embedding near-dup family (similarity_neardup_pairs is its exact-all-pairs baseline)
     oracle=sim.srp_near_dup_pairs_sql("embeddings", 0.35, dim=EMB_DIM),

@@ -1064,3 +1064,20 @@ def test_bloom_membership_no_false_negatives(spark):
     others = spark.createDataFrame([(f"other-{i}",) for i in range(500)], ["v"])
     fp = mb.bloom_probe(others, "v", words).filter(F.col("maybe_member")).count()
     assert fp <= 5  # (1 - e^{-kn/m})^k ~ 1e-5 at n=500; generous bound
+
+
+def test_srp_pairs_subset_of_exact(spark):
+    """SRP-LSH output is verified with exact cosine, so it must be a subset
+    of the exact all-pairs result at the same threshold (precision = 1),
+    and it must recover at least some of the high-similarity pairs."""
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        cosine_pairs,
+        srp_near_dup_pairs,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(emb, threshold=0.35, dim=64).collect()}
+    srp = {(r.id_a, r.id_b) for r in srp_near_dup_pairs(emb, threshold=0.35, dim=64).collect()}
+    assert exact, "fixture should contain near-dup pairs"
+    assert srp <= exact
+    assert len(srp) > 0
