@@ -1144,25 +1144,13 @@ def duplicate_spans(
     (doc_id, span_start, span_end, span_tokens), positions 0-based token
     offsets, intervals maximal (overlapping/adjacent hits coalesced).
 
-    Doc-level dedup (exact/MinHash/SimHash above) removes whole
-    near-identical documents; this catches the other failure mode of web
-    corpora — boilerplate passages (license headers, nav text, quoted
-    chunks) repeated inside otherwise-unique documents.  Feeding the spans
-    to a cut step yields the passage-deduplicated corpus.
-
-    Plan (100 TB): the positional shingle stream pays the one
-    token-level (id) shuffle the window construction needs; each shingle
-    immediately collapses to a 60-bit md5 BIGINT, so the frequency
-    aggregate and the semi-join back onto the stream move 12-byte rows,
-    never passage text.  The count aggregate partial-combines map-side
-    (repeats of a hot passage collapse per-partition before the
-    exchange); the duplicated-hash set is NOT broadcast-hinted — it
-    scales with the corpus, AQE sizes the join.  Survivor hits (a small
-    subset) reshuffle by id once for the gaps-and-islands merge: one
-    running-max window flags interval starts, one running-sum numbers the
-    islands, one hash aggregate emits min/max per island — both window
-    passes share a single exchange+sort.  Everything is codegen
-    (posexplode + lead + md5 + windows); no Python crosses the boundary.
+    Catches the failure mode doc-level dedup can't see: boilerplate
+    passages repeated inside otherwise-unique documents; feed the spans
+    to :func:`cut_spans` for the passage-deduplicated corpus.  Shuffles
+    move 60-bit hashes, never passage text; the duplicated-hash set is
+    corpus-sized so it is NOT broadcast-hinted; the interval merge's two
+    window passes share one exchange+sort (full plan narrative:
+    SCALING.md 'Span-level dedup').
     """
     st = positional_shingle_stream(df, id_col, text_col, n).select(
         "id", "pos", md5_long(F.col("shingle")).alias("h")

@@ -188,22 +188,15 @@ def similarity_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=sim.ivf_topk_sql("embeddings", 0, k=10, n_centroids=16, n_probe=4, dim=EMB_DIM),
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed ANN top-10 (16 clusters, probe 4) via the PERSISTED index —
-    the deployment path: build the hive-partitioned IVF index (postings
-    partitioned by cluster + centroid table), then probe it with
-    :func:`~...similarity.ivf_topk_from_index`, whose cluster filter is a
-    directory-level PartitionFilter — each query reads n_probe/n_centroids
-    of the index's bytes, and NO corpus-id set is ever broadcast (the
-    write-then-read pattern ``bucketed_revenue_join`` uses, applied to ANN).
-    The index is fully deterministic (first-n centroids, tie-broken argmax,
-    ordered folds), so the approximate result is exactly reproducible and
-    hash-matches the same oracle as the inline form — recall vs the exact
-    baseline is asserted in tests/test_llm_ops.py.
-
-    dim=None (interpreted fold) on purpose: the probe pipeline is a few
-    small stages, and compiling unrolled 64-term chains costs more wall
-    time than folding a few thousand dots; pass dim= on a large corpus
-    where the compile amortizes."""
+    """IVF-probed ANN top-10 (16 clusters, probe 4) via the PERSISTED
+    index: build the hive-partitioned index, probe with
+    ``ivf_topk_from_index`` — the cluster filter is a directory-level
+    PartitionFilter, so each query reads n_probe/n_centroids of the
+    index's bytes.  Fully deterministic (first-n centroids, tie-broken
+    argmax, ordered folds) → hash-matches the inline oracle; recall
+    pinned in tests/test_llm_ops.py.  dim=None on purpose: compiling
+    unrolled 64-term chains costs more than folding this probe's few
+    thousand dots (pass dim= where the compile amortizes)."""
     from datapipeline_omnichanneltobigquery_spark.plans.persistence import SCRATCH
 
     emb = read_table(spark, sf_dir, "embeddings")
