@@ -100,3 +100,59 @@ def pagerank_fixedpoint_sql(edges_sql: str, iterations: int = 3) -> str:
         )
         prev = f"r{i}"
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, r AS rank FROM {prev}"
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph given as (src,
+    dst) pairs (direction and duplicates ignored) — (node, n_triangles).
+    The local clustering signal: high-triangle nodes sit in dense
+    communities; near-zero ones are bridges/noise.
+
+    Compact-forward algorithm (Schank/Wagner; the MapReduce-standard
+    NodeIterator++): orient every edge low→high id, join wedges
+    (a<b)∧(b<c) on the middle node, then close each wedge against the
+    edge list — every triangle {a<b<c} is found EXACTLY once as wedge
+    (a,b,c) + edge (a,c).  Two shuffles (wedge join + closure join);
+    wedge count is Σ deg²-bounded but the low→high orientation caps the
+    effective out-degree, the standard skew bound.  Pure integer —
+    bit-exact SQL twin."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    closed = wedges.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+    )
+    per_corner = (
+        closed.select(F.col("a").alias("node"))
+        .unionAll(closed.select(F.col("b").alias("node")))
+        .unionAll(closed.select(F.col("c").alias("node")))
+    )
+    return per_corner.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangle_counts_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` — same orientation, wedge
+    join, and closure."""
+    return f"""
+    WITH und AS (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM ({edges_sql}) WHERE src <> dst),
+    tri AS (
+        SELECT w1.u AS a, w1.v AS b, w2.v AS c
+        FROM und w1
+        JOIN und w2 ON w2.u = w1.v
+        JOIN und w3 ON w3.u = w1.u AND w3.v = w2.v),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+    SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+    """

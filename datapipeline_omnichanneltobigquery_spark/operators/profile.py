@@ -290,3 +290,81 @@ def hll_explicit_sql(
            END AS est_distinct
     FROM per
     """
+
+
+def cms_estimates(
+    df, key_col: str, depth: int = 4, width: int = 1024
+):
+    """Explicit count-min sketch frequency estimates — (key, est_count)
+    for every distinct key, with the CMS guarantee est ≥ true count
+    (equality whp when width ≫ distinct keys).  The fixed-memory
+    frequency complement to :func:`hll_explicit`'s cardinality: the
+    sketch table is depth×width rows REGARDLESS of key cardinality, so a
+    100 TB stream's heavy hitters cost constant state.
+
+    Same engineering as hll_explicit: md5-salted buckets, integer counts
+    only, both engines build the identical sketch — estimates (including
+    collision inflation) hash-match the twin.  Two partial-aggregated
+    shuffles: (d, bucket) counts, then per-key MIN over its d probes."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long
+
+    def buckets(col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (md5_long(F.concat(F.lit(f"cms{d}:"), col.cast("string"))) % width).alias(
+                        "bucket"
+                    ),
+                )
+                for d in range(depth)
+            ]
+        )
+
+    pos = df.select(F.explode(buckets(F.col(key_col))).alias("p")).select("p.*")
+    sketch = pos.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    probes = keys.select("key", F.explode(buckets(F.col("key"))).alias("p")).select(
+        "key", "p.*"
+    )
+    return (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy("key")
+        .agg(F.min("c").alias("est_count"))
+        .select(F.col("key").alias(key_col), "est_count")
+    )
+
+
+def cms_estimates_sql(table: str, key_col: str, depth: int = 4, width: int = 1024) -> str:
+    """DuckDB twin of :func:`cms_estimates` — identical salts, buckets,
+    counts and min-probe."""
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long_sql
+
+    pos_parts = []
+    probe_parts = []
+    for d in range(depth):
+        salted_row = md5_long_sql(f"concat('cms{d}:', CAST({key_col} AS VARCHAR))")
+        salted_key = md5_long_sql("concat('cms" + str(d) + ":', CAST(key AS VARCHAR))")
+        pos_parts.append(
+            f"        SELECT {d} AS d, ({salted_row}) % {width} AS bucket FROM {table}"
+        )
+        probe_parts.append(
+            f"        SELECT key, {d} AS d, ({salted_key}) % {width} AS bucket FROM keys"
+        )
+    pos_rows = "\n        UNION ALL\n".join(pos_parts)
+    probe_rows = "\n        UNION ALL\n".join(probe_parts)
+    return f"""
+    WITH pos AS (
+{pos_rows}
+    ),
+    sketch AS (SELECT d, bucket, COUNT(*) AS c FROM pos GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT {key_col} AS key FROM {table}),
+    probes AS (
+{probe_rows}
+    )
+    SELECT p.key AS {key_col}, MIN(s.c) AS est_count
+    FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+    GROUP BY 1
+    """

@@ -636,6 +636,19 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_cms_estimates",
+    driver=False,  # frequency-sketch face of the gated agg_approx_sketches (engine-exact, like agg_hll_explicit)
+    oracle=pf.cms_estimates_sql("events", "user_id"),
+)
+def agg_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit count-min sketch per-user event-count estimates: fixed
+    depth×width state regardless of key cardinality, est >= truth by
+    construction, and both engines build the identical sketch so the
+    estimates hash-match (operators/profile.py::cms_estimates)."""
+    return pf.cms_estimates(read_table(spark, sf_dir, "events"), "user_id")
+
+
+@query(
     "agg_hll_explicit",
     driver=False,  # engine-exact sketch face of the gated agg_approx_sketches (which is rows-only by nature)
     oracle=pf.hll_explicit_sql("events", "event_type", "user_id"),
@@ -1137,6 +1150,25 @@ _COPURCHASE_EDGES_SQL = """
     JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
 """
+
+
+@query(
+    "graph_triangle_counts",
+    driver=False,  # clustering face of the iterative-graph family (pagerank gated r6)
+    oracle=gr.triangle_counts_sql(_COPURCHASE_EDGES_SQL),
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph — local
+    community density (compact-forward wedge join, every triangle found
+    exactly once; operators/graph.py::triangle_counts).  Pure integer,
+    bit-exact twin."""
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import triangle_counts
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "k").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    return triangle_counts(edges)
 
 
 @query(

@@ -232,3 +232,30 @@ def write_zordered(df, path: str, col_a: str, col_b: str, n_partitions: int) -> 
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_partitioned(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> dict[str, dict[str, int]]:
+    """Compact every partition directory of a hive-partitioned layout —
+    the loop :func:`compact_files` refuses to hide: each ``key=value``
+    subdirectory compacts independently (its own byte-targeted file
+    count, its own two-rename swap), so partition pruning and the
+    directory scheme survive, and a crash mid-loop leaves every partition
+    either fully old or fully new.  The driver only LISTS directories
+    (bounded by partition count); all data movement is executor-side per
+    partition.  Returns {partition_dir: compact_files stats}."""
+    parts = sorted(
+        f for f in os.listdir(path)
+        if os.path.isdir(os.path.join(path, f)) and "=" in f and not f.startswith((".", "_"))
+    )
+    if not parts:
+        raise ValueError(f"{path} has no key=value partition subdirectories")
+    out = {}
+    for p in parts:
+        out[p] = compact_files(
+            spark, os.path.join(path, p),
+            target_file_bytes=target_file_bytes, sort_col=sort_col,
+        )
+    return out

@@ -185,3 +185,18 @@ def footer_stats(spark: SparkSession, path: str, cols: list[str]) -> dict:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time) — the long-lived-table reality a
+    nightly append pipeline hits the first time a source adds a field.
+
+    ``mergeSchema`` unions the file schemas (costing one footer read per
+    file — why it is off by default); rows from files that predate a
+    column read NULL for it, the same contract as the reference's BigQuery
+    schema-relaxation loads (omnichannel_to_bq.py:167-201 staging MERGE
+    recreates the table instead — this is the additive path).  Type
+    CONFLICTS (same name, different type) still fail loudly: silent
+    coercion would corrupt downstream casts."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

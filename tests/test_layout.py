@@ -174,3 +174,33 @@ def test_zorder_scaled_fractional_column_parity(spark, duck):
         )
     finally:
         duck.sql("DROP TABLE _zfrac")
+
+
+def test_compact_partitioned_preserves_layout_and_rows(spark, tmp_path):
+    """Partition-wise compaction: file counts shrink inside each key=value
+    directory, the directory scheme (and its pruning) survives, and the
+    row multiset is unchanged."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.sinks.layout import compact_partitioned
+
+    p = str(tmp_path / "parted")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 3).alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(16).write.partitionBy("k").mode("overwrite").parquet(p)
+    before = {
+        d: len([f for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet")])
+        for d in os.listdir(p) if d.startswith("k=")
+    }
+    assert all(n > 1 for n in before.values())
+    stats = compact_partitioned(spark, p, target_file_bytes=1 << 30)
+    assert set(stats) == set(before)
+    for d, st in stats.items():
+        assert st["files_after"] < before[d]
+    spark.catalog.refreshByPath(p)
+    back = spark.read.parquet(p)
+    assert back.count() == 2000
+    assert back.groupBy("k").count().count() == 3

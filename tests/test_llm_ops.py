@@ -1081,3 +1081,19 @@ def test_srp_pairs_subset_of_exact(spark):
     assert exact, "fixture should contain near-dup pairs"
     assert srp <= exact
     assert len(srp) > 0
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4: every node sits in C(3,2)=3 triangles; a 4-cycle has none;
+    direction and duplicate edges are ignored."""
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import triangle_counts
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],  # both directions + dups
+        ["src", "dst"],
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(k4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    square = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"])
+    assert triangle_counts(square).count() == 0

@@ -82,3 +82,21 @@ def test_hll_explicit_accuracy(spark):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) / n <= 0.10, (k, n, est[k])
+
+
+def test_cms_estimates_upper_bound_and_exactness(spark):
+    """CMS contract: est >= exact for every key; with width >> distinct
+    keys the estimates are exact for (nearly) all keys."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import cms_estimates
+    from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    exact = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {r.user_id: r.est_count for r in cms_estimates(ev, "user_id").collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    exact_hits = sum(1 for k in exact if est[k] == exact[k])
+    assert exact_hits / len(exact) >= 0.9

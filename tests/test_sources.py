@@ -169,3 +169,19 @@ def test_footer_stats_pushes_aggregate_to_parquet_metadata(spark):
         spark.conf.unset("spark.sql.sources.useV1SourceList")
         spark.conf.unset("spark.sql.parquet.aggregatePushdown")
     assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]" in plan, plan
+
+
+def test_read_parquet_evolved_schema(spark, tmp_path):
+    """Files written before a column existed read NULL for it under the
+    merged schema; all rows from every schema generation survive."""
+    from datapipeline_omnichanneltobigquery_spark.sources.tables import read_parquet_evolved
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]).write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], ["id", "name", "score"]
+    ).write.mode("append").parquet(p)
+    got = {r.id: (r.name, r.score) for r in read_parquet_evolved(spark, p).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0), 4: ("d", 40.0)}
