@@ -237,3 +237,77 @@ def test_hopping_stream_matches_batch(spark, tmp_path):
     # every event lands in exactly len/slide = 2 windows
     n_events = spark.read.parquet(src).count()
     assert sum(r[2] for r in batch) == 2 * n_events
+
+
+def test_streaming_corpus_ingest_matches_sequential_batches(spark, tmp_path):
+    """Streaming corpus ingestion (streaming/ingest.py): two micro-batches
+    processed through foreachBatch produce exactly the corpus that two
+    sequential batch-mode prepare_corpus_incremental calls produce — incl.
+    a batch-2 doc that near-duplicates a batch-1 KEPT doc (dropped only if
+    batch 1's index append happened before batch 2 ran)."""
+    import pyspark.sql.functions as F2
+
+    from datapipeline_omnichanneltobigquery_spark.operators.corpus_prep import (
+        append_to_dedup_index,
+        build_dedup_index,
+        prepare_corpus_incremental,
+    )
+    from datapipeline_omnichanneltobigquery_spark.streaming.ingest import (
+        streaming_corpus_ingest,
+    )
+
+    base = " ".join(f"base{i}" for i in range(40))
+    novel1 = " ".join(f"one{i}" for i in range(40))
+    novel2 = " ".join(f"two{i}" for i in range(40))
+    existing = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    batch1 = [(10, novel1), (11, base)]           # 11 = exact dup of corpus
+    batch2 = [(20, novel1 + " tail"), (21, novel2)]  # 20 = near-dup of KEPT 10
+    bench_rows = [(99, "unrelated benchmark sentence")]
+
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(bench_rows, ["doc_id", "text"]).write.parquet(bench_path)
+
+    # ---- streaming run -------------------------------------------------
+    src = str(tmp_path / "incoming")
+    import os
+
+    os.makedirs(src)
+    spark.createDataFrame(batch1, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(batch2, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    ix_s = str(tmp_path / "ix_stream")
+    corpus_s = str(tmp_path / "corpus_stream")
+    build_dedup_index(existing, "doc_id", "text", ix_s)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_corpus_ingest(
+        stream, ix_s, corpus_s, bench_path, "doc_id", "text",
+        checkpoint_dir=str(tmp_path / "ckpt"), min_quality=0.0,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(corpus_s).collect()}
+
+    # ---- sequential batch-mode reference -------------------------------
+    ix_b = str(tmp_path / "ix_batch")
+    build_dedup_index(existing, "doc_id", "text", ix_b)
+    bench = spark.read.parquet(bench_path)
+    want = set()
+    for rows in (batch1, batch2):
+        bdf = spark.createDataFrame(rows, ["doc_id", "text"])
+        kept = prepare_corpus_incremental(
+            spark, ix_b, bdf, bench, "doc_id", "text", min_quality=0.0
+        ).localCheckpoint()
+        want |= {r.doc_id for r in kept.collect()}
+        append_to_dedup_index(kept, "doc_id", "text", ix_b)
+
+    assert got == want
+    assert 11 not in got          # exact dup of the pre-existing corpus
+    assert 10 in got and 21 in got
+    assert 20 not in got          # near-dup of batch-1's KEPT doc -> needs the index append ordering
