@@ -368,3 +368,104 @@ def cms_estimates_sql(table: str, key_col: str, depth: int = 4, width: int = 102
     FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
     GROUP BY 1
     """
+
+
+def drift_psi(
+    df_ref, df_cur, col: str, lo: float, hi: float, n_bins: int = 10
+):
+    """Population Stability Index between a reference and a current
+    snapshot of a numeric column — THE standard drift monitor for feature
+    / label distributions between pipeline runs (PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted).  Returns one row:
+    (psi, n_ref, n_cur).
+
+    Same fixed-domain binning as :func:`histogram` (edge-clamped, so the
+    bins partition everything); per-bin shares use Laplace-smoothed
+    counts ((c+1)/(n+bins) — an empty bin must not produce ln(0)).  Exact
+    integer counts; the PSI sum is an ordered fold over the bin index, so
+    the statistic itself is engine-exact.  Two scans (one per snapshot),
+    each one partial-aggregated groupBy(bin); the per-bin table is
+    n_bins rows — constant."""
+    import pyspark.sql.functions as F
+
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    width = (hi - lo) / n_bins
+
+    def binned(d, name):
+        raw = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)).cast("bigint")
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+        return (
+            d.filter(F.col(col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    r = binned(df_ref, "c_ref")
+    c = binned(df_cur, "c_cur")
+    bins = df_ref.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    per_bin = (
+        bins.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    tot = per_bin.agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    p = (F.col("c_ref").cast("double") + F.lit(1.0)) / (
+        F.col("n_ref").cast("double") + F.lit(float(n_bins))
+    )
+    q = (F.col("c_cur").cast("double") + F.lit(1.0)) / (
+        F.col("n_cur").cast("double") + F.lit(float(n_bins))
+    )
+    term = (p - q) * F.log(p / q)
+    contrib = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin", term.alias("t"), "n_ref", "n_cur"
+    )
+    return contrib.groupBy("n_ref", "n_cur").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bin", "t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("psi")
+    ).select("psi", "n_ref", "n_cur")
+
+
+def drift_psi_sql(
+    ref_expr: str, cur_expr: str, col: str, lo: float, hi: float, n_bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`drift_psi` — identical binning, smoothing,
+    and bin-ordered summation."""
+    width = (hi - lo) / n_bins
+
+    def binned(expr, name):
+        raw = f"CAST(floor((CAST({col} AS DOUBLE) - CAST({lo!r} AS DOUBLE)) / CAST({width!r} AS DOUBLE)) AS BIGINT)"
+        b = f"least(greatest({raw}, 0), {n_bins - 1})"
+        return (
+            f"SELECT {b} AS bin, COUNT(*) AS {name} FROM {expr} "
+            f"WHERE {col} IS NOT NULL GROUP BY 1"
+        )
+
+    return f"""
+    WITH r AS ({binned(ref_expr, "c_ref")}),
+    c AS ({binned(cur_expr, "c_cur")}),
+    bins AS (SELECT UNNEST(range(0, {n_bins})) AS bin),
+    per_bin AS (
+        SELECT bins.bin, COALESCE(r.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
+        FROM bins LEFT JOIN r ON r.bin = bins.bin LEFT JOIN c ON c.bin = bins.bin),
+    tot AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM per_bin)
+    SELECT SUM(((CAST(c_ref AS DOUBLE) + 1.0) / (CAST(n_ref AS DOUBLE) + CAST({float(n_bins)!r} AS DOUBLE))
+               - (CAST(c_cur AS DOUBLE) + 1.0) / (CAST(n_cur AS DOUBLE) + CAST({float(n_bins)!r} AS DOUBLE)))
+               * ln(((CAST(c_ref AS DOUBLE) + 1.0) / (CAST(n_ref AS DOUBLE) + CAST({float(n_bins)!r} AS DOUBLE)))
+                    / ((CAST(c_cur AS DOUBLE) + 1.0) / (CAST(n_cur AS DOUBLE) + CAST({float(n_bins)!r} AS DOUBLE))))
+               ORDER BY bin) AS psi,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur
+    FROM per_bin, tot
+    GROUP BY n_ref, n_cur
+    """

@@ -966,3 +966,62 @@ def srp_near_dup_pairs_sql(
              / (sqrt({_dot_sql("x." + vec_col, "x." + vec_col, dim)})
                 * sqrt({_dot_sql("y." + vec_col, "y." + vec_col, dim)})) >= {threshold}
     """
+
+
+def embedding_dedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """One-call embedding-space dedup: SRP-LSH candidates → exact-cosine
+    verify → star connected components → min-id canonical winner per
+    cluster.  Returns the KEEP-LIST (id) — semi-join it back onto the
+    payload table, the dedup_exact_keylist discipline (vectors/bodies
+    never shuffle by value).  The embedding twin of dedup_pipeline:
+    near-dup semantics by cosine instead of n-gram Jaccard."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = srp_near_dup_pairs(
+        embeddings, threshold, id_col, vec_col, dim, n_bits, rows_per_band, seed
+    )
+    cc = connected_components_star(pairs.select("id_a", "id_b"))
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return (
+        embeddings.select(F.col(id_col).alias("id"))
+        .join(losers, "id", "left_anti")
+        .select(F.col("id").alias(id_col))
+    )
+
+
+def embedding_dedup_keep_sql(
+    table: str,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`embedding_dedup_keep` — the SRP pair twin
+    composed through the recursive-CTE connected components."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        connected_components_sql,
+    )
+
+    pairs = srp_near_dup_pairs_sql(
+        table, threshold, id_col, vec_col, dim, n_bits, rows_per_band, seed
+    )
+    cc = connected_components_sql(f"SELECT id_a, id_b FROM ({pairs})")
+    return f"""
+    WITH labeled AS ({cc})
+    SELECT {id_col} FROM {table}
+    WHERE {id_col} NOT IN (SELECT id FROM labeled WHERE id <> cluster_id)
+    """

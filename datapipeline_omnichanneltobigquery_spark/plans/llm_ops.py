@@ -184,6 +184,19 @@ def similarity_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_dedup_keep",
+    driver=False,  # composition face: SRP pairs (above) + star CC (gated via dedup_clusters)
+    oracle=sim.embedding_dedup_keep_sql("embeddings", 0.8, dim=EMB_DIM),
+)
+def similarity_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call embedding dedup keep-list: SRP-LSH candidates → exact
+    cosine ≥ 0.8 → star connected components → min-id winners
+    (operators/similarity.py::embedding_dedup_keep) — the embedding twin
+    of the text dedup_pipeline, end-to-end under one composed oracle."""
+    return sim.embedding_dedup_keep(read_table(spark, sf_dir, "embeddings"), 0.8, dim=EMB_DIM)
+
+
+@query(
     "similarity_ann_ivf",
     oracle=sim.ivf_topk_sql("embeddings", 0, k=10, n_centroids=16, n_probe=4, dim=EMB_DIM),
 )

@@ -636,6 +636,28 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "drift_psi_events",
+    driver=False,  # monitoring face of the gated profiling/histogram family
+    oracle=pf.drift_psi_sql(
+        "(SELECT * FROM events WHERE event_id % 2 = 0)",
+        "(SELECT * FROM events WHERE event_id % 2 = 1)",
+        "value", 0.0, 1000.0, n_bins=10,
+    ),
+)
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two event snapshots (even vs odd
+    ids playing reference vs current): fixed-domain binning, Laplace
+    smoothing, bin-ordered PSI fold — the run-over-run distribution-drift
+    monitor, engine-exact (operators/profile.py::drift_psi)."""
+    ev = read_table(spark, sf_dir, "events")
+    return pf.drift_psi(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value", 0.0, 1000.0, n_bins=10,
+    )
+
+
+@query(
     "agg_cms_estimates",
     driver=False,  # frequency-sketch face of the gated agg_approx_sketches (engine-exact, like agg_hll_explicit)
     oracle=pf.cms_estimates_sql("events", "user_id"),
