@@ -185,3 +185,42 @@ def asof_join_nearest(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col("__chosen")[c].alias(c) for c in payload_cols],
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Interval-overlap join: pairs of a left and a right interval of the
+    same ``key`` that OVERLAP (``l_start <= r_end AND r_start <= l_end``,
+    closed intervals) — the both-sides-are-intervals generalization of
+    :func:`range_join` (point-in-window), the session-concurrency /
+    availability-window workhorse.
+
+    Bucket decomposition: each interval explodes into the
+    ``bucket_seconds``-wide time buckets it touches, the join runs as a
+    (key, bucket) EQUI-join, and the exact predicate prunes after; a pair
+    overlapping several shared buckets is deduplicated by the final
+    distinct on the joined row.  Explode factor is interval_len/bucket + 1
+    — size ``bucket_seconds`` near the typical interval length so each
+    side's blowup is ~2×.  Like every bucket scheme here: turns an
+    inequality join Spark would nested-loop into the hash shuffle it
+    does well.  Column collisions are the caller's concern (alias before
+    calling)."""
+    w_us = bucket_seconds * 1_000_000
+
+    def buckets(start, end):
+        s = F.unix_micros(F.col(start))
+        e = F.unix_micros(F.col(end))
+        return F.sequence(F.floor(s / w_us).cast("long"), F.floor(e / w_us).cast("long"))
+
+    l = left.withColumn("__b", F.explode(buckets(l_start, l_end)))
+    r = right.withColumn("__b", F.explode(buckets(r_start, r_end)))
+    pred = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    return l.join(r, on=[key, "__b"]).filter(pred).drop("__b").distinct()

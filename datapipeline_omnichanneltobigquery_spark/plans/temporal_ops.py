@@ -53,6 +53,43 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "events_overlap_windows",
+    driver=False,  # both-sides-intervals face of the gated temporal family (asof gated)
+    oracle="""
+    WITH pv AS (SELECT event_id AS lid, user_id, ts AS ls, ts + INTERVAL 30 MINUTE AS le
+                FROM events WHERE event_type = 'purchase'),
+         vw AS (SELECT event_id AS rid, user_id, ts AS rs, ts + INTERVAL 30 MINUTE AS re
+                FROM events WHERE event_type = 'view')
+    SELECT pv.lid, vw.rid
+    FROM pv JOIN vw ON pv.user_id = vw.user_id
+                   AND pv.ls <= vw.re AND vw.rs <= pv.le
+    """,
+)
+def events_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: purchase and view 30-minute activity windows
+    of the same user that overlap — bucket-decomposed equi-join vs the
+    oracle's naive inequality join (operators/temporal.py::overlap_join)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.temporal import overlap_join
+
+    ev = read_table(spark, sf_dir, "events")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    pv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("lid"), "user_id",
+        F.col("ts").alias("ls"), (F.col("ts") + half_hour).alias("le"),
+    )
+    vw = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("rid"), F.col("user_id").alias("r_user"),
+        F.col("ts").alias("rs"), (F.col("ts") + half_hour).alias("re"),
+    )
+    out = overlap_join(
+        pv, vw.withColumnRenamed("r_user", "user_id"),
+        key="user_id", l_start="ls", l_end="le", r_start="rs", r_end="re",
+        bucket_seconds=1800,
+    )
+    return out.select("lid", "rid")
+
+
+@query(
     "range_join_recent_activity",
     driver=False,  # rotated out r6 (green r3-r5); temporal family keeps asof_last_view_before_purchase gated
     oracle="""

@@ -58,3 +58,42 @@ def test_asof_nearest_string_right_id_and_tolerance(spark):
     # 21 -> forward 24 (dist 3) beats backward 8 (dist 13)
     # 50 -> nothing within 10 minutes -> NULL
     assert out == {10: 1.0, 21: 2.0, 50: None}
+
+
+def test_overlap_join_matches_naive(spark):
+    """Bucketized interval-overlap join equals the naive inequality join:
+    same-key overlapping pairs only, boundary touching counts, no
+    duplicates from multi-bucket overlaps."""
+    from datapipeline_omnichanneltobigquery_spark.operators.temporal import overlap_join
+
+    L = spark.createDataFrame(
+        [
+            (1, 10, _ts(0), _ts(30)),    # long interval spanning buckets
+            (1, 11, _ts(45), _ts(50)),
+            (2, 12, _ts(0), _ts(5)),
+        ],
+        ["k", "lid", "ls", "le"],
+    )
+    R = spark.createDataFrame(
+        [
+            (1, 20, _ts(29), _ts(40)),   # overlaps 10 (boundary-ish), not 11
+            (1, 21, _ts(50), _ts(55)),   # touches 11 at the boundary
+            (2, 22, _ts(6), _ts(9)),     # disjoint from 12
+        ],
+        ["k", "rid", "rs", "re"],
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in overlap_join(
+            L, R, key="k", l_start="ls", l_end="le", r_start="rs", r_end="re",
+            bucket_seconds=600,
+        ).collect()
+    }
+    naive = {
+        (l[1], r[1])
+        for l in L.collect()
+        for r in R.collect()
+        if l[0] == r[0] and l[2] <= r[3] and r[2] <= l[3]
+    }
+    assert got == naive
+    assert (10, 20) in got and (11, 21) in got and (12, 22) not in got
