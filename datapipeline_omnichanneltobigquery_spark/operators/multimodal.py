@@ -606,3 +606,56 @@ def decimate_audio(payloads: DataFrame, factor: int) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(
         run, "doc_id long, payload binary"
     )
+
+
+def crop_image(payload: bytes, width: int, height: int) -> bytes:
+    """Center-crop a gray8 PNG to (width, height), clamped to the source
+    dims — the standard vision-preprocessing companion to
+    :func:`resize_image`; same pure-stdlib decode/encode, deterministic
+    integer offsets."""
+    src_w, src_h, rows = decode_png_pixels(payload)
+    w, h = min(width, src_w), min(height, src_h)
+    x0, y0 = (src_w - w) // 2, (src_h - h) // 2
+    return encode_png_pixels([rows[y0 + y][x0 : x0 + w] for y in range(h)])
+
+
+def flip_image(payload: bytes) -> bytes:
+    """Horizontal flip of a gray8 PNG — the cheapest augmentation; an
+    involution (flip ∘ flip = identity), which the test pins."""
+    _, _, rows = decode_png_pixels(payload)
+    return encode_png_pixels([r[::-1] for r in rows])
+
+
+_IMAGE_TRANSFORMS = {
+    "crop": crop_image,
+    "flip": lambda p, *_: flip_image(p),
+    "resize": resize_image,
+}
+
+
+def transform_images(
+    payloads: DataFrame, ops: list[tuple[str, int, int]]
+) -> DataFrame:
+    """Composable augmentation stage: apply a PIPELINE of named transforms
+    (``[("crop", w, h), ("flip", 0, 0), ("resize", w, h)]``) to every
+    payload row in one ``mapInPandas`` pass — ONE Python crossing for the
+    whole pipeline, Arrow binary batches in and out, no per-op stage.
+    Unknown op names raise at plan-build time, not inside an executor."""
+    import pandas as pd
+
+    for name, _, _ in ops:
+        if name not in _IMAGE_TRANSFORMS:
+            raise ValueError(f"unknown image transform {name!r}")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                for name, a, b in ops:
+                    p = _IMAGE_TRANSFORMS[name](bytes(p), a, b)
+                out.append(bytes(p))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )

@@ -1097,3 +1097,30 @@ def test_triangle_counts_known_graphs(spark):
 
     square = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"])
     assert triangle_counts(square).count() == 0
+
+
+def test_image_crop_flip_transform_pipeline(spark):
+    """Augmentation kernels: center-crop takes exactly the middle window,
+    flip is an involution, and the composed mapInPandas pipeline applies
+    ops in order in one Python crossing."""
+    from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
+
+    # 8x6 gradient image: pixel = x + 10*y
+    rows = [bytes(x + 10 * y for x in range(8)) for y in range(6)]
+    png = mm.encode_png_pixels(rows)
+
+    w, h, got = mm.decode_png_pixels(mm.crop_image(png, 4, 2))
+    assert (w, h) == (4, 2)
+    assert got[0] == bytes(x + 10 * 2 for x in range(2, 6))  # centered window
+
+    assert mm.decode_png_pixels(mm.flip_image(mm.flip_image(png)))[2] == rows
+
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    out = mm.transform_images(df, [("crop", 4, 2), ("flip", 0, 0)]).collect()
+    _, _, piped = mm.decode_png_pixels(bytes(out[0].payload))
+    assert piped[0] == bytes(reversed([x + 10 * 2 for x in range(2, 6)]))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown image transform"):
+        mm.transform_images(df, [("sharpen", 0, 0)])
