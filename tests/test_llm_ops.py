@@ -1124,3 +1124,23 @@ def test_image_crop_flip_transform_pipeline(spark):
 
     with _pytest.raises(ValueError, match="unknown image transform"):
         mm.transform_images(df, [("sharpen", 0, 0)])
+
+
+def test_srp_recall_at_moderate_similarity(spark):
+    """SRP banding recall characterization: among true pairs at cos >= 0.45
+    (where the 4-band/4-bit geometry predicts ~0.75+ hit probability), the
+    LSH path recovers at least half — deterministic on fixed data, loose
+    bound in case the driver regenerates the fixtures."""
+    import pytest as _pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        cosine_pairs,
+        srp_near_dup_pairs,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(emb, threshold=0.45, dim=64).collect()}
+    if not exact:
+        _pytest.skip("fixture has no pairs at cos >= 0.45")
+    srp = {(r.id_a, r.id_b) for r in srp_near_dup_pairs(emb, threshold=0.45, dim=64).collect()}
+    assert len(srp & exact) / len(exact) >= 0.5
