@@ -42,29 +42,66 @@ def main() -> int:
     # reports each query's MIN — the achievable number when the host grants
     # CPU.  Extra passes start only while the time budget allows, so one JSON
     # line is ALWAYS emitted even when the host is badly contended (pass 1
-    # runs unconditionally).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # runs unconditionally).  Budget projection uses the BEST pass so far,
+    # not the last one — a single contended pass must not suppress a healthy
+    # retry when budget for one remains (round-6 lesson) — and whatever
+    # budget is left after the last full pass is spent on a PARTIAL pass
+    # improving per-query minima cheapest-first.  A 1-row calibration probe
+    # runs before each pass; its timing is emitted per-pass so a contended
+    # pass is visible in the artifact itself.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "6"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "450"))
     start = time.time()
     timings: dict[str, float] = {}
+    pass_meta: list[dict] = []
     passes = 0
-    last_pass = 0.0
+    best_pass: float | None = None
+
+    def run_query(name: str) -> None:
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            took = round(time.time() - t0, 3)
+            prev = timings.get(name, -1.0)
+            timings[name] = took if prev < 0 else min(prev, took)
+        except Exception as exc:  # a failing query must not hide the others
+            timings.setdefault(name, -1.0)
+            print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
+
+    def calibrate() -> float:
+        t0 = time.time()
+        spark.read.parquet(f"{sf_dir}/region.parquet").groupBy().count().collect()
+        return round(time.time() - t0, 3)
+
     for _ in range(runs):
-        if passes > 0 and time.time() - start + last_pass > budget:
+        if passes > 0 and time.time() - start + (best_pass or 0.0) > budget:
             break
+        cal = calibrate()
         t_pass = time.time()
         for name in sorted(QUERIES):
-            t0 = time.time()
-            try:
-                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                took = round(time.time() - t0, 3)
-                prev = timings.get(name, -1.0)
-                timings[name] = took if prev < 0 else min(prev, took)
-            except Exception as exc:  # a failing query must not hide the others
-                timings.setdefault(name, -1.0)
-                print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
-        last_pass = time.time() - t_pass
+            run_query(name)
+        dur = time.time() - t_pass
+        best_pass = dur if best_pass is None else min(best_pass, dur)
+        pass_meta.append({"kind": "full", "calibration_sec": cal, "pass_sec": round(dur, 3)})
         passes += 1
+
+    # Final partial pass: spend the remaining budget improving per-query
+    # minima, cheapest-first (ascending current min), so one contended full
+    # pass cannot be the last word on any query the budget can still retry.
+    remaining = budget - (time.time() - start)
+    if remaining > 2.0:
+        cal = calibrate()
+        improved = 0
+        for name in sorted(
+            (n for n in timings if timings[n] >= 0), key=lambda n: timings[n]
+        ):
+            if time.time() - start + 1.5 * timings[name] > budget:
+                break
+            run_query(name)
+            improved += 1
+        pass_meta.append(
+            {"kind": "partial", "calibration_sec": cal, "queries_rerun": improved}
+        )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -77,6 +114,7 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "passes": passes,
                 "agg": "min",
+                "pass_meta": pass_meta,
             }
         )
     )

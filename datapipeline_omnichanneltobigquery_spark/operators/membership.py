@@ -6,8 +6,8 @@ in the corpus) against a membership set (benchmark fingerprints, a blocklist,
 yesterday's keys) without shuffling the probe side at all.  A semi-join
 shuffles or broadcasts the VALUES; a Bloom filter compresses the set into a
 fixed-size bit table (``m_bits`` total, as ``m_bits/WORD_BITS`` bigint words) that
-is bounded BY CONSTRUCTION — so the probe is a broadcast join against a
-constant-size table followed by map-side bit tests.  False positives happen
+is bounded BY CONSTRUCTION — so the probe is a pure map-side expression
+over a literal copy of that table: zero probe-side shuffle of any kind.  False positives happen
 at the standard (1 − e^{−kn/m})^k rate and are one-sided: a true member is
 NEVER missed.
 
@@ -81,32 +81,34 @@ def bloom_probe(
     """``probe`` + a boolean ``out_col``: true iff ALL k bits are set (a
     member always tests true; a non-member tests true at the FP rate).
 
-    Plan: k-way posexplode of the probe's positions, broadcast join against
-    the words table (provably bounded: ≤ m_bits/WORD_BITS rows by construction),
-    map-side bit test, then a groupBy on the probe's own key with
-    count-of-set == k — the probe rows shuffle only by their own id, never
-    by value."""
-    p = probe.withColumn("__pid", F.monotonically_increasing_id())
-    pos = p.select(
-        "__pid",
-        F.explode(F.array(*_positions(F.col(value_col), m_bits, k))).alias("p"),
-    ).select(
-        "__pid",
-        (F.col("p") / WORD_BITS).cast("bigint").alias("word_idx"),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {WORD_BITS} AS INT))").alias("b"),
-    )
-    hits = (
-        pos.join(F.broadcast(words), "word_idx", "left")
-        .select(
-            "__pid",
-            F.when(
-                F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("b")) != 0, 1
-            ).otherwise(0).alias("hit"),
+    Plan: the bit table is bounded BY CONSTRUCTION (≤ m_bits/WORD_BITS
+    bigints, ~8 KiB at the default geometry), so it is materialized ONCE
+    into a dense literal array and the probe becomes a single map-side
+    conjunction of k ``element_at``/bit-AND tests — zero probe-side
+    shuffle, zero join, no synthetic row ids (an earlier form round-tripped
+    through ``monotonically_increasing_id`` + groupBy, which both shuffled
+    the probe and broke if the probe's row order wasn't recompute-stable).
+    The one bounded ``collect`` here is the same class as the IVF probe's
+    centroid-id collect: geometry-constant metadata, never data."""
+    n_words = (m_bits + WORD_BITS - 1) // WORD_BITS
+    dense = [0] * n_words
+    for r in words.collect():  # bounded: ≤ n_words rows by construction
+        dense[int(r["word_idx"])] = int(r["word"])
+    p = probe.withColumn("__bloom_words", F.lit(dense))
+    pos_cols = _positions(F.col(value_col), m_bits, k)
+    for i, pos in enumerate(pos_cols):
+        p = p.withColumn(f"__bp{i}", pos)
+    test = None
+    for i in range(k):
+        word = F.element_at(
+            F.col("__bloom_words"), (F.col(f"__bp{i}") / WORD_BITS).cast("int") + F.lit(1)
         )
-        .groupBy("__pid")
-        .agg((F.sum("hit") == F.lit(k)).alias(out_col))
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__bp{i} % {WORD_BITS} AS INT))")
+        hit = word.bitwiseAND(bit) != 0
+        test = hit if test is None else test & hit
+    return p.withColumn(out_col, test).drop(
+        "__bloom_words", *[f"__bp{i}" for i in range(k)]
     )
-    return p.join(hits, "__pid").drop("__pid")
 
 
 def bloom_screen_sql(

@@ -186,32 +186,19 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_explicit(
-    df, group_col: str, value_col: str, n_buckets: int = 512
-):
-    """Per-group HyperLogLog distinct estimate built EXPLICITLY — md5
-    bucket/rank registers, exact power-of-two register sums — so Spark and
-    DuckDB compute the IDENTICAL estimate (native HLL++ sketches differ per
-    engine and can only be rows-only checked; this one hash-gates the
-    estimate itself, the agg_approx_sketches family's missing rigor).
-
-    Register math with no float accumulation: rank uses bit-length (bin()
-    string length — identical on both engines), and Σ 2^{−M_j} scales by
-    2^60 into exact DECIMAL integer sums — order-independent across any
-    shuffle.  The final estimate (bias constant α baked as a shared
-    literal, linear-counting small-range correction) is one IEEE
-    expression.  Two partial-aggregated shuffles: (group, bucket) → max
-    rank, then (group); register state is m rows per group, constant in
-    data size.
-
-    Flink/Presto ship the same explicit-register construction for their
-    approx_distinct; standard estimator per Flajolet et al. '07."""
+def hll_registers(df, group_col: str, value_col: str, n_buckets: int = 512):
+    """The MERGEABLE register state of :func:`hll_explicit`: one row per
+    (grp, bucket) with ``m_j`` = max rank observed.  This is the state a
+    100 TB pipeline persists per day: ``m`` rows per group regardless of
+    data size, and :func:`hll_merge` over any set of days is EXACT — the
+    per-register MAX of sketches equals the sketch of the unioned data, so
+    daily register tables roll up to any period bit-identically (the
+    rollup_ivm discipline applied to sketches)."""
     import pyspark.sql.functions as F
 
     from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long
 
     rest_bits = 60 - n_buckets.bit_length() + 1  # bits left after bucketing
-    alpha = _hll_alpha(n_buckets)
     h = md5_long(F.col(value_col).cast("string"))
     keyed = (
         df.select(F.col(group_col).alias("grp"), h.alias("__h"))
@@ -226,7 +213,29 @@ def hll_explicit(
     rho = F.when(
         F.col("rest") == 0, F.lit(rest_bits + 1)
     ).otherwise(F.lit(rest_bits) - F.length(F.expr("bin(rest)")) + 1)
-    regs = keyed.groupBy("grp", "bucket").agg(F.max(rho).alias("m_j"))
+    return keyed.groupBy("grp", "bucket").agg(F.max(rho).alias("m_j"))
+
+
+def hll_merge(*register_frames):
+    """Merge HLL register states (outputs of :func:`hll_registers`, e.g.
+    read back from per-day parquet): union + per-(grp, bucket) MAX.  One
+    partial-aggregated shuffle over constant-size state — merging a year
+    of dailies moves 365·m rows per group, never data."""
+    import functools
+
+    import pyspark.sql.functions as F
+
+    u = functools.reduce(lambda a, b: a.unionByName(b), register_frames)
+    return u.groupBy("grp", "bucket").agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate(regs, group_col: str, n_buckets: int = 512):
+    """Finalize register state into (group, est_distinct) — the estimator
+    tail of :func:`hll_explicit` (α bias constant, linear-counting
+    small-range correction), usable on fresh or merged registers alike."""
+    import pyspark.sql.functions as F
+
+    alpha = _hll_alpha(n_buckets)
     per = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("present"),
         F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 60 - m_j) AS DECIMAL(38,0))")).alias(
@@ -245,6 +254,33 @@ def hll_explicit(
         m * F.log(m / v_empty.cast("double")),
     ).otherwise(raw)
     return per.select(F.col("grp").alias(group_col), est.alias("est_distinct"))
+
+
+def hll_explicit(
+    df, group_col: str, value_col: str, n_buckets: int = 512
+):
+    """Per-group HyperLogLog distinct estimate built EXPLICITLY — md5
+    bucket/rank registers, exact power-of-two register sums — so Spark and
+    DuckDB compute the IDENTICAL estimate (native HLL++ sketches differ per
+    engine and can only be rows-only checked; this one hash-gates the
+    estimate itself, the agg_approx_sketches family's missing rigor).
+
+    Register math with no float accumulation: rank uses bit-length (bin()
+    string length — identical on both engines), and Σ 2^{−M_j} scales by
+    2^60 into exact DECIMAL integer sums — order-independent across any
+    shuffle.  The final estimate (bias constant α baked as a shared
+    literal, linear-counting small-range correction) is one IEEE
+    expression.  Two partial-aggregated shuffles: (group, bucket) → max
+    rank, then (group); register state is m rows per group, constant in
+    data size.  Composition of :func:`hll_registers` (the mergeable state)
+    and :func:`hll_estimate` (the finalizer) — persist the registers and
+    :func:`hll_merge` them for cross-day rollups.
+
+    Flink/Presto ship the same explicit-register construction for their
+    approx_distinct; standard estimator per Flajolet et al. '07."""
+    return hll_estimate(
+        hll_registers(df, group_col, value_col, n_buckets), group_col, n_buckets
+    )
 
 
 def hll_explicit_sql(
@@ -292,6 +328,68 @@ def hll_explicit_sql(
     """
 
 
+def _cms_buckets(col, depth: int, width: int):
+    """The depth salted (d, bucket) probes of one value — engine-shared."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (md5_long(F.concat(F.lit(f"cms{d}:"), col.cast("string"))) % width).alias(
+                    "bucket"
+                ),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_sketch(df, key_col: str, depth: int = 4, width: int = 1024):
+    """The MERGEABLE count-min state: (d, bucket, c) counts — depth×width
+    rows regardless of key cardinality.  Persist one per day and
+    :func:`cms_merge` across days: CMS counts ADD, so the merge is exact
+    (identical to sketching the unioned data) — the rollup_ivm discipline
+    applied to frequency sketches."""
+    import pyspark.sql.functions as F
+
+    pos = df.select(F.explode(_cms_buckets(F.col(key_col), depth, width)).alias("p")).select(
+        "p.*"
+    )
+    return pos.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_merge(*sketches):
+    """Merge CMS states (outputs of :func:`cms_sketch`): union + per-
+    (d, bucket) SUM.  One shuffle over constant-size state."""
+    import functools
+
+    import pyspark.sql.functions as F
+
+    u = functools.reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_probe(sketch, keys, key_col: str, depth: int = 4, width: int = 1024):
+    """Estimate frequencies for ``keys`` (a one-column frame of distinct
+    probe values) against a (possibly merged) sketch: per-key MIN over its
+    depth probes — est ≥ truth by construction."""
+    import pyspark.sql.functions as F
+
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(_cms_buckets(F.col(key_col), depth, width)).alias("p"),
+    ).select("key", "p.*")
+    return (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy("key")
+        .agg(F.min("c").alias("est_count"))
+        .select(F.col("key").alias(key_col), "est_count")
+    )
+
+
 def cms_estimates(
     df, key_col: str, depth: int = 4, width: int = 1024
 ):
@@ -305,35 +403,15 @@ def cms_estimates(
     Same engineering as hll_explicit: md5-salted buckets, integer counts
     only, both engines build the identical sketch — estimates (including
     collision inflation) hash-match the twin.  Two partial-aggregated
-    shuffles: (d, bucket) counts, then per-key MIN over its d probes."""
-    import pyspark.sql.functions as F
-
-    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long
-
-    def buckets(col):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    (md5_long(F.concat(F.lit(f"cms{d}:"), col.cast("string"))) % width).alias(
-                        "bucket"
-                    ),
-                )
-                for d in range(depth)
-            ]
-        )
-
-    pos = df.select(F.explode(buckets(F.col(key_col))).alias("p")).select("p.*")
-    sketch = pos.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    keys = df.select(F.col(key_col).alias("key")).distinct()
-    probes = keys.select("key", F.explode(buckets(F.col("key"))).alias("p")).select(
-        "key", "p.*"
-    )
-    return (
-        probes.join(sketch, ["d", "bucket"])
-        .groupBy("key")
-        .agg(F.min("c").alias("est_count"))
-        .select(F.col("key").alias(key_col), "est_count")
+    shuffles: (d, bucket) counts, then per-key MIN over its d probes.
+    Composition of :func:`cms_sketch` + :func:`cms_probe` — persist the
+    sketch and :func:`cms_merge` it for cross-day rollups."""
+    return cms_probe(
+        cms_sketch(df, key_col, depth, width),
+        df.select(key_col).distinct(),
+        key_col,
+        depth,
+        width,
     )
 
 

@@ -196,6 +196,7 @@ def overlap_join(
     r_start: str,
     r_end: str,
     bucket_seconds: int,
+    max_buckets_per_interval: int = 10_000,
 ) -> DataFrame:
     """Interval-overlap join: pairs of a left and a right interval of the
     same ``key`` that OVERLAP (``l_start <= r_end AND r_start <= l_end``,
@@ -212,15 +213,65 @@ def overlap_join(
     side's blowup is ~2×.  Like every bucket scheme here: turns an
     inequality join Spark would nested-loop into the hash shuffle it
     does well.  Column collisions are the caller's concern (alias before
-    calling)."""
+    calling).
+
+    ``max_buckets_per_interval`` is the same discipline as resample's
+    ``max_points_per_key`` (timeseries.py): one pathological interval (a
+    session that never closed) with a small bucket would explode into
+    millions of rows inside one task and OOM the executor at scale — the
+    guard turns it into a diagnosable per-interval error naming the span
+    instead."""
     w_us = bucket_seconds * 1_000_000
+    cap = int(max_buckets_per_interval)
 
     def buckets(start, end):
-        s = F.unix_micros(F.col(start))
-        e = F.unix_micros(F.col(end))
-        return F.sequence(F.floor(s / w_us).cast("long"), F.floor(e / w_us).cast("long"))
+        s = F.floor(F.unix_micros(F.col(start)) / w_us).cast("long")
+        e = F.floor(F.unix_micros(F.col(end)) / w_us).cast("long")
+        n = e - s + 1
+        return F.when(n <= F.lit(cap), F.sequence(s, e)).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "overlap_join interval [%s, %s] spans %s buckets of "
+                    f"{bucket_seconds} s (max_buckets_per_interval={cap}) — "
+                    "widen the bucket, raise the cap, or clamp open-ended "
+                    "intervals upstream",
+                    F.col(start).cast("string"),
+                    F.col(end).cast("string"),
+                    n.cast("string"),
+                )
+            )
+        )
 
     l = left.withColumn("__b", F.explode(buckets(l_start, l_end)))
     r = right.withColumn("__b", F.explode(buckets(r_start, r_end)))
     pred = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
     return l.join(r, on=[key, "__b"]).filter(pred).drop("__b").distinct()
+
+
+def overlap_duration(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int,
+    out_col: str = "overlap_us",
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """:func:`overlap_join` plus the DURATION of each overlap — the
+    analytic face: ``out_col`` = microseconds both intervals were
+    simultaneously live, ``min(l_end, r_end) − max(l_start, r_start)``
+    (0 for boundary touch of closed intervals).  Sum it per key for total
+    concurrency seconds, the question session-overlap analysis actually
+    asks; the arithmetic is exact integer microseconds, so the aggregate
+    is order-independent and twin-exact."""
+    pairs = overlap_join(
+        left, right, key, l_start, l_end, r_start, r_end, bucket_seconds,
+        max_buckets_per_interval=max_buckets_per_interval,
+    )
+    dur = F.least(
+        F.unix_micros(F.col(l_end)), F.unix_micros(F.col(r_end))
+    ) - F.greatest(F.unix_micros(F.col(l_start)), F.unix_micros(F.col(r_start)))
+    return pairs.withColumn(out_col, dur)

@@ -90,6 +90,53 @@ def events_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_overlap_duration",
+    driver=False,  # duration-weighted analytic face of the overlap family (r7, VERDICT #5)
+    oracle="""
+    WITH pv AS (SELECT event_id AS lid, user_id, ts AS ls, ts + INTERVAL 30 MINUTE AS le
+                FROM events WHERE event_type = 'purchase'),
+         vw AS (SELECT event_id AS rid, user_id, ts AS rs, ts + INTERVAL 30 MINUTE AS re
+                FROM events WHERE event_type = 'view')
+    SELECT pv.user_id,
+           COUNT(*) AS n_pairs,
+           SUM(epoch_us(LEAST(pv.le, vw.re)) - epoch_us(GREATEST(pv.ls, vw.rs)))
+               AS concurrent_us
+    FROM pv JOIN vw ON pv.user_id = vw.user_id
+                   AND pv.ls <= vw.re AND vw.rs <= pv.le
+    GROUP BY pv.user_id
+    """,
+)
+def events_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted interval overlap: per user, the total microseconds
+    purchase and view 30-minute activity windows were simultaneously live
+    (operators/temporal.py::overlap_duration) — exact integer-microsecond
+    arithmetic, so the per-key SUM is order-independent and twin-exact."""
+    from datapipeline_omnichanneltobigquery_spark.operators.temporal import (
+        overlap_duration,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    pv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("lid"), "user_id",
+        F.col("ts").alias("ls"), (F.col("ts") + half_hour).alias("le"),
+    )
+    vw = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("rid"), F.col("user_id").alias("r_user"),
+        F.col("ts").alias("rs"), (F.col("ts") + half_hour).alias("re"),
+    )
+    out = overlap_duration(
+        pv, vw.withColumnRenamed("r_user", "user_id"),
+        key="user_id", l_start="ls", l_end="le", r_start="rs", r_end="re",
+        bucket_seconds=1800,
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("overlap_us").alias("concurrent_us"),
+    )
+
+
+@query(
     "range_join_recent_activity",
     driver=False,  # rotated out r6 (green r3-r5); temporal family keeps asof_last_view_before_purchase gated
     oracle="""

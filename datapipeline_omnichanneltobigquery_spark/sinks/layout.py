@@ -166,7 +166,10 @@ def zorder_scaled(df, col_a: str, col_b: str, bits: int = ZORDER_BITS):
     degenerate hi == lo range maps to 0) — then Morton-interleaved.
     Non-integral columns are FLOORed before the BIGINT cast (Spark's bare
     cast truncates toward zero, DuckDB's rounds — floor makes the two
-    twins agree on fractional inputs).  The
+    twins agree on fractional inputs); the degenerate-range guard checks
+    the FLOORED difference, so a fractional column whose whole range sits
+    inside one unit interval (lo=1.2, hi=1.8 → floor-delta 0) maps to rank
+    0 instead of dividing by zero.  The
     global bounds come from one ungrouped aggregate (provably bounded at
     1 row, so its broadcast is hinted)."""
     import pyspark.sql.functions as F
@@ -178,12 +181,14 @@ def zorder_scaled(df, col_a: str, col_b: str, bits: int = ZORDER_BITS):
     m = (1 << bits) - 1
     with_b = df.crossJoin(F.broadcast(bounds))
     a_s = F.expr(
-        f"CASE WHEN (_ahi - _alo) = 0 THEN CAST(0 AS BIGINT) "
+        f"CASE WHEN (CAST(FLOOR(_ahi) AS BIGINT) - CAST(FLOOR(_alo) AS BIGINT)) = 0 "
+        f"THEN CAST(0 AS BIGINT) "
         f"ELSE (CAST(FLOOR({col_a}) AS BIGINT) - CAST(FLOOR(_alo) AS BIGINT)) * {m} "
         f"div (CAST(FLOOR(_ahi) AS BIGINT) - CAST(FLOOR(_alo) AS BIGINT)) END"
     )
     b_s = F.expr(
-        f"CASE WHEN (_bhi - _blo) = 0 THEN CAST(0 AS BIGINT) "
+        f"CASE WHEN (CAST(FLOOR(_bhi) AS BIGINT) - CAST(FLOOR(_blo) AS BIGINT)) = 0 "
+        f"THEN CAST(0 AS BIGINT) "
         f"ELSE (CAST(FLOOR({col_b}) AS BIGINT) - CAST(FLOOR(_blo) AS BIGINT)) * {m} "
         f"div (CAST(FLOOR(_bhi) AS BIGINT) - CAST(FLOOR(_blo) AS BIGINT)) END"
     )
@@ -197,12 +202,14 @@ def zorder_scaled_sql(table: str, col_a: str, col_b: str, bits: int = ZORDER_BIT
     columns: the source table's plus ``zval``."""
     m = (1 << bits) - 1
     a_s = (
-        f"CASE WHEN (_ahi - _alo) = 0 THEN CAST(0 AS BIGINT) "
+        f"CASE WHEN (CAST(FLOOR(_ahi) AS BIGINT) - CAST(FLOOR(_alo) AS BIGINT)) = 0 "
+        f"THEN CAST(0 AS BIGINT) "
         f"ELSE (CAST(FLOOR({col_a}) AS BIGINT) - CAST(FLOOR(_alo) AS BIGINT)) * {m} "
         f"// (CAST(FLOOR(_ahi) AS BIGINT) - CAST(FLOOR(_alo) AS BIGINT)) END"
     )
     b_s = (
-        f"CASE WHEN (_bhi - _blo) = 0 THEN CAST(0 AS BIGINT) "
+        f"CASE WHEN (CAST(FLOOR(_bhi) AS BIGINT) - CAST(FLOOR(_blo) AS BIGINT)) = 0 "
+        f"THEN CAST(0 AS BIGINT) "
         f"ELSE (CAST(FLOOR({col_b}) AS BIGINT) - CAST(FLOOR(_blo) AS BIGINT)) * {m} "
         f"// (CAST(FLOOR(_bhi) AS BIGINT) - CAST(FLOOR(_blo) AS BIGINT)) END"
     )

@@ -138,16 +138,28 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 from urllib.parse import parse_qs, urlparse
 
 # Executors are separate processes, so the server port travels through a
-# file at a fixed path (data-source options are strings; env vars set after
-# the JVM started don't reach python workers).
-_PORT_FILE = "/root/repo/.scratch/http_test_port"
+# file (data-source options are strings).  The path derives from this
+# file's location (works on any checkout) plus a per-run suffix from
+# SPARK_GRAFT_TEST_RUN_ID (set in conftest BEFORE the JVM starts, so
+# executor workers inherit it) — concurrent runs don't race on one file.
+
+
+def _port_file() -> str:
+    import os
+
+    run_id = os.environ.get("SPARK_GRAFT_TEST_RUN_ID", "0")
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scratch",
+        f"http_test_port.{run_id}",
+    )
 
 
 def http_page_fn(page: int) -> list[dict]:
     """Module-level page fetcher the data source imports on executors:
     GET /items?page=N against the test server, raising on HTTP 5xx (the
     reference's requests exception → retry signal)."""
-    with open(_PORT_FILE) as f:
+    with open(_port_file()) as f:
         port = int(f.read().strip())
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/items?page={page}", timeout=10) as r:
         return _json.loads(r.read().decode())
@@ -198,8 +210,9 @@ def http_api():
     _PagedHandler.fail_plan = {}
     _PagedHandler.hits = {}
     srv = HTTPServer(("127.0.0.1", 0), _PagedHandler)
-    os.makedirs(os.path.dirname(_PORT_FILE), exist_ok=True)
-    with open(_PORT_FILE, "w") as f:
+    pf = _port_file()
+    os.makedirs(os.path.dirname(pf), exist_ok=True)
+    with open(pf, "w") as f:
         f.write(str(srv.server_address[1]))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

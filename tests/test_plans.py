@@ -226,11 +226,8 @@ BROADCAST_REVIEW_ALLOWLIST = {
     # per-query-term document frequencies: rows <= |query terms| by the
     # semi-join construction (operators/ir.py::bm25_scores)
     "text_bm25_scores": 1,
-    # the Bloom words table: <= m_bits/WORD_BITS rows BY CONSTRUCTION
-    # (operators/membership.py geometry constants — 8 KiB at the default),
-    # but a grouped aggregate, which the mechanical bound checker can't
-    # prove one level deep
-    "bloom_membership_screen": 1,
+    # (r7: the Bloom probe no longer broadcasts at all — the bounded words
+    # table is materialized into a literal array, pure map-side probe)
     # batch-ANN probe set: the query batch (vec_id < 16 literal range) is
     # bounded by the caller's contract — broadcasting the probe batch IS
     # the batch-ANN plan shape (operators/similarity.py

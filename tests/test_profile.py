@@ -100,3 +100,67 @@ def test_cms_estimates_upper_bound_and_exactness(spark):
     assert all(est[k] >= exact[k] for k in exact)
     exact_hits = sum(1 for k in exact if est[k] == exact[k])
     assert exact_hits / len(exact) >= 0.9
+
+
+def test_hll_merge_incremental_equals_direct(spark, tmp_path):
+    """Sketch mergeability (rollup_ivm discipline, r7 VERDICT #6): persist
+    day-1 and day-2 HLL register tables as parquet, merge them, and the
+    ESTIMATES equal sketching day1 ∪ day2 directly — bit-exactly, because
+    the per-register MAX commutes with the union."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        hll_estimate,
+        hll_explicit,
+        hll_merge,
+        hll_registers,
+    )
+    from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    cut = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    day1 = ev.filter(F.unix_micros("ts") <= cut)
+    day2 = ev.filter(F.unix_micros("ts") > cut)
+    p1, p2 = str(tmp_path / "regs1"), str(tmp_path / "regs2")
+    hll_registers(day1, "event_type", "user_id").write.parquet(p1)
+    hll_registers(day2, "event_type", "user_id").write.parquet(p2)
+    merged = hll_estimate(
+        hll_merge(spark.read.parquet(p1), spark.read.parquet(p2)), "event_type"
+    )
+    direct = hll_explicit(day1.unionByName(day2), "event_type", "user_id")
+    got = {(r.event_type, r.est_distinct) for r in merged.collect()}
+    want = {(r.event_type, r.est_distinct) for r in direct.collect()}
+    assert got == want  # bitwise: same registers -> same IEEE expression
+
+
+def test_cms_merge_incremental_equals_direct(spark, tmp_path):
+    """CMS counts add: merge(sketch(day1), sketch(day2)) probes to exactly
+    the same estimates as sketch(day1 ∪ day2)."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        cms_estimates,
+        cms_merge,
+        cms_probe,
+        cms_sketch,
+    )
+    from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    cut = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    day1 = ev.filter(F.unix_micros("ts") <= cut)
+    day2 = ev.filter(F.unix_micros("ts") > cut)
+    p1, p2 = str(tmp_path / "cms1"), str(tmp_path / "cms2")
+    cms_sketch(day1, "user_id").write.parquet(p1)
+    cms_sketch(day2, "user_id").write.parquet(p2)
+    both = day1.unionByName(day2)
+    merged = cms_probe(
+        cms_merge(spark.read.parquet(p1), spark.read.parquet(p2)),
+        both.select("user_id").distinct(),
+        "user_id",
+    )
+    got = {(r.user_id, r.est_count) for r in merged.collect()}
+    want = {(r.user_id, r.est_count) for r in cms_estimates(both, "user_id").collect()}
+    assert got == want

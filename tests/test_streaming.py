@@ -311,3 +311,69 @@ def test_streaming_corpus_ingest_matches_sequential_batches(spark, tmp_path):
     assert 11 not in got          # exact dup of the pre-existing corpus
     assert 10 in got and 21 in got
     assert 20 not in got          # near-dup of batch-1's KEPT doc -> needs the index append ordering
+
+
+def test_streaming_ingest_crash_replay_idempotent(spark, tmp_path):
+    """apply_ingest_batch (streaming/ingest.py) under foreachBatch crash
+    replays: (a) fully-applied batch + marker → replay is a no-op; (b) crash
+    AFTER the corpus partition write but BEFORE the index append → replay
+    overwrites the same partition, no duplicate corpus rows; (c) crash AFTER
+    the index append but BEFORE the marker → replay keeps nothing (the
+    fingerprints are already indexed) and must NOT clobber the
+    already-written partition."""
+    from datapipeline_omnichanneltobigquery_spark.operators.corpus_prep import (
+        append_to_dedup_index,
+        build_dedup_index,
+        prepare_corpus_incremental,
+    )
+    from datapipeline_omnichanneltobigquery_spark.streaming.ingest import (
+        apply_ingest_batch,
+    )
+
+    def doc(prefix):
+        return " ".join(f"{prefix}{i}" for i in range(40))
+
+    ix = str(tmp_path / "ix")
+    corpus = str(tmp_path / "corpus")
+    build_dedup_index(
+        spark.createDataFrame([(1, doc("base"))], ["doc_id", "text"]),
+        "doc_id", "text", ix,
+    )
+    bench = spark.createDataFrame([(99, "unrelated bench text")], ["doc_id", "text"])
+
+    def ids():
+        return sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+
+    # (a) full apply, then marker replay
+    b0 = spark.createDataFrame([(10, doc("one"))], ["doc_id", "text"])
+    apply_ingest_batch(b0, 0, ix, corpus, bench, "doc_id", "text", min_quality=0.0)
+    assert ids() == [10]
+    apply_ingest_batch(b0, 0, ix, corpus, bench, "doc_id", "text", min_quality=0.0)
+    assert ids() == [10]
+
+    # (b) corpus partition written, index append and marker lost in the crash
+    b1 = spark.createDataFrame([(20, doc("two"))], ["doc_id", "text"])
+    kept1 = prepare_corpus_incremental(
+        spark, ix, b1, bench, "doc_id", "text", min_quality=0.0
+    ).localCheckpoint()
+    kept1.write.mode("overwrite").parquet(f"{corpus}/ingest_batch=1")
+    assert ids() == [10, 20]
+    apply_ingest_batch(b1, 1, ix, corpus, bench, "doc_id", "text", min_quality=0.0)
+    assert ids() == [10, 20]  # overwrite of the same partition, not append
+
+    # (c) corpus partition AND index appended, only the marker lost
+    b2 = spark.createDataFrame([(30, doc("three"))], ["doc_id", "text"])
+    kept2 = prepare_corpus_incremental(
+        spark, ix, b2, bench, "doc_id", "text", min_quality=0.0
+    ).localCheckpoint()
+    kept2.write.mode("overwrite").parquet(f"{corpus}/ingest_batch=2")
+    append_to_dedup_index(kept2, "doc_id", "text", ix)
+    apply_ingest_batch(b2, 2, ix, corpus, bench, "doc_id", "text", min_quality=0.0)
+    assert ids() == [10, 20, 30]  # empty replay keep-set must not clobber
+
+    # and the batch AFTER every replay still dedupes against all of them
+    b3 = spark.createDataFrame(
+        [(40, doc("three") + " tail"), (41, doc("four"))], ["doc_id", "text"]
+    )
+    apply_ingest_batch(b3, 3, ix, corpus, bench, "doc_id", "text", min_quality=0.0)
+    assert ids() == [10, 20, 30, 41]  # 40 is a near-dup of indexed 30

@@ -97,3 +97,66 @@ def test_overlap_join_matches_naive(spark):
     }
     assert got == naive
     assert (10, 20) in got and (11, 21) in got and (12, 22) not in got
+
+
+def test_overlap_join_explode_guard(spark):
+    """A pathological open-ended interval (here: a year-long session) with a
+    small bucket raises a diagnosable error instead of exploding millions of
+    rows inside one task; raising the cap admits it."""
+    import pytest as _pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.temporal import overlap_join
+
+    import datetime as dt
+
+    def sec(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    L = spark.createDataFrame([(1, 10, sec(0), sec(5000))], ["k", "lid", "ls", "le"])
+    R = spark.createDataFrame([(1, 20, sec(5), sec(10))], ["k", "rid", "rs", "re"])
+    bad = overlap_join(
+        L, R, key="k", l_start="ls", l_end="le", r_start="rs", r_end="re",
+        bucket_seconds=1, max_buckets_per_interval=1000,
+    )
+    with _pytest.raises(Exception, match="max_buckets_per_interval"):
+        bad.collect()
+    ok = overlap_join(
+        L, R, key="k", l_start="ls", l_end="le", r_start="rs", r_end="re",
+        bucket_seconds=1, max_buckets_per_interval=10_000,
+    )
+    assert {(r.lid, r.rid) for r in ok.collect()} == {(10, 20)}
+
+
+def test_overlap_duration_geometry(spark):
+    """overlap_duration on the four interval geometries: partial overlap,
+    containment (duration = inner interval), boundary touch (0), disjoint
+    (absent)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.temporal import (
+        overlap_duration,
+    )
+
+    import datetime as dt
+
+    def sec(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    L = spark.createDataFrame(
+        [(1, 10, sec(0), sec(100))], ["k", "lid", "ls", "le"]
+    )
+    R = spark.createDataFrame(
+        [
+            (1, 20, sec(80), sec(150)),   # partial: overlap 80..100 = 20 s
+            (1, 21, sec(30), sec(40)),    # contained: 10 s
+            (1, 22, sec(100), sec(120)),  # boundary touch: 0 s
+            (1, 23, sec(200), sec(220)),  # disjoint: absent
+        ],
+        ["k", "rid", "rs", "re"],
+    )
+    got = {
+        r.rid: r.overlap_us
+        for r in overlap_duration(
+            L, R, key="k", l_start="ls", l_end="le", r_start="rs", r_end="re",
+            bucket_seconds=60,
+        ).collect()
+    }
+    assert got == {20: 20_000_000, 21: 10_000_000, 22: 0}
