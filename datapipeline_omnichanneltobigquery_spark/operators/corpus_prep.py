@@ -414,7 +414,7 @@ def prepare_corpus_incremental_sql(
                  UNION ALL
                  SELECT {id_col} AS id, {text_col} AS text FROM b1),
     {dd._shingles_sql("docs_all", "id", "text", jaccard_n)},
-    hashed AS (SELECT DISTINCT id, {md5_long_sql("shingle")} AS h60 FROM sh),
+    hashed AS MATERIALIZED (SELECT DISTINCT id, {md5_long_sql("shingle")} AS h60 FROM sh),
     sig AS (SELECT id,
              {mh_exprs}
             FROM hashed GROUP BY id),
@@ -422,13 +422,19 @@ def prepare_corpus_incremental_sql(
 {band_rows}
     ),
     bids AS (SELECT {id_col} AS id FROM b1),
-    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    cand AS MATERIALIZED (SELECT DISTINCT a.id AS id_a, b.id AS id_b
              FROM keyed a JOIN keyed b
                ON a.band = b.band AND a.key = b.key AND a.id < b.id
              WHERE a.id IN (SELECT id FROM bids) OR b.id IN (SELECT id FROM bids)),
     sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
-    inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic
-              FROM hashed a JOIN hashed b ON a.h60 = b.h60 AND a.id < b.id
+    -- intersections ONLY for candidate pairs (the Spark side semi-joins
+    -- candidate ids against the shingle table BEFORE any pairing; an
+    -- all-pairs hashed-self-join here was quadratic in hot shingles and
+    -- dominated the oracle's runtime)
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS ic
+              FROM cand c
+              JOIN hashed a ON a.id = c.id_a
+              JOIN hashed b ON b.id = c.id_b AND b.h60 = a.h60
               GROUP BY 1, 2),
     verified AS (
         SELECT c.id_a, c.id_b FROM cand c

@@ -59,6 +59,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_session_stats",
+    driver=False,  # rotated out r7 (green r5-r6); events family keeps funnel/retention/resample gated
     oracle="""
     WITH s AS (
         SELECT event_id, user_id, ts,

@@ -153,7 +153,7 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_tfidf_pairs",
-    driver=False,  # sparse-vector face of the gated text/similarity families (bm25 + neardup gated)
+    # rotated INTO the gate r7 (r6 family, never driver-verified)
     oracle=ir.tfidf_cosine_pairs_sql("documents", "doc_id", "text", threshold=0.3),
 )
 def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,7 +185,7 @@ def similarity_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_dedup_keep",
-    driver=False,  # composition face: SRP pairs (above) + star CC (gated via dedup_clusters)
+    # rotated INTO the gate r7: the SRP-LSH family's own driver entry (composed SRP -> verify -> CC -> keep)
     oracle=sim.embedding_dedup_keep_sql("embeddings", 0.8, dim=EMB_DIM),
 )
 def similarity_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,7 +224,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_unigram_logprob",
-    # rotated INTO the gate r4 (never driver-verified before)
+    driver=False,  # rotated in r4, green r4-r6, out r7; text family keeps profile/scrub/bm25/decontam/span gated
     oracle=ts.unigram_logprob_sql("documents", "doc_id", "text"),
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +853,7 @@ def sampling_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_cap_per_source",
+    driver=False,  # rotated out r7 (green r2-r6); sampling family keeps pipeline/rebalance/weighted_priority gated
     oracle="SELECT doc_id, source FROM ("
     + sa.cap_per_group_sql("documents", "doc_id", "source", 50)
     + ")",
@@ -1018,7 +1019,7 @@ def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_prep_incremental",
-    driver=False,  # nightly-batch face of the gated corpus_prep_full composition
+    # rotated INTO the gate r7: the nightly face's plan contract is pinned (index-only reads), now the VALUES gate too
     oracle=cp.prepare_corpus_incremental_sql(
         "(SELECT * FROM documents WHERE doc_id % 29 <> 7 AND doc_id % 3 <> 0)",
         "(SELECT * FROM documents WHERE doc_id % 29 <> 7 AND doc_id % 3 = 0)",

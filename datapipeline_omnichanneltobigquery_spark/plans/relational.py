@@ -693,6 +693,7 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_ops_suite",
+    driver=False,  # rotated out r7 (green r2-r6); JSON family keeps json_variant_ops gated
     oracle="""
     SELECT event_id,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -353,6 +353,7 @@ def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_bag_ops_lineitems",
+    driver=False,  # rotated out r7 (green r2-r6); set-ops family keeps 3 local-parity entries
     oracle="""
     SELECT 'except_all' AS set_op, l_orderkey FROM (
         SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'
@@ -637,7 +638,7 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "drift_psi_events",
-    driver=False,  # monitoring face of the gated profiling/histogram family
+    # rotated INTO the gate r7 (r6 family, never driver-verified)
     oracle=pf.drift_psi_sql(
         "(SELECT * FROM events WHERE event_id % 2 = 0)",
         "(SELECT * FROM events WHERE event_id % 2 = 1)",
@@ -672,7 +673,7 @@ def agg_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_hll_explicit",
-    driver=False,  # engine-exact sketch face of the gated agg_approx_sketches (which is rows-only by nature)
+    # rotated INTO the gate r7: the engine-exact sketch ESTIMATE hash-gates where native HLL++ is rows-only
     oracle=pf.hll_explicit_sql("events", "event_type", "user_id"),
 )
 def agg_hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,7 +710,7 @@ def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_rolling_zscore",
-    driver=False,  # anomaly-detection face of the gated window/resample families
+    # rotated INTO the gate r7 (r6 family, never driver-verified)
     oracle=tsr.rolling_zscore_sql("events", "user_id", "ts", "value", "event_id"),
 )
 def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,6 +14,7 @@ from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
 
 @query(
     "asof_last_view_before_purchase",
+    driver=False,  # rotated out r7 (green r2-r6, VERDICT-named); temporal family keeps 5 local-parity entries incl. the new overlap_duration
     oracle="""
     SELECT p.event_id,
            v.event_id AS view_event_id,

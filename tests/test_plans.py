@@ -223,6 +223,8 @@ BROADCAST_REVIEW_ALLOWLIST = {
     "text_decontaminate": 1,
     # same two decontam broadcasts riding inside the composed pipeline
     "corpus_prep_full": 2,
+    # and inside its incremental (nightly) face, gated since r7
+    "corpus_prep_incremental": 2,
     # per-query-term document frequencies: rows <= |query terms| by the
     # semi-join construction (operators/ir.py::bm25_scores)
     "text_bm25_scores": 1,
