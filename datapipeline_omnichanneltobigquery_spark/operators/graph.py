@@ -138,6 +138,89 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return per_corner.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def kcore(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
+    """k-core decomposition by iterative peeling over an UNDIRECTED graph
+    given as (src, dst) pairs: repeatedly remove nodes of degree < k (and
+    their edges) until nothing changes — the surviving subgraph where
+    every node keeps ≥ k neighbors, the standard density filter for
+    community/spam analysis.  Returns (node, core_deg): survivors after
+    ``rounds`` peel rounds with their degree inside the core.
+
+    Bounded-rounds contract (same as :func:`pagerank_fixedpoint`): both
+    engines run EXACTLY ``rounds`` peels (with an early exit when a round
+    removes nothing — further rounds are no-ops), so the bit-exact SQL
+    twin unrolls the identical peels; callers size ``rounds`` to their
+    graph's peel depth (typically ≤ log-ish in practice; the returned
+    frame equals the true k-core whenever peeling converged within the
+    budget).  Each round: one degree aggregate + two semi-joins, state =
+    the surviving edge list, localCheckpointed so plan depth stays flat."""
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = cur.count()
+
+    def degrees(e: DataFrame) -> DataFrame:
+        ends = e.select(F.col("u").alias("node")).unionAll(
+            e.select(F.col("v").alias("node"))
+        )
+        return ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        keep = degrees(cur).filter(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            break  # fixpoint: further rounds are no-ops
+        cur, n_edges = nxt, n_nxt
+    return degrees(cur).filter(F.col("deg") >= k).select(
+        "node", F.col("deg").alias("core_deg")
+    )
+
+
+def kcore_sql(edges_sql: str, k: int, rounds: int = 8) -> str:
+    """DuckDB twin of :func:`kcore` — the same peels unrolled as CTEs
+    (extra rounds past the fixpoint are no-ops, so exact-``rounds``
+    unrolling matches the Spark side's early exit)."""
+    # every CTE MATERIALIZED: each round references its predecessor ~5
+    # times, and DuckDB's default inlining would compound that to 5^rounds
+    # scans of the base table
+    parts = [
+        f"""e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM ({edges_sql}) WHERE src <> dst)"""
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+             SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+           GROUP BY 1)"""
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (SELECT u, v FROM {prev}
+           WHERE u IN (SELECT node FROM d{i} WHERE deg >= {k})
+             AND v IN (SELECT node FROM d{i} WHERE deg >= {k}))"""
+        )
+        prev = f"e{i}"
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT node, COUNT(*) AS core_deg FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+    GROUP BY 1 HAVING COUNT(*) >= {k}"""
+    )
+
+
 def triangle_counts_sql(edges_sql: str) -> str:
     """DuckDB twin of :func:`triangle_counts` — same orientation, wedge
     join, and closure."""

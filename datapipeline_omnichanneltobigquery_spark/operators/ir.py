@@ -275,3 +275,49 @@ def tfidf_cosine_pairs_sql(
     JOIN norms nb ON nb.id = d.id_b
     WHERE ROUND(d.dot / (na.norm * nb.norm), 6) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(rankers: list, id_col: str, rank_col: str = "rank", k0: int = 60):
+    """Reciprocal-rank fusion of N ranked candidate lists:
+    ``rrf_score = Σ_i 1/(k0 + rank_i)`` (Cormack et al. SIGIR'09, k0=60),
+    the standard way to combine a lexical ranker (BM25) with a semantic
+    one (embedding cosine) without score calibration — only RANKS cross
+    the fusion boundary, so incomparable score scales don't matter.
+
+    Inputs are (id, rank) frames — the TOP-K lists the upstream rankers
+    emit (candidate generation bounds them; this is a reranker, not a
+    corpus scan).  Frames are full-outer-joined on ``id`` and the score
+    is ONE fixed-order expression (coalesce(1/(k0+r_i), 0) added left to
+    right) — integer ranks in, a few IEEE divisions and additions out,
+    so the fused scores are bit-deterministic and engine-exact; a
+    distributed float SUM over a groupBy would not be.
+
+    Output: (id, rrf_score, n_rankers) — ``n_rankers`` counts the lists
+    the id appeared in."""
+    import functools
+
+    import pyspark.sql.functions as F
+
+    renamed = [
+        r.select(F.col(id_col), F.col(rank_col).alias(f"__r{i}"))
+        for i, r in enumerate(rankers)
+    ]
+    joined = functools.reduce(lambda a, b: a.join(b, id_col, "outer"), renamed)
+    score = None
+    hits = None
+    for i in range(len(rankers)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"__r{i}").cast("double")),
+            F.lit(0.0),
+        )
+        hit = F.col(f"__r{i}").isNotNull().cast("int")
+        score = term if score is None else score + term
+        hits = hit if hits is None else hits + hit
+    return joined.select(
+        id_col, score.alias("rrf_score"), hits.alias("n_rankers")
+    )

@@ -203,6 +203,110 @@ def pack_sequences_sql(
     """
 
 
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    ctx_len: int,
+    n_shards: int = 64,
+    seed: str = "pack-v1",
+) -> DataFrame:
+    """NO-SPLIT greedy sequence packing — the complement of
+    :func:`pack_sequences`: documents are dealt into ``n_shards``
+    hash-buckets, ordered inside each shard by a deterministic shuffle
+    key, and greedily filled into bins that never split a document — a
+    new bin starts whenever the next doc would push the running total
+    past ``ctx_len``.  This is the packing used when truncating or
+    straddling a context boundary is unacceptable (SFT examples,
+    documents with loss masks); padding waste is the price, and the
+    per-bin fill rate is directly measurable from the output.  A doc
+    longer than ``ctx_len`` becomes a singleton bin (callers that want
+    to drop those filter first).
+
+    Greedy fill is sequentially dependent, so this is the documented
+    Pandas-group path (SURVEY custom-operator rule (b)): one
+    ``applyInPandas`` over shards, each shard one linear loop — the
+    shard count is the parallelism knob exactly as in
+    :func:`pack_sequences`, and shards are hash-balanced so no task sees
+    more than ~|docs|/n_shards rows.  Determinism: same seed ⇒ identical
+    bins on any cluster size.
+
+    Output: (id, shard, bin, bin_offset) — ``bin`` numbers bins within a
+    shard from 0 in fill order, ``bin_offset`` is the doc's token start
+    inside its bin."""
+    import pandas as pd
+
+    key = md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    sharded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_count_col).cast("bigint").alias("n_tokens"),
+        (key % n_shards).alias("shard"),
+        key.alias("__key"),
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__key", "id"], kind="mergesort")
+        bins, offsets = [], []
+        b, cum = 0, 0
+        first = True
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            if not first and cum + tok > ctx_len:
+                b += 1
+                cum = 0
+            bins.append(b)
+            offsets.append(cum)
+            cum += tok
+            first = False
+        pdf = pdf.assign(bin=bins, bin_offset=offsets)
+        return pdf[["id", "shard", "bin", "bin_offset"]]
+
+    schema = "id {}, shard bigint, bin bigint, bin_offset bigint".format(
+        dict(sharded.dtypes)["id"]
+    )
+    return sharded.groupBy("shard").applyInPandas(fill, schema=schema)
+
+
+def pack_greedy_sql(
+    table: str,
+    id_col: str,
+    token_count_expr: str,
+    ctx_len: int,
+    n_shards: int = 64,
+    seed: str = "pack-v1",
+) -> str:
+    """DuckDB twin of :func:`pack_greedy`: the greedy fill as a recursive
+    CTE walking each shard's deterministic order one row per step (level-
+    synchronous across shards, so iterations = max shard length)."""
+    key = md5_long_sql(f"'{seed}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE sharded AS (
+        SELECT {id_col} AS id, CAST({token_count_expr} AS BIGINT) AS n_tokens,
+               ({key}) % {n_shards} AS shard, ({key}) AS __key
+        FROM {table}
+    ),
+    ordered AS (
+        SELECT id, n_tokens, shard,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY __key, id) AS rn
+        FROM sharded
+    ),
+    walk AS (
+        SELECT shard, rn, id, n_tokens,
+               CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+               n_tokens AS cum
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.id, o.n_tokens,
+               CASE WHEN w.cum + o.n_tokens > {ctx_len} THEN w.bin + 1 ELSE w.bin END,
+               CASE WHEN w.cum + o.n_tokens > {ctx_len} THEN CAST(0 AS BIGINT) ELSE w.cum END,
+               CASE WHEN w.cum + o.n_tokens > {ctx_len} THEN o.n_tokens
+                    ELSE w.cum + o.n_tokens END
+        FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+    )
+    SELECT id, shard, bin, bin_offset FROM walk
+    """
+
+
 def global_shuffle(
     df: DataFrame, id_col: str, n_shards: int = 64, seed: str = "shuffle-v1"
 ) -> DataFrame:

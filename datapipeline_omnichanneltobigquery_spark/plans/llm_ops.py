@@ -787,11 +787,79 @@ def sampling_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sampling_pack_greedy",
+    driver=False,  # no-split packing face of the gated sampling_pipeline family (r7)
+    oracle=sa.pack_greedy_sql(
+        "documents", "doc_id", "(n_chars + 3) // 4", 512, n_shards=8
+    ),
+)
+def sampling_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT greedy context packing at 512 tokens (token count =
+    ceil(n_chars/4), 8 shards): documents fill bins that never split a
+    doc — the SFT/loss-mask packing discipline, vs pack_sequences'
+    straddling concat-and-chunk.  Sequentially dependent fill ⇒ one
+    applyInPandas per shard; the oracle walks the identical order with a
+    recursive CTE, so bin assignments AND offsets hash-match
+    (operators/sampling.py::pack_greedy)."""
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", ((F.col("n_chars") + 3) / 4).cast("bigint")
+    )
+    return sa.pack_greedy(d, "doc_id", "n_tokens", 512, n_shards=8)
+
+
 # ---------------------------------------------------------------------------
 # IR scoring (operators/ir.py)
 # ---------------------------------------------------------------------------
 
 _BM25_TERMS = ["vector", "stream", "shuffle"]
+
+
+@query(
+    "retrieval_rrf_hybrid",
+    driver=False,  # fusion face of the gated IR (bm25) + similarity (cosine/ANN) families (r7)
+    oracle=f"""
+    WITH bm AS ({ir.bm25_scores_sql("documents", "doc_id", "text", _BM25_TERMS)}),
+    bmr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS r
+            FROM bm ORDER BY score DESC, id LIMIT 200),
+    cs AS ({sim.cosine_topk_sql("embeddings", 0, 200, EMB_DIM)}),
+    csr AS (SELECT vec_id AS id,
+                   ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+            FROM cs)
+    SELECT COALESCE(b.id, c.id) AS id,
+           COALESCE(CAST(1 AS DOUBLE) / (60.0 + b.r), 0)
+             + COALESCE(CAST(1 AS DOUBLE) / (60.0 + c.r), 0) AS rrf_score,
+           (CASE WHEN b.id IS NULL THEN 0 ELSE 1 END)
+             + (CASE WHEN c.id IS NULL THEN 0 ELSE 1 END) AS n_rankers
+    FROM bmr b FULL OUTER JOIN csr c ON c.id = b.id
+    """,
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 top-200 for a
+    fixed term bag fused with the embedding-cosine top-200 for a fixed
+    probe vector (corpus convention: vec_id indexes the same documents) —
+    ``1/(60+rank)`` summed in one fixed-order expression, so the fused
+    scores hash-match bit for bit (operators/ir.py::rrf_fuse).  Both
+    inputs are bounded top-k lists from the gated rankers; the rank
+    windows sort ≤ 200 rows — a reranker, never a corpus scan."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    bm = ir.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)  # -> (id, n_hits, score)
+    bw = Window.orderBy(F.col("score").desc(), F.col("id"))
+    bmr = (
+        bm.withColumn("rank", F.row_number().over(bw))
+        .filter(F.col("rank") <= 200)
+        .select("id", "rank")
+    )
+    cs = sim.cosine_topk(emb, query_vec_id=0, k=200, dim=EMB_DIM)
+    cw = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    csr = (
+        cs.withColumn("rank", F.row_number().over(cw))
+        .select(F.col("vec_id").alias("id"), "rank")
+    )
+    return ir.rrf_fuse([bmr, csr], "id")
 
 
 @query(

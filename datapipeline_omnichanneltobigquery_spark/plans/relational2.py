@@ -687,6 +687,49 @@ def agg_hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_merged",
+    driver=False,  # cross-day merge face of the gated agg_hll_explicit (r7, sketch-register rollups)
+    oracle=pf.hll_explicit_sql("events", "event_type", "user_id"),
+)
+def agg_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register-table MERGE gated against an independent twin: Spark
+    sketches two halves of the stream separately (day-1/day-2 split on
+    event_id parity), merges the register tables (per-register MAX), and
+    finalizes; the oracle computes the DIRECT estimate over everything.
+    Equality is the merge-exactness theorem — max-of-registers commutes
+    with union — hash-checked cross-engine
+    (operators/profile.py::hll_registers/hll_merge/hll_estimate)."""
+    ev = read_table(spark, sf_dir, "events")
+    day1 = ev.filter(F.col("event_id") % 2 == 0)
+    day2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = pf.hll_merge(
+        pf.hll_registers(day1, "event_type", "user_id"),
+        pf.hll_registers(day2, "event_type", "user_id"),
+    )
+    return pf.hll_estimate(merged, "event_type")
+
+
+@query(
+    "agg_cms_merged",
+    driver=False,  # cross-day merge face of the gated-family agg_cms_estimates (r7)
+    oracle=pf.cms_estimates_sql("events", "user_id"),
+)
+def agg_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS sketch MERGE gated against an independent twin: Spark sketches
+    two halves separately, merges by per-(d, bucket) SUM, probes every
+    key; the oracle sketches everything at once.  Counts add, so the
+    estimates (including collision inflation) are identical
+    (operators/profile.py::cms_sketch/cms_merge/cms_probe)."""
+    ev = read_table(spark, sf_dir, "events")
+    day1 = ev.filter(F.col("event_id") % 2 == 0)
+    day2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = pf.cms_merge(
+        pf.cms_sketch(day1, "user_id"), pf.cms_sketch(day2, "user_id")
+    )
+    return pf.cms_probe(merged, ev.select("user_id").distinct(), "user_id")
+
+
+@query(
     "events_resample_hourly",
     oracle="""
     SELECT user_id, strftime(sample_ts, '%Y-%m-%d %H:%M:%S') AS sample_ts, value
@@ -1192,6 +1235,25 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "k").filter(F.col("src") != F.col("dst")).select("src", "dst")
     return triangle_counts(edges)
+
+
+@query(
+    "graph_kcore_parts",
+    driver=False,  # density-filter face of the iterative-graph family (pagerank gated r6; r7)
+    oracle=gr.kcore_sql(_COPURCHASE_EDGES_SQL, k=4, rounds=8),
+)
+def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the co-purchase graph by iterative peeling: parts that
+    keep >= 4 co-purchase neighbors after every sparser part is removed —
+    the dense backbone of the basket structure.  Bounded-rounds contract
+    with the bit-exact unrolled twin (operators/graph.py::kcore)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import kcore
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("key"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("key"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "key").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    return kcore(edges, k=4, rounds=8)
 
 
 @query(

@@ -1099,6 +1099,31 @@ def test_triangle_counts_known_graphs(spark):
     assert triangle_counts(square).count() == 0
 
 
+def test_kcore_known_graphs(spark):
+    """k-core peeling: a lollipop (K4 + pendant chain) peels the chain and
+    keeps exactly the K4 as its 3-core; a pure chain has no 2-core; peeling
+    cascades (removing a node can drop its neighbor below k next round)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import kcore
+
+    # K4 on {0,1,2,3} + chain 3-4-5 hanging off it
+    lolli = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 4), (4, 5)],
+        ["src", "dst"],
+    )
+    got = {r.node: r.core_deg for r in kcore(lolli, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # chain peeled, clique intact
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
+    assert kcore(chain, k=2).count() == 0  # cascade: ends peel inward
+
+    # 6-cycle IS a 2-core (every node keeps exactly 2 neighbors)
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], ["src", "dst"]
+    )
+    got_c = {r.node: r.core_deg for r in kcore(cycle, k=2).collect()}
+    assert got_c == {i: 2 for i in range(6)}
+
+
 def test_image_crop_flip_transform_pipeline(spark):
     """Augmentation kernels: center-crop takes exactly the middle window,
     flip is an involution, and the composed mapInPandas pipeline applies
@@ -1144,3 +1169,18 @@ def test_srp_recall_at_moderate_similarity(spark):
         _pytest.skip("fixture has no pairs at cos >= 0.45")
     srp = {(r.id_a, r.id_b) for r in srp_near_dup_pairs(emb, threshold=0.45, dim=64).collect()}
     assert len(srp & exact) / len(exact) >= 0.5
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: ids in both lists outrank single-list ids with similar ranks,
+    scores are exactly 1/(60+r) sums, and n_rankers counts list hits."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ir import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "rank"])
+    b = spark.createDataFrame([(2, 1), (4, 2)], ["id", "rank"])
+    got = {r.id: (r.rrf_score, r.n_rankers) for r in rrf_fuse([a, b], "id").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2] == (1 / 62 + 1 / 61, 2)  # both lists
+    assert got[1] == (1 / 61, 1)
+    assert got[4] == (1 / 62, 1)
+    assert got[2][0] > got[1][0] > got[3][0]

@@ -250,3 +250,50 @@ def test_priority_sample_contract(spark):
     full = priority_sample(df, "id", "w", k=30).collect()
     assert len(full) == 20
     assert all(r.est_weight == float(r.weight) for r in full)
+
+
+def test_pack_greedy_no_split_invariants(spark):
+    """Greedy no-split packing contract: every bin's token total fits the
+    budget unless it is a singleton oversized doc; a doc opening a new bin
+    would NOT have fit in the previous one (greedy tightness); bin_offset
+    is the running total inside the bin; determinism across runs."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import pack_greedy
+
+    rows = [(i, 1 + (i * 37) % 400) for i in range(120)] + [(990, 5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_greedy(df, "doc_id", "n_tokens", ctx_len=512, n_shards=4)
+    got = out.join(df, out.id == df.doc_id).select("id", "shard", "bin", "bin_offset", "n_tokens")
+    rows_out = sorted(
+        ((r.shard, r.bin, r.bin_offset, r.id, r.n_tokens) for r in got.collect())
+    )
+    toks = dict(rows)
+    # group by (shard, bin), ordered by bin_offset
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for shard, b, off, i, nt in rows_out:
+        bins[(shard, b)].append((off, i, nt))
+    for (shard, b), members in bins.items():
+        members.sort()
+        total = sum(nt for _, _, nt in members)
+        if len(members) > 1:
+            assert total <= 512, (shard, b, total)
+        # offsets are the running totals
+        run = 0
+        for off, i, nt in members:
+            assert off == run, (shard, b, i)
+            run += nt
+        # greedy tightness: first member would not fit in the previous bin
+        if b > 0 and (shard, b - 1) in bins:
+            prev_total = sum(nt for _, _, nt in bins[(shard, b - 1)])
+            first_nt = members[0][2]
+            assert prev_total + first_nt > 512, (shard, b)
+    # oversized doc is a singleton bin
+    big = [(s, b) for (s, b), m in bins.items() if any(i == 990 for _, i, _ in m)]
+    assert len(big) == 1 and len(bins[big[0]]) == 1
+    # determinism
+    again = sorted(
+        ((r.shard, r.bin, r.bin_offset, r.id)
+         for r in pack_greedy(df, "doc_id", "n_tokens", ctx_len=512, n_shards=4).collect())
+    )
+    assert again == [t[:4] for t in rows_out]
