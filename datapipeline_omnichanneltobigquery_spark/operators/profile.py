@@ -547,3 +547,30 @@ def drift_psi_sql(
     FROM per_bin, tot
     GROUP BY n_ref, n_cur
     """
+
+
+def k_anonymity(df, quasi_cols: list, k: int):
+    """k-anonymity audit over a set of quasi-identifier columns: every
+    combination's population and whether it meets the anonymity threshold
+    (``group_n >= k``).  Rows in under-populated combinations are
+    re-identifiable by joining the quasi-identifiers against outside data
+    — the standard privacy screen to run BEFORE exporting a dataset
+    (Sweeney '02; suppress or generalize the flagged combinations).
+
+    One partial-aggregated groupBy — the output is bounded by the
+    quasi-identifier domain product, not the data."""
+    import pyspark.sql.functions as F
+
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_n"),
+        (F.count(F.lit(1)) >= F.lit(int(k))).alias("k_anonymous"),
+    )
+
+
+def k_anonymity_sql(table: str, quasi_cols: list, k: int) -> str:
+    """DuckDB twin of :func:`k_anonymity`."""
+    cols = ", ".join(quasi_cols)
+    return f"""
+    SELECT {cols}, COUNT(*) AS group_n, COUNT(*) >= {int(k)} AS k_anonymous
+    FROM {table} GROUP BY {cols}
+    """

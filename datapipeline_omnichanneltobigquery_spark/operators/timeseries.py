@@ -359,3 +359,81 @@ def rolling_zscore_sql(
                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) > 0
     """
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    n_taps: int = 8,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with DYADIC weights:
+    ``ewma_t = Σ_{j<n} 2^{-j}·x_{t-j} / Σ_{j<avail} 2^{-j}`` over the
+    trailing ``n_taps`` observations (α = 1/2, truncated) — the smoothing
+    pass before thresholding/drift logic.
+
+    Why dyadic: 2^{-j} and their partial sums are EXACT in binary floating
+    point, every product halves an exponent without touching the mantissa,
+    and both the numerator and the boundary-adjusted normalizer are summed
+    in one fixed-order expression — so unlike a textbook α-EWMA (whose
+    (1-α)^j powers round) the result is bit-deterministic and engine-exact
+    under the hash gate.  Implementation is ``n_taps`` LAGs sharing ONE
+    window sort (no self-join, no list aggregation whose order Spark does
+    not contract); one key-partitioned shuffle total.
+
+    Returns (uid, key, value, ewma)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(unique_col))
+    x = df.select(
+        F.col(unique_col).alias("uid"),
+        F.col(key_col).alias("key"),
+        F.col(val_col).cast("double").alias("value"),
+        *[
+            F.lag(F.col(val_col).cast("double"), j).over(w).alias(f"__l{j}")
+            for j in range(n_taps)
+        ],
+    )
+    num = None
+    den = None
+    for j in range(n_taps):
+        wgt = 2.0 ** (-j)
+        term = F.coalesce(F.col(f"__l{j}") * F.lit(wgt), F.lit(0.0))
+        norm = F.when(F.col(f"__l{j}").isNotNull(), F.lit(wgt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = norm if den is None else den + norm
+    return x.select("uid", "key", "value", (num / den).alias("ewma"))
+
+
+def ewma_smooth_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    n_taps: int = 8,
+) -> str:
+    """DuckDB twin of :func:`ewma_smooth` — identical lags, weights, and
+    fold order."""
+    lags = ",\n               ".join(
+        f"LAG(CAST({val_col} AS DOUBLE), {j}) OVER "
+        f"(PARTITION BY {key_col} ORDER BY {ts_col}, {unique_col}) AS __l{j}"
+        for j in range(n_taps)
+    )
+    num = " + ".join(
+        f"COALESCE(__l{j} * CAST({2.0 ** (-j)!r} AS DOUBLE), 0.0)"
+        for j in range(n_taps)
+    )
+    den = " + ".join(
+        f"CASE WHEN __l{j} IS NOT NULL THEN CAST({2.0 ** (-j)!r} AS DOUBLE) ELSE 0.0 END"
+        for j in range(n_taps)
+    )
+    return f"""
+    WITH lagged AS (
+        SELECT {unique_col} AS uid, {key_col} AS key,
+               CAST({val_col} AS DOUBLE) AS value,
+               {lags}
+        FROM {table}
+    )
+    SELECT uid, key, value, ({num}) / ({den}) AS ewma FROM lagged
+    """

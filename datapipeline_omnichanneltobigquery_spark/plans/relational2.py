@@ -768,6 +768,22 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_ewma_smooth",
+    driver=False,  # smoothing face of the gated resample/zscore time-series family (r7)
+    oracle=tsr.ewma_smooth_sql("events", "user_id", "ts", "value", "event_id"),
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of the event value stream — dyadic 2^-j
+    weights over the trailing 8 observations make a normally float-fuzzy
+    statistic bit-deterministic, so the smoothed VALUES hash-match the
+    twin (operators/timeseries.py::ewma_smooth).  n lags share one window
+    sort; one key shuffle total."""
+    return tsr.ewma_smooth(
+        read_table(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id"
+    )
+
+
+@query(
     "events_resample_interp",
     driver=False,  # interpolation variant of the gated events_resample_hourly family
     oracle="""
@@ -784,6 +800,24 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("sample_ts", "yyyy-MM-dd HH:mm:ss").alias("sample_ts"),
         "value",
+    )
+
+
+@query(
+    "dq_k_anonymity",
+    driver=False,  # privacy-audit face of the gated profiling/DQ families (r7)
+    oracle=pf.k_anonymity_sql(
+        "customer", ["c_nationkey", "c_mktsegment"], k=10
+    ),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table's (nation, market-segment)
+    quasi-identifiers at k=10: combination populations and whether each
+    meets the anonymity threshold — the pre-export privacy screen
+    (operators/profile.py::k_anonymity).  One partial-aggregated groupBy;
+    output bounded by the quasi-identifier domain, not the data."""
+    return pf.k_anonymity(
+        read_table(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=10
     )
 
 

@@ -1184,3 +1184,47 @@ def test_rrf_fuse_semantics(spark):
     assert got[1] == (1 / 61, 1)
     assert got[4] == (1 / 62, 1)
     assert got[2][0] > got[1][0] > got[3][0]
+
+
+def test_audio_band_energy_sine_concentration(spark):
+    """A pure 16-cycles-per-frame sine concentrates its spectral energy in
+    band 1 of 8 (bin 16 of 129; band edges at multiples of 16); frame
+    count = len // n_frame."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
+
+    n = 512
+    samples = bytes(
+        max(0, min(255, round(128 + 100 * math.sin(2 * math.pi * 16 * i / 256))))
+        for i in range(n)
+    )
+    wav = mm.encode_wav(samples, sample_rate=8000, channels=1)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = mm.audio_band_energy(df, n_frame=256, n_bands=8).collect()[0]
+    assert row.n_frames == 2
+    total = sum(row.band_energy)
+    assert total > 0 and row.band_energy[1] / total > 0.9  # bin 16 -> band [16,32)
+
+    # shorter than one frame: zero frames, all-zero bands, no crash
+    tiny = mm.encode_wav(bytes([128] * 10), sample_rate=8000, channels=1)
+    df2 = spark.createDataFrame([(2, bytearray(tiny))], "doc_id long, payload binary")
+    r2 = mm.audio_band_energy(df2, n_frame=256, n_bands=8).collect()[0]
+    assert r2.n_frames == 0 and list(r2.band_energy) == [0.0] * 8
+
+
+def test_video_scene_cuts_detects_hard_cut(spark):
+    """Three frames: A, A, inverted-A — transition 1 is calm, transition 2
+    is a cut; per-transition mean abs diff is exact."""
+    from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
+
+    rows_a = [bytes((x + y) % 17 for x in range(8)) for y in range(6)]
+    rows_b = [bytes(255 - v for v in r) for r in rows_a]
+    fa, fb = mm.encode_png_pixels(rows_a), mm.encode_png_pixels(rows_b)
+    vid = mm.encode_video([fa, fa, fb])
+    df = spark.createDataFrame([(7, bytearray(vid))], "doc_id long, payload binary")
+    got = {r.frame_idx: (r.mean_abs_diff, r.is_cut)
+           for r in mm.video_scene_cuts(df, threshold=24.0).collect()}
+    assert got[1] == (0.0, False)
+    exp = sum(abs(255 - 2 * v) for r in rows_a for v in r) / 48
+    assert abs(got[2][0] - exp) < 1e-9 and got[2][1]

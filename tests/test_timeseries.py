@@ -150,3 +150,28 @@ def test_resample_grid_guard_raises_diagnosably(spark):
         df, "uid", "ts", "v", 86400 * 30, max_points_per_key=1000
     ).count()
     assert n > 0
+
+
+def test_ewma_smooth_known_series(spark):
+    """EWMA with dyadic weights on a known series: exact rational results
+    at the boundary (normalizer adapts to available history) and in steady
+    state; constant series is a fixed point."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import ewma_smooth
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, "a", t0 + dt.timedelta(minutes=i), float(v))
+        for i, v in enumerate([4.0, 8.0, 16.0])
+    ] + [(10 + i, "c", t0 + dt.timedelta(minutes=i), 7.0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {
+        r.uid: r.ewma
+        for r in ewma_smooth(df, "user_id", "ts", "value", "event_id", n_taps=4).collect()
+    }
+    assert got[0] == 4.0                      # lone first point
+    assert got[1] == (8.0 + 0.5 * 4.0) / 1.5  # two points, renormalized
+    assert got[2] == (16.0 + 0.5 * 8.0 + 0.25 * 4.0) / 1.75
+    for i in range(5):
+        assert got[10 + i] == 7.0             # constant series fixed point
