@@ -1,0 +1,176 @@
+"""Byte-pair-encoding tokenizer TRAINING and APPLICATION as Spark-native
+operators (SURVEY.md §2.2 extension surface: the tokenizer-construction
+step of an LLM data pipeline, complementing textstats.py's fixed
+whitespace/BPE-regex token counting).
+
+Algorithm (Sennrich et al. ACL'16): start from characters (plus an
+end-of-word marker), repeatedly merge the most frequent adjacent symbol
+pair.  The scale design keeps everything sublinear in the corpus:
+
+- Training state is the WORD VOCABULARY (distinct word, corpus frequency,
+  current segmentation as ``array<string>``) — Zipf makes this orders of
+  magnitude smaller than the corpus, and pair counts weight by word
+  frequency, so one pass over the vocab equals a pass over the corpus.
+- Each merge round is pure DataFrame work: explode adjacent pairs
+  (``arrays_zip`` of two slices), one partial-aggregated groupBy, a 1-ROW
+  collect of the winning pair (the same bounded-collect class as the IVF
+  centroid ids), then a JVM-side ``aggregate`` lambda that rewrites every
+  segmentation left-to-right greedily — no regex (quoting hazards), no
+  Python in the hot path.
+- The vocab frame is localCheckpointed every few rounds so plan depth
+  stays bounded (the PageRank discipline).
+- Application re-derives each DISTINCT word's tokenization once (same
+  lambda chain), joins it back to the positional word stream, and
+  reassembles per-document token arrays order-exactly.
+
+Ties in pair frequency break lexicographically — training is fully
+deterministic, so the learned merge table is reproducible run to run.
+
+No SQL-expressible oracle: the training loop is an iterative driver-side
+fixed point (the kmeans_refine class, COVERAGE.md justification); tests
+pin the merge sequence against an independent in-test reference
+implementation of the textbook algorithm.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: end-of-word marker (standard BPE; keeps merges word-internal and makes
+#: detokenization unambiguous)
+EOW = "</w>"
+
+
+def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq) over whitespace-split lowercase words."""
+    return (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_seg(col):
+    """Characters of ``col`` plus the end-of-word marker, as array<string>."""
+    chars = F.expr(f"filter(split({col}, ''), x -> x != '')")
+    return F.concat(chars, F.array(F.lit(EOW)))
+
+
+def _merge_expr(arr_col: str, a: str, b: str):
+    """Left-to-right greedy merge of adjacent (a, b) into a||b — a JVM
+    ``aggregate`` lambda over the token array (no regex, so any symbol
+    content is safe)."""
+    return F.expr(
+        f"""aggregate(
+            {arr_col},
+            CAST(array() AS array<string>),
+            (acc, x) -> CASE
+                WHEN size(acc) > 0
+                     AND element_at(acc, size(acc)) = {_lit(a)}
+                     AND x = {_lit(b)}
+                THEN concat(slice(acc, 1, size(acc) - 1), array({_lit(a + b)}))
+                ELSE concat(acc, array(x))
+            END)"""
+    )
+
+
+def _lit(s: str) -> str:
+    """SQL string literal with quote escaping (symbols come from text)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _adjacent_pairs(arr_col: str):
+    """(a, b) structs for every adjacent position of the token array."""
+    return F.expr(
+        f"""CASE WHEN size({arr_col}) < 2 THEN CAST(array() AS array<struct<a:string,b:string>>)
+            ELSE zip_with(
+                slice({arr_col}, 1, size({arr_col}) - 1),
+                slice({arr_col}, 2, size({arr_col}) - 1),
+                (x, y) -> struct(x AS a, y AS b))
+            END"""
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 50,
+    min_pair_freq: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus; returns the
+    ordered merge list (the tokenizer artifact to persist).  Stops early
+    when the best pair's corpus frequency falls below ``min_pair_freq``."""
+    vocab = _word_freqs(df, text_col).select(
+        "w", "freq", _initial_seg("w").alias("seg")
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            vocab.select("freq", F.explode(_adjacent_pairs("seg")).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("f"))
+            .orderBy(F.col("f").desc(), "a", "b")
+            .limit(1)
+            .collect()  # bounded: exactly one row per round
+        )
+        if not top or top[0]["f"] < min_pair_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.withColumn("seg", _merge_expr("seg", a, b))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def bpe_segment_words(
+    words: DataFrame, merges: list[tuple[str, str]], checkpoint_every: int = 8
+) -> DataFrame:
+    """Apply an ordered merge list to a (w) frame of distinct words →
+    (w, tokens array<string>)."""
+    seg = words.select("w", _initial_seg("w").alias("seg"))
+    for i, (a, b) in enumerate(merges):
+        seg = seg.withColumn("seg", _merge_expr("seg", a, b))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            seg = seg.localCheckpoint()
+    return seg.select("w", F.col("seg").alias("tokens"))
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize every document with a learned merge list — (id, tokens,
+    n_tokens).  Each DISTINCT word is segmented once (vocab-level work),
+    then joined back onto the positional word stream and reassembled in
+    word order (sort_array over (pos, tokens) structs → flatten) — the
+    token stream is exactly the per-word tokenizations concatenated."""
+    words_pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    seg = bpe_segment_words(words_pos.select("w").distinct(), merges)
+    joined = words_pos.join(seg, "w")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tokens"))),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            F.col("id").alias(id_col), "tokens", F.size("tokens").alias("n_tokens")
+        )
+    )

@@ -788,6 +788,30 @@ def sampling_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_tokens",
+    driver=False,  # rows-only: BPE training is an iterative driver-side fixed point
+    # (the kmeans_refine class, COVERAGE.md justification); the merge
+    # SEQUENCE is pinned against an independent reference implementation in
+    # tests/test_bpe.py
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 12-merge BPE tokenizer on the corpus vocabulary and apply
+    it back to every document — (doc_id, tokens, n_tokens).  Training is
+    vocab-level (distinct words × frequency, sublinear in the corpus) with
+    one bounded 1-row collect per merge; application segments each
+    DISTINCT word once and reassembles documents order-exactly
+    (operators/bpe.py)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=12)
+    return bpe_apply(docs, "doc_id", "text", merges)
+
+
+@query(
     "sampling_pack_greedy",
     driver=False,  # no-split packing face of the gated sampling_pipeline family (r7)
     oracle=sa.pack_greedy_sql(

@@ -1,0 +1,83 @@
+"""BPE tokenizer training/application (operators/bpe.py): merge sequence
+pinned against an independent in-test implementation of the textbook
+algorithm (Sennrich ACL'16), application checked for reconstruction."""
+
+from __future__ import annotations
+
+from datapipeline_omnichanneltobigquery_spark.operators.bpe import (
+    EOW,
+    bpe_apply,
+    bpe_train,
+)
+
+
+def ref_bpe(word_freqs: dict, n_merges: int, min_pair_freq: int = 2):
+    """Textbook BPE with the same tie-break (freq desc, then lexicographic)
+    and the same left-to-right greedy merge."""
+    vocab = {tuple(list(w) + [EOW]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for seg, f in vocab.items():
+            for i in range(len(seg) - 1):
+                pairs[(seg[i], seg[i + 1])] = pairs.get((seg[i], seg[i + 1]), 0) + f
+        if not pairs:
+            break
+        (a, b), f = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if f < min_pair_freq:
+            break
+        merges.append((a, b))
+        newv: dict = {}
+        for seg, fr in vocab.items():
+            out: list = []
+            for x in seg:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            newv[tuple(out)] = newv.get(tuple(out), 0) + fr
+        vocab = newv
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, f in freqs.items() for _ in range(f))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = bpe_train(df, "text", n_merges=10)
+    want = ref_bpe(freqs, 10)
+    assert got == want
+    assert got[0] == ("e", "s")  # classic first merge: freq 9
+
+
+def test_bpe_train_spans_documents_and_ties_deterministic(spark):
+    """Frequencies aggregate across documents, and rerunning training
+    yields the identical merge list."""
+    rows = [(i, "aa ab aa") for i in range(3)] + [(10, "ab ab")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    freqs = {"aa": 6, "ab": 5}
+    m1 = bpe_train(df, "text", n_merges=5)
+    assert m1 == ref_bpe(freqs, 5)
+    assert m1 == bpe_train(df, "text", n_merges=5)
+
+
+def test_bpe_apply_reconstructs_words(spark):
+    train = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(train, "text", n_merges=8)
+    assert merges
+    test = spark.createDataFrame(
+        [(7, "newest widest lowest"), (8, "low")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: list(r.tokens) for r in bpe_apply(test, "doc_id", "text", merges).collect()}
+    # concatenating tokens (EOW marks word ends) reconstructs the text
+    for did, text in [(7, "newest widest lowest"), (8, "low")]:
+        joined = "".join(out[did]).replace(EOW, " ").strip()
+        assert joined == text
+    # trained words compress well below character count
+    assert len(out[8]) < len("low") + 1
+    n = {r.doc_id: r.n_tokens for r in bpe_apply(test, "doc_id", "text", merges).collect()}
+    assert n[7] == len(out[7]) and n[8] == len(out[8])
