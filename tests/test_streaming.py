@@ -377,3 +377,80 @@ def test_streaming_ingest_crash_replay_idempotent(spark, tmp_path):
     )
     apply_ingest_batch(b3, 3, ix, corpus, bench, "doc_id", "text", min_quality=0.0)
     assert ids() == [10, 20, 30, 41]  # 40 is a near-dup of indexed 30
+
+
+def test_streaming_hll_maintain_matches_batch_and_replays(spark, tmp_path):
+    """Streaming HLL register maintenance: after a 2-micro-batch stream the
+    persisted registers estimate EXACTLY what one batch sketch over all
+    data estimates; replaying a batch (foreachBatch crash semantics) is a
+    no-op because register merge is per-register MAX."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        hll_estimate,
+        hll_explicit,
+    )
+    from datapipeline_omnichanneltobigquery_spark.streaming.sketches import (
+        maintain_hll_batch,
+        streaming_hll_maintain,
+    )
+
+    src = str(tmp_path / "src")
+    rows1 = [(i % 3, f"u{i}") for i in range(60)]
+    rows2 = [(i % 3, f"u{i}") for i in range(40, 120)]  # overlaps batch 1
+    spark.createDataFrame(rows1, ["grp", "user"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, ["grp", "user"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    regs = str(tmp_path / "regs")
+    stream = (
+        spark.readStream.schema("grp long, user string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_hll_maintain(
+        stream, regs, "grp", "user", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.grp, r.est_distinct)
+        for r in hll_estimate(spark.read.parquet(regs), "grp").collect()
+    }
+    want = {
+        (r.grp, r.est_distinct)
+        for r in hll_explicit(
+            spark.read.parquet(src), "grp", "user"
+        ).collect()
+    }
+    assert got == want  # merge-exactness, through the persisted state
+
+    # replay: re-folding batch 2 must not move the estimates
+    maintain_hll_batch(spark.createDataFrame(rows2, ["grp", "user"]), regs, "grp", "user")
+    again = {
+        (r.grp, r.est_distinct)
+        for r in hll_estimate(spark.read.parquet(regs), "grp").collect()
+    }
+    assert again == want
+
+
+def test_cms_maintain_marker_blocks_double_count(spark, tmp_path):
+    """CMS counts add, so the maintainer's applied-batch marker must make a
+    replayed batch a no-op (without it the counts would double)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import cms_probe
+    from datapipeline_omnichanneltobigquery_spark.streaming.sketches import (
+        maintain_cms_batch,
+    )
+
+    sk = str(tmp_path / "cms")
+    b1 = spark.createDataFrame([(f"k{i % 5}",) for i in range(50)], ["k"])
+    b2 = spark.createDataFrame([(f"k{i % 5}",) for i in range(25)], ["k"])
+    maintain_cms_batch(b1, sk, "k", batch_id=0)
+    maintain_cms_batch(b2, sk, "k", batch_id=1)
+    keys = b1.select("k").union(b2.select("k")).distinct()
+    est = {r.k: r.est_count for r in cms_probe(spark.read.parquet(sk), keys, "k").collect()}
+    assert est == {f"k{i}": 15 for i in range(5)}
+    maintain_cms_batch(b2, sk, "k", batch_id=1)  # replay: marker short-circuits
+    est2 = {r.k: r.est_count for r in cms_probe(spark.read.parquet(sk), keys, "k").collect()}
+    assert est2 == est
