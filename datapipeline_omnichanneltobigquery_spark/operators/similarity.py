@@ -853,22 +853,46 @@ def srp_keys(
     bit-identical doubles, so buckets match the SQL twin exactly."""
     planes = _srp_hyperplanes(n_bits, dim, seed)
     num_bands = n_bits // rows_per_band
-    bits = [
-        dot(F.col(vec_col), F.array(*[F.lit(c) for c in p]), dim) >= 0
-        for p in planes
-    ]
+
+    # The whole projection is generated as SQL TEXT and parsed in one
+    # F.expr call per band: building it from Column objects costs ~5000
+    # py4j round-trips (≈6 s of pure client-side latency per query
+    # build), and dot(vec, F.array(lits)) additionally re-embeds the
+    # literal array under every element_at.  Same scalar arithmetic, same
+    # left-to-right fold — bit-identical to the DuckDB twin's list_sum.
+    def plane_dot_sql(plane):
+        return " + ".join(
+            f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * {c!r}D"
+            for i, c in enumerate(plane)
+        )
+
     band_structs = []
     for b in range(num_bands):
-        key = None
-        for r in range(rows_per_band):
-            term = F.when(bits[b * rows_per_band + r], F.lit(1 << r)).otherwise(F.lit(0))
-            key = term if key is None else key + term
+        key = " + ".join(
+            f"CASE WHEN ({plane_dot_sql(planes[b * rows_per_band + r])}) >= 0 "
+            f"THEN {1 << r} ELSE 0 END"
+            for r in range(rows_per_band)
+        )
         band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.cast("bigint").alias("key"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"CAST({key} AS BIGINT)").alias("key"),
+            )
         )
     return embeddings.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+#: candidate-generation band-bucket cap — the Zipf-head discipline of
+#: operators/dedup.py::JACCARD_MAX_DF applied to SRP buckets: a bucket
+#: bigger than this is dominated by random sign collisions, not near-dups
+#: (real near-dup clusters are tens of vectors), so its C(n,2) candidate
+#: pairs are skipped.  Recall contract: a pair is found iff it shares at
+#: least one band bucket of size <= cap; the cap bounds the bucket
+#: self-join at cap * |buckets| rows instead of the quadratic blowup a
+#: hot bucket would cause at corpus scale.
+SRP_MAX_BUCKET = 64
 
 
 def srp_near_dup_pairs(
@@ -880,15 +904,31 @@ def srp_near_dup_pairs(
     n_bits: int = 16,
     rows_per_band: int = 4,
     seed: int = 42,
+    max_bucket: int | None = SRP_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: SRP band buckets generate the
     candidates, exact cosine verifies — the cosine analogue of
     minhash_near_dup_pairs, and the 100 TB replacement for the exact
     all-pairs ``cosine_pairs`` baseline (which stays the oracle of record
     for recall).  Returns (id_a, id_b, cos_sim ≥ threshold) among
-    band-colliding pairs; deterministic end to end, so the DuckDB twin
-    reproduces both the candidate set and the verified values bit-exact."""
-    keyed = srp_keys(embeddings, id_col, vec_col, dim, n_bits, rows_per_band, seed)
+    band-colliding pairs in buckets of size ≤ ``max_bucket`` (None
+    disables the cap; see SRP_MAX_BUCKET for the recall contract);
+    deterministic end to end, so the DuckDB twin reproduces both the
+    candidate set and the verified values bit-exact."""
+    # materialize the keyed table ONCE (it is the LSH index): the plan
+    # references it three times (bucket sizes + both self-join sides), and
+    # each reference would otherwise recompute — and re-codegen — the
+    # n_bits x dim dot-product projection
+    keyed = srp_keys(
+        embeddings, id_col, vec_col, dim, n_bits, rows_per_band, seed
+    ).localCheckpoint()
+    if max_bucket is not None:
+        sizes = keyed.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bn"))
+        keyed = (
+            keyed.join(sizes, ["band", "key"])
+            .filter(F.col("__bn") <= int(max_bucket))
+            .drop("__bn")
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(
@@ -937,9 +977,10 @@ def srp_near_dup_pairs_sql(
     n_bits: int = 16,
     rows_per_band: int = 4,
     seed: int = 42,
+    max_bucket: int | None = SRP_MAX_BUCKET,
 ) -> str:
     """DuckDB twin of :func:`srp_near_dup_pairs` — identical hyperplane
-    constants, fold order, band packing, and verify algebra."""
+    constants, fold order, band packing, bucket cap, and verify algebra."""
     planes = _srp_hyperplanes(n_bits, dim, seed)
     num_bands = n_bits // rows_per_band
     band_rows = "\n        UNION ALL\n".join(
@@ -948,12 +989,22 @@ def srp_near_dup_pairs_sql(
         f"FROM {table} e"
         for b in range(num_bands)
     )
+    cap = (
+        f"""capped AS MATERIALIZED (
+        SELECT k.* FROM keyed k
+        JOIN (SELECT band, key, COUNT(*) AS bn FROM keyed GROUP BY 1, 2) s
+          ON s.band = k.band AND s.key = k.key
+        WHERE s.bn <= {int(max_bucket)}),"""
+        if max_bucket is not None
+        else "capped AS MATERIALIZED (SELECT * FROM keyed),"
+    )
     return f"""
-    WITH keyed AS (
+    WITH keyed AS MATERIALIZED (
 {band_rows}
     ),
+    {cap}
     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM keyed a JOIN keyed b
+             FROM capped a JOIN capped b
                ON a.band = b.band AND a.key = b.key AND a.id < b.id)
     SELECT c.id_a, c.id_b,
            {_dot_sql("x." + vec_col, "y." + vec_col, dim)}

@@ -1228,3 +1228,24 @@ def test_video_scene_cuts_detects_hard_cut(spark):
     assert got[1] == (0.0, False)
     exp = sum(abs(255 - 2 * v) for r in rows_a for v in r) / 48
     assert abs(got[2][0] - exp) < 1e-9 and got[2][1]
+
+
+def test_srp_bucket_cap_contract(spark):
+    """SRP_MAX_BUCKET: a band bucket bigger than the cap contributes no
+    candidates (its pairs are random-collision noise at corpus scale, and
+    its C(n,2) self-join is the scale hazard); max_bucket=None restores
+    the uncapped behavior.  70 identical vectors overflow a cap of 64."""
+    import random
+
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(i, base) for i in range(70)]  # one huge identical cluster
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = srp_near_dup_pairs(emb, threshold=0.9, max_bucket=64)
+    assert capped.count() == 0  # bucket of 70 > cap -> skipped, documented
+    uncapped = srp_near_dup_pairs(emb, threshold=0.9, max_bucket=None)
+    assert uncapped.count() == 70 * 69 // 2  # identical vectors all pair
