@@ -1305,3 +1305,66 @@ def cut_spans_sql(
            t.n_tokens - COALESCE(r.n_kept, 0) AS n_removed
     FROM totals t LEFT JOIN rebuilt r ON r.id = t.id
     """
+
+
+def snm_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    block_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernandez/Stolfo SIGMOD'95):
+    records sorted by ``key_col`` inside each ``block_col`` partition;
+    every pair within ``window`` sort positions becomes a candidate —
+    (id_a, id_b, key_a, key_b), id_a < id_b by sort position.  The third
+    blocking family beside LSH banding and PassJoin segments: it catches
+    near-dups whose ERRORS cluster under the sort key (prefix typos,
+    transposed suffixes) at a guaranteed ``window·n`` candidate volume —
+    no hot-bucket blowup possible, the property neither token blocking
+    nor banding gives you.
+
+    Scale shape: ``window`` LEADs share ONE window sort per block; the
+    block column bounds the sort's partition (classic multi-pass SNM runs
+    this several times under different keys/blocks to cover boundary
+    misses — the documented recall tradeoff)."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(key_col).alias("key"), F.col(block_col).alias("blk")
+    )
+    wb = Window.partitionBy("blk").orderBy(F.col("key"), F.col("id"))
+    leads = base.select(
+        "id",
+        "key",
+        *[F.lead("id", k).over(wb).alias(f"__id{k}") for k in range(1, window + 1)],
+        *[F.lead("key", k).over(wb).alias(f"__key{k}") for k in range(1, window + 1)],
+    )
+    parts = [
+        leads.filter(F.col(f"__id{k}").isNotNull()).select(
+            F.col("id").alias("id_a"),
+            F.col(f"__id{k}").alias("id_b"),
+            F.col("key").alias("key_a"),
+            F.col(f"__key{k}").alias("key_b"),
+        )
+        for k in range(1, window + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def snm_pairs_sql(
+    table: str, id_col: str, key_expr: str, block_expr: str, window: int = 3
+) -> str:
+    """DuckDB twin of :func:`snm_pairs` — rank per block, pairs within
+    ``window`` rank positions (identical ordering and tie-breaks)."""
+    return f"""
+    WITH ranked AS (
+        SELECT {id_col} AS id, {key_expr} AS key, {block_expr} AS blk,
+               ROW_NUMBER() OVER (PARTITION BY {block_expr}
+                                  ORDER BY {key_expr}, {id_col}) AS rn
+        FROM {table})
+    SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b
+    FROM ranked a JOIN ranked b
+      ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {window}
+    """

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import graph as gr
 from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
 from datapipeline_omnichanneltobigquery_spark.operators import skew as sk
@@ -931,6 +932,146 @@ def events_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same callable runs on readStream).  The oracle expands each event
     to its len/slide window starts with integer-microsecond arithmetic."""
     return hopping_counts(read_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@query(
+    "dedup_snm_part_names",
+    driver=False,  # sorted-neighborhood face of the gated fuzzy/dedup blocking families (r7)
+    oracle="""
+    WITH cand AS (
+    """ + dd.snm_pairs_sql(
+        "part", "p_partkey", "trim(lower(p_name))", "p_brand", window=3
+    ) + """
+    )
+    SELECT id_a, id_b, levenshtein(key_a, key_b) AS dist
+    FROM cand WHERE levenshtein(key_a, key_b) <= 6
+    """,
+)
+def dedup_snm_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup candidates over part names (blocked by
+    brand, window 3) verified at edit distance <= 6 — the guaranteed
+    window*n candidate volume blocking family, no hot-bucket blowup
+    possible (operators/dedup.py::snm_pairs)."""
+    p = read_table(spark, sf_dir, "part")
+    cand = dd.snm_pairs(
+        p.withColumn("__k", F.trim(F.lower("p_name"))),
+        "p_partkey", "__k", "p_brand", window=3,
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("dist") <= 6)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+@query(
+    "er_part_matches",
+    driver=False,  # entity-resolution face of the gated fuzzy-matching family (r7)
+    oracle="""
+    WITH p AS (SELECT p_partkey AS pk, trim(lower(p_name)) AS name,
+                      p_brand AS brand, p_type AS typ, p_size AS sz,
+                      str_split(trim(lower(p_name)), ' ')[1] AS tok0
+               FROM part)
+    SELECT a.pk AS id_a, b.pk AS id_b,
+           3.0 * (1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+                        / CAST(GREATEST(length(a.name), length(b.name)) AS DOUBLE))
+             + (CASE WHEN a.typ = b.typ THEN 2.0 ELSE 0.0 END)
+             + (CASE WHEN abs(a.sz - b.sz) <= 2 THEN 1.0 ELSE 0.0 END)
+               AS match_score
+    FROM p a JOIN p b
+      ON a.brand = b.brand AND a.tok0 = b.tok0 AND a.pk < b.pk
+    WHERE 3.0 * (1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+                       / CAST(GREATEST(length(a.name), length(b.name)) AS DOUBLE))
+            + (CASE WHEN a.typ = b.typ THEN 2.0 ELSE 0.0 END)
+            + (CASE WHEN abs(a.sz - b.sz) <= 2 THEN 1.0 ELSE 0.0 END) >= 3.5
+    """,
+)
+def er_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field entity-resolution scoring over the part catalog
+    (Fellegi-Sunter shape with fixed weights): candidates blocked on
+    (brand, first name token) — never all-pairs; block granularity is the
+    scale knob, tighten the key as the catalog grows — then each pair
+    scored on normalized name edit similarity (3.0), type equality (2.0)
+    and size closeness (1.0), one fixed-order expression so the scores
+    are engine-exact.  Pairs at match_score >= 3.5 survive."""
+    p = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.trim(F.lower("p_name")).alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("typ"),
+        F.col("p_size").alias("sz"),
+    ).withColumn("tok0", F.split("name", " ")[0])
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.brand") == F.col("b.brand"))
+        & (F.col("a.tok0") == F.col("b.tok0"))
+        & (F.col("a.pk") < F.col("b.pk")),
+    )
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name")).cast("double")
+    maxlen = F.greatest(
+        F.length(F.col("a.name")), F.length(F.col("b.name"))
+    ).cast("double")
+    score = (
+        F.lit(3.0) * (F.lit(1.0) - lev / maxlen)
+        + F.when(F.col("a.typ") == F.col("b.typ"), F.lit(2.0)).otherwise(F.lit(0.0))
+        + F.when(
+            F.abs(F.col("a.sz") - F.col("b.sz")) <= 2, F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        pairs.select(
+            F.col("a.pk").alias("id_a"),
+            F.col("b.pk").alias("id_b"),
+            score.alias("match_score"),
+        )
+        .filter(F.col("match_score") >= 3.5)
+    )
+
+
+@query(
+    "events_active_streaks",
+    driver=False,  # gaps-and-islands face of the gated funnel/cohort analytics (r7)
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', date_trunc('day', ts)) AS d
+        FROM events),
+    isl AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days),
+    runs AS (
+        SELECT user_id, grp, COUNT(*) AS run_len
+        FROM isl GROUP BY user_id, grp)
+    SELECT user_id,
+           MAX(run_len) AS longest_streak,
+           SUM(run_len) AS n_active_days,
+           COUNT(*) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user (gaps-and-islands): the
+    day-number minus its per-user rank is constant within a run, so one
+    distinct + one window + two aggregates find every streak — the
+    engagement metric behind 'N-day streak' features.  Integer day
+    arithmetic end to end; shuffles carry (user, day) keys only."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.sum("run_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
 
 
 @query(

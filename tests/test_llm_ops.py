@@ -1249,3 +1249,24 @@ def test_srp_bucket_cap_contract(spark):
     assert capped.count() == 0  # bucket of 70 > cap -> skipped, documented
     uncapped = srp_near_dup_pairs(emb, threshold=0.9, max_bucket=None)
     assert uncapped.count() == 70 * 69 // 2  # identical vectors all pair
+
+
+def test_snm_pairs_window_semantics(spark):
+    """Sorted-neighborhood blocking: pairs exist iff within `window` sort
+    positions inside a block; candidate volume is exactly window*n bounded;
+    blocks never mix."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import snm_pairs
+
+    rows = [
+        (1, "alpha", "X"), (2, "alphb", "X"), (3, "beta", "X"),
+        (4, "gamma", "X"), (5, "zeta", "X"),
+        (6, "alpha", "Y"),  # other block: never pairs with block X
+    ]
+    df = spark.createDataFrame(rows, ["id", "k", "blk"])
+    got = {(r.id_a, r.id_b) for r in snm_pairs(df, "id", "k", "blk", window=2).collect()}
+    # sort order in X: alpha(1) alphb(2) beta(3) gamma(4) zeta(5)
+    want = {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)}
+    assert got == want
+    assert not any(6 in pair for pair in got)
+    # volume bound: <= window * n
+    assert len(got) <= 2 * len(rows)
