@@ -574,3 +574,96 @@ def k_anonymity_sql(table: str, quasi_cols: list, k: int) -> str:
     SELECT {cols}, COUNT(*) AS group_n, COUNT(*) >= {int(k)} AS k_anonymous
     FROM {table} GROUP BY {cols}
     """
+
+
+def validate_constraints(df, rules: list) -> "DataFrame":
+    """Declarative data-contract validation (the Deequ/Great-Expectations
+    primitive): evaluate a list of rules in ONE aggregate pass and return
+    the long-form report (rule, n_violations, passed).
+
+    Rules are (name, kind, params) tuples:
+
+    - ``("r", "not_null", col)`` — NULLs are violations
+    - ``("r", "unique", col)`` — violations = rows beyond the first per value
+    - ``("r", "range", (col, lo, hi))`` — non-NULL values outside [lo, hi]
+    - ``("r", "in_set", (col, [v, ...]))`` — non-NULL values not in the set
+    - ``("r", "expr", sql_bool)`` — rows where the SQL predicate is FALSE
+
+    Everything except ``unique`` is a map-side conditional count riding one
+    hash aggregate (no per-rule passes); each ``unique`` adds one
+    COUNT(DISTINCT) to the same aggregate (Expand-carried, the
+    profile_columns discipline).  At 100 TB this is the pre-load gate run
+    on every batch: one scan, a handful of counters."""
+    import pyspark.sql.functions as F
+
+    aggs = []
+    for name, kind, p in rules:
+        if kind == "not_null":
+            aggs.append(F.count_if(F.col(p).isNull()).alias(name))
+        elif kind == "unique":
+            aggs.append(
+                (F.count(F.col(p)) - F.countDistinct(F.col(p))).alias(name)
+            )
+        elif kind == "range":
+            col, lo, hi = p
+            aggs.append(
+                F.count_if(
+                    F.col(col).isNotNull()
+                    & ((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi)))
+                ).alias(name)
+            )
+        elif kind == "in_set":
+            col, vals = p
+            aggs.append(
+                F.count_if(
+                    F.col(col).isNotNull() & ~F.col(col).isin(list(vals))
+                ).alias(name)
+            )
+        elif kind == "expr":
+            aggs.append(F.count_if(~F.expr(p)).alias(name))
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+    wide = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col(name).alias("n_violations"),
+            (F.col(name) == 0).alias("passed"),
+        )
+        for name, _, _ in rules
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("r")).select("r.*")
+
+
+def validate_constraints_sql(table: str, rules: list) -> str:
+    """DuckDB twin of :func:`validate_constraints`."""
+    parts = []
+    for name, kind, p in rules:
+        if kind == "not_null":
+            parts.append(f"COUNT(*) FILTER (WHERE {p} IS NULL) AS {name}")
+        elif kind == "unique":
+            parts.append(f"COUNT({p}) - COUNT(DISTINCT {p}) AS {name}")
+        elif kind == "range":
+            col, lo, hi = p
+            parts.append(
+                f"COUNT(*) FILTER (WHERE {col} IS NOT NULL AND "
+                f"({col} < {lo} OR {col} > {hi})) AS {name}"
+            )
+        elif kind == "in_set":
+            col, vals = p
+            lits = ", ".join(
+                "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+                for v in vals
+            )
+            parts.append(
+                f"COUNT(*) FILTER (WHERE {col} IS NOT NULL AND {col} NOT IN ({lits})) AS {name}"
+            )
+        elif kind == "expr":
+            parts.append(f"COUNT(*) FILTER (WHERE NOT ({p})) AS {name}")
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, {name} AS n_violations, {name} = 0 AS passed FROM agg"
+        for name, _, _ in rules
+    )
+    return f"WITH agg AS (SELECT {', '.join(parts)} FROM {table})\n{rows}"

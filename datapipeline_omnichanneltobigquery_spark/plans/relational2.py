@@ -804,6 +804,29 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORDER_RULES = [
+    ("pk_unique", "unique", "o_orderkey"),
+    ("custkey_not_null", "not_null", "o_custkey"),
+    ("price_in_range", "range", ("o_totalprice", 0, 1000000)),
+    ("status_known", "in_set", ("o_orderstatus", ["O", "F", "P"])),
+    ("date_sane", "expr", "o_orderdate >= DATE '1990-01-01'"),
+]
+
+
+@query(
+    "dq_constraint_report",
+    driver=False,  # declarative-contract face of the gated profiling/DQ families (r7)
+    oracle=pf.validate_constraints_sql("orders", _ORDER_RULES),
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation over orders — five rules
+    (uniqueness, null, range, set membership, free predicate) evaluated
+    in ONE aggregate pass, long-form (rule, n_violations, passed) report
+    (operators/profile.py::validate_constraints).  The pre-load gate a
+    100 TB ingestion runs per batch: one scan, a handful of counters."""
+    return pf.validate_constraints(read_table(spark, sf_dir, "orders"), _ORDER_RULES)
+
+
 @query(
     "dq_k_anonymity",
     driver=False,  # privacy-audit face of the gated profiling/DQ families (r7)
@@ -1454,6 +1477,90 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst"
     )
     return pagerank_fixedpoint(edges, iterations=3)
+
+
+@query(
+    "robust_winsorized_prices",
+    driver=False,  # winsorization face of the gated window/agg robust-stats family (r7)
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS val,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+                            l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+    bounds AS (
+        SELECT l_returnflag,
+               MIN(CASE WHEN rn = (n + 19) // 20 THEN val END) AS lo,
+               MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN val END) AS hi
+        FROM ranked GROUP BY l_returnflag)
+    SELECT r.l_returnflag,
+           CAST(b.lo AS DOUBLE) AS lo_bound,
+           CAST(b.hi AS DOUBLE) AS hi_bound,
+           COUNT(*) FILTER (WHERE r.val < b.lo) AS n_clipped_low,
+           COUNT(*) FILTER (WHERE r.val > b.hi) AS n_clipped_high,
+           -- DuckDB's LEAST/GREATEST over decimals return DOUBLE; cast
+           -- back so the SUM accumulates exactly like Spark's decimal sum
+           -- (round-trip is exact: scale-2 values well under 15 digits)
+           CAST(SUM(CAST(LEAST(GREATEST(r.val, b.lo), b.hi) AS DECIMAL(18,2)))
+                AS DOUBLE) / COUNT(*) AS winsorized_mean
+    FROM ranked r JOIN bounds b ON b.l_returnflag = r.l_returnflag
+    GROUP BY r.l_returnflag, b.lo, b.hi
+    """,
+)
+def robust_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at exact [p05, p95] per group: boundary values picked
+    by integer rank (ceil arithmetic — no float percentile fuzz), values
+    clipped to them, robust mean from a DECIMAL-exact sum with ONE final
+    IEEE division — the outlier-resistant statistics heavy-tailed price
+    and latency columns need.  One window shuffle on the group key; the
+    rank and count share the exchange; bounds join back on the group."""
+    from pyspark.sql import Window as W
+
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("val"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = W.partitionBy("l_returnflag").orderBy("val", "l_orderkey", "l_linenumber")
+    wall = W.partitionBy("l_returnflag")
+    ranked = l.select(
+        "l_returnflag",
+        "val",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("val"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("val"))
+        ).alias("hi"),
+    )
+    j = ranked.join(bounds, "l_returnflag")
+    clipped = F.least(F.greatest(F.col("val"), F.col("lo")), F.col("hi"))
+    return (
+        j.groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count_if(F.col("val") < F.col("lo")).alias("n_clipped_low"),
+            F.count_if(F.col("val") > F.col("hi")).alias("n_clipped_high"),
+            (
+                F.sum(clipped).cast("double") / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("lo").cast("double").alias("lo_bound"),
+            F.col("hi").cast("double").alias("hi_bound"),
+            "n_clipped_low",
+            "n_clipped_high",
+            "winsorized_mean",
+        )
+    )
 
 
 @query(

@@ -164,3 +164,33 @@ def test_cms_merge_incremental_equals_direct(spark, tmp_path):
     got = {(r.user_id, r.est_count) for r in merged.collect()}
     want = {(r.user_id, r.est_count) for r in cms_estimates(both, "user_id").collect()}
     assert got == want
+
+
+def test_validate_constraints_counts_violations(spark):
+    """Each rule kind counts exactly its violations on a frame seeded with
+    known defects; a clean frame passes everything."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        validate_constraints,
+    )
+
+    rows = [
+        (1, "a", 10, "X"),
+        (1, "b", 20, "Y"),      # duplicate pk
+        (2, None, 30, "X"),     # null name
+        (3, "c", -5, "Z"),      # range + set violations
+        (4, "d", 999, "X"),
+    ]
+    df = spark.createDataFrame(rows, ["pk", "name", "v", "cat"])
+    rules = [
+        ("pk_unique", "unique", "pk"),
+        ("name_not_null", "not_null", "name"),
+        ("v_in_range", "range", ("v", 0, 100)),
+        ("cat_known", "in_set", ("cat", ["X", "Y"])),
+        ("v_even", "expr", "v % 2 = 0"),
+    ]
+    got = {r.rule: (r.n_violations, r.passed) for r in validate_constraints(df, rules).collect()}
+    assert got["pk_unique"] == (1, False)
+    assert got["name_not_null"] == (1, False)
+    assert got["v_in_range"] == (2, False)   # -5 and 999
+    assert got["cat_known"] == (1, False)
+    assert got["v_even"] == (2, False)       # -5, 999 odd
