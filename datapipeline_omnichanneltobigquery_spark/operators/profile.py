@@ -375,7 +375,15 @@ def cms_merge(*sketches):
 def cms_probe(sketch, keys, key_col: str, depth: int = 4, width: int = 1024):
     """Estimate frequencies for ``keys`` (a one-column frame of distinct
     probe values) against a (possibly merged) sketch: per-key MIN over its
-    depth probes — est ≥ truth by construction."""
+    depth probes — est ≥ truth by construction.
+
+    The join is LEFT with a ``coalesce(c, 0)``: a probe key the sketch has
+    never seen hits (d, bucket) cells absent from the state table, and true
+    CMS semantics read an absent cell as count 0 — the key must report
+    ``est_count = 0``, not vanish from the output or take a MIN over only
+    its present depths (which would inflate unseen keys to a collision
+    count).  Matters exactly when probing a persisted/merged sketch with
+    externally supplied keys."""
     import pyspark.sql.functions as F
 
     probes = keys.select(
@@ -383,9 +391,9 @@ def cms_probe(sketch, keys, key_col: str, depth: int = 4, width: int = 1024):
         F.explode(_cms_buckets(F.col(key_col), depth, width)).alias("p"),
     ).select("key", "p.*")
     return (
-        probes.join(sketch, ["d", "bucket"])
+        probes.join(sketch, ["d", "bucket"], "left")
         .groupBy("key")
-        .agg(F.min("c").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
         .select(F.col("key").alias(key_col), "est_count")
     )
 

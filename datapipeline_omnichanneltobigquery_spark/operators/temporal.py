@@ -220,7 +220,15 @@ def overlap_join(
     session that never closed) with a small bucket would explode into
     millions of rows inside one task and OOM the executor at scale — the
     guard turns it into a diagnosable per-interval error naming the span
-    instead."""
+    instead.
+
+    NULL bounds: a row with a NULL start or end (an open-ended session)
+    is dropped BEFORE the explode — it can never satisfy the closed-
+    interval overlap predicate anyway (NULL comparisons are never true),
+    and routing it into the bucket expression would otherwise trip the
+    explode guard's raise_error with a misleading "spans null buckets"
+    message.  Matches the naive inequality-join oracle, which excludes
+    such rows via the predicate itself."""
     w_us = bucket_seconds * 1_000_000
     cap = int(max_buckets_per_interval)
 
@@ -242,8 +250,12 @@ def overlap_join(
             )
         )
 
-    l = left.withColumn("__b", F.explode(buckets(l_start, l_end)))
-    r = right.withColumn("__b", F.explode(buckets(r_start, r_end)))
+    l = left.filter(
+        F.col(l_start).isNotNull() & F.col(l_end).isNotNull()
+    ).withColumn("__b", F.explode(buckets(l_start, l_end)))
+    r = right.filter(
+        F.col(r_start).isNotNull() & F.col(r_end).isNotNull()
+    ).withColumn("__b", F.explode(buckets(r_start, r_end)))
     pred = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
     return l.join(r, on=[key, "__b"]).filter(pred).drop("__b").distinct()
 

@@ -15,15 +15,21 @@ Crash-replay contracts (foreachBatch can re-run a batch):
   batch changes nothing.  No markers needed; the operator is natively
   exactly-once.
 - CMS: merge is PER-BUCKET SUM — a replay would double-count, so the CMS
-  maintainer uses the applied-batch marker discipline of
-  streaming/ingest.py (marker written AFTER the swap; a replay that
-  finds it is a no-op).  The one unguarded window — crash between the
-  swap and the marker — re-adds that batch once; callers needing the
-  hard guarantee write markers and state to the same transactional store.
+  maintainer records the last applied batch id in a ``_last_applied``
+  file written INSIDE the new state directory BEFORE the swap renames it
+  into place — marker and state become visible in the same atomic rename,
+  so there is no window where the state includes a batch the marker
+  doesn't (or vice versa).  Parquet readers ignore ``_``-prefixed files,
+  and Structured Streaming replays only the most recent uncommitted
+  batch, so one monotonic id is sufficient.
 
 State overwrite is the two-rename backup swap (sinks/layout.py
 discipline): new state lands beside the old, then renames — readers
-never observe a half-written register table.
+never observe a half-written register table.  A crash BETWEEN the two
+renames leaves the state at ``path + '.__old'`` only; ``_swap_state``
+recovers it (rename back) before proceeding, so accumulated registers
+are never silently lost to a rebuild-from-one-batch, and the backup is
+only removed after the new state is fully in place.
 """
 
 from __future__ import annotations
@@ -42,11 +48,39 @@ from datapipeline_omnichanneltobigquery_spark.operators.profile import (
 )
 
 
-def _swap_state(df: DataFrame, path: str) -> None:
+#: file (inside the state dir) recording the last batch id folded into a
+#: CMS sketch table — ``_``-prefixed so parquet readers skip it, and part
+#: of the state dir so the swap rename publishes marker + state atomically.
+_APPLIED_MARKER = "_last_applied"
+
+
+def _recover_state(path: str) -> None:
+    """If a prior swap crashed between its two renames, the state lives at
+    ``path + '.__old'`` and ``path`` is absent — rename it back so the
+    caller reads accumulated state instead of silently rebuilding from one
+    batch (and then rmtree-ing the only copy)."""
+    old = path + ".__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
+def _swap_state(df: DataFrame, path: str, marker_batch_id: int | None = None) -> None:
     """Write ``df`` as the new state at ``path`` via write-aside + two
-    renames — readers see the old state or the new, never a partial."""
+    renames — readers see the old state or the new, never a partial.
+
+    ``marker_batch_id``: when given, a ``_last_applied`` file holding the
+    id is written into the new directory BEFORE it is renamed into place,
+    so the applied-batch marker and the state it describes are published
+    by the same atomic rename (no double-count window for non-idempotent
+    merges like CMS).  The backup is removed only AFTER the new state is
+    in place; a crash between the renames is repaired by
+    :func:`_recover_state` on the next call."""
+    _recover_state(path)
     tmp, old = path + ".__new", path + ".__old"
     df.write.mode("overwrite").parquet(tmp)
+    if marker_batch_id is not None:
+        with open(os.path.join(tmp, _APPLIED_MARKER), "w") as fh:
+            fh.write(str(marker_batch_id))
     if os.path.exists(old):
         shutil.rmtree(old)
     if os.path.exists(path):
@@ -56,12 +90,21 @@ def _swap_state(df: DataFrame, path: str) -> None:
         shutil.rmtree(old)
 
 
+def _last_applied(path: str) -> int | None:
+    marker = os.path.join(path, _APPLIED_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    return None
+
+
 def maintain_hll_batch(
     batch_df: DataFrame, register_path: str, group_col: str, value_col: str,
     n_buckets: int = 512,
 ) -> None:
     """Fold one batch into the persisted HLL register table.  Idempotent:
     replaying the same batch re-MAXes identical registers."""
+    _recover_state(register_path)
     spark = batch_df.sparkSession
     regs = hll_registers(batch_df, group_col, value_col, n_buckets)
     if os.path.exists(register_path):
@@ -73,20 +116,21 @@ def maintain_cms_batch(
     batch_df: DataFrame, sketch_path: str, key_col: str, batch_id: int,
     depth: int = 4, width: int = 1024,
 ) -> None:
-    """Fold one batch into the persisted CMS sketch table — guarded by an
-    applied-batch marker because CMS counts ADD (a replay would double-
-    count where HLL's max would not)."""
-    marker = os.path.join(sketch_path + ".__applied", str(batch_id))
-    if os.path.exists(marker):
+    """Fold one batch into the persisted CMS sketch table — guarded by the
+    in-state ``_last_applied`` marker because CMS counts ADD (a replay
+    would double-count where HLL's max would not).  Marker and merged
+    state are published by one atomic rename (see :func:`_swap_state`),
+    so a crash at ANY point either applied the batch with its marker or
+    neither — replays are exactly-once."""
+    _recover_state(sketch_path)
+    applied = _last_applied(sketch_path)
+    if applied is not None and batch_id <= applied:
         return
     spark = batch_df.sparkSession
     sk = cms_sketch(batch_df, key_col, depth, width)
     if os.path.exists(sketch_path):
         sk = cms_merge(spark.read.parquet(sketch_path), sk)
-    _swap_state(sk.localCheckpoint(), sketch_path)
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w"):
-        pass
+    _swap_state(sk.localCheckpoint(), sketch_path, marker_batch_id=batch_id)
 
 
 def streaming_hll_maintain(

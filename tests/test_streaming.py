@@ -454,3 +454,86 @@ def test_cms_maintain_marker_blocks_double_count(spark, tmp_path):
     maintain_cms_batch(b2, sk, "k", batch_id=1)  # replay: marker short-circuits
     est2 = {r.k: r.est_count for r in cms_probe(spark.read.parquet(sk), keys, "k").collect()}
     assert est2 == est
+
+
+def test_cms_marker_atomic_with_state(spark, tmp_path):
+    """The applied-batch marker lives INSIDE the state directory, so the
+    swap rename publishes marker + merged counts atomically — there is no
+    crash window where the state includes a batch its marker doesn't."""
+    import os
+
+    from datapipeline_omnichanneltobigquery_spark.streaming.sketches import (
+        _APPLIED_MARKER,
+        maintain_cms_batch,
+    )
+
+    sk = str(tmp_path / "cms")
+    b = spark.createDataFrame([("a",), ("b",)], ["k"])
+    maintain_cms_batch(b, sk, "k", batch_id=7)
+    marker = os.path.join(sk, _APPLIED_MARKER)
+    assert os.path.exists(marker)
+    with open(marker) as fh:
+        assert fh.read().strip() == "7"
+    # no side directory of markers survives the new scheme
+    assert not os.path.exists(sk + ".__applied")
+
+
+def test_swap_state_crash_between_renames_recovers(spark, tmp_path):
+    """Simulate a crash between _swap_state's two renames (state only at
+    path + '.__old'): the next maintainer call must rename the backup back
+    and fold the batch into the ACCUMULATED state — not rebuild from the
+    single replayed batch and then delete the only copy (the round-7
+    ADVICE data-loss scenario)."""
+    import os
+
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        cms_probe,
+        hll_estimate,
+        hll_explicit,
+    )
+    from datapipeline_omnichanneltobigquery_spark.streaming.sketches import (
+        maintain_cms_batch,
+        maintain_hll_batch,
+    )
+
+    # --- HLL: batch 1 applied, crash mid-swap while applying batch 2 ---
+    regs = str(tmp_path / "regs")
+    r1 = [(0, f"u{i}") for i in range(40)]
+    r2 = [(0, f"v{i}") for i in range(40)]
+    maintain_hll_batch(spark.createDataFrame(r1, ["grp", "user"]), regs, "grp", "user")
+    os.rename(regs, regs + ".__old")  # crash window: path absent, backup present
+    maintain_hll_batch(spark.createDataFrame(r2, ["grp", "user"]), regs, "grp", "user")
+    got = {
+        (r.grp, r.est_distinct)
+        for r in hll_estimate(spark.read.parquet(regs), "grp").collect()
+    }
+    both = spark.createDataFrame(r1 + r2, ["grp", "user"])
+    want = {(r.grp, r.est_distinct) for r in hll_explicit(both, "grp", "user").collect()}
+    assert got == want  # batch-1 users not lost to the crash
+
+    # --- CMS: crash mid-swap while applying batch 1, then replay it ---
+    sk = str(tmp_path / "cms")
+    b1 = spark.createDataFrame([(f"k{i % 5}",) for i in range(50)], ["k"])
+    b2 = spark.createDataFrame([(f"k{i % 5}",) for i in range(25)], ["k"])
+    maintain_cms_batch(b1, sk, "k", batch_id=0)
+    os.rename(sk, sk + ".__old")  # crash while swapping in batch 1 (not durable)
+    maintain_cms_batch(b2, sk, "k", batch_id=1)  # the foreachBatch replay
+    keys = b1.select("k").distinct()
+    est = {r.k: r.est_count for r in cms_probe(spark.read.parquet(sk), keys, "k").collect()}
+    assert est == {f"k{i}": 15 for i in range(5)}  # exactly once: 10 + 5
+
+
+def test_cms_probe_unseen_key_reports_zero(spark):
+    """A probe key the sketch never saw must report est_count 0 (absent
+    CMS cells read as 0) — not vanish or inflate to a collision count."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        cms_probe,
+        cms_sketch,
+    )
+
+    data = spark.createDataFrame([("a",)] * 9 + [("b",)] * 4, ["k"])
+    sk = cms_sketch(data, "k")
+    keys = spark.createDataFrame([("a",), ("b",), ("never-seen",)], ["k"])
+    est = {r.k: r.est_count for r in cms_probe(sk, keys, "k").collect()}
+    assert est["never-seen"] == 0
+    assert est["a"] >= 9 and est["b"] >= 4  # CMS one-sided guarantee intact

@@ -127,6 +127,36 @@ def test_overlap_join_explode_guard(spark):
     assert {(r.lid, r.rid) for r in ok.collect()} == {(10, 20)}
 
 
+def test_overlap_join_null_bounds_dropped(spark):
+    """An open-ended interval (NULL start or end) is silently skipped — it
+    can never satisfy the closed-interval predicate — rather than routed
+    into the explode guard's raise_error (the round-7 ADVICE regression:
+    NULL n made the guard's otherwise() branch fail the whole query)."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.operators.temporal import overlap_join
+
+    def sec(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s) if s is not None else None
+
+    L = spark.createDataFrame(
+        [(1, 10, sec(0), sec(30)), (1, 11, sec(40), None), (1, 12, None, sec(90))],
+        "k int, lid int, ls timestamp, le timestamp",
+    )
+    R = spark.createDataFrame(
+        [(1, 20, sec(10), sec(20)), (1, 21, sec(45), sec(50))],
+        "k int, rid int, rs timestamp, re timestamp",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in overlap_join(
+            L, R, key="k", l_start="ls", l_end="le", r_start="rs", r_end="re",
+            bucket_seconds=60,
+        ).collect()
+    }
+    assert got == {(10, 20)}  # NULL-bounded 11 and 12 dropped, no error
+
+
 def test_overlap_duration_geometry(spark):
     """overlap_duration on the four interval geometries: partial overlap,
     containment (duration = inner interval), boundary touch (0), disjoint
