@@ -50,7 +50,14 @@ def prepare_corpus(
     labeled = dd.dedup_pipeline(
         docs, id_col, text_col, n=jaccard_n, threshold=jaccard_threshold
     )
-    keep_ids = labeled.filter(F.col("keep")).select(F.col("id").alias(id_col))
+    # the keep-list is localCheckpointed (id-sized state): downstream,
+    # `kept` is referenced twice by decontaminate (shingle probe + final
+    # anti-join), and without the cut Catalyst re-derives the WHOLE dedup
+    # chain — scans included — once per reference (7 corpus scans in the
+    # compiled round-7 plan; 2 after, the floor for probe + anti-join)
+    keep_ids = (
+        labeled.filter(F.col("keep")).select(F.col("id").alias(id_col)).localCheckpoint()
+    )
     kept = docs.join(keep_ids, id_col, "left_semi")
 
     clean = dc.decontaminate(
@@ -273,12 +280,19 @@ def prepare_corpus_incremental(
     ix_bands = spark.read.parquet(f"{index_path}/bands")
 
     # -- stage 1: exact ---------------------------------------------------
+    # b1 (the exact-surviving batch rows) is localCheckpointed: it is
+    # referenced by every later stage (bids twice inside v2, s1, kept),
+    # and without the cut each reference re-derives the whole exact stage
+    # from the batch scan (the compiled round-7 plan read the batch's
+    # parquet 18 times).  Materialized state is BATCH-sized — the nightly
+    # delta, not the corpus — which the module contract already budgets.
     win = dd.dedup_exact_keylist(batch, text_col, id_col).select(id_col)
     b1 = (
         batch.join(win, id_col, "left_semi")
         .withColumn("__fp", F.md5(F.col(text_col)))
         .join(ix_fp.select(F.col("fp").alias("__fp")), "__fp", "left_anti")
         .drop("__fp")
+        .localCheckpoint()
     )
 
     # -- stage 2: near-dup via LSH index probe ----------------------------

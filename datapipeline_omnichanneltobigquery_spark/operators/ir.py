@@ -66,14 +66,27 @@ def bm25_scores(
     query-term postings — and the broadcast document-frequency table is
     therefore O(|query|) rows, never the corpus vocabulary (df counts for
     the query terms are identical either way).  Corpus stats (n_docs,
-    avgdl) ride one broadcast row kept in-plan: the whole score is a
-    single lazy plan with zero driver actions."""
+    avgdl) ride one broadcast row kept in-plan.
+
+    Subplan reuse: ``dl`` (one small row per doc) and ``tf_q`` (query-term
+    postings only — tiny) are each referenced twice downstream, and
+    Catalyst recomputes a referenced subtree from the scan; without
+    materialization the compiled plan tokenizes the corpus FIVE times
+    (the round-7 plan-audit finding).  Both are localCheckpointed — the
+    dedup.py shared-stream discipline — so the corpus is scanned ≤3
+    times total (dl, tf_q, n_docs), each scan column-pruned to (id, text)
+    or less.  Deliberately NOT the alternative of checkpointing ``tok``:
+    that would materialize the full exploded token stream (corpus-sized)
+    to save one pruned scan."""
     spark = df.sparkSession
     tok = _tokens(df, id_col, text_col)
-    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
     q = spark.createDataFrame([(t,) for t in sorted(set(query_terms))], "term string")
-    tf_q = tok.join(F.broadcast(q), "term").groupBy("id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    tf_q = (
+        tok.join(F.broadcast(q), "term")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dfreq = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs")).crossJoin(
@@ -173,9 +186,21 @@ def tfidf_cosine_pairs(
     verify_jaccard_pairs discipline).  Every double sum is an ordered
     fold over sorted terms (the BM25 idiom), and the final cosine rounds
     to 6 decimals on both engines — the oracle hash never rides a
-    last-ulp difference."""
+    last-ulp difference.
+
+    Subplan reuse: the weighted-postings frame ``w`` is referenced FOUR
+    ways (norms, both sides of the df-capped self-join via ``rare``,
+    ``wa``, ``wb``) and ``tf`` twice (dfreq + the w join) — compiled
+    naively, Catalyst recomputes each reference from the scan and the
+    plan tokenizes the corpus 18 times with zero ReusedExchange (the
+    round-7 plan-audit finding; redundancy that hides at local scale is
+    18 corpus scans for one job at 100 TB).  ``tf`` and ``w`` are
+    therefore localCheckpointed — the dedup.py shared-stream discipline —
+    bounding the whole query at 2 corpus scans (postings build + n_docs),
+    with the materialized state being postings-sized (distinct doc-term
+    pairs), never the raw token stream."""
     tok = _tokens(df, id_col, text_col)
-    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     w = tf.join(dfreq, "term").crossJoin(F.broadcast(stats)).select(
@@ -192,7 +217,7 @@ def tfidf_cosine_pairs(
                 + F.lit(1.0)
             )
         ).alias("w"),
-    )
+    ).localCheckpoint()
     norms = w.groupBy("id").agg(
         F.sqrt(
             F.aggregate(

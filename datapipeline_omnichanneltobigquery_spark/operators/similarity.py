@@ -742,8 +742,12 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
 
     Plan: id-pair semi-join + two tiny per-query aggregates — inputs are
     |queries|·k rows, negligible next to the searches that produced them;
-    the joins are on (query_id, neighbor_id) id pairs, never vectors."""
-    e = exact.select("query_id", "neighbor_id")
+    the joins are on (query_id, neighbor_id) id pairs, never vectors.
+    The exact side is referenced twice (hits + per-query denominator), so
+    it is localCheckpointed — |queries|·k id pairs of state — or the
+    BRUTE-FORCE search that produced it recompiles (and re-scans the
+    corpus) once per reference (round-7 plan audit: 6 embedding scans)."""
+    e = exact.select("query_id", "neighbor_id").localCheckpoint()
     a = approx.select("query_id", "neighbor_id")
     hits = e.join(a, ["query_id", "neighbor_id"], "left_semi")
     per_q = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))

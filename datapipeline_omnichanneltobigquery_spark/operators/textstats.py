@@ -54,11 +54,11 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document quality features: char/token counts, mean word length,
-    alpha & punctuation & stopword ratios, plus a composite [0,1] score
-    (heuristics in the C4/Gopher-rules family).  One projection, no shuffle.
-    """
+def quality_exprs(text_col: str) -> list[Column]:
+    """The per-document quality feature columns (aliased) as bare
+    expressions — one projection, no shuffle.  Exposed so composed
+    profiles (plans/llm_ops.py::text_profile) can compute every per-row
+    feature family in a SINGLE scan instead of one scan per operator."""
     text = F.col(text_col)
     toks = _ws_tokens(text)
     n_chars = F.length(text)
@@ -67,11 +67,9 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
     stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])))
     alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
-    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
     mean_word_len = n_alpha.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
     score = quality_score(text)
-    return df.select(
-        F.col(id_col),
+    return [
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
         n_alpha.cast("bigint").alias("n_alpha"),
@@ -80,7 +78,15 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         mean_word_len.alias("mean_word_len"),
         alpha_ratio.alias("alpha_ratio"),
         score.alias("quality_score"),
-    )
+    ]
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: char/token counts, mean word length,
+    alpha & punctuation & stopword ratios, plus a composite [0,1] score
+    (heuristics in the C4/Gopher-rules family).  One projection, no shuffle.
+    """
+    return df.select(F.col(id_col), *quality_exprs(text_col))
 
 
 def text_quality_sql(table: str, id_col: str, text_col: str) -> str:
@@ -109,24 +115,29 @@ def text_quality_sql(table: str, id_col: str, text_col: str) -> str:
     """
 
 
+def lang_exprs(text_col: str) -> list[Column]:
+    """``lang_pred`` / ``lang_hits`` as bare expressions over the hit
+    counts directly (single projection; codegen subexpression elimination
+    shares the repeated array_intersects) — argmax via greatest + chained
+    when, first profile wins ties."""
+    toks = _ws_tokens(F.col(text_col))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = F.greatest(*hits.values())
+    pick = None
+    for lang, h in hits.items():
+        cond = h == best
+        pick = F.when(cond, F.lit(lang)) if pick is None else pick.when(cond, F.lit(lang))
+    return [pick.alias("lang_pred"), best.cast("bigint").alias("lang_hits")]
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """N-gram/function-word language ID heuristic: hits per profile, argmax
     with deterministic profile-order tie-break.  Emits the winning language
     and its hit count."""
-    toks = _ws_tokens(F.col(text_col))
-    scores = [
-        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias(f"hits_{lang}")
-        for lang, words in LANG_PROFILES.items()
-    ]
-    scored = df.select(F.col(id_col), *scores)
-    langs = list(LANG_PROFILES)
-    # argmax via greatest + chained when (first profile wins ties)
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    pick = None
-    for lang in langs:
-        cond = F.col(f"hits_{lang}") == best
-        pick = F.when(cond, F.lit(lang)) if pick is None else pick.when(cond, F.lit(lang))
-    return scored.select(F.col(id_col), pick.alias("lang_pred"), best.cast("bigint").alias("lang_hits"))
+    return df.select(F.col(id_col), *lang_exprs(text_col))
 
 
 def lang_id_sql(table: str, id_col: str, text_col: str) -> str:
@@ -142,15 +153,19 @@ def lang_id_sql(table: str, id_col: str, text_col: str) -> str:
     return f"SELECT {id_col}, {case} AS lang_pred, {best} AS lang_hits FROM {table}"
 
 
+def token_count_exprs(text_col: str) -> list[Column]:
+    """``ws_tokens`` / ``bpe_tokens`` as bare expressions."""
+    text = F.col(text_col)
+    return [
+        F.size(_ws_tokens(text)).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("bigint").alias("bpe_tokens"),
+    ]
+
+
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace tokens and BPE-ish regex tokens per document — the
     budget/estimation primitive for training-data pipelines."""
-    text = F.col(text_col)
-    return df.select(
-        F.col(id_col),
-        F.size(_ws_tokens(text)).cast("bigint").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("bigint").alias("bpe_tokens"),
-    )
+    return df.select(F.col(id_col), *token_count_exprs(text_col))
 
 
 def token_counts_sql(table: str, id_col: str, text_col: str) -> str:
@@ -162,12 +177,17 @@ def token_counts_sql(table: str, id_col: str, text_col: str) -> str:
     """
 
 
+def fingerprint_expr(text_col: str) -> Column:
+    """The 60-bit md5 fingerprint as a bare expression (aliased ``fp``)."""
+    canon = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return md5_long(canon).alias("fp")
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Canonical document fingerprint: md5-based 60-bit id over the
     whitespace-normalized lower-cased text — the exact-dedup join key that
     costs 8 bytes instead of the document."""
-    canon = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    return df.select(F.col(id_col), md5_long(canon).alias("fp"))
+    return df.select(F.col(id_col), fingerprint_expr(text_col))
 
 
 def fingerprint_sql(table: str, id_col: str, text_col: str) -> str:

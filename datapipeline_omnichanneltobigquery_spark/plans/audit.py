@@ -55,6 +55,46 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"(?<!Broadcast)Exchange (?:hash|range|\()", s))
 
 
+#: per-source scan ceiling for a single compiled plan — above this, a query
+#: is re-deriving a shared frame from the scan instead of materializing it
+#: (localCheckpoint/persist) and must be fixed or allowlisted with a
+#: justification in tests/test_plans.py.
+MAX_FILE_SCANS_PER_SOURCE = 4
+
+
+def file_scan_counts(df: DataFrame) -> dict[str, int]:
+    """How many times the compiled plan scans each file source (keyed by
+    the location's basename, e.g. ``documents.parquet``).
+
+    THE 100 TB redundancy detector: a subtree referenced N ways without a
+    persist/localCheckpoint is recompiled N times from the scan — correct,
+    and invisible at local scale, but N corpus scans (and N tokenizations)
+    for one job at 100× (the round-7 ``text_tfidf_pairs`` finding: 18
+    scans, zero ReusedExchange).  tests/test_plans.py asserts a ceiling
+    per source for every gated query."""
+    locs = re.findall(r"Location: \S+ \[([^\]]*)\]", plan_string(df))
+    out: dict[str, int] = {}
+    for loc in locs:
+        for path in loc.split(","):
+            base = path.strip().rstrip("/").rsplit("/", 1)[-1]
+            if base:
+                out[base] = out.get(base, 0) + 1
+    return out
+
+
+def max_file_scans(df: DataFrame) -> int:
+    """The largest per-source scan count in the plan (0 = scans only
+    checkpointed/in-memory state)."""
+    counts = file_scan_counts(df)
+    return max(counts.values()) if counts else 0
+
+
+def reused_exchange_count(df: DataFrame) -> int:
+    """ReusedExchange nodes — Catalyst sharing an identical shuffle
+    subtree instead of recomputing it."""
+    return plan_string(df).count("ReusedExchange")
+
+
 def codegen_stage_count_of(build, spark) -> int:
     """Distinct WholeStageCodegen stages of the plan ``build(spark)`` returns.
 

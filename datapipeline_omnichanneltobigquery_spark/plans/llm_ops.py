@@ -525,21 +525,24 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a string-scalar prefix — the columns a training-data pipeline
     computes in its analysis pass.
 
-    Plan shape: every branch is a narrow projection of the SAME scan keyed by
-    doc_id, so Catalyst collapses the five-way self-join into broadcast hash
-    joins over one exchange; at scale this whole profile would be computed as
-    a single select (zero joins) — the join form here exists to verify each
-    operator's standalone output against one oracle."""
+    Plan shape: every per-row feature family is composed into ONE
+    projection over ONE scan (the operators' shared expression builders —
+    quality_exprs/lang_exprs/token_count_exprs/fingerprint_expr), joined
+    only to repetition_stats (the one branch that genuinely aggregates:
+    explode → per-doc fractions).  The round-7 form joined the five
+    standalone operators instead and compiled to SEVEN scans of the corpus
+    — per-scan work that hides at local scale and septuples the read at
+    100 TB.  2 scans total, pinned by the plan-audit ceiling."""
     d = read_table(spark, sf_dir, "documents")
-    prefix = d.select("doc_id", F.lower(F.substring("text", 1, 20)).alias("prefix20"))
-    return (
-        ts.text_quality(d, "doc_id", "text")
-        .join(ts.lang_id(d, "doc_id", "text"), "doc_id")
-        .join(ts.token_counts(d, "doc_id", "text"), "doc_id")
-        .join(ts.fingerprint(d, "doc_id", "text"), "doc_id")
-        .join(ts.repetition_stats(d, "doc_id", "text"), "doc_id")
-        .join(prefix, "doc_id")
+    perrow = d.select(
+        "doc_id",
+        *ts.quality_exprs("text"),
+        *ts.lang_exprs("text"),
+        *ts.token_count_exprs("text"),
+        ts.fingerprint_expr("text"),
+        F.lower(F.substring("text", 1, 20)).alias("prefix20"),
     )
+    return perrow.join(ts.repetition_stats(d, "doc_id", "text"), "doc_id")
 
 
 # Mirrors the Spark plan exactly: ONE capped exact-Jaccard table feeds both

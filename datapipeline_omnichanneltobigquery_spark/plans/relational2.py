@@ -1167,12 +1167,19 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     are NOT bounded-small (stage 1 is every signed-up user), so no
     broadcast hints — AQE broadcasts when a stage is actually small and
     falls back to a shuffle join when it isn't.  Three aggregates, three
-    joins, no self-join explosion."""
+    joins, no self-join explosion.
+
+    The s and v stage frames are each referenced twice (next stage's join
+    + the final count), so they are localCheckpointed — per-user (id, ts)
+    state, a fraction of the event stream — bounding the plan at ONE
+    pushed-filtered scan per event type instead of re-deriving the stage
+    chain per reference (round-7 plan audit: 6 event scans)."""
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t0"))
+        .localCheckpoint()
     )
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -1180,6 +1187,7 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("ts") > F.col("t0"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

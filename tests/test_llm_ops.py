@@ -878,10 +878,13 @@ def test_incremental_prep_reads_only_index_tables(spark, tmp_path):
     # all-new batch docs all survive, computed without the corpus files
     assert out.count() == 10
     # and the final plan's file scans name only index/batch paths (plan
-    # toString truncates long paths, so check for the corpus path's absence)
+    # toString truncates long paths, so check for the corpus path's absence).
+    # Since r8 the batch stages are localCheckpointed (the 18-scan plan-audit
+    # fix), so the final plan may legitimately show ZERO file scans — every
+    # read happens once inside the checkpoint jobs, which the deleted-corpus
+    # setup above still proves never touch corpus text.
     plan = out._jdf.queryExecution().executedPlan().toString()
     scanned = set(re.findall(r"file:[^\],\s]+", plan))
-    assert scanned, "expected file scans in the plan"
     assert not [s for s in scanned if "corpus_docs" in s]
 
 

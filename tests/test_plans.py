@@ -225,17 +225,17 @@ BROADCAST_REVIEW_ALLOWLIST = {
     "corpus_prep_full": 2,
     # and inside its incremental (nightly) face, gated since r7
     "corpus_prep_incremental": 2,
-    # per-query-term document frequencies: rows <= |query terms| by the
-    # semi-join construction (operators/ir.py::bm25_scores)
-    "text_bm25_scores": 1,
     # (r7: the Bloom probe no longer broadcasts at all — the bounded words
     # table is materialized into a literal array, pure map-side probe)
+    # (r8: bm25's per-query-term dfreq broadcast now rides on the
+    # localCheckpointed tf_q frame — mechanically bounded, off this list)
     # batch-ANN probe set: the query batch (vec_id < 16 literal range) is
     # bounded by the caller's contract — broadcasting the probe batch IS
     # the batch-ANN plan shape (operators/similarity.py
-    # ::cosine_topk_join / ivf_topk_join_from_index); 3 hints = exact
-    # truth + candidate probe + centroid ranking
-    "similarity_ann_recall": 3,
+    # ::ivf_topk_join_from_index); the exact-truth side's 2 hints moved
+    # into ann_recall's localCheckpoint job in r8, leaving the candidate
+    # probe's
+    "similarity_ann_recall": 1,
 }
 
 
@@ -254,6 +254,40 @@ def test_no_unjustified_unbounded_broadcast_hints(spark):
         _, flagged = audit.broadcast_hint_audit(df)
         if flagged != BROADCAST_REVIEW_ALLOWLIST.get(name, 0):
             offenders[name] = flagged
+    assert not offenders, offenders
+
+
+# Queries allowed to exceed audit.MAX_FILE_SCANS_PER_SOURCE, each with the
+# reason the extra scans are the RIGHT plan (not a redundant subtree).
+# Empty today — the round-7 offenders (tfidf 18, corpus_prep_incremental 18,
+# text_profile 7, funnel 6, ann_recall 6, corpus_prep_full 7, bm25 5) were
+# all fixed by materializing the shared frame (localCheckpoint) or composing
+# per-row branches into one projection.
+FILE_SCAN_ALLOWLIST: dict[str, int] = {}
+
+
+def test_no_redundant_source_scans(spark):
+    """No gated query's compiled plan scans any single file source more
+    than audit.MAX_FILE_SCANS_PER_SOURCE times (the round-7 lesson:
+    text_tfidf_pairs compiled to 18 corpus scans with zero ReusedExchange
+    because a shared postings frame was re-derived per reference — correct
+    and invisible at sf0.1, 18 corpus reads+tokenizations at 100 TB).
+    A frame referenced N ways must be localCheckpointed/persisted, or the
+    query listed in FILE_SCAN_ALLOWLIST with why its scans are genuinely
+    distinct pruned reads."""
+    from datapipeline_omnichanneltobigquery_spark.plans.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception:
+            continue  # build errors are other tests' business
+        counts = audit.file_scan_counts(df)
+        worst = max(counts.values()) if counts else 0
+        cap = FILE_SCAN_ALLOWLIST.get(name, audit.MAX_FILE_SCANS_PER_SOURCE)
+        if worst > cap:
+            offenders[name] = counts
     assert not offenders, offenders
 
 
