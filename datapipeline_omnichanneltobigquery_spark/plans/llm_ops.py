@@ -168,7 +168,7 @@ def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_srp_pairs",
-    driver=False,  # LSH-candidate face of the gated embedding near-dup family (similarity_neardup_pairs is its exact-all-pairs baseline)
+    # rotated INTO the gate r8 (never driver-verified; similarity_neardup_pairs is its exact-all-pairs baseline)
     oracle=sim.srp_near_dup_pairs_sql("embeddings", 0.35, dim=EMB_DIM),
 )
 def similarity_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,6 +427,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_frame_sample",
+    driver=False,  # rotated out r8 (green r5-r7; multimodal keeps png_decode + meta gated)
     oracle="""
     SELECT doc_id, off AS "offset",
            CAST('0x' || substr(hex(encode(text)), CAST(2 * off AS INT) + 1, 2) AS INT)
@@ -645,7 +646,7 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_span_cut",
-    # rotated INTO the gate r6: completes the detect->cut span-dedup story (VERDICT r5 #3)
+    driver=False,  # rotated out r8 (green r6-r7; text_span_dedup keeps the family gated)
     oracle=dd.cut_spans_sql("documents", "doc_id", "text", n=8, min_count=2),
 )
 def text_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,7 +817,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_pack_greedy",
-    driver=False,  # no-split packing face of the gated sampling_pipeline family (r7)
+    # rotated INTO the gate r8 (r7 flagship, never driver-verified)
     oracle=sa.pack_greedy_sql(
         "documents", "doc_id", "(n_chars + 3) // 4", 512, n_shards=8
     ),
@@ -844,7 +845,7 @@ _BM25_TERMS = ["vector", "stream", "shuffle"]
 
 @query(
     "retrieval_rrf_hybrid",
-    driver=False,  # fusion face of the gated IR (bm25) + similarity (cosine/ANN) families (r7)
+    # rotated INTO the gate r8 (r7 flagship, never driver-verified)
     oracle=f"""
     WITH bm AS ({ir.bm25_scores_sql("documents", "doc_id", "text", _BM25_TERMS)}),
     bmr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS r
@@ -931,7 +932,7 @@ def sampling_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_rebalance",
-    # rotated INTO the gate r4: the full mix→fractions→resample chain
+    driver=False,  # rotated out r8 (green r4-r7; sampling keeps pipeline + pack_greedy gated)
     oracle=sa.rebalance_sql("documents", "doc_id", "source", _MIX_TARGETS, "n_chars"),
 )
 def sampling_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1078,6 +1079,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fuzzy_part_names",
+    driver=False,  # rotated out r8 (green r4-r7; blocked matching stays gated via dedup_snm_part_names)
     oracle=dd.fuzzy_pairs_sql("part", "p_name", max_dist=2),
 )
 def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,7 +1213,7 @@ def sampling_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_weighted_priority",
-    # rotated INTO the gate r6: bit-exact DLT priority sampling (VERDICT r5 #3)
+    driver=False,  # rotated out r8 (green r6-r7; sampling keeps pipeline + pack_greedy gated)
     oracle=sa.priority_sample_sql("documents", "doc_id", "n_chars", k=50),
 )
 def sampling_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -526,7 +526,7 @@ def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "skew_salted_join",
-    # rotated INTO the gate r5 (never driver-verified before)
+    driver=False,  # rotated out r8 (green r5-r7; join family keeps anti/multiway/bucketed gated)
     oracle="""
     SELECT o.o_orderkey, c.c_mktsegment
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
@@ -551,7 +551,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_variant_ops",
-    # rotated INTO the gate r5 (never driver-verified before)
+    driver=False,  # rotated out r8 (green r5-r7; JSON family keeps local parity x4)
     oracle="""
     SELECT event_id,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
@@ -661,7 +661,7 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cms_estimates",
-    driver=False,  # frequency-sketch face of the gated agg_approx_sketches (engine-exact, like agg_hll_explicit)
+    # rotated INTO the gate r8 (never driver-verified; engine-exact like agg_hll_explicit)
     oracle=pf.cms_estimates_sql("events", "user_id"),
 )
 def agg_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,7 +712,7 @@ def agg_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cms_merged",
-    driver=False,  # cross-day merge face of the gated-family agg_cms_estimates (r7)
+    # rotated INTO the gate r8 — the register-MERGE path gets its own driver check
     oracle=pf.cms_estimates_sql("events", "user_id"),
 )
 def agg_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,6 +732,7 @@ def agg_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_resample_hourly",
+    driver=False,  # rotated out r8 (green r4-r7; timeseries keeps events_rolling_zscore gated)
     oracle="""
     SELECT user_id, strftime(sample_ts, '%Y-%m-%d %H:%M:%S') AS sample_ts, value
     FROM (""" + tsr.resample_ffill_sql("events", "user_id", "ts", "value", 3600) + """)
@@ -815,7 +816,7 @@ _ORDER_RULES = [
 
 @query(
     "dq_constraint_report",
-    driver=False,  # declarative-contract face of the gated profiling/DQ families (r7)
+    # rotated INTO the gate r8 (r7 flagship, never driver-verified)
     oracle=pf.validate_constraints_sql("orders", _ORDER_RULES),
 )
 def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,7 +960,7 @@ def events_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_snm_part_names",
-    driver=False,  # sorted-neighborhood face of the gated fuzzy/dedup blocking families (r7)
+    # rotated INTO the gate r8 (r7 flagship; fuzzy_part_names rotated out, keeps local parity)
     oracle="""
     WITH cand AS (
     """ + dd.snm_pairs_sql(
@@ -1099,7 +1100,7 @@ def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_retention_cohorts",
-    # rotated INTO the gate r5 (never driver-verified before)
+    driver=False,  # rotated out r8 (green r5-r7; events analytics keeps funnel + overlap gated)
     oracle="""
     WITH firsts AS (
         SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
@@ -1246,7 +1247,7 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_snapshot_diff",
-    # rotated INTO the gate r5 (never driver-verified before)
+    driver=False,  # rotated out r8 (green r5-r7; upsert family keeps upsert_merge gated)
     oracle=snapshot_diff_sql(
         "orders",
         """(SELECT o_orderkey, o_orderstatus,
@@ -1426,7 +1427,7 @@ _COPURCHASE_EDGES_SQL = """
 
 @query(
     "graph_triangle_counts",
-    driver=False,  # clustering face of the iterative-graph family (pagerank gated r6)
+    # rotated INTO the gate r8 (never driver-verified)
     oracle=gr.triangle_counts_sql(_COPURCHASE_EDGES_SQL),
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,7 +1446,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_kcore_parts",
-    driver=False,  # density-filter face of the iterative-graph family (pagerank gated r6; r7)
+    # rotated INTO the gate r8 (r7 flagship, never driver-verified)
     oracle=gr.kcore_sql(_COPURCHASE_EDGES_SQL, k=4, rounds=8),
 )
 def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,7 +55,7 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "events_overlap_windows",
-    driver=False,  # both-sides-intervals face of the gated temporal family (asof gated)
+    # rotated INTO the gate r8 (never driver-verified)
     oracle="""
     WITH pv AS (SELECT event_id AS lid, user_id, ts AS ls, ts + INTERVAL 30 MINUTE AS le
                 FROM events WHERE event_type = 'purchase'),
@@ -92,7 +92,7 @@ def events_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_overlap_duration",
-    driver=False,  # duration-weighted analytic face of the overlap family (r7, VERDICT #5)
+    # rotated INTO the gate r8 (r7 flagship, never driver-verified)
     oracle="""
     WITH pv AS (SELECT event_id AS lid, user_id, ts AS ls, ts + INTERVAL 30 MINUTE AS le
                 FROM events WHERE event_type = 'purchase'),

@@ -229,8 +229,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_local_supplier_volume",
-    # gated (rotated in mid-r4, slot from the superseded dedup_pipeline_full):
-    # the snowflake + cross-dimension-equality shape
+    driver=False,  # rotated out r8 (green r4-r7; TPC-H keeps q1/q3/q18 gated)
     oracle="""
     SELECT n.n_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
