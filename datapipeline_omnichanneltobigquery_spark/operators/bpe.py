@@ -41,6 +41,17 @@ from pyspark.sql import DataFrame
 #: detokenization unambiguous)
 EOW = "</w>"
 
+#: hard ceiling on training merge rounds — the bounded-rounds contract
+#: (operators/graph.py::kcore discipline).  EVERY round costs one full
+#: pair-explode + aggregation over the word vocabulary plus a 1-row
+#: collect, i.e. total training cost is n_merges × (vocab scan + small
+#: shuffle): linear per round and bounded overall, but a caller asking for
+#: a production-sized 100k-merge vocabulary would queue 100k sequential
+#: Spark jobs — that regime wants fewer, larger rounds (batch merge
+#: selection) or an off-cluster trainer over the extracted word-frequency
+#: table, so it is refused loudly rather than run silently.
+BPE_MAX_MERGES = 4096
+
 
 def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
     """(w, freq) over whitespace-split lowercase words."""
@@ -104,7 +115,19 @@ def bpe_train(
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from the corpus; returns the
     ordered merge list (the tokenizer artifact to persist).  Stops early
-    when the best pair's corpus frequency falls below ``min_pair_freq``."""
+    when the best pair's corpus frequency falls below ``min_pair_freq``.
+
+    Cost contract: each merge round is one pair-explode + partial-
+    aggregated groupBy over the WORD VOCABULARY (not the corpus) and a
+    bounded 1-row collect — n_merges sequential rounds total, capped at
+    ``BPE_MAX_MERGES`` (see its note for the >4k-merge regime)."""
+    if n_merges > BPE_MAX_MERGES:
+        raise ValueError(
+            f"n_merges={n_merges} exceeds BPE_MAX_MERGES={BPE_MAX_MERGES}: "
+            "each merge is a sequential vocab-wide Spark round; for "
+            "production-sized vocabularies batch the merge selection or "
+            "train off-cluster from _word_freqs output"
+        )
     vocab = _word_freqs(df, text_col).select(
         "w", "freq", _initial_seg("w").alias("seg")
     ).localCheckpoint()

@@ -1368,3 +1368,64 @@ def snm_pairs_sql(
     FROM ranked a JOIN ranked b
       ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {window}
     """
+
+
+def snm_pairs_multipass(
+    df: DataFrame,
+    id_col: str,
+    passes: list[tuple[str, str]],
+    window: int = 3,
+) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood blocking (the standard SNM recall
+    fix, Hernandez/Stolfo SIGMOD'95 §4): run :func:`snm_pairs` once per
+    (key_col, block_col) in ``passes`` and union-dedup the candidates.
+    A single pass misses any near-dup pair whose sort keys land more than
+    ``window`` positions apart — e.g. a FIRST-character typo under a
+    forward lexicographic key; the classic second pass sorts under a
+    ROTATED key (reversed string, swapped fields) where the same error
+    lands the pair adjacent.
+
+    Output: (id_a, id_b, n_passes) with ids normalized (id_a < id_b by
+    VALUE — per-pass sort positions disagree across passes) and
+    ``n_passes`` = how many passes proposed the pair (an agreement signal
+    the downstream verifier can weight).
+
+    Scale shape: P passes = P independent window sorts (each the single
+    exchange snm_pairs documents) + one dedup shuffle over candidate
+    pairs — candidate volume stays ≤ P·window·n by construction, still no
+    hot-bucket blowup."""
+    u = None
+    for i, (key_col, block_col) in enumerate(passes):
+        p = snm_pairs(df, id_col, key_col, block_col, window).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.lit(i).alias("__pass"),
+        )
+        u = p if u is None else u.unionByName(p)
+    return (
+        u.distinct()  # one vote per pass even if found at several offsets
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_passes"))
+    )
+
+
+def snm_pairs_multipass_sql(
+    table: str,
+    id_col: str,
+    passes: list[tuple[str, str]],
+    window: int = 3,
+) -> str:
+    """DuckDB twin of :func:`snm_pairs_multipass` — same per-pass ranked
+    joins, same value-normalized union-dedup and pass counting."""
+    pass_sqls = [
+        f"""SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+               {i} AS pass_i
+        FROM ({snm_pairs_sql(table, id_col, key_expr, block_expr, window)})"""
+        for i, (key_expr, block_expr) in enumerate(passes)
+    ]
+    unioned = "\n        UNION ALL\n".join(pass_sqls)
+    return f"""
+    WITH votes AS (SELECT DISTINCT id_a, id_b, pass_i FROM ({unioned}))
+    SELECT id_a, id_b, COUNT(*) AS n_passes
+    FROM votes GROUP BY id_a, id_b
+    """

@@ -988,6 +988,35 @@ def dedup_snm_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNM_PASSES_SQL = [
+    ("trim(lower(p_name))", "p_brand"),
+    ("reverse(trim(lower(p_name)))", "p_brand"),  # rotated key: suffix order
+]
+
+
+@query(
+    "dedup_snm_multipass",
+    driver=False,  # multi-pass recall face of the gated dedup_snm_part_names (r8)
+    oracle=dd.snm_pairs_multipass_sql("part", "p_partkey", _SNM_PASSES_SQL, window=3),
+)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass sorted-neighborhood candidates over part names: forward
+    lexicographic key + the REVERSED-string rotated key (suffix order),
+    union-deduped with per-pair pass votes — the standard SNM recall fix
+    for boundary misses (a first-character typo sorts far away under the
+    forward key but adjacent under the reversed one;
+    operators/dedup.py::snm_pairs_multipass, pinned by the seeded
+    boundary-miss recall test in tests/test_llm_ops.py)."""
+    p = (
+        read_table(spark, sf_dir, "part")
+        .withColumn("__k", F.trim(F.lower("p_name")))
+        .withColumn("__kr", F.reverse(F.trim(F.lower("p_name"))))
+    )
+    return dd.snm_pairs_multipass(
+        p, "p_partkey", [("__k", "p_brand"), ("__kr", "p_brand")], window=3
+    )
+
+
 @query(
     "er_part_matches",
     driver=False,  # entity-resolution face of the gated fuzzy-matching family (r7)

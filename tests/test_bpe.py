@@ -81,3 +81,16 @@ def test_bpe_apply_reconstructs_words(spark):
     assert len(out[8]) < len("low") + 1
     n = {r.doc_id: r.n_tokens for r in bpe_apply(test, "doc_id", "text", merges).collect()}
     assert n[7] == len(out[7]) and n[8] == len(out[8])
+
+
+def test_bpe_train_refuses_unbounded_rounds(spark):
+    """The bounded-rounds contract: n_merges above BPE_MAX_MERGES is a
+    loud ValueError (each merge is a sequential vocab-wide round), not a
+    silent 100k-job queue."""
+    import pytest as _pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.bpe import BPE_MAX_MERGES, bpe_train
+
+    df = spark.createDataFrame([("a b",)], ["text"])
+    with _pytest.raises(ValueError, match="BPE_MAX_MERGES"):
+        bpe_train(df, "text", n_merges=BPE_MAX_MERGES + 1)

@@ -1273,3 +1273,44 @@ def test_snm_pairs_window_semantics(spark):
     assert not any(6 in pair for pair in got)
     # volume bound: <= window * n
     assert len(got) <= 2 * len(rows)
+
+
+def test_snm_multipass_catches_seeded_boundary_miss(spark):
+    """The classic single-pass SNM failure: a FIRST-character typo sorts
+    the pair far apart under the forward key (> window positions), so pass
+    1 misses it — the rotated (reversed-string) pass 2 lands them adjacent
+    and the union-dedup reports the pair.  Pairs found by both passes
+    carry n_passes=2 (the agreement signal)."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        snm_pairs,
+        snm_pairs_multipass,
+    )
+
+    rows = [
+        (1, "melon cart"), (2, "welon cart"),  # first-char typo, shared suffix
+        (3, "nectar x"), (4, "orange x"), (5, "peach x"),
+        (6, "quince x"), (7, "rice x"), (8, "straw x"), (9, "tomato x"),
+        (10, "alpha one"), (11, "alpha two"),  # forward-adjacent AND same suffix class
+    ]
+    df = (
+        spark.createDataFrame(rows, ["id", "name"])
+        .withColumn("blk", F.lit("B"))
+        .withColumn("k", F.col("name"))
+        .withColumn("kr", F.reverse(F.col("name")))
+    )
+    single = {
+        (r.id_a, r.id_b) for r in snm_pairs(df, "id", "k", "blk", window=3).collect()
+    }
+    assert (1, 2) not in single and (2, 1) not in single  # the boundary miss
+    multi = {
+        (r.id_a, r.id_b): r.n_passes
+        for r in snm_pairs_multipass(
+            df, "id", [("k", "blk"), ("kr", "blk")], window=3
+        ).collect()
+    }
+    assert multi.get((1, 2)) == 1  # caught by the rotated pass only
+    assert multi.get((10, 11)) == 2  # adjacent under BOTH orders -> 2 votes
+    # every pair id-normalized, votes bounded by pass count
+    assert all(a < b and 1 <= n <= 2 for (a, b), n in multi.items())
