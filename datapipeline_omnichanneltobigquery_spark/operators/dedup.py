@@ -1327,30 +1327,38 @@ def snm_pairs(
     Scale shape: ``window`` LEADs share ONE window sort per block; the
     block column bounds the sort's partition (classic multi-pass SNM runs
     this several times under different keys/blocks to cover boundary
-    misses — the documented recall tradeoff)."""
+    misses — :func:`snm_pairs_multipass`).  The per-offset neighbors are
+    packed into ONE struct array and exploded — a single scan + window +
+    generate; the round-7 form unioned ``window`` filtered references of
+    the lead frame instead, recompiling it (scan included) once per
+    offset (the redundant-subtree pathology the plan-audit ceiling now
+    rejects)."""
     base = df.select(
         F.col(id_col).alias("id"), F.col(key_col).alias("key"), F.col(block_col).alias("blk")
     )
     wb = Window.partitionBy("blk").orderBy(F.col("key"), F.col("id"))
-    leads = base.select(
-        "id",
-        "key",
-        *[F.lead("id", k).over(wb).alias(f"__id{k}") for k in range(1, window + 1)],
-        *[F.lead("key", k).over(wb).alias(f"__key{k}") for k in range(1, window + 1)],
+    neighbors = F.array(
+        *[
+            F.struct(
+                F.lead("id", k).over(wb).alias("id_b"),
+                F.lead("key", k).over(wb).alias("key_b"),
+            )
+            for k in range(1, window + 1)
+        ]
     )
-    parts = [
-        leads.filter(F.col(f"__id{k}").isNotNull()).select(
+    # two projections: window expressions may not appear inside a
+    # generator argument, so the neighbor array materializes first
+    return (
+        base.select("id", "key", neighbors.alias("__nbs"))
+        .select("id", "key", F.explode("__nbs").alias("nb"))
+        .filter(F.col("nb.id_b").isNotNull())
+        .select(
             F.col("id").alias("id_a"),
-            F.col(f"__id{k}").alias("id_b"),
+            F.col("nb.id_b").alias("id_b"),
             F.col("key").alias("key_a"),
-            F.col(f"__key{k}").alias("key_b"),
+            F.col("nb.key_b").alias("key_b"),
         )
-        for k in range(1, window + 1)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 def snm_pairs_sql(

@@ -1413,9 +1413,18 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (broadcast-hinted), while the per-part count table scales with
     the catalog — no hint, AQE sizes those joins.  Lift is one double
     expression over exact integer counts, identical on both engines; the
-    top-20 is TakeOrderedAndProject with the pair as tie-break."""
+    top-20 is TakeOrderedAndProject with the pair as tie-break.
+
+    The distinct (order, part) item set feeds five downstream references
+    (both self-join sides, both marginals, the order count) — it is
+    localCheckpointed so the dedup SHUFFLE and the lineitem scan run once,
+    not once per reference (plan-audit ceiling); per-part counts likewise
+    (part-sized state, referenced twice)."""
     items = (
-        read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
     )
     n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
@@ -1425,7 +1434,7 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_one"))
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_one")).localCheckpoint()
     ca = cnt.select(F.col("l_partkey").alias("ka"), F.col("n_one").alias("n_a"))
     cb = cnt.select(F.col("l_partkey").alias("kb"), F.col("n_one").alias("n_b"))
     return (

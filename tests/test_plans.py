@@ -274,11 +274,12 @@ def test_no_redundant_source_scans(spark):
     and invisible at sf0.1, 18 corpus reads+tokenizations at 100 TB).
     A frame referenced N ways must be localCheckpointed/persisted, or the
     query listed in FILE_SCAN_ALLOWLIST with why its scans are genuinely
-    distinct pruned reads."""
-    from datapipeline_omnichanneltobigquery_spark.plans.queries import QUERIES
+    distinct pruned reads.  Covers the driver=False extras too — a
+    rotation must never promote an N-scan plan into the gate."""
+    from datapipeline_omnichanneltobigquery_spark.plans.queries import EXTRA_QUERIES, QUERIES
 
     offenders = {}
-    for name, fn in QUERIES.items():
+    for name, fn in {**QUERIES, **EXTRA_QUERIES}.items():
         try:
             df = fn(spark, SF_DIR)
         except Exception:
