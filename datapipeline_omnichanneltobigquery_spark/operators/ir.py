@@ -23,7 +23,7 @@ ranking ties always break on doc id.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -299,6 +299,74 @@ def tfidf_cosine_pairs_sql(
     JOIN norms na ON na.id = d.id_a
     JOIN norms nb ON nb.id = d.id_b
     WHERE ROUND(d.dot / (na.norm * nb.norm), 6) >= {threshold}
+    """
+
+
+def tfidf_keywords(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by smooth-idf
+    TF-IDF weight (the :func:`tfidf_cosine_pairs` weighting) — the
+    document-labeling / topical-routing primitive that needs no model.
+
+    Output (id, rank, term, weight) with weight rounded to 6 decimals;
+    rank ties break on the term itself, and the ranking weight is the
+    identical double expression on both engines (integer counts → one
+    ln + multiply), so the selected keywords hash-gate.
+
+    Shape: one corpus scan builds the (id, term, tf) postings
+    (localCheckpointed — referenced by the df aggregate and the weight
+    join), one scan for n_docs, one per-doc window for the top-k."""
+    tok = _tokens(df, id_col, text_col)
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    w = tf.join(dfreq, "term").crossJoin(F.broadcast(stats)).select(
+        "id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("n_docs").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            )
+        ).alias("w"),
+    )
+    win = Window.partitionBy("id").orderBy(F.col("w").desc(), "term")
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "rank",
+            "term",
+            F.round("w", 6).alias("weight"),
+        )
+    )
+
+
+def tfidf_keywords_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`tfidf_keywords` — same weights, same
+    deterministic (weight desc, term) ranking, same rounding."""
+    return f"""
+    WITH {_tokens_sql(table, id_col, text_col)},
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(DISTINCT {id_col}) AS n_docs FROM {table}),
+    w AS (SELECT tf.id, tf.term,
+                 CAST(tf AS DOUBLE)
+                 * (ln((CAST(n_docs AS DOUBLE) + 1.0)
+                        / (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS w
+          FROM tf JOIN dfreq USING (term), stats),
+    ranked AS (SELECT id, term, w,
+                      ROW_NUMBER() OVER (PARTITION BY id
+                                         ORDER BY w DESC, term) AS rank
+               FROM w)
+    SELECT id AS {id_col}, rank, term, ROUND(w, 6) AS weight
+    FROM ranked WHERE rank <= {k}
     """
 
 

@@ -384,6 +384,116 @@ def unigram_logprob_sql(table: str, id_col: str, text_col: str) -> str:
     """
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.8
+) -> DataFrame:
+    """Interpolated BIGRAM language-model score per document:
+    mean log(λ·P(w|prev) + (1−λ)·P(w)) under the corpus's own counts,
+    with the first token scored by its unigram MLE — one model class up
+    from :func:`unigram_logprob` (catches scrambled word ORDER that
+    unigram statistics cannot see, the next quality-filter rung).
+
+    Determinism: all probabilities are ratios of exact integer counts
+    combined in ONE fixed-order IEEE expression; ``ln`` agrees bitwise
+    between engines (module discipline), the per-doc sum is position-
+    ordered, and the result rounds to 6 decimals.
+
+    Scale shape: unigram and bigram count tables are vocabulary-sized and
+    localCheckpointed (each is referenced by several joins — without the
+    cut every reference re-derives the counts from a fresh corpus scan,
+    the plan-audit ceiling pathology); the token stream itself is scanned
+    once in the final plan.  An unseen bigram backs off to the unigram
+    term (coalesce 0), so P > 0 always.
+
+    Returns (id, n_tokens, avg_logprob)."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_ws_tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select("id", "pos", "term")
+    )
+    lagged = toks.withColumn(
+        "prev", F.lag("term").over(Window.partitionBy("id").orderBy("pos"))
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu")).localCheckpoint()
+    totals = uni.agg(F.sum("cu").alias("n_total"))
+    big = (
+        lagged.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint()
+    )
+    up = uni.select(F.col("term").alias("prev"), F.col("cu").alias("cu_prev"))
+    scored = (
+        lagged.join(uni, "term")
+        .join(up, "prev", "left")
+        .join(big, ["prev", "term"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_uni = F.col("cu").cast("double") / F.col("n_total").cast("double")
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(lam)
+        * (F.coalesce(F.col("cb"), F.lit(0)).cast("double") / F.col("cu_prev").cast("double"))
+        + F.lit(1.0 - lam) * p_uni
+    )
+    return (
+        scored.select("id", "pos", F.log(p).alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["lp"],
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
+def bigram_logprob_sql(table: str, id_col: str, text_col: str, lam: float = 0.8) -> str:
+    """DuckDB twin of :func:`bigram_logprob` — same counts, same
+    fixed-order interpolation (decimal literals cast to DOUBLE so both
+    engines mix in binary), same position-ordered sum."""
+    l_ = f"CAST({lam!r} AS DOUBLE)"
+    l1 = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    return f"""
+    WITH toks0 AS (SELECT {id_col} AS id,
+                          UNNEST(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS term,
+                          generate_subscripts(regexp_split_to_array(trim(lower({text_col})), '\\s+'), 1) AS pos
+                   FROM {table}),
+    toks AS (SELECT id, pos, term FROM toks0 WHERE term <> ''),
+    lagged AS (SELECT id, pos, term,
+                      LAG(term) OVER (PARTITION BY id ORDER BY pos) AS prev
+               FROM toks),
+    uni AS (SELECT term, COUNT(*) AS cu FROM toks GROUP BY term),
+    totals AS (SELECT SUM(cu) AS n_total FROM uni),
+    big AS (SELECT prev, term, COUNT(*) AS cb FROM lagged
+            WHERE prev IS NOT NULL GROUP BY prev, term),
+    scored AS (
+        SELECT l.id, l.pos,
+               CASE WHEN l.prev IS NULL
+                    THEN CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE)
+                    ELSE {l_} * (CAST(COALESCE(b.cb, 0) AS DOUBLE)
+                                 / CAST(up.cu AS DOUBLE))
+                         + {l1} * (CAST(u.cu AS DOUBLE) / CAST(n_total AS DOUBLE))
+               END AS p
+        FROM lagged l
+        JOIN uni u ON u.term = l.term
+        LEFT JOIN uni up ON up.term = l.prev
+        LEFT JOIN big b ON b.prev = l.prev AND b.term = l.term, totals)
+    SELECT id AS {id_col}, COUNT(*) AS n_tokens,
+           ROUND(SUM(ln(p) ORDER BY pos) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY id
+    """
+
+
 def ngram_topk(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 20
 ) -> DataFrame:

@@ -152,6 +152,18 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_keywords_tfidf",
+    driver=False,  # per-doc keyword face of the gated TF-IDF/IR family (new r8)
+    oracle=ir.tfidf_keywords_sql("documents", "doc_id", "text", k=3),
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (operators/ir.py
+    ::tfidf_keywords): model-free document labeling / topical routing —
+    deterministic (weight desc, term) ranking, weights engine-exact."""
+    return ir.tfidf_keywords(read_table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@query(
     "text_tfidf_pairs",
     # rotated INTO the gate r7 (r6 family, never driver-verified)
     oracle=ir.tfidf_cosine_pairs_sql("documents", "doc_id", "text", threshold=0.3),
@@ -231,6 +243,20 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality score: mean add-one-smoothed unigram log
     probability per document under the corpus's own distribution."""
     return ts.unigram_logprob(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_bigram_logprob",
+    driver=False,  # bigram-LM face of the text quality-scoring family (new r8)
+    oracle=ts.bigram_logprob_sql("documents", "doc_id", "text"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score: mean log(0.8·P(w|prev) +
+    0.2·P(w)) per document under the corpus's own counts — catches
+    scrambled word order that unigram statistics cannot see
+    (operators/textstats.py::bigram_logprob; fixed-order IEEE
+    interpolation, position-ordered sums, values hash-gate)."""
+    return ts.bigram_logprob(read_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(

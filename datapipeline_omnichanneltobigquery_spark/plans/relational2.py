@@ -1611,6 +1611,101 @@ def robust_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "robust_mad_outliers",
+    driver=False,  # MAD face of the robust-stats family (winsorize/weighted-median siblings)
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS val,
+               o_orderkey AS tk
+        FROM orders),
+    r1 AS (SELECT grp, val, tk,
+                  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY val, tk) AS rn,
+                  COUNT(*) OVER (PARTITION BY grp) AS n
+           FROM base),
+    med AS (SELECT grp, MIN(CASE WHEN rn = (n + 1) // 2 THEN val END) AS med
+            FROM r1 GROUP BY grp),
+    dev AS (SELECT b.grp, b.val, b.tk, m.med, abs(b.val - m.med) AS d
+            FROM base b JOIN med m ON m.grp = b.grp),
+    r2 AS (SELECT grp, med, d, tk,
+                  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d, tk) AS rn,
+                  COUNT(*) OVER (PARTITION BY grp) AS n
+           FROM dev),
+    mad AS (SELECT grp, MIN(CASE WHEN rn = (n + 1) // 2 THEN d END) AS mad
+            FROM r2 GROUP BY grp)
+    SELECT d.grp AS o_orderpriority,
+           CAST(d.med AS DOUBLE) AS median_price,
+           CAST(a.mad AS DOUBLE) AS mad,
+           COUNT(*) FILTER (WHERE d.d > 3 * a.mad) AS n_outliers,
+           CASE WHEN a.mad > 0
+                THEN CAST(MAX(d.d) AS DOUBLE) / CAST(a.mad AS DOUBLE)
+           END AS robust_z_max
+    FROM dev d JOIN mad a ON a.grp = d.grp
+    GROUP BY d.grp, d.med, a.mad
+    """,
+)
+def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per order priority: exact
+    integer-rank LOWER median of price, exact lower median of absolute
+    deviations (MAD), outliers = deviations > 3·MAD — the robust scale
+    estimator that, unlike stddev, a few extreme rows cannot drag (the
+    winsorize/weighted-median integer-rank discipline, applied twice).
+    All medians/deviations stay DECIMAL-exact; the single IEEE division
+    (max dev / MAD) happens once at the end, so values hash-gate.
+
+    Shape: two window passes on the group key (rank by value, rank by
+    deviation) — the second window reuses the group partitioning; no
+    driver actions, no floats until the final projection."""
+    from pyspark.sql import Window as W
+
+    base = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
+        F.col("o_orderkey").alias("tk"),
+    )
+    w1 = W.partitionBy("grp").orderBy("val", "tk")
+    wn = W.partitionBy("grp")
+    r1 = base.select(
+        "grp", "val",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r1.groupBy("grp").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("val"))).alias("med")
+    )
+    dev = base.join(med, "grp").select(
+        "grp", "val", "tk", "med", F.abs(F.col("val") - F.col("med")).alias("d")
+    ).localCheckpoint()  # referenced twice below (rank pass + final agg)
+    w2 = W.partitionBy("grp").orderBy("d", "tk")
+    r2 = dev.select(
+        "grp", "d",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = r2.groupBy("grp").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d"))).alias("mad")
+    )
+    return (
+        dev.join(mad, "grp")
+        .groupBy("grp", "med", "mad")
+        .agg(
+            F.count_if(F.col("d") > F.lit(3) * F.col("mad")).alias("n_outliers"),
+            F.max("d").alias("__maxd"),
+        )
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            F.col("med").cast("double").alias("median_price"),
+            F.col("mad").cast("double").alias("mad"),
+            "n_outliers",
+            F.when(
+                F.col("mad") > 0,
+                F.col("__maxd").cast("double") / F.col("mad").cast("double"),
+            ).alias("robust_z_max"),
+        )
+    )
+
+
+@query(
     "weighted_median_prices",
     driver=False,  # robust-stats face of the gated window/agg families
     oracle="""

@@ -1275,6 +1275,33 @@ def test_snm_pairs_window_semantics(spark):
     assert len(got) <= 2 * len(rows)
 
 
+def test_bigram_logprob_sees_word_order(spark):
+    """The bigram LM's reason to exist: a document whose words are
+    SCRAMBLED (same bag, broken order) scores strictly lower than the
+    natural-order document, while the unigram model — order-blind by
+    construction — scores both identically."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    natural = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"
+    # corpus context: several docs reinforcing the natural bigrams
+    rows = [
+        (1, natural),
+        (2, scrambled),
+        (3, "the cat sat on the rug"),
+        (4, "a dog sat on the mat"),
+        (5, "the cat ran to the mat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bi = {r.doc_id: r.avg_logprob for r in bigram_logprob(df, "doc_id", "text").collect()}
+    un = {r.doc_id: r.avg_logprob for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert bi[1] > bi[2]  # natural order strictly more probable
+    assert un[1] == un[2]  # unigram can't tell them apart
+
+
 def test_snm_multipass_catches_seeded_boundary_miss(spark):
     """The classic single-pass SNM failure: a FIRST-character typo sorts
     the pair far apart under the forward key (> window positions), so pass
