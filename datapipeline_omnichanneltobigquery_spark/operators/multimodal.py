@@ -752,3 +752,107 @@ def video_scene_cuts(payloads: DataFrame, threshold: float = 24.0) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(
         run, "doc_id long, frame_idx long, mean_abs_diff double, is_cut boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing (average hash) + hamming near-dup pairs — the
+# image-modality member of the dedup story: re-encoded/brightness-shifted
+# copies of a picture have different BYTES (exact fingerprint dedup misses
+# them) but near-identical perceptual hashes.
+# ---------------------------------------------------------------------------
+
+
+def image_ahash(payloads: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) per image: stdlib PNG pixel decode →
+    nearest-neighbor sample to a ``grid``×``grid`` patch (the
+    :func:`resize_image` integer index arithmetic, no resampling modes)
+    → integer mean threshold (strictly-above = 1, so ties are
+    deterministic) → one 64-bit fingerprint (grid=8).  All-integer, so
+    hashes are bit-reproducible across runs and engines — the classic
+    perceptual fingerprint (pHash family; aHash is its
+    no-DCT-dependency member).
+
+    (doc_id, payload) → (doc_id, ahash long, mean_px long).  One
+    mapInPandas crossing; output rows are constant-size regardless of
+    image dimensions, so executor memory is bounded by the batch's
+    encoded payload bytes."""
+    n_bits = grid * grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, means = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = decode_png_pixels(bytes(p))
+                px = []
+                for y in range(grid):
+                    src = rows[min(h - 1, (y * h) // grid)]
+                    px.extend(src[min(w - 1, (x * w) // grid)] for x in range(grid))
+                mean = sum(px) // len(px)
+                bits = 0
+                for i, v in enumerate(px):
+                    if v > mean:
+                        bits |= 1 << i
+                if bits >= 1 << 63:  # wrap to signed 64-bit for LongType
+                    bits -= 1 << 64
+                ids.append(did)
+                hashes.append(bits)
+                means.append(mean)
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes, "mean_px": means})
+
+    if n_bits > 64:
+        raise ValueError(f"grid={grid} needs {n_bits} bits; max 64 (grid<=8)")
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, ahash long, mean_px long"
+    )
+
+
+def image_neardup_pairs(
+    payloads: DataFrame, max_dist: int = 6, grid: int = 8
+) -> DataFrame:
+    """Image near-duplicate pairs at hamming distance ≤ ``max_dist``
+    between average-hashes — EXACT recall by the SimHash pigeonhole
+    (operators/dedup.py discipline): the 64-bit hash splits into
+    ``max_dist + 1`` blocks, and any pair within the radius must agree
+    on at least one whole block, so candidates come from equi-joining
+    block values — never an all-pairs crossJoin — and verify with one
+    ``bit_count(a XOR b)``.
+
+    (doc_id, payload) → (id_a, id_b, hamming), id_a < id_b.  The hash
+    table is one row per image (localCheckpointed: both self-join sides
+    and the verify read it); candidate volume is bounded by block-bucket
+    sizes exactly like SimHash banding."""
+    import pyspark.sql.functions as F
+
+    n_blocks = max_dist + 1
+    width = 64 // n_blocks  # bits per block (last block takes the remainder)
+    h = image_ahash(payloads, grid).select("doc_id", "ahash").localCheckpoint()
+
+    def block_val(b: int):
+        shifted = F.shiftrightunsigned(F.col("ahash"), b * width)
+        bits = width if b < n_blocks - 1 else 64 - b * width
+        if bits >= 64:  # single-block degenerate case (max_dist=0)
+            return shifted
+        return shifted % F.lit(1 << bits)
+
+    blocks = F.array(
+        *[
+            F.struct(F.lit(b).alias("blk"), block_val(b).alias("val"))
+            for b in range(n_blocks)
+        ]
+    )
+    keyed = h.select("doc_id", "ahash", F.explode(blocks).alias("b")).select(
+        "doc_id", "ahash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"), "blk", "val"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"), "blk", "val"
+    )
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_dist)
+    )

@@ -1275,6 +1275,77 @@ def test_snm_pairs_window_semantics(spark):
     assert len(got) <= 2 * len(rows)
 
 
+def _lcg_image(seed: int, w: int = 64, h: int = 64) -> list[bytes]:
+    """Deterministic pseudo-random grayscale pixel rows (LCG)."""
+    x, rows = seed, []
+    for _ in range(h):
+        row = bytearray()
+        for _ in range(w):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            row.append((x >> 16) % 256)  # high bits: low LCG bits are periodic
+        rows.append(bytes(row))
+    return rows
+
+
+def test_image_ahash_brightness_invariant_and_discriminative(spark):
+    """The perceptual contract: a uniformly brightness-shifted re-encode of
+    an image (different BYTES — exact dedup misses it) hashes IDENTICALLY
+    (shift moves every pixel and the mean together), while an unrelated
+    image differs in ~half the 64 bits.  All-integer pipeline, so hashes
+    are also bit-reproducible across runs."""
+    from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
+
+    base = _lcg_image(42)
+    brighter = [bytes(min(255, b + 10) for b in row) for row in base]
+    other = _lcg_image(7)
+    rows = [
+        (1, mm.encode_png_pixels(base)),
+        (2, mm.encode_png_pixels(brighter)),
+        (3, mm.encode_png_pixels(other)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.ahash for r in mm.image_ahash(df).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert got[1] == got[2]  # brightness shift: bytes differ, hash identical
+    assert ham(got[1], got[3]) > 20  # unrelated content: far apart
+    again = {r.doc_id: r.ahash for r in mm.image_ahash(df).collect()}
+    assert again == got  # bit-reproducible
+
+
+def test_image_neardup_pairs_exact_recall_within_radius(spark):
+    """Pigeonhole blocking finds EXACTLY the pairs within the hamming
+    radius (verified against brute-force XOR popcount), and the sub-
+    quadratic path never proposes far pairs as results."""
+    from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
+
+    base = _lcg_image(42)
+    # flip a couple of pixels hard — a near-dup with a small hash delta
+    near = [bytearray(r) for r in base]
+    near[0][0] = 255
+    near[8][8] = 0
+    rows = [
+        (1, mm.encode_png_pixels(base)),
+        (2, mm.encode_png_pixels([bytes(r) for r in near])),
+        (3, mm.encode_png_pixels(_lcg_image(7))),
+        (4, mm.encode_png_pixels(_lcg_image(9))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = {r.doc_id: r.ahash for r in mm.image_ahash(df).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    want = {
+        (a, b): ham(hashes[a], hashes[b])
+        for a in hashes
+        for b in hashes
+        if a < b and ham(hashes[a], hashes[b]) <= 6
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.image_neardup_pairs(df, max_dist=6).collect()
+    }
+    assert got == want
+    assert (1, 2) in got  # the seeded near-dup survives
+
+
 def test_bigram_logprob_sees_word_order(spark):
     """The bigram LM's reason to exist: a document whose words are
     SCRAMBLED (same bag, broken order) scores strictly lower than the
