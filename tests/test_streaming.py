@@ -523,6 +523,55 @@ def test_swap_state_crash_between_renames_recovers(spark, tmp_path):
     assert est == {f"k{i}": 15 for i in range(5)}  # exactly once: 10 + 5
 
 
+def test_streaming_constraint_gate_routes_and_replays(spark, tmp_path):
+    """The streaming DQ gate: a clean micro-batch lands in accept/, a
+    contract-violating one lands — whole — in quarantine/, the per-rule
+    report is written either way, and a foreachBatch replay overwrites its
+    own batch subdirectory instead of duplicating rows."""
+    from datapipeline_omnichanneltobigquery_spark.streaming.dq_gate import (
+        gate_batch,
+        streaming_constraint_gate,
+    )
+
+    src = str(tmp_path / "src")
+    good = [(i, 100 + i) for i in range(20)]
+    bad = [(i + 100, 5000) for i in range(10)] + [(None, 120)]  # null id + range
+    spark.createDataFrame(good, "id long, amount long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(bad, "id long, amount long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    rules = [
+        ("id_not_null", "not_null", "id"),
+        ("amount_range", "range", ("amount", 0, 1000)),
+    ]
+    acc, quar, rep = (str(tmp_path / d) for d in ("accept", "quarantine", "reports"))
+    q = streaming_constraint_gate(
+        spark.readStream.schema("id long, amount long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        rules, acc, quar, rep,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    accepted = spark.read.parquet(acc)
+    quarantined = spark.read.parquet(quar)
+    assert accepted.count() == 20 and quarantined.count() == 11
+    assert "batch_id" in accepted.columns  # provenance partition column
+    reports = spark.read.parquet(rep)
+    failed = {r.rule for r in reports.filter(~F.col("passed")).collect()}
+    assert failed == {"id_not_null", "amount_range"}
+
+    # replay: re-gating the SAME batch id overwrites, never duplicates
+    bad_df = spark.createDataFrame(bad, "id long, amount long")
+    bid = quarantined.select("batch_id").distinct().collect()[0].batch_id
+    gate_batch(bad_df, bid, rules, acc, quar, rep)
+    assert spark.read.parquet(quar).count() == 11
+
+
 def test_cms_probe_unseen_key_reports_zero(spark):
     """A probe key the sketch never saw must report est_count 0 (absent
     CMS cells read as 0) — not vanish or inflate to a collision count."""
