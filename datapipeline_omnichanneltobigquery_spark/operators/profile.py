@@ -456,6 +456,164 @@ def cms_estimates_sql(table: str, key_col: str, depth: int = 4, width: int = 102
     """
 
 
+def _q_micro(x: float) -> int:
+    """A float bound as exact integer micro-units — computed once in
+    Python and baked into BOTH engines' expressions as the same literal."""
+    return int(round(x * 1_000_000))
+
+
+def qsketch_registers(
+    df, group_col: str, value_col: str, lo: float, hi: float, n_bins: int = 256
+):
+    """The MERGEABLE quantile-sketch state: an equi-width histogram — one
+    row per (grp, bin) with the occupancy count, ≤ ``n_bins`` rows per
+    group regardless of data size.  Completes the sketch triad (HLL =
+    cardinality, CMS = frequency, this = distribution): persist one per
+    day and :func:`qsketch_merge` across days — bin counts ADD, so the
+    merge is exact (identical to sketching the unioned data).
+
+    Determinism rails (the hll/cms discipline applied to binning): the
+    value is floored to integer MICRO-units (`floor(v*1e6)` — one IEEE
+    multiply then floor, bit-identical cross-engine), clamped to
+    ``[lo, hi)`` in integers, and binned by pure int64 arithmetic
+    ``((vi - lo_i) * n_bins) div (hi_i - lo_i)`` — no float rounding at
+    bin boundaries on either engine.  Out-of-range mass lands in the edge
+    bins, so a mis-guessed range degrades the tails, never the row count."""
+    import pyspark.sql.functions as F
+
+    lo_i, hi_i = _q_micro(lo), _q_micro(hi)
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(
+                f"greatest({lo_i}L, least(CAST(floor({value_col} * 1000000.0) AS BIGINT),"
+                f" {hi_i - 1}L))"
+            ).alias("__vi"),
+        )
+        .select("grp", F.expr(f"((__vi - {lo_i}) * {n_bins}) div {hi_i - lo_i}").alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def qsketch_merge(*register_frames):
+    """Merge quantile-sketch states (outputs of :func:`qsketch_registers`,
+    e.g. read back from per-day parquet): union + per-(grp, bin) SUM.
+    One partial-aggregated shuffle over constant-size state — a year of
+    dailies moves 365·n_bins rows per group, never data."""
+    import functools
+
+    import pyspark.sql.functions as F
+
+    u = functools.reduce(lambda a, b: a.unionByName(b), register_frames)
+    return u.groupBy("grp", "bin").agg(F.sum("c").alias("c"))
+
+
+def qsketch_quantiles(
+    regs,
+    group_col: str,
+    quantiles: list,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+):
+    """Finalize (possibly merged) register state into one row per
+    (group, quantile): rank selection + within-bin linear interpolation,
+    ALL in int64 until one final IEEE division.
+
+    ``quantiles`` is a list of ``(name, num, den)`` rationals (e.g.
+    ``("p50", 1, 2)``): the target rank is ``ceil(q·total)`` computed as
+    ``(num·total + den - 1) div den`` — exact, so both engines select the
+    identical bin; bin edges and the interpolated offset are integer
+    expressions over the shared micro-unit constants.  Work: one
+    bin-ordered window per group over ≤ n_bins rows + a broadcast of the
+    literal quantile spec — never a data scan."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    lo_i, hi_i = _q_micro(lo), _q_micro(hi)
+    width_i = hi_i - lo_i
+    spark = regs.sparkSession
+    spec = F.broadcast(
+        spark.createDataFrame(list(quantiles), "quantile string, num long, den long")
+    )
+    cum = regs.withColumn(
+        "cum", F.sum("c").over(W.partitionBy("grp").orderBy("bin"))
+    )
+    totals = regs.groupBy("grp").agg(F.sum("c").alias("total"))
+    targets = totals.crossJoin(spec).select(
+        "grp", "quantile", F.expr("(num * total + den - 1) div den").alias("t")
+    )
+    hit = cum.join(targets, "grp").filter(
+        (F.col("cum") - F.col("c") < F.col("t")) & (F.col("t") <= F.col("cum"))
+    )
+    return hit.select(
+        F.col("grp").alias(group_col),
+        "quantile",
+        (
+            F.expr(
+                f"CAST(({lo_i} + (bin * {width_i}) div {n_bins})"
+                f" + ((t - (cum - c)) * ((({lo_i} + ((bin + 1) * {width_i}) div {n_bins}))"
+                f" - ({lo_i} + (bin * {width_i}) div {n_bins}))) div c AS DOUBLE)"
+            )
+            / F.lit(1000000.0)
+        ).alias("est_value"),
+    )
+
+
+def qsketch_quantiles_direct(
+    df, group_col: str, value_col: str, quantiles: list, lo: float, hi: float,
+    n_bins: int = 256,
+):
+    """Build + finalize in one call — the direct (unmerged) estimate."""
+    return qsketch_quantiles(
+        qsketch_registers(df, group_col, value_col, lo, hi, n_bins),
+        group_col, quantiles, lo, hi, n_bins,
+    )
+
+
+def qsketch_quantiles_sql(
+    table: str, group_col: str, value_col: str, quantiles: list,
+    lo: float, hi: float, n_bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`qsketch_quantiles_direct` — identical
+    micro-unit clamping, integer binning, rank targets and interpolation
+    (`//` is DuckDB's integer division; all operands are BIGINT and
+    non-negative, so it agrees with Spark's `div`)."""
+    lo_i, hi_i = _q_micro(lo), _q_micro(hi)
+    width_i = hi_i - lo_i
+    spec_rows = ", ".join(f"('{n}', {num}, {den})" for n, num, den in quantiles)
+    left = f"({lo_i} + (bin * {width_i}) // {n_bins})"
+    right = f"({lo_i} + ((bin + 1) * {width_i}) // {n_bins})"
+    return f"""
+    WITH vi AS (
+        SELECT {group_col} AS grp,
+               GREATEST({lo_i}, LEAST(CAST(floor({value_col} * 1000000.0) AS BIGINT),
+                        {hi_i - 1})) AS vic
+        FROM {table}
+    ),
+    regs AS (
+        SELECT grp, ((vic - {lo_i}) * {n_bins}) // {width_i} AS bin, COUNT(*) AS c
+        FROM vi GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, bin, c, SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS cum
+        FROM regs
+    ),
+    tot AS (SELECT grp, SUM(c) AS total FROM regs GROUP BY 1),
+    spec(quantile, num, den) AS (VALUES {spec_rows}),
+    tq AS (
+        SELECT grp, quantile, (num * total + den - 1) // den AS t
+        FROM tot CROSS JOIN spec
+    )
+    SELECT cum.grp AS {group_col}, tq.quantile,
+           CAST({left} + ((tq.t - (cum.cum - cum.c)) * ({right} - {left})) // cum.c
+                AS DOUBLE) / 1000000.0 AS est_value
+    FROM cum JOIN tq ON tq.grp = cum.grp
+                    AND (cum.cum - cum.c) < tq.t AND tq.t <= cum.cum
+    """
+
+
 def drift_psi(
     df_ref, df_cur, col: str, lo: float, hi: float, n_bins: int = 10
 ):

@@ -730,6 +730,54 @@ def agg_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pf.cms_probe(merged, ev.select("user_id").distinct(), "user_id")
 
 
+#: quantile-sketch spec shared by the direct and merged entries: rational
+#: targets so the rank selection is exact-integer on both engines
+_QSPEC = [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+_QARGS = dict(lo=0.0, hi=500000.0, n_bins=256)
+
+
+@query(
+    "agg_qsketch_quantiles",
+    driver=False,  # new r8 family (sketch triad completed); queued for the r9 rotation
+    oracle=pf.qsketch_quantiles_sql(
+        "orders", "o_orderpriority", "o_totalprice", _QSPEC, **_QARGS
+    ),
+)
+def agg_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (equi-width histogram registers), direct
+    build: per-priority order-value p25/p50/p90/p99 from ≤256 rows of
+    state per group.  All-integer micro-unit binning + rank selection +
+    interpolation — the ESTIMATE hash-matches the DuckDB twin
+    (operators/profile.py::qsketch_registers/qsketch_quantiles)."""
+    return pf.qsketch_quantiles_direct(
+        read_table(spark, sf_dir, "orders"),
+        "o_orderpriority", "o_totalprice", _QSPEC, **_QARGS,
+    )
+
+
+@query(
+    "agg_qsketch_merged",
+    driver=False,  # cross-day merge face of agg_qsketch_quantiles (bin counts ADD => merge exact)
+    oracle=pf.qsketch_quantiles_sql(
+        "orders", "o_orderpriority", "o_totalprice", _QSPEC, **_QARGS
+    ),
+)
+def agg_qsketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch register MERGE gated against an independent twin:
+    Spark sketches two halves separately (o_orderkey parity split), merges
+    by per-(grp, bin) SUM, finalizes; the oracle computes the DIRECT
+    estimate over everything.  Bin counts add, so merge ≡ direct —
+    hash-checked cross-engine (operators/profile.py::qsketch_merge)."""
+    od = read_table(spark, sf_dir, "orders")
+    day1 = od.filter(F.col("o_orderkey") % 2 == 0)
+    day2 = od.filter(F.col("o_orderkey") % 2 == 1)
+    merged = pf.qsketch_merge(
+        pf.qsketch_registers(day1, "o_orderpriority", "o_totalprice", **_QARGS),
+        pf.qsketch_registers(day2, "o_orderpriority", "o_totalprice", **_QARGS),
+    )
+    return pf.qsketch_quantiles(merged, "o_orderpriority", _QSPEC, **_QARGS)
+
+
 @query(
     "events_resample_hourly",
     driver=False,  # rotated out r8 (green r4-r7; timeseries keeps events_rolling_zscore gated)

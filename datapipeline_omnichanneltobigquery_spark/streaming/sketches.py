@@ -133,6 +133,63 @@ def maintain_cms_batch(
     _swap_state(sk.localCheckpoint(), sketch_path, marker_batch_id=batch_id)
 
 
+def maintain_qsketch_batch(
+    batch_df: DataFrame, register_path: str, group_col: str, value_col: str,
+    batch_id: int, lo: float, hi: float, n_bins: int = 256,
+) -> None:
+    """Fold one batch into the persisted quantile-sketch register table
+    (operators/profile.py::qsketch_registers).  Bin counts ADD like CMS
+    counts, so the same in-state ``_last_applied`` marker guards replays:
+    marker and merged histogram are published by one atomic rename —
+    exactly-once under foreachBatch re-runs.  Finalize at any moment with
+    ``qsketch_quantiles(spark.read.parquet(register_path), ...)``."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        qsketch_merge,
+        qsketch_registers,
+    )
+
+    _recover_state(register_path)
+    applied = _last_applied(register_path)
+    if applied is not None and batch_id <= applied:
+        return
+    spark = batch_df.sparkSession
+    regs = qsketch_registers(batch_df, group_col, value_col, lo, hi, n_bins)
+    if os.path.exists(register_path):
+        regs = qsketch_merge(spark.read.parquet(register_path), regs)
+    _swap_state(regs.localCheckpoint(), register_path, marker_batch_id=batch_id)
+
+
+def streaming_qsketch_maintain(
+    stream: DataFrame,
+    register_path: str,
+    group_col: str,
+    value_col: str,
+    checkpoint_dir: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Start a stream that keeps the quantile-sketch register table at
+    ``register_path`` current — "p99 latency so far" stays queryable from
+    ≤ n_bins rows per group without ever rescanning history."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            maintain_qsketch_batch(
+                batch_df, register_path, group_col, value_col, batch_id,
+                lo, hi, n_bins,
+            )
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_hll_maintain(
     stream: DataFrame,
     register_path: str,

@@ -456,6 +456,53 @@ def test_cms_maintain_marker_blocks_double_count(spark, tmp_path):
     assert est2 == est
 
 
+def test_qsketch_maintain_incremental_equals_direct_and_replays(spark, tmp_path):
+    """Quantile-sketch registers maintained over two micro-batches must
+    finalize to EXACTLY the direct estimate over the union (bin counts
+    add), and a replayed batch must be a marker-guarded no-op (sums would
+    otherwise double and shift every quantile)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        qsketch_quantiles,
+        qsketch_quantiles_direct,
+    )
+    from datapipeline_omnichanneltobigquery_spark.streaming.sketches import (
+        maintain_qsketch_batch,
+    )
+
+    qs = [("p50", 1, 2), ("p90", 9, 10)]
+    args = dict(lo=0.0, hi=100.0, n_bins=64)
+    rows1 = [("a", float(i % 97)) for i in range(300)]
+    rows2 = [("a", float((i * 7) % 97)) for i in range(200)] + [
+        ("b", float(i % 50)) for i in range(100)
+    ]
+    b1 = spark.createDataFrame(rows1, "grp string, v double")
+    b2 = spark.createDataFrame(rows2, "grp string, v double")
+
+    path = str(tmp_path / "qsk")
+    maintain_qsketch_batch(b1, path, "grp", "v", batch_id=0, **args)
+    maintain_qsketch_batch(b2, path, "grp", "v", batch_id=1, **args)
+    got = {
+        (r.grp, r.quantile): r.est_value
+        for r in qsketch_quantiles(
+            spark.read.parquet(path), "grp", qs, **args
+        ).collect()
+    }
+    want = {
+        (r.grp, r.quantile): r.est_value
+        for r in qsketch_quantiles_direct(b1.union(b2), "grp", "v", qs, **args).collect()
+    }
+    assert got == want  # merge ≡ direct, bitwise (all-integer state)
+
+    maintain_qsketch_batch(b2, path, "grp", "v", batch_id=1, **args)  # replay
+    again = {
+        (r.grp, r.quantile): r.est_value
+        for r in qsketch_quantiles(
+            spark.read.parquet(path), "grp", qs, **args
+        ).collect()
+    }
+    assert again == want
+
+
 def test_cms_marker_atomic_with_state(spark, tmp_path):
     """The applied-batch marker lives INSIDE the state directory, so the
     swap rename publishes marker + merged counts atomically — there is no
