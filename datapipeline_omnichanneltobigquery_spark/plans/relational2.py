@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
+from datapipeline_omnichanneltobigquery_spark.operators import er
 from datapipeline_omnichanneltobigquery_spark.operators import graph as gr
 from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
 from datapipeline_omnichanneltobigquery_spark.operators import skew as sk
@@ -1127,6 +1128,66 @@ def er_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.alias("match_score"),
         )
         .filter(F.col("match_score") >= 3.5)
+    )
+
+
+#: pairs-only face of the er_part_matches oracle (same blocking + fixed-order
+#: score), feeding the recursive-CTE connected components of the golden twin
+_ER_PAIRS_SQL = """
+    WITH p AS (SELECT p_partkey AS pk, trim(lower(p_name)) AS name,
+                      p_brand AS brand, p_type AS typ, p_size AS sz,
+                      str_split(trim(lower(p_name)), ' ')[1] AS tok0
+               FROM part)
+    SELECT a.pk AS id_a, b.pk AS id_b
+    FROM p a JOIN p b
+      ON a.brand = b.brand AND a.tok0 = b.tok0 AND a.pk < b.pk
+    WHERE 3.0 * (1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+                       / CAST(GREATEST(length(a.name), length(b.name)) AS DOUBLE))
+            + (CASE WHEN a.typ = b.typ THEN 2.0 ELSE 0.0 END)
+            + (CASE WHEN abs(a.sz - b.sz) <= 2 THEN 1.0 ELSE 0.0 END) >= 3.5
+"""
+
+
+@query(
+    "er_golden_parts",
+    driver=False,  # new r8 family: survivorship completes the ER chain (block->score->cluster->merge)
+    oracle=er.golden_records_sql(
+        table_sql=(
+            "SELECT p_partkey AS pk, trim(lower(p_name)) AS name,"
+            " p_brand AS brand, p_type AS typ, p_size AS sz FROM part"
+        ),
+        id_col="pk",
+        clusters_sql=dd.connected_components_sql(_ER_PAIRS_SQL),
+        rules=[
+            ("name", "longest"),
+            ("typ", "most_frequent"),
+            ("sz", "max"),
+            ("brand", "max"),
+        ],
+    ),
+)
+def er_golden_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over the ER match graph: the
+    er_part_matches pairs close transitively (large-star/small-star CC),
+    then every cluster — singletons included — collapses to ONE record by
+    field rules: longest name, modal type, max size (operators/er.py;
+    clusters via operators/dedup.py::connected_components_star).  One
+    cluster-keyed aggregate + one modal pre-aggregate; never a self-join
+    over the merged table."""
+    pairs = er_part_matches(spark, sf_dir).select("id_a", "id_b")
+    cc = dd.connected_components_star(pairs)
+    p = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.trim(F.lower("p_name")).alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("typ"),
+        F.col("p_size").alias("sz"),
+    )
+    return er.golden_records(
+        p,
+        "pk",
+        cc,
+        [("name", "longest"), ("typ", "most_frequent"), ("sz", "max"), ("brand", "max")],
     )
 
 
