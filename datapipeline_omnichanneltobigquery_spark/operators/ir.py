@@ -414,3 +414,72 @@ def rrf_fuse(rankers: list, id_col: str, rank_col: str = "rank", k0: int = 60):
     return joined.select(
         id_col, score.alias("rrf_score"), hits.alias("n_rankers")
     )
+
+
+def phrase_search(df: DataFrame, id_col: str, text_col: str, phrase: str) -> DataFrame:
+    """Exact-phrase search via the POSITIONAL inverted index: every
+    (doc, start_pos) where the phrase's tokens appear contiguously — the
+    capability BM25's bag-of-words scoring cannot express (quoted-query
+    retrieval, boilerplate-sentence lookup, citation finding).
+
+    Scale shape: the positional postings are restricted to the phrase's
+    terms BEFORE any join — the k-way positional self-join then moves
+    only those postings (corpus-frequency of the query terms, not the
+    corpus), joined on (id, adjacent position).  The restricted frame is
+    ``localCheckpoint``-ed once, so the plan scans the source ONCE no
+    matter how long the phrase (the redundant-subtree discipline; without
+    it each of the k joins would recompile the tokenize-from-scan
+    subtree).  Positions are assigned BEFORE the empty-token filter, so
+    both engines index identical token grids.
+
+    Output: (doc_id, start_pos), one row per occurrence."""
+    terms = [t for t in phrase.strip().lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    pos = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+                "p", "term"
+            ),
+        )
+        .filter(F.col("term").isin(terms))
+        .localCheckpoint()
+    )
+    out = pos.filter(F.col("term") == terms[0]).select("id", "p")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos.filter(F.col("term") == t).select(
+            F.col("id").alias("__rid"), (F.col("p") - i).alias("__start")
+        )
+        out = out.join(
+            nxt,
+            (F.col("id") == F.col("__rid")) & (F.col("p") == F.col("__start")),
+        ).select("id", "p")
+    return out.select(F.col("id").alias("doc_id"), F.col("p").alias("start_pos"))
+
+
+def phrase_search_sql(table: str, id_col: str, text_col: str, phrase: str) -> str:
+    """DuckDB twin of :func:`phrase_search` — identical tokenization
+    (positions before the empty filter) and adjacency joins."""
+    terms = [t for t in phrase.strip().lower().split() if t]
+    joins = []
+    for i, t in enumerate(terms[1:], start=1):
+        joins.append(
+            f"    JOIN pos p{i} ON p{i}.id = p0.id AND p{i}.p = p0.p + {i}"
+            f" AND p{i}.term = '{t}'"
+        )
+    join_block = "\n".join(joins)
+    return f"""
+    WITH toks AS (SELECT {id_col} AS id,
+                         regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+                  FROM {table}),
+    pos AS (SELECT id, i - 1 AS p, w[i] AS term
+            FROM toks, UNNEST(range(1, len(w) + 1)) AS u(i)),
+    hits AS (
+        SELECT p0.id, p0.p
+        FROM pos p0
+{join_block}
+        WHERE p0.term = '{terms[0]}'
+    )
+    SELECT id AS doc_id, p AS start_pos FROM hits
+    """

@@ -20,6 +20,7 @@ from datapipeline_omnichanneltobigquery_spark.operators import membership as mb
 from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
 from datapipeline_omnichanneltobigquery_spark.operators import sampling as sa
 from datapipeline_omnichanneltobigquery_spark.operators import similarity as sim
+from datapipeline_omnichanneltobigquery_spark.operators import sharding as sh
 from datapipeline_omnichanneltobigquery_spark.operators import textstats as ts
 from datapipeline_omnichanneltobigquery_spark.plans.queries import query
 from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
@@ -1271,4 +1272,57 @@ def sampling_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 10 == 0,
         k=4,
         n_buckets=64,
+    )
+
+
+@query(
+    "text_phrase_search",
+    driver=False,  # new r8 family: positional-index exact-phrase retrieval (the quoted-query face of the IR family)
+    oracle=ir.phrase_search_sql("documents", "doc_id", "text", "window fast query"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over the POSITIONAL inverted index: every
+    (doc, start_pos) where the 3-token phrase occurs contiguously —
+    quoted-query search, which bag-of-words BM25 cannot express
+    (operators/ir.py::phrase_search).  The postings are restricted to the
+    phrase's terms before any join and localCheckpointed once, so the
+    corpus is scanned ONCE and the adjacency joins move query-term
+    postings only — at 100 TB the cost tracks the phrase terms'
+    frequency, never the corpus."""
+    return ir.phrase_search(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", "window fast query"
+    )
+
+
+@query(
+    "shard_rebalance_stability",
+    driver=False,  # new r8 family: HRW consistent sharding (minimal-movement corpus distribution)
+    oracle=(
+        "SELECT doc_id, "
+        + sh.hrw_shard_sql("doc_id", 8)
+        + " AS shard_8, "
+        + sh.hrw_shard_sql("doc_id", 9)
+        + " AS shard_9, ("
+        + sh.hrw_shard_sql("doc_id", 8)
+        + " <> "
+        + sh.hrw_shard_sql("doc_id", 9)
+        + ") AS moved FROM documents"
+    ),
+)
+def shard_rebalance_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard assignment under a reshard (8 → 9 shards):
+    each doc's shard before and after, plus the moved flag — HRW moves
+    only ~1/9 of keys and every mover lands ON the new shard
+    (operators/sharding.py; property pinned in tests/test_sampling.py).
+    The whole query is ONE map-side projection: zero exchanges, so
+    resharding a 100 TB corpus plan-wise costs a scan, and physically
+    costs moving 1/(N+1) of the bytes instead of N/(N+1)."""
+    d = read_table(spark, sf_dir, "documents")
+    s8 = sh.hrw_shard(F.col("doc_id"), 8)
+    s9 = sh.hrw_shard(F.col("doc_id"), 9)
+    return d.select(
+        "doc_id",
+        s8.alias("shard_8"),
+        s9.alias("shard_9"),
+        (s8 != s9).alias("moved"),
     )

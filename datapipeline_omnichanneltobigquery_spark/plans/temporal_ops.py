@@ -273,3 +273,65 @@ def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_event_id",
         (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
+
+
+@query(
+    "features_point_in_time",
+    driver=False,  # new r8 family: leakage-free feature generation (feature-store materialization)
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep, event_type,
+                      CAST(value AS DECIMAL(18,6)) AS v
+               FROM events),
+    f AS (
+        SELECT user_id, event_id, event_type,
+               COUNT(*) OVER w_all AS n_prior,
+               CAST(COALESCE(SUM(v) OVER w_all, 0) AS DOUBLE) AS amt_prior,
+               COUNT(*) OVER w_7d AS n_7d
+        FROM e
+        WINDOW
+          w_all AS (PARTITION BY user_id ORDER BY ep
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          w_7d  AS (PARTITION BY user_id ORDER BY ep
+                    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, n_prior, amt_prior, n_7d
+    FROM f WHERE event_type = 'purchase'
+    """,
+)
+def features_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (leakage-free) training features: every purchase
+    label gets aggregates over the user's STRICTLY-prior activity —
+    lifetime event count, lifetime spend, trailing-7-day count — the
+    feature-store materialization that as-of joins one value at a time
+    cannot express.  RANGE frames ending at ``1 PRECEDING`` on integer
+    epoch-micros make "strictly before the label instant" exact on both
+    engines (same-microsecond events are excluded — no target leakage by
+    construction, no tie-order dependence).  ONE user-partitioned window
+    sort serves all features; adding a feature widens the projection,
+    never adds a shuffle — the EWMA/rolling-zscore scale discipline.
+    Spend stays DECIMAL inside the window sum, one cast to double."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ep"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w_all = (
+        Window.partitionBy("user_id").orderBy("ep").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_7d = Window.partitionBy("user_id").orderBy("ep").rangeBetween(-604_800_000_000, -1)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.count(F.lit(1)).over(w_all).alias("n_prior"),
+            F.coalesce(F.sum("v").over(w_all), F.lit(0).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("amt_prior"),
+            F.count(F.lit(1)).over(w_7d).alias("n_7d"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "n_prior", "amt_prior", "n_7d")
+    )

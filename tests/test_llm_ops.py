@@ -1412,3 +1412,28 @@ def test_snm_multipass_catches_seeded_boundary_miss(spark):
     assert multi.get((10, 11)) == 2  # adjacent under BOTH orders -> 2 votes
     # every pair id-normalized, votes bounded by pass count
     assert all(a < b and 1 <= n <= 2 for (a, b), n in multi.items())
+
+
+def test_phrase_search_semantics(spark):
+    """Overlapping matches, repeated-token phrases, and start positions."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ir import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat sat mat"),
+            (2, "cat cat cat"),
+            (3, "no match here"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        (r.doc_id, r.start_pos)
+        for r in phrase_search(docs, "doc_id", "text", "cat sat").collect()
+    }
+    assert hits == {(1, 1), (1, 5)}
+    # repeated-token phrase: overlapping occurrences both count
+    rep = {
+        (r.doc_id, r.start_pos)
+        for r in phrase_search(docs, "doc_id", "text", "cat cat").collect()
+    }
+    assert rep == {(2, 0), (2, 1)}

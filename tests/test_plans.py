@@ -186,9 +186,13 @@ def test_rebalance_resample_is_map_side(spark):
     """sampling_rebalance's realized corpus must stay a narrow map-side
     filter — zero shuffle exchanges in the resample plan (the n_groups-row
     fractions round-trip happens before plan construction, by design)."""
-    from datapipeline_omnichanneltobigquery_spark.plans.queries import QUERIES
+    from datapipeline_omnichanneltobigquery_spark.plans.queries import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
 
-    df = QUERIES["sampling_rebalance"](spark, SF_DIR)
+    fn = QUERIES.get("sampling_rebalance") or EXTRA_QUERIES["sampling_rebalance"]
+    df = fn(spark, SF_DIR)
     assert audit.exchange_count(df) == 0, audit.plan_string(df)
 
 

@@ -297,3 +297,35 @@ def test_pack_greedy_no_split_invariants(spark):
          for r in pack_greedy(df, "doc_id", "n_tokens", ctx_len=512, n_shards=4).collect())
     )
     assert again == [t[:4] for t in rows_out]
+
+
+def test_hrw_sharding_minimal_movement(spark):
+    """HRW growth property: adding a shard moves ~1/(N+1) of keys and every
+    mover lands ON the new shard (old argmax unchanged among old shards);
+    removal reassigns ONLY the removed shard's keys.  Assignment is a pure
+    projection — zero exchanges."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sharding import (
+        hrw_shard,
+        shard_assignments,
+    )
+    from datapipeline_omnichanneltobigquery_spark.plans import audit
+
+    keys = spark.range(2000).withColumnRenamed("id", "k")
+    both = keys.select(
+        "k",
+        hrw_shard(F.col("k"), 8).alias("s8"),
+        hrw_shard(F.col("k"), 9).alias("s9"),
+    )
+    assert audit.exchange_count(both) == 0, audit.plan_string(both)
+    rows = both.collect()
+    movers = [r for r in rows if r.s8 != r.s9]
+    # every mover lands on the NEW shard (id 8)
+    assert movers and all(r.s9 == 8 for r in movers)
+    # expected fraction 1/9 ≈ 11%; allow a generous band at n=2000
+    frac = len(movers) / len(rows)
+    assert 0.06 < frac < 0.18, frac
+    # removal face: keys NOT on the removed shard keep their assignment
+    stay = [r for r in rows if r.s9 != 8]
+    assert all(r.s8 == r.s9 for r in stay)
+    # shard_assignments face covers all rows
+    assert shard_assignments(keys, "k", 8).count() == 2000
