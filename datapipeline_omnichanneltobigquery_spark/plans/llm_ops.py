@@ -1326,3 +1326,49 @@ def shard_rebalance_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         s9.alias("shard_9"),
         (s8 != s9).alias("moved"),
     )
+
+
+@query(
+    "seq_training_pairs",
+    driver=False,  # new r8 family: sequence dataset construction (next-event prediction pairs)
+    oracle="""
+    SELECT user_id, event_id,
+           l3 || ' ' || l2 || ' ' || l1 AS ctx,
+           event_type AS target
+    FROM (
+        SELECT user_id, event_id, event_type,
+               LAG(event_type, 1) OVER w AS l1,
+               LAG(event_type, 2) OVER w AS l2,
+               LAG(event_type, 3) OVER w AS l3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE l3 IS NOT NULL
+    """,
+)
+def seq_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model training pairs from behavioral streams: every event
+    with a full 3-event left context becomes one (context, target)
+    example — the dataset-construction step for next-event prediction /
+    session-based recommendation.  ONE user-partitioned window sort
+    yields all lags (ties resolve on event_id — fully deterministic
+    sequences); adding context length widens the projection, never adds
+    a shuffle.  At 100 TB this is the same single sequence shuffle every
+    per-user operator here pays — no self-joins, no explode."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("l1"),
+        F.lag("event_type", 2).over(w).alias("l2"),
+        F.lag("event_type", 3).over(w).alias("l3"),
+    )
+    return ev.filter(F.col("l3").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.concat_ws(" ", "l3", "l2", "l1").alias("ctx"),
+        F.col("event_type").alias("target"),
+    )

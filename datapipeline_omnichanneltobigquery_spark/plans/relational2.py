@@ -1915,3 +1915,159 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("t").cast("double")).alias("prob"),
     )
+
+
+@query(
+    "events_ab_experiment",
+    driver=False,  # new r8 family: experiment analytics (two-sample proportion z-test)
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
+               CAST('0x' || substr(md5(concat('ab:', CAST(user_id AS VARCHAR))), 1, 15)
+                    AS BIGINT) % 2 AS variant
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+               SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+               SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+        FROM u
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z_stat
+    FROM s
+    """,
+)
+def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analytics: a deterministic md5-parity variant assignment
+    (the hash-based bucketing every real experimentation system uses —
+    stable under re-runs, no stored assignment table), per-user conversion
+    (≥1 high-value purchase — a mid-rate event, so the statistic is
+    non-degenerate), and the two-sample proportion z-statistic in ONE fixed
+    expression order — exact integer counts up to a handful of IEEE
+    divisions + one sqrt, rounded to 6 decimals on both engines.  Two
+    aggregates total (user rollup, then a 1-row global), so at 100 TB the
+    cost is one user-keyed shuffle — the assignment itself is map-side."""
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long
+
+    u = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn(
+            "variant", md5_long(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2
+        )
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("round(CAST(conv_a AS DOUBLE) / n_a, 6)").alias("rate_a"),
+        F.expr("round(CAST(conv_b AS DOUBLE) / n_b, 6)").alias("rate_b"),
+        F.expr(
+            "round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)"
+            " / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+            "        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+            "        * (1.0 / n_a + 1.0 / n_b)), 0.0), 6)"
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "feature_mutual_info",
+    driver=False,  # new r8 family: feature-relevance screening (binned MI, ordered-fold total)
+    oracle="""
+    WITH e AS (
+        SELECT event_type AS y,
+               (GREATEST(0, LEAST(CAST(floor(value * 1000000.0) AS BIGINT), 499999999))
+                * 10) // 500000000 AS xb
+        FROM events
+    ),
+    cells AS (SELECT xb, y, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    m AS (
+        SELECT xb, y, c,
+               SUM(c) OVER () AS n,
+               SUM(c) OVER (PARTITION BY xb) AS cx,
+               SUM(c) OVER (PARTITION BY y) AS cy
+        FROM cells
+    ),
+    t AS (
+        SELECT xb, y,
+               (CAST(c AS DOUBLE) / n)
+                 * ln(CAST(c AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy)) AS t
+        FROM m
+    )
+    SELECT round(list_sum(list_transform(
+               list(struct_pack(xb := xb, y := y, t := t) ORDER BY xb, y),
+               s -> s.t)), 6) AS mi,
+           COUNT(*) AS n_cells
+    FROM t
+    """,
+)
+def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-relevance screening: mutual information between the binned
+    event value (10 equi-width micro-unit bins — the qsketch/PSI integer
+    binning, no float edges) and the event type, from EXACT cell counts.
+    The only floats are one ln + three divisions per CELL (≤ 50 cells
+    regardless of data size) and the final total, folded in (bin, class)
+    order on both engines (the ordered-fold dot-product discipline —
+    a distributed float SUM would be order-nondeterministic).  At 100 TB:
+    one groupBy to cell counts (partial-aggregated), then windows over a
+    ≤50-row frame — marginals and the fold never touch data again."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("y"),
+        F.expr(
+            "(GREATEST(0L, LEAST(CAST(floor(value * 1000000.0) AS BIGINT), 499999999L))"
+            " * 10) div 500000000"
+        ).alias("xb"),
+    )
+    cells = ev.groupBy("xb", "y").agg(F.count(F.lit(1)).alias("c"))
+    m = cells.select(
+        "xb",
+        "y",
+        "c",
+        F.sum("c").over(W.partitionBy()).alias("n"),
+        F.sum("c").over(W.partitionBy("xb")).alias("cx"),
+        F.sum("c").over(W.partitionBy("y")).alias("cy"),
+    )
+    t = m.select(
+        "xb",
+        "y",
+        F.expr(
+            "(CAST(c AS DOUBLE) / n)"
+            " * ln(CAST(c AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy))"
+        ).alias("t"),
+    )
+    return t.agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("xb", "y", "t"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ),
+            6,
+        ).alias("mi"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
