@@ -635,3 +635,45 @@ def ngram_novelty_sql(table: str, id_col: str, text_col: str, n: int = 3) -> str
     FROM sh s JOIN docfreq d ON d.shingle = s.shingle
     GROUP BY s.id
     """
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6) -> DataFrame:
+    """Compression-ratio quality signal: zlib-compressed size over raw
+    UTF-8 size per document — the model-free redundancy detector the
+    Gopher/Dolma-style filter stacks use beside token statistics
+    (machine-generated/boilerplate text compresses far below prose;
+    near-random noise compresses above ~1.0).  Complements
+    ``repetition_stats`` (which sees exact token/2-gram repeats) by
+    catching LONG-RANGE and near-miss redundancy in one number.
+
+    One Arrow ``mapInPandas`` crossing, per-batch (never per-row Python);
+    cost is a linear scan of the bytes — scan-bound at 100 TB like the
+    codec kernels.  zlib with a fixed level is deterministic for a given
+    zlib build; treat the ratio as a score, not a cross-platform hash
+    (hence pytest-pinned, no SQL oracle — DuckDB has no deflate).
+
+    Output: (id, raw_bytes, zlib_bytes, ratio)."""
+    import pyspark.sql.functions as F
+
+    schema = f"{df.select(F.col(id_col)).schema[0].dataType.simpleString()}"
+    out_schema = f"id {schema}, raw_bytes long, zlib_bytes long, ratio double"
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+            rb = [len(b) for b in raw]
+            zb = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "raw_bytes": rb,
+                    "zlib_bytes": zb,
+                    "ratio": [z / r if r else 0.0 for z, r in zip(zb, rb)],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)

@@ -1437,3 +1437,24 @@ def test_phrase_search_semantics(spark):
         for r in phrase_search(docs, "doc_id", "text", "cat cat").collect()
     }
     assert rep == {(2, 0), (2, 1)}
+
+
+def test_compression_ratio_signal(spark):
+    """zlib ratio separates repetitive text from varied text, matches a
+    direct zlib computation exactly, and handles empty/null docs."""
+    import zlib
+
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import (
+        compression_ratio,
+    )
+
+    rep = "spam ham " * 200
+    varied = " ".join(f"w{i * 37 % 9973}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, rep), (2, varied), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = {r.id: r for r in compression_ratio(docs, "doc_id", "text").collect()}
+    assert out[1].raw_bytes == len(rep.encode())
+    assert out[1].zlib_bytes == len(zlib.compress(rep.encode(), 6))
+    assert out[1].ratio < 0.05 < 0.3 < out[2].ratio  # repetition compresses away
+    assert out[3].ratio == 0.0 and out[4].ratio == 0.0

@@ -194,3 +194,76 @@ def test_validate_constraints_counts_violations(spark):
     assert got["v_in_range"] == (2, False)   # -5 and 999
     assert got["cat_known"] == (1, False)
     assert got["v_even"] == (2, False)       # -5, 999 odd
+
+
+def test_isotonic_pava_matches_brute_force_and_applies(spark):
+    """PAVA fit must equal the max-min isotonic-regression definition
+    (f_j = max_{i<=j} min_{k>=j} weightedmean(y[i..k])), stay monotone,
+    and the step-function apply must clamp below/above the fitted range."""
+    import random
+
+    from datapipeline_omnichanneltobigquery_spark.operators.calibration import (
+        isotonic_apply,
+        isotonic_fit,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(40):
+            s = round(rng.uniform(0, 1), 2)  # duplicate scores occur
+            # noisy increasing relationship; group b inverted noise scale
+            y = 1 if rng.random() < (0.2 + 0.6 * s if g == "a" else s * s) else 0
+            rows.append((g, s, y))
+    df = spark.createDataFrame(rows, "grp string, score double, label int")
+    curve = isotonic_fit(df, "grp", "score", "label").collect()
+
+    for g in ("a", "b"):
+        data = sorted((s, y) for gg, s, y in rows if gg == g)
+        # tie-collapse to (score, weight, mean)
+        from itertools import groupby
+
+        pts = []
+        for s, it in groupby(data, key=lambda t: t[0]):
+            ys = [y for _, y in it]
+            pts.append((s, len(ys), sum(ys) / len(ys)))
+
+        def wmean(i, k):
+            w = sum(p[1] for p in pts[i : k + 1])
+            return sum(p[1] * p[2] for p in pts[i : k + 1]) / w
+
+        expect = [
+            max(min(wmean(i, k) for k in range(j, len(pts))) for i in range(j + 1))
+            for j in range(len(pts))
+        ]
+        got_iv = sorted(
+            (r for r in curve if r.grp == g), key=lambda r: r.score_lo
+        )
+        # monotone nondecreasing pools
+        assert all(
+            got_iv[i].p_cal <= got_iv[i + 1].p_cal + 1e-12
+            for i in range(len(got_iv) - 1)
+        )
+        # each point's fitted value equals the definition
+        fitted = {}
+        for r in got_iv:
+            for s, _, _ in pts:
+                if r.score_lo <= s <= r.score_hi:
+                    fitted[s] = r.p_cal
+        for (s, _, _), e in zip(pts, expect):
+            assert abs(fitted[s] - e) < 1e-9, (g, s, fitted[s], e)
+
+    # apply: in-range lookup + clamping at both ends
+    probe = spark.createDataFrame(
+        [("a", -5.0), ("a", 5.0), ("a", 0.5)], "grp string, score double"
+    )
+    out = {
+        r.score: r.p_cal
+        for r in isotonic_apply(
+            probe, isotonic_fit(df, "grp", "score", "label"), "grp", "score"
+        ).collect()
+    }
+    a_iv = sorted((r for r in curve if r.grp == "a"), key=lambda r: r.score_lo)
+    assert out[-5.0] == a_iv[0].p_cal and out[5.0] == a_iv[-1].p_cal
+    mid = [r for r in a_iv if r.score_lo <= 0.5][-1]
+    assert out[0.5] == mid.p_cal
