@@ -833,3 +833,133 @@ def validate_constraints_sql(table: str, rules: list) -> str:
         for name, _, _ in rules
     )
     return f"WITH agg AS (SELECT {', '.join(parts)} FROM {table})\n{rows}"
+
+
+def drift_ks(df_ref, df_cur, col: str, lo: float, hi: float, n_buckets: int = 64):
+    """EXACT two-sample Kolmogorov-Smirnov statistic between a reference
+    and a current snapshot — the sharpest standard drift test (PSI sees
+    binned mass shifts; KS sees the worst-case CDF gap at full
+    resolution).
+
+    Exactness without floats: at every distinct observed value,
+    ``|ecdf_ref − ecdf_cur| = |cum_ref·n_cur − cum_cur·n_ref| / (n_ref·n_cur)``
+    — the numerator is INTEGER, so the max is found in exact arithmetic
+    and ONE final division produces d_stat (ties on the max resolve to
+    the largest value — a total order both engines share).
+
+    Scale shape — the part worth copying: a naive ECDF is a GLOBAL
+    cumulative sum, i.e. a single-partition window sort.  Here the
+    cumulative count is a two-level distributed prefix sum: distinct
+    values are range-bucketed on the [lo, hi) micro-unit grid
+    (``n_buckets`` buckets), per-bucket totals (a ``n_buckets``-row
+    frame) take the only global window, and each bucket's interior
+    cumulates under ``partitionBy(bucket)`` — fully parallel, no
+    single-partition sort over the data.  The DuckDB twin is the
+    definitional global-window form, so the hash gate proves the
+    decomposition correct.
+
+    Output: one row (n_ref, n_cur, d_stat, ks_at)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    lo_i, hi_i = _q_micro(lo), _q_micro(hi)
+
+    def tagged(d, flag):
+        return d.select(
+            F.col(col).alias("v"), F.lit(flag).alias("is_ref")
+        )
+
+    u = tagged(df_ref, 1).unionByName(tagged(df_cur, 0))
+    # The distinct-value table feeds three consumers (bucket totals, the
+    # interior cumulation join, the n_ref/n_cur totals) — materialize it
+    # once or each recompiles from the source scans (the redundant-subtree
+    # discipline; it is distinct-values-sized, never the corpus).
+    vals = (
+        u.groupBy("v")
+        .agg(
+            F.sum("is_ref").alias("cr"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("cc"),
+        )
+        .withColumn(
+            "b",
+            F.expr(
+                f"((greatest({lo_i}L, least(CAST(floor(v * 1000000.0) AS BIGINT),"
+                f" {hi_i - 1}L)) - {lo_i}) * {n_buckets}) div {hi_i - lo_i}"
+            ),
+        )
+        .localCheckpoint()
+    )
+    btot = vals.groupBy("b").agg(
+        F.sum("cr").alias("bcr"), F.sum("cc").alias("bcc")
+    )
+    wpre = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    prefix = btot.select(
+        "b",
+        F.coalesce(F.sum("bcr").over(wpre), F.lit(0)).alias("pr"),
+        F.coalesce(F.sum("bcc").over(wpre), F.lit(0)).alias("pc"),
+    )
+    win = W.partitionBy("b").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = vals.join(F.broadcast(prefix), "b").select(
+        "v",
+        (F.col("pr") + F.sum("cr").over(win)).alias("cum_r"),
+        (F.col("pc") + F.sum("cc").over(win)).alias("cum_c"),
+    )
+    totals = vals.agg(
+        F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("cum_r") * F.col("n_cur") - F.col("cum_c") * F.col("n_ref")
+        ).alias("dnum"),
+        "v",
+    )
+    best = scored.agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.max(F.struct(F.col("dnum").alias("d"), F.col("v").alias("at"))).alias("m"),
+    )
+    return best.select(
+        "n_ref",
+        "n_cur",
+        (
+            F.col("m")["d"].cast("double")
+            / (F.col("n_ref") * F.col("n_cur")).cast("double")
+        ).alias("d_stat"),
+        F.col("m")["at"].alias("ks_at"),
+    )
+
+
+def drift_ks_sql(ref_sql: str, cur_sql: str, col: str) -> str:
+    """DuckDB twin of :func:`drift_ks` — the DEFINITIONAL global-window
+    ECDF form (the Spark side's two-level prefix decomposition must
+    reproduce it bit-for-bit)."""
+    return f"""
+    WITH u AS (
+        SELECT {col} AS v, 1 AS is_ref FROM {ref_sql}
+        UNION ALL
+        SELECT {col} AS v, 0 AS is_ref FROM {cur_sql}
+    ),
+    vals AS (
+        SELECT v, SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+        FROM u GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(cr) OVER (ORDER BY v) AS cum_r,
+               SUM(cc) OVER (ORDER BY v) AS cum_c
+        FROM vals
+    ),
+    tot AS (SELECT SUM(is_ref) AS n_ref, SUM(1 - is_ref) AS n_cur FROM u),
+    scored AS (
+        SELECT n_ref, n_cur,
+               ABS(cum_r * n_cur - cum_c * n_ref) AS dnum, v
+        FROM cum CROSS JOIN tot
+    )
+    SELECT MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+           CAST((MAX(struct_pack(d := dnum, at := v))).d AS DOUBLE)
+             / (CAST(MAX(n_ref) AS DOUBLE) * MAX(n_cur)) AS d_stat,
+           (MAX(struct_pack(d := dnum, at := v))).at AS ks_at
+    FROM scored
+    """

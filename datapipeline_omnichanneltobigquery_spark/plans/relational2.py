@@ -2071,3 +2071,82 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mi"),
         F.count(F.lit(1)).alias("n_cells"),
     )
+
+
+@query(
+    "drift_ks_events",
+    driver=False,  # new r8 family: exact KS drift (distributed two-level-prefix ECDF vs definitional twin)
+    oracle=pf.drift_ks_sql(
+        "(SELECT * FROM events WHERE event_id % 2 = 0)",
+        "(SELECT * FROM events WHERE event_id % 2 = 1)",
+        "value",
+    ),
+)
+def drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between event
+    snapshots (even vs odd ids): integer ECDF-gap numerators, one final
+    division — and the ECDF itself is a TWO-LEVEL distributed prefix sum
+    (range-bucketed partials + per-bucket interior windows), so no
+    single-partition sort ever touches the data; the oracle is the
+    definitional global-window form, proving the decomposition
+    (operators/profile.py::drift_ks)."""
+    ev = read_table(spark, sf_dir, "events")
+    return pf.drift_ks(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value", 0.0, 1000.0,
+    )
+
+
+@query(
+    "features_target_encoding",
+    driver=False,  # new r8 family: leakage-safe categorical encoding (LOO + smoothing)
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS v
+        FROM events
+    ),
+    cat AS (
+        SELECT event_type, SUM(v) AS s_c, COUNT(*) AS n_c
+        FROM e GROUP BY event_type
+    ),
+    g AS (SELECT SUM(v) AS s_g, COUNT(*) AS n_g FROM e)
+    SELECT e.event_id, e.event_type,
+           round((CAST(cat.s_c - e.v AS DOUBLE)
+                  + 10.0 * (CAST(g.s_g AS DOUBLE) / g.n_g))
+                 / (CAST(cat.n_c - 1 AS DOUBLE) + 10.0), 6) AS te
+    FROM e JOIN cat USING (event_type) CROSS JOIN g
+    """,
+)
+def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding: each row's category gets
+    the mean target of the OTHER rows in its category, shrunk toward the
+    global mean (alpha=10) — the leakage-safe way to turn a high-
+    cardinality categorical into a numeric feature (plain per-category
+    means leak each row's own label into its feature; the point-in-time
+    discipline applied to categoricals).  Sums stay DECIMAL-exact until
+    one fixed-order double expression per row; the category table and
+    the 1-row global mean broadcast, so at 100 TB this is ONE category
+    aggregate + a map-side join — no window, no self-join."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    cat = e.groupBy("event_type").agg(
+        F.sum("v").alias("s_c"), F.count(F.lit(1)).alias("n_c")
+    )
+    g = e.agg(F.sum("v").alias("s_g"), F.count(F.lit(1)).alias("n_g"))
+    return (
+        e.join(F.broadcast(cat), "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_id",
+            "event_type",
+            F.expr(
+                "round((CAST(s_c - v AS DOUBLE)"
+                " + 10.0 * (CAST(s_g AS DOUBLE) / n_g))"
+                " / (CAST(n_c - 1 AS DOUBLE) + 10.0), 6)"
+            ).alias("te"),
+        )
+    )
