@@ -902,10 +902,16 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings")
     bm = ir.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)  # -> (id, n_hits, score)
+    # Top-200 FIRST via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, never a single-partition sort of every matching doc), THEN rank
+    # the <=200 survivors with a window; ranks are identical, but the global
+    # row_number-then-filter form would sort the whole scored corpus in ONE
+    # partition at 100 TB.
     bw = Window.orderBy(F.col("score").desc(), F.col("id"))
     bmr = (
-        bm.withColumn("rank", F.row_number().over(bw))
-        .filter(F.col("rank") <= 200)
+        bm.orderBy(F.col("score").desc(), F.col("id"))
+        .limit(200)
+        .withColumn("rank", F.row_number().over(bw))
         .select("id", "rank")
     )
     cs = sim.cosine_topk(emb, query_vec_id=0, k=200, dim=EMB_DIM)
