@@ -677,3 +677,131 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6)
             )
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
+def kneser_ney_logprob(
+    df: DataFrame, id_col: str, text_col: str, discount: float = 0.75
+) -> DataFrame:
+    """Kneser-Ney-smoothed BIGRAM language-model score per document — the
+    smoothing that replaces :func:`bigram_logprob`'s linear interpolation
+    with absolute discounting plus the CONTINUATION distribution:
+
+        P_KN(w|prev) = (c(prev,w) − d)/c(prev·)
+                       + (d·N1+(prev·)/c(prev·)) · N1+(·w)/|bigram types|
+
+    The continuation term is what makes KN the standard: a word frequent
+    only inside one collocation ("francisco") gets LOW backoff mass while
+    a word following many contexts gets high — unigram-interpolated
+    models cannot express that.  Scoring the corpus against its own
+    counts means every scored bigram was observed, so c(prev,w) ≥ 1 > d
+    and P > 0 without clamping; first tokens score by unigram MLE.
+
+    Determinism and scale follow :func:`bigram_logprob` exactly: all
+    count tables are vocabulary-sized and localCheckpointed (the bigram
+    table feeds THREE consumers — direct counts, per-context N1+/totals,
+    per-word continuation counts), probabilities are one fixed-order
+    all-double expression, ln agrees bitwise, per-doc sums fold in
+    position order, 6-decimal round.  Returns (id, n_tokens,
+    avg_logprob)."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_ws_tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select("id", "pos", "term")
+    )
+    lagged = toks.withColumn(
+        "prev", F.lag("term").over(Window.partitionBy("id").orderBy("pos"))
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu")).localCheckpoint()
+    totals = uni.agg(F.sum("cu").alias("n_total"))
+    big = (
+        lagged.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint()
+    )
+    ctx = big.groupBy("prev").agg(
+        F.count(F.lit(1)).alias("np"), F.sum("cb").alias("cp")
+    )
+    cont = big.groupBy("term").agg(F.count(F.lit(1)).alias("nw"))
+    n_types = big.agg(F.count(F.lit(1)).alias("n_types"))
+    d = float(discount)
+    scored = (
+        lagged.join(uni, "term")
+        .join(big, ["prev", "term"], "left")
+        .join(ctx, "prev", "left")
+        .join(cont, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_types))
+    )
+    p_uni = F.col("cu").cast("double") / F.col("n_total").cast("double")
+    p_kn = (
+        (F.col("cb").cast("double") - F.lit(d)) / F.col("cp").cast("double")
+        + (F.lit(d) * F.col("np").cast("double") / F.col("cp").cast("double"))
+        * (F.col("nw").cast("double") / F.col("n_types").cast("double"))
+    )
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(p_kn)
+    return (
+        scored.select("id", "pos", F.log(p).alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["lp"],
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
+def kneser_ney_logprob_sql(
+    table: str, id_col: str, text_col: str, discount: float = 0.75
+) -> str:
+    """DuckDB twin of :func:`kneser_ney_logprob` — same counts, same
+    fixed-order all-double KN expression, same position-ordered sum."""
+    d = f"CAST({float(discount)!r} AS DOUBLE)"
+    return f"""
+    WITH toks0 AS (SELECT {id_col} AS id,
+                          UNNEST(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS term,
+                          generate_subscripts(regexp_split_to_array(trim(lower({text_col})), '\\s+'), 1) AS pos
+                   FROM {table}),
+    toks AS (SELECT id, pos, term FROM toks0 WHERE term <> ''),
+    lagged AS (SELECT id, pos, term,
+                      LAG(term) OVER (PARTITION BY id ORDER BY pos) AS prev
+               FROM toks),
+    uni AS (SELECT term, COUNT(*) AS cu FROM toks GROUP BY term),
+    totals AS (SELECT SUM(cu) AS n_total FROM uni),
+    big AS (SELECT prev, term, COUNT(*) AS cb FROM lagged
+            WHERE prev IS NOT NULL GROUP BY prev, term),
+    ctx AS (SELECT prev, COUNT(*) AS np, SUM(cb) AS cp FROM big GROUP BY prev),
+    cont AS (SELECT term, COUNT(*) AS nw FROM big GROUP BY term),
+    ntypes AS (SELECT COUNT(*) AS n_types FROM big),
+    scored AS (
+        SELECT l.id, l.pos,
+               ln(CASE WHEN l.prev IS NULL
+                       THEN CAST(u.cu AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                       ELSE (CAST(b.cb AS DOUBLE) - {d}) / CAST(x.cp AS DOUBLE)
+                            + ({d} * CAST(x.np AS DOUBLE) / CAST(x.cp AS DOUBLE))
+                              * (CAST(w.nw AS DOUBLE) / CAST(n.n_types AS DOUBLE))
+                  END) AS lp
+        FROM lagged l
+        JOIN uni u ON u.term = l.term
+        LEFT JOIN big b ON b.prev = l.prev AND b.term = l.term
+        LEFT JOIN ctx x ON x.prev = l.prev
+        LEFT JOIN cont w ON w.term = l.term
+        CROSS JOIN totals t CROSS JOIN ntypes n
+    )
+    SELECT id AS {id_col}, COUNT(*) AS n_tokens,
+           round(list_sum(list_transform(
+                     list(struct_pack(pos := pos, lp := lp) ORDER BY pos),
+                     s -> s.lp)) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY id
+    """

@@ -1378,3 +1378,19 @@ def seq_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", "l3", "l2", "l1").alias("ctx"),
         F.col("event_type").alias("target"),
     )
+
+
+@query(
+    "text_kn_logprob",
+    driver=False,  # new r8 family member: Kneser-Ney smoothing beside the interpolated bigram LM
+    oracle=ts.kneser_ney_logprob_sql("documents", "doc_id", "text"),
+)
+def text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram LM score per document: absolute
+    discounting + the continuation distribution (words are scored by how
+    many CONTEXTS they follow, not how often they occur) — the standard
+    n-gram smoothing, one rung above text_bigram_logprob's linear
+    interpolation (operators/textstats.py::kneser_ney_logprob)."""
+    return ts.kneser_ney_logprob(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )

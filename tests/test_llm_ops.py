@@ -1458,3 +1458,29 @@ def test_compression_ratio_signal(spark):
     assert out[1].zlib_bytes == len(zlib.compress(rep.encode(), 6))
     assert out[1].ratio < 0.05 < 0.3 < out[2].ratio  # repetition compresses away
     assert out[3].ratio == 0.0 and out[4].ratio == 0.0
+
+
+def test_kneser_ney_continuation_property(spark):
+    """The KN signature: a target seen equally often as another but after
+    ONE context only (the 'francisco' case) must score LOWER after a novel
+    context than the many-context target — linear interpolation on raw
+    unigram counts cannot make that distinction."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import (
+        kneser_ney_logprob,
+    )
+
+    # corpus: 'francisco' always after 'san' (6x); 'road' after 6 different
+    # words (6x).  Probe docs end ('new', <target>) — a novel context.
+    corpus = " ".join(["san francisco"] * 6) + " " + " ".join(
+        f"w{i} road" for i in range(6)
+    )
+    probe_f = corpus + " new francisco"
+    probe_r = corpus + " new road"
+    docs = spark.createDataFrame(
+        [(1, probe_f), (2, probe_r)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.avg_logprob for r in
+           kneser_ney_logprob(docs, "doc_id", "text").collect()}
+    # both probe docs share everything except the last bigram, whose KN
+    # backoff mass differs purely via the continuation counts
+    assert out[2] > out[1]
