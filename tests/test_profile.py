@@ -267,3 +267,27 @@ def test_isotonic_pava_matches_brute_force_and_applies(spark):
     assert out[-5.0] == a_iv[0].p_cal and out[5.0] == a_iv[-1].p_cal
     mid = [r for r in a_iv if r.score_lo <= 0.5][-1]
     assert out[0.5] == mid.p_cal
+
+
+def test_qsketch_degenerate_and_boundary_groups(spark):
+    """A single-valued group must report every quantile inside its own
+    bin (width-bounded error), and values exactly on bin edges must bin
+    identically to the SQL twin's integer arithmetic (no float edges)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        qsketch_quantiles_direct,
+    )
+
+    args = dict(lo=0.0, hi=100.0, n_bins=100)  # bin width 1.0
+    rows = [("const", 42.5)] * 50 + [("edge", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    qs = [("p50", 1, 2), ("p99", 99, 100)]
+    out = {
+        (r.grp, r.quantile): r.est_value
+        for r in qsketch_quantiles_direct(df, "grp", "v", qs, **args).collect()
+    }
+    # all mass in bin [42, 43): estimates stay inside it
+    assert 42.0 <= out[("const", "p50")] <= 43.0
+    assert 42.0 <= out[("const", "p99")] <= 43.0
+    # one value per bin: p50 -> 50th of 100 ranked values (bin 49), p99 -> bin 98
+    assert 49.0 <= out[("edge", "p50")] <= 50.0
+    assert 98.0 <= out[("edge", "p99")] <= 99.0
