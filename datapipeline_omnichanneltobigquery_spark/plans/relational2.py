@@ -2125,9 +2125,11 @@ def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality categorical into a numeric feature (plain per-category
     means leak each row's own label into its feature; the point-in-time
     discipline applied to categoricals).  Sums stay DECIMAL-exact until
-    one fixed-order double expression per row; the category table and
-    the 1-row global mean broadcast, so at 100 TB this is ONE category
-    aggregate + a map-side join — no window, no self-join."""
+    one fixed-order double expression per row; the 1-row global mean is
+    the only forced broadcast — the category table scales with
+    cardinality, so AQE sizes that join (broadcast whenever actually
+    small).  At 100 TB: ONE category aggregate + one join — no window,
+    no self-join."""
     e = read_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -2137,8 +2139,11 @@ def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").alias("s_c"), F.count(F.lit(1)).alias("n_c")
     )
     g = e.agg(F.sum("v").alias("s_g"), F.count(F.lit(1)).alias("n_g"))
+    # no broadcast hint on the category table: it scales with category
+    # cardinality, so AQE sizes the join (it broadcasts whenever the table
+    # is actually small); only the provably-1-row global mean is hinted
     return (
-        e.join(F.broadcast(cat), "event_type")
+        e.join(cat, "event_type")
         .crossJoin(F.broadcast(g))
         .select(
             "event_id",
