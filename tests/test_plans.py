@@ -261,6 +261,42 @@ def test_no_unjustified_unbounded_broadcast_hints(spark):
     assert not offenders, offenders
 
 
+# Same contract for the driver=False registry (PLANS_EXTRAS.md rows print
+# REVIEW for these) — every flagged force-broadcast justified here or the
+# test fails, so an unbounded hint can't hide in an extra either.
+EXTRA_BROADCAST_REVIEW_ALLOWLIST = {
+    # n_shards-row shard-offset aggregate (operators/sampling.py:321 —
+    # bounded by the shard-count constant, not by data)
+    "sampling_global_shuffle": 1,
+    # bounded ANN probe batch (literal vec_id range; the batch-ANN plan
+    # shape per operators/similarity.py::ivf_topk_join_from_index)
+    "similarity_ann_batch": 1,
+    "similarity_ann_incremental": 1,
+    # probe/threshold frames bounded by the caller's query contract
+    "similarity_topk_join": 1,
+    # eval-suite shingle index + contaminated-id list (decontam module
+    # contract: evaluation suites are small by construction)
+    "text_decontam_keep": 2,
+}
+
+
+def test_no_unjustified_unbounded_broadcast_hints_extras(spark):
+    """The broadcast-boundedness contract extended to the whole registry:
+    driver=False entries get the same audit as the gated 50."""
+    from datapipeline_omnichanneltobigquery_spark.plans.queries import EXTRA_QUERIES
+
+    offenders = {}
+    for name, fn in EXTRA_QUERIES.items():
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception:
+            continue  # build errors are other tests' business
+        _, flagged = audit.broadcast_hint_audit(df)
+        if flagged != EXTRA_BROADCAST_REVIEW_ALLOWLIST.get(name, 0):
+            offenders[name] = flagged
+    assert not offenders, offenders
+
+
 # Queries allowed to exceed audit.MAX_FILE_SCANS_PER_SOURCE, each with the
 # reason the extra scans are the RIGHT plan (not a redundant subtree).
 # Empty today — the round-7 offenders (tfidf 18, corpus_prep_incremental 18,
