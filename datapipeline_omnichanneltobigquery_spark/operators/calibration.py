@@ -99,9 +99,11 @@ def isotonic_apply(
     """Calibrate ``scored`` rows against a fitted curve: each row takes
     the p_cal of the LAST interval whose score_lo <= score (scores below
     every interval clamp to the first pool; the curve is a step function,
-    so this is a backward as-of lookup on score_lo).  The curve is tiny
-    (pools per group) — broadcast join, zero extra shuffles on the scored
-    side beyond the group key it already carries."""
+    so this is a backward as-of lookup on score_lo).  The curve has
+    (pools × groups) rows — small per group but it SCALES with group
+    count, so no forced broadcast hint: AQE sizes the join and
+    broadcasts whenever the curve actually fits (the repo-wide
+    no-force-broadcast-on-scaling-inputs discipline)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window as W
 
@@ -117,7 +119,7 @@ def isotonic_apply(
         .select(F.col(group_col), "score_lo", F.col("p_cal").alias("__p"))
     )
     sid = scored.withColumn("__rid", F.monotonically_increasing_id())
-    joined = sid.join(F.broadcast(c), group_col, "left").filter(
+    joined = sid.join(c, group_col, "left").filter(
         (F.col("score_lo") <= F.col(score_col)) | (F.col("score_lo").isNull())
     )
     w = W.partitionBy("__rid").orderBy(F.col("score_lo").desc())
