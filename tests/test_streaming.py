@@ -633,3 +633,51 @@ def test_cms_probe_unseen_key_reports_zero(spark):
     est = {r.k: r.est_count for r in cms_probe(sk, keys, "k").collect()}
     assert est["never-seen"] == 0
     assert est["a"] >= 9 and est["b"] >= 4  # CMS one-sided guarantee intact
+
+
+def test_streaming_golden_records_incremental_equals_batch(spark, tmp_path):
+    """Incremental survivorship over two micro-batches must equal the
+    batch golden_records over the union (for the decomposable rules), and
+    a replayed batch must not change state (idempotent partials + the
+    n_members marker)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.er import golden_records
+    from datapipeline_omnichanneltobigquery_spark.streaming.golden import (
+        golden_view,
+        maintain_golden_batch,
+    )
+
+    rules = [("name", "longest"), ("sz", "max"), ("ts", "latest")]
+    b1 = spark.createDataFrame(
+        [(1, "k1", "alpha", 5, 10), (2, "k1", "betaa", 7, 30), (3, "k2", "x", 1, 5)],
+        "id long, key string, name string, sz long, ts long",
+    )
+    b2 = spark.createDataFrame(
+        [(4, "k1", "gamma-long", 6, 20), (5, "k3", "solo", 9, 50)],
+        "id long, key string, name string, sz long, ts long",
+    )
+    path = str(tmp_path / "golden")
+    key = F.col("key")
+    maintain_golden_batch(b1, path, "id", key, rules, batch_id=0, recency_col="ts")
+    maintain_golden_batch(b2, path, "id", key, rules, batch_id=1, recency_col="ts")
+    got = {
+        r.cluster_id: (r.name, r.sz, r.ts, r.n_members)
+        for r in golden_view(spark.read.parquet(path), rules).collect()
+    }
+    # batch reference: same rules over the union, clustered by the same key
+    # (ids cast to string so cluster_id/id share a type in the coalesce)
+    both = b1.union(b2).withColumn("id", F.col("id").cast("string"))
+    clusters = both.select("id", F.col("key").alias("cluster_id"))
+    want = {
+        r.cluster_id: (r.name, r.sz, r.ts, r.n_members)
+        for r in golden_records(
+            both, "id", clusters, rules, recency_col="ts"
+        ).collect()
+    }
+    assert got["k1"] == want["k1"] and got["k2"] == want["k2"] and got["k3"] == want["k3"]
+
+    maintain_golden_batch(b2, path, "id", key, rules, batch_id=1, recency_col="ts")
+    again = {
+        r.cluster_id: (r.name, r.sz, r.ts, r.n_members)
+        for r in golden_view(spark.read.parquet(path), rules).collect()
+    }
+    assert again == got
