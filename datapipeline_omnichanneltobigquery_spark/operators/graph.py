@@ -239,3 +239,87 @@ def triangle_counts_sql(edges_sql: str) -> str:
         UNION ALL SELECT c FROM tri)
     SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
     """
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. '07) over an UNDIRECTED graph given as (src, dst) pairs: labels
+    start as node ids; each round every node adopts the MOST FREQUENT
+    label among its neighbors (ties → smallest label) — after a few
+    rounds dense regions agree on one label while bridges don't, which is
+    the community structure k-core/CC can't express (CC only sees
+    reachability, k-core only density).
+
+    Determinism (classic LPA is notoriously order-dependent — this
+    variant is not): updates are SYNCHRONOUS (round N+1 reads only round
+    N's labels), the vote resolves by the TOTAL order (count desc, label
+    asc), and both engines run EXACTLY ``rounds`` rounds — so the
+    bit-exact SQL twin unrolls the identical votes.  Isolated update
+    oscillations (bipartite flip-flop) are bounded by the fixed round
+    budget, same contract as :func:`kcore`'s bounded peels.
+
+    Each round: one both-directions neighbor join + one (node, label)
+    count + one argmax aggregate; labels localCheckpoint per round so
+    plan depth stays flat.  Returns (node, community)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    both = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    labels = both.select("node").distinct().withColumn("lbl", F.col("node"))
+    for _ in range(rounds):
+        votes = (
+            both.join(
+                labels.select(F.col("node").alias("nbr"), F.col("lbl")), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl")))["nl"].alias(
+                    "__pick"
+                )
+            )
+            .select("node", (-F.col("__pick")).alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def label_propagation_sql(edges_sql: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`label_propagation` — the same synchronous
+    votes unrolled as MATERIALIZED CTEs with the identical (count desc,
+    label asc) tie order."""
+    parts = [
+        f"""e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM ({edges_sql}) WHERE src <> dst)""",
+        """b0 AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e0
+          UNION ALL SELECT v, u FROM e0)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM b0)",
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+            SELECT b0.node, l.lbl, COUNT(*) AS c
+            FROM b0 JOIN {prev} l ON l.node = b0.nbr
+            GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+            SELECT node, -((MAX(struct_pack(c := c, nl := -lbl))).nl) AS lbl
+            FROM v{i} GROUP BY node)"""
+        )
+        prev = f"l{i}"
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT node, lbl AS community FROM {prev}"""
+    )

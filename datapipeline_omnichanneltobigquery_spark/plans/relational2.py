@@ -2155,3 +2155,22 @@ def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te"),
         )
     )
+
+
+@query(
+    "graph_lpa_communities",
+    driver=False,  # new r8 family member: community detection beside CC/PageRank/triangles/k-core
+    oracle=gr.label_propagation_sql(_COPURCHASE_EDGES_SQL, rounds=4),
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the co-purchase
+    graph (4 fixed rounds, total (count desc, label asc) vote order —
+    the deterministic LPA variant; operators/graph.py::label_propagation).
+    Per round one neighbor join + one count + one argmax — the same
+    bounded-rounds contract as k-core, hash-gated against the unrolled
+    MATERIALIZED-CTE twin."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "k").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    return gr.label_propagation(edges, rounds=4)
