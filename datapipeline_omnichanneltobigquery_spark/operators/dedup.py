@@ -1437,3 +1437,92 @@ def snm_pairs_multipass_sql(
     SELECT id_a, id_b, COUNT(*) AS n_passes
     FROM votes GROUP BY id_a, id_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter (AllPairs/PPJoin-style) exact Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact-threshold Jaccard join via LOSSLESS prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07; public algorithm).
+
+    Where :func:`jaccard_pairs` with ``max_df`` trades a documented recall
+    contract for linear candidate volume, prefix filtering keeps the output
+    EXACTLY equal to the definitional all-pairs threshold join: order every
+    document's shingle set by global rarity (df asc, shingle asc) and keep
+    only the first ``|s| - ceil(t*|s|) + 1`` shingles as its *prefix*; any
+    pair with Jaccard >= t provably shares a prefix shingle, so joining
+    prefixes on the shingle loses nothing.  Because prefixes keep the
+    RAREST shingles, the self-join volume is driven by the df of rare
+    shingles, not the Zipf head — the hot shingles that blow up the naive
+    inverted-index join are exactly the ones the prefix drops.
+
+    A length filter tightens candidates further: J(A,B) >= t requires
+    t*|A| <= |B| (and symmetrically), so prefix matches between wildly
+    different sizes are dropped before the verify join.
+
+    Scale shape: one shuffle on shingle (df count), one on id (rank window
+    + per-doc set), the prefix self-join on shingle, and one |pairs|-row
+    verify join against per-doc sorted arrays.  Verification is exact
+    (array_intersect on full sets); no driver collects.
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # The df-joined stream feeds BOTH the prefix build and the per-doc
+    # verify sets — materialize once (the shared-stream discipline).
+    flagged = sh.join(dfreq, "shingle").localCheckpoint()
+    wid = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
+    ranked = flagged.select(
+        "id",
+        "shingle",
+        F.row_number().over(wid).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"),
+    )
+    prefix = ranked.filter(
+        F.col("__r") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "shingle", "sz")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: t*max(sz) <= min(sz) is necessary for J >= t
+            & (F.lit(threshold) * F.col("a.sz") <= F.col("b.sz"))
+            & (F.lit(threshold) * F.col("b.sz") <= F.col("a.sz")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    per_id = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"), F.collect_set("shingle").alias("set")
+    )
+    pa = per_id.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("set").alias("set_a")
+    )
+    pb = per_id.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("set").alias("set_b")
+    )
+    ic = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (ic.cast("double") / (F.col("sz_a") + F.col("sz_b") - ic).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -805,3 +805,117 @@ def kneser_ney_logprob_sql(
                      s -> s.lp)) / COUNT(*), 6) AS avg_logprob
     FROM scored GROUP BY id
     """
+
+
+def boilerplate_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_len: int = 5,
+    max_df: int = 2,
+) -> DataFrame:
+    """CCNet-style boilerplate removal at segment granularity: split each
+    document into consecutive ``seg_len``-token segments, drop every segment
+    whose exact text appears in more than ``max_df`` distinct documents
+    (headers, footers, licence banners, nav chrome — the cross-document
+    repeats), and reassemble the survivors in order.  Returns one row per
+    document: (doc_id, clean_text, kept_segs, dropped_segs).
+
+    Scale shape: the only corpus-sized shuffles are the two (id, seg_id) /
+    (seg_text) aggregates — both map-side-combinable.  The blocklist of
+    over-frequent segments is SMALL by construction (boilerplate is the
+    repeated tail of the distribution), so the removal join is a broadcast
+    ANTI join: no corpus-sized join ever materializes pair-wise.  Documents
+    whose every segment is boilerplate survive as empty strings (left join
+    against the per-doc totals), so downstream length filters see them.
+    """
+    idc = F.col(id_col)
+    raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = (
+        df.select(idc.alias("id"), F.posexplode(raw).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    seg = tok.groupBy(
+        "id", F.floor(F.col("pos") / F.lit(seg_len)).cast("int").alias("seg_id")
+    ).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("seg_text")
+    )
+    # Two downstream uses (blocklist + removal join) — materialize once, the
+    # dedup.py shared-stream discipline, so the corpus tokenizes one time.
+    seg = seg.localCheckpoint()
+    block = (
+        seg.groupBy("seg_text")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") > max_df)
+        .select("seg_text")
+    )
+    kept = seg.join(F.broadcast(block), "seg_text", "left_anti")
+    totals = seg.groupBy("id").agg(F.count(F.lit(1)).alias("n_segs"))
+    kept_agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("kept_segs"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(kept_agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("kept_segs"), F.lit(0)).cast("long").alias("kept_segs"),
+            (F.col("n_segs") - F.coalesce(F.col("kept_segs"), F.lit(0)))
+            .cast("long")
+            .alias("dropped_segs"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def boilerplate_scrub_sql(
+    table: str, id_col: str, text_col: str, seg_len: int = 5, max_df: int = 2
+) -> str:
+    """DuckDB twin of :func:`boilerplate_scrub` (same segmentation, same
+    blocklist threshold, same reassembly order)."""
+    return f"""
+    WITH tok0 AS (
+        SELECT {id_col} AS id,
+               UNNEST(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok,
+               generate_subscripts(regexp_split_to_array(trim({text_col}), '\\s+'), 1) - 1 AS pos
+        FROM {table}
+    ),
+    tok AS (SELECT id, tok, pos FROM tok0 WHERE tok <> ''),
+    seg AS (
+        SELECT id, CAST(FLOOR(pos / {seg_len}) AS INT) AS seg_id,
+               string_agg(tok, ' ' ORDER BY pos) AS seg_text
+        FROM tok GROUP BY 1, 2
+    ),
+    block AS (
+        SELECT seg_text FROM seg GROUP BY seg_text
+        HAVING COUNT(DISTINCT id) > {max_df}
+    ),
+    kept AS (
+        SELECT s.* FROM seg s
+        WHERE NOT EXISTS (SELECT 1 FROM block b WHERE b.seg_text = s.seg_text)
+    ),
+    totals AS (SELECT id, COUNT(*) AS n_segs FROM seg GROUP BY 1),
+    kept_agg AS (
+        SELECT id, COUNT(*) AS kept_segs,
+               string_agg(seg_text, ' ' ORDER BY seg_id) AS clean_text
+        FROM kept GROUP BY 1
+    )
+    SELECT t.id AS {id_col},
+           COALESCE(k.clean_text, '') AS clean_text,
+           COALESCE(k.kept_segs, 0) AS kept_segs,
+           t.n_segs - COALESCE(k.kept_segs, 0) AS dropped_segs
+    FROM totals t LEFT JOIN kept_agg k USING (id)
+    ORDER BY {id_col}
+    """

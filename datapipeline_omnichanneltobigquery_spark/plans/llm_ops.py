@@ -127,6 +127,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_prefix_jaccard",
+    driver=False,  # new r8: the LOSSLESS candidate-generation face of the Jaccard family
+    oracle=dd.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.6),
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin): rarest-first
+    prefixes + length filter generate a provably complete candidate set,
+    so the output equals the DEFINITIONAL all-pairs threshold join — the
+    oracle here is the uncapped form, proving losslessness
+    (operators/dedup.py::prefix_jaccard_pairs)."""
+    return dd.prefix_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -393,6 +409,22 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     'which doc copies which' question isn't needed
     (operators/textstats.py::ngram_novelty)."""
     return ts.ngram_novelty(read_table(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+@query(
+    "text_boilerplate_scrub",
+    driver=False,  # new r8: corpus-cleaning face of the text family (CCNet-style)
+    oracle=ts.boilerplate_scrub_sql("documents", "doc_id", "text", seg_len=5, max_df=2),
+)
+def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: drop 5-token segments repeated in
+    >2 distinct docs (headers/footers/licence banners), reassemble the
+    rest in order (operators/textstats.py::boilerplate_scrub).  The
+    blocklist is small by construction → broadcast anti-join; the corpus
+    tokenizes once (localCheckpointed segment stream)."""
+    return ts.boilerplate_scrub(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", seg_len=5, max_df=2
+    )
 
 
 @query("text_lang_id", driver=False, oracle=ts.lang_id_sql("documents", "doc_id", "text"))

@@ -1484,3 +1484,52 @@ def test_kneser_ney_continuation_property(spark):
     # both probe docs share everything except the last bigram, whose KN
     # backoff mass differs purely via the continuation counts
     assert out[2] > out[1]
+
+
+def test_boilerplate_scrub_drops_repeated_segments(spark):
+    """A 5-token header shared by 3 docs is boilerplate (df > 2) and must be
+    scrubbed; unique bodies survive in order; a doc that is ALL boilerplate
+    survives as an empty string (so length filters downstream see it)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import (
+        boilerplate_scrub,
+    )
+
+    header = "site nav menu login footer"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header} alpha beta gamma delta eps"),
+            (2, f"{header} one two three four five"),
+            (3, header),
+            (4, "totally unique standalone tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           boilerplate_scrub(docs, "doc_id", "text", seg_len=5, max_df=2).collect()}
+    assert out[1].clean_text == "alpha beta gamma delta eps"
+    assert out[2].clean_text == "one two three four five"
+    assert (out[1].kept_segs, out[1].dropped_segs) == (1, 1)
+    assert out[3].clean_text == "" and out[3].dropped_segs == 1
+    assert out[4].clean_text == "totally unique standalone tiny doc"
+    assert out[4].dropped_segs == 0
+
+
+def test_prefix_jaccard_is_lossless_where_df_cap_is_not(spark):
+    """The pair whose every shared shingle is hot (df > cap) is invisible
+    to the df-capped discovery path by its documented recall contract —
+    prefix filtering must still find it, because prefixes are relative to
+    the document, not to an absolute frequency cap."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    capped = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6, max_df=1).collect()
+    assert capped == []  # every shared shingle has df 2 > 1: contract miss
+    got = prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
