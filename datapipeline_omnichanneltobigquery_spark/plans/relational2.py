@@ -1486,6 +1486,107 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "events_attribution_linear",
+    driver=False,  # multi-touch face of the attribution family (last-touch is its sibling)
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(value AS DECIMAL(18,6)) AS value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events),
+    cnted AS (
+        SELECT *,
+               SUM(is_p) OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+        FROM ev),
+    purchases AS (SELECT user_id, cnt AS k, value FROM cnted WHERE is_p = 1),
+    touches AS (SELECT user_id, cnt + 1 AS k, event_type AS channel
+                FROM cnted WHERE is_p = 0),
+    tg AS (SELECT user_id, k, channel, COUNT(*) AS n_ch FROM touches GROUP BY 1, 2, 3),
+    tt AS (SELECT user_id, k, COUNT(*) AS n_t FROM touches GROUP BY 1, 2),
+    credited AS (
+        SELECT COALESCE(tg.channel, 'none') AS channel,
+               COALESCE(tg.n_ch, 1) AS n_ch,
+               COALESCE(tt.n_t, 1) AS n_t,
+               p.value
+        FROM purchases p
+        LEFT JOIN tt ON tt.user_id = p.user_id AND tt.k = p.k
+        LEFT JOIN tg ON tg.user_id = p.user_id AND tg.k = p.k),
+    cells AS (
+        SELECT channel, n_ch, n_t,
+               CAST(SUM(value) AS DOUBLE) AS sv, COUNT(*) AS n_purchases
+        FROM credited GROUP BY 1, 2, 3)
+    SELECT channel,
+           SUM(n_purchases) AS n_purchases,
+           round(list_sum(list_transform(
+               list(struct_pack(n_ch := n_ch, n_t := n_t, sv := sv)
+                    ORDER BY n_ch, n_t),
+               s -> s.sv * s.n_ch / s.n_t)), 6) AS credit
+    FROM cells GROUP BY channel
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's revenue splits
+    EQUALLY across every touch since the user's previous purchase (each
+    non-purchase event belongs to the next purchase), zero-touch purchases
+    credit 'none'.  Same one-window discipline as last-touch: a running
+    purchase counter segments each user's history — no self-join, no range
+    probe.  Fractional credits are the one IEEE-division step, so they are
+    summed over the SMALL (channel, n_ch, n_t) cell table in fixed
+    (n_ch, n_t) fold order with DECIMAL-exact cell revenue — the
+    feature_mutual_info discipline for global statistics."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cnted = ev.withColumn("cnt", F.sum("is_p").over(w))
+    purchases = cnted.filter(F.col("is_p") == 1).select(
+        "user_id", F.col("cnt").alias("k"), "value"
+    )
+    touches = cnted.filter(F.col("is_p") == 0).select(
+        "user_id", (F.col("cnt") + 1).alias("k"), F.col("event_type").alias("channel")
+    )
+    tg = touches.groupBy("user_id", "k", "channel").agg(F.count(F.lit(1)).alias("n_ch"))
+    tt = touches.groupBy("user_id", "k").agg(F.count(F.lit(1)).alias("n_t"))
+    credited = (
+        purchases.join(tt, ["user_id", "k"], "left")
+        .join(tg, ["user_id", "k"], "left")
+        .select(
+            F.coalesce(F.col("channel"), F.lit("none")).alias("channel"),
+            F.coalesce(F.col("n_ch"), F.lit(1)).alias("n_ch"),
+            F.coalesce(F.col("n_t"), F.lit(1)).alias("n_t"),
+            "value",
+        )
+    )
+    cells = credited.groupBy("channel", "n_ch", "n_t").agg(
+        F.sum("value").cast("double").alias("sv"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    return cells.groupBy("channel").agg(
+        F.sum("n_purchases").alias("n_purchases"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("n_ch", "n_t", "sv"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["sv"] * s["n_ch"] / s["n_t"],
+            ),
+            6,
+        ).alias("credit"),
+    )
+
+
+@query(
     "basket_pair_lift",
     driver=False,  # analytics-batch face (funnel/cohort gated); self-join family has gated kin
     oracle="""
