@@ -951,7 +951,8 @@ def drift_ks_sql(ref_sql: str, cur_sql: str, col: str) -> str:
                SUM(cc) OVER (ORDER BY v) AS cum_c
         FROM vals
     ),
-    tot AS (SELECT SUM(is_ref) AS n_ref, SUM(1 - is_ref) AS n_cur FROM u),
+    tot AS (SELECT CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur FROM u),
     scored AS (
         SELECT n_ref, n_cur,
                ABS(cum_r * n_cur - cum_c * n_ref) AS dnum, v

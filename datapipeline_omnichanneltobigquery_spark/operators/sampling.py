@@ -779,7 +779,7 @@ def mixture_plan_sql(
     return f"""
     WITH w(source, w) AS (VALUES {vals}),
     agg AS (SELECT {source_col} AS source, COUNT(*) AS n_docs,
-                   SUM({token_col}) AS tokens_available
+                   CAST(SUM({token_col}) AS BIGINT) AS tokens_available
             FROM {table} GROUP BY 1)
     SELECT a.source, a.n_docs, a.tokens_available,
            CAST({float(budget_tokens)!r} AS DOUBLE) * w.w AS tokens_target,

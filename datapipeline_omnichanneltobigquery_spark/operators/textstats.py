@@ -629,7 +629,7 @@ def ngram_novelty_sql(table: str, id_col: str, text_col: str, n: int = 3) -> str
     docfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
     SELECT s.id AS {id_col},
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
            CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS novelty
     FROM sh s JOIN docfreq d ON d.shingle = s.shingle

@@ -1224,7 +1224,7 @@ def corpus_prep_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT md5(text)) AS n_unique_texts,
            CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate,
-           SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS total_tokens,
+           CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(
                  least(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
                  + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)

@@ -1208,7 +1208,7 @@ def er_golden_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM isl GROUP BY user_id, grp)
     SELECT user_id,
            MAX(run_len) AS longest_streak,
-           SUM(run_len) AS n_active_days,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days,
            COUNT(*) AS n_streaks
     FROM runs GROUP BY user_id
     """,
@@ -1517,7 +1517,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
                CAST(SUM(value) AS DOUBLE) AS sv, COUNT(*) AS n_purchases
         FROM credited GROUP BY 1, 2, 3)
     SELECT channel,
-           SUM(n_purchases) AS n_purchases,
+           CAST(SUM(n_purchases) AS BIGINT) AS n_purchases,
            round(list_sum(list_transform(
                list(struct_pack(n_ch := n_ch, n_t := n_t, sv := sv)
                     ORDER BY n_ch, n_t),
@@ -2030,10 +2030,10 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ),
     s AS (
-        SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
-               SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
-               SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
-               SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+        SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
         FROM u
     )
     SELECT n_a, n_b, conv_a, conv_b,

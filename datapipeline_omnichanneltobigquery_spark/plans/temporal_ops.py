@@ -100,8 +100,11 @@ def events_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM events WHERE event_type = 'view')
     SELECT pv.user_id,
            COUNT(*) AS n_pairs,
-           SUM(epoch_us(LEAST(pv.le, vw.re)) - epoch_us(GREATEST(pv.ls, vw.rs)))
-               AS concurrent_us
+           -- CAST: DuckDB's integer SUM yields HUGEINT, which the driver's
+           -- fetcher renders as float64 and breaks the value hash vs Spark's
+           -- BIGINT (r8 red row; see plans/events_ops.py for the same class).
+           CAST(SUM(epoch_us(LEAST(pv.le, vw.re)) - epoch_us(GREATEST(pv.ls, vw.rs)))
+                AS BIGINT) AS concurrent_us
     FROM pv JOIN vw ON pv.user_id = vw.user_id
                    AND pv.ls <= vw.re AND vw.rs <= pv.le
     GROUP BY pv.user_id

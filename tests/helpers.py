@@ -39,12 +39,29 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tupl
     return sorted_cols, out
 
 
+def fetch_duckdb(duck, sql: str) -> tuple[list[str], list[tuple]]:
+    """Fetch an oracle result the way the driver does: through Arrow.
+
+    This is deliberately NOT ``fetchall()``: the native fetch renders
+    HUGEINT (DuckDB's type for SUM over integers) as arbitrary-precision
+    Python int, which masked the r8 ``events_overlap_duration`` red row —
+    the driver's Arrow path maps HUGEINT to decimal128 and renders
+    ``1085100976.0`` where Spark's BIGINT renders ``1085100976``. Fetching
+    through Arrow makes the local compare at least as type-strict as the
+    driver's value hash (nullable ints stay ints, unlike a pandas fetch).
+    """
+    rel = duck.sql(sql)
+    cols = rel.columns
+    tbl = rel.arrow()
+    pycols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = list(zip(*pycols)) if pycols else []
+    return cols, rows
+
+
 def compare_spark_duckdb(sdf, duck, sql: str) -> None:
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
-    rel = duck.sql(sql)
-    dcols = rel.columns
-    drows = [tuple(r) for r in rel.fetchall()]
+    dcols, drows = fetch_duckdb(duck, sql)
     assert sorted(scols) == sorted(dcols), f"schema mismatch: {sorted(scols)} vs {sorted(dcols)}"
     assert len(srows) == len(drows), f"row count mismatch: {len(srows)} vs {len(drows)}"
     sc, sr = canon_rows(scols, srows)

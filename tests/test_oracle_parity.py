@@ -36,6 +36,32 @@ def test_registry_within_driver_cap():
     assert not set(QUERIES) & set(EXTRA_QUERIES)
 
 
+def _hugeint_cols(duck, sql: str) -> list[str]:
+    rel = duck.sql(sql)
+    return [c for c, t in zip(rel.columns, rel.types) if str(t) in ("HUGEINT", "UHUGEINT")]
+
+
+def test_no_hugeint_oracle_outputs(duck):
+    """Registry lint (VERDICT r8 #2): no oracle may expose an uncast integer
+    SUM (or other HUGEINT-typed expression) as a final output column —
+    DuckDB renders HUGEINT through Arrow as decimal128, which the driver's
+    value hash sees as ``N.0`` while Spark's BIGINT renders ``N`` (the r8
+    ``events_overlap_duration`` red row). Binding is lazy: no execution."""
+    # self-check: the detector must flag a deliberately-broken fixture
+    assert _hugeint_cols(duck, "SELECT SUM(x) AS s FROM (VALUES (1),(2)) t(x)") == ["s"]
+    assert _hugeint_cols(
+        duck, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1),(2)) t(x)"
+    ) == []
+    offenders = {}
+    for name, sql in _ALL_ORACLES.items():
+        bad = _hugeint_cols(duck, sql)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracles with HUGEINT output columns (add CAST(... AS BIGINT)): {offenders}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_ALL_ORACLES))
 def test_oracle_parity(spark, duck, name):
     sdf = _ALL_QUERIES[name](spark, SF_DIR)

@@ -19,7 +19,7 @@ import duckdb
 import __spark_entry__ as entrymod
 from datapipeline_omnichanneltobigquery_spark.session import get_spark
 from datapipeline_omnichanneltobigquery_spark.sources.tables import TABLES
-from tests.helpers import canon_rows
+from tests.helpers import canon_rows, fetch_duckdb
 
 
 def main() -> int:
@@ -75,9 +75,9 @@ def main() -> int:
             if name not in oracles:
                 print(f"  {name:34s} rows-only: {len(srows):>7} rows   {time.time()-t0:5.1f}s")
                 continue
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = [tuple(r) for r in rel.fetchall()]
+            # Arrow fetch, like the driver: type-strict (HUGEINT -> decimal,
+            # not Python int), so an uncast integer SUM can't pass locally.
+            dcols, drows = fetch_duckdb(con, oracles[name])
             status = []
             if sorted(scols) != sorted(dcols):
                 status.append(f"SCHEMA {sorted(scols)} vs {sorted(dcols)}")
