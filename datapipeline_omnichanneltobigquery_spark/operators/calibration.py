@@ -58,8 +58,11 @@ def isotonic_fit(
     score_hi, p_cal, n_obs) step intervals, monotone in score."""
     import pandas as pd
 
+    # derive the group field's type from the input: a non-string group
+    # (e.g. an int classifier-version id) must round-trip exactly
+    group_type = df.schema[group_col].dataType.simpleString()
     schema = (
-        f"{group_col} string, score_lo double, score_hi double, "
+        f"{group_col} {group_type}, score_lo double, score_hi double, "
         "p_cal double, n_obs long"
     )
 
@@ -99,33 +102,32 @@ def isotonic_apply(
     """Calibrate ``scored`` rows against a fitted curve: each row takes
     the p_cal of the LAST interval whose score_lo <= score (scores below
     every interval clamp to the first pool; the curve is a step function,
-    so this is a backward as-of lookup on score_lo).  The curve has
-    (pools × groups) rows — small per group but it SCALES with group
-    count, so no forced broadcast hint: AQE sizes the join and
-    broadcasts whenever the curve actually fits (the repo-wide
-    no-force-broadcast-on-scaling-inputs discipline)."""
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window as W
+    so this is a backward as-of lookup on score_lo).  Rows keep their
+    identity: a NULL score, or a group with no fitted curve, surfaces as
+    p_cal = NULL — never a dropped row.
 
-    wmin = W.partitionBy(group_col).orderBy("score_lo")
-    c = (
-        curve.withColumn("__rn", F.row_number().over(wmin))
-        .withColumn(
-            "score_lo",  # first pool clamps every below-range score
-            F.when(F.col("__rn") == 1, F.lit(float("-inf"))).otherwise(
-                F.col("score_lo")
-            ),
-        )
-        .select(F.col(group_col), "score_lo", F.col("p_cal").alias("__p"))
+    Scale shape: the curve collapses to ONE sorted step-array row per
+    group (an exchange over the tiny curve table only), and the lookup is
+    a per-row array probe after the group-keyed join — no per-row-id
+    window, no shuffle of ``scored`` beyond the join itself.  The
+    one-row-per-group side SCALES with group count, so no forced
+    broadcast hint: AQE sizes the join and broadcasts whenever it
+    actually fits (the repo-wide no-force-broadcast discipline)."""
+    import pyspark.sql.functions as F
+
+    steps = curve.groupBy(group_col).agg(
+        F.sort_array(F.collect_list(F.struct("score_lo", "p_cal"))).alias("__steps")
     )
-    sid = scored.withColumn("__rid", F.monotonically_increasing_id())
-    joined = sid.join(c, group_col, "left").filter(
-        (F.col("score_lo") <= F.col(score_col)) | (F.col("score_lo").isNull())
+    joined = scored.join(steps, group_col, "left")
+    # index of the last step with score_lo <= score; 0 (below every pool)
+    # clamps to the first pool, reproducing the -inf first-interval lower
+    # bound without mutating the array
+    idx = F.greatest(
+        F.size(F.filter("__steps", lambda s: s["score_lo"] <= F.col(score_col))),
+        F.lit(1),
     )
-    w = W.partitionBy("__rid").orderBy(F.col("score_lo").desc())
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__rid", "score_lo")
-        .withColumnRenamed("__p", "p_cal")
-    )
+    p_cal = F.when(
+        F.col("__steps").isNull() | F.col(score_col).isNull(),
+        F.lit(None).cast("double"),
+    ).otherwise(F.element_at("__steps", idx)["p_cal"])
+    return joined.withColumn("p_cal", p_cal).drop("__steps")

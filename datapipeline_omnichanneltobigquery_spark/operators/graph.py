@@ -28,6 +28,51 @@ SCALE = 10**12  # fixed-point denominator
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
 
 
+def basket_edges(
+    items: DataFrame,
+    key_col: str,
+    item_col: str,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """Co-occurrence edges from (basket, item) pairs: (src, dst) for every
+    ordered pair of distinct items sharing a basket — the shared edge
+    derivation for the co-purchase graph family (triangles / k-core /
+    PageRank / LPA).
+
+    Scale contract, made EXPLICIT: the within-basket self-join emits
+    |basket|² rows per basket, so downstream wedge bounds (triangle
+    counting's Σdeg²) hold only while baskets are bounded.  A basket
+    larger than ``max_basket`` raises a diagnosable error (the
+    resample ``max_points_per_key`` / overlap bucket-cap discipline)
+    instead of silently exploding the shuffle at 100 TB — raise the cap
+    deliberately, never implicitly.  The basket-size count rides the same
+    hash partitioning the self-join needs, so the guard adds no extra
+    corpus shuffle."""
+    from pyspark.sql import Window as W
+
+    pairs = items.select(
+        F.col(key_col).alias("k"), F.col(item_col).alias("item")
+    ).distinct()
+    bsz = F.count(F.lit(1)).over(W.partitionBy("k"))
+    guarded = pairs.withColumn(
+        "item",
+        F.when(bsz <= F.lit(int(max_basket)), F.col("item")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"basket_edges: basket {key_col}="),
+                    F.col("k").cast("string"),
+                    F.lit(f" holds more than max_basket={int(max_basket)} items; "
+                          "the |basket|^2 pair fan-out would explode the shuffle — "
+                          "raise max_basket explicitly if this is intended"),
+                )
+            )
+        ),
+    )
+    a = guarded.select("k", F.col("item").alias("src"))
+    b = guarded.select("k", F.col("item").alias("dst"))
+    return a.join(b, "k").filter(F.col("src") != F.col("dst")).select("src", "dst")
+
+
 def pagerank_fixedpoint(
     edges: DataFrame, iterations: int = 3, checkpoint_every: int = 4
 ) -> DataFrame:

@@ -821,18 +821,28 @@ def image_neardup_pairs(
     table is one row per image (localCheckpointed: both self-join sides
     and the verify read it); candidate volume is bounded by block-bucket
     sizes exactly like SimHash banding."""
+    h = image_ahash(payloads, grid).select("doc_id", "ahash").localCheckpoint()
+    return hash_neardup_pairs(h, max_dist=max_dist)
+
+
+def hash_neardup_pairs(h: DataFrame, max_dist: int = 6) -> DataFrame:
+    """Pigeonhole hamming join over a (doc_id, ahash) table — the block
+    key MUST be a pure function of the block's bits: block 0's shift is 0,
+    which leaves the sign bit in place, and Spark's ``%`` follows the
+    dividend sign, so a modulo key would split hashes that agree on block
+    0 but differ in bit 63 into different buckets (silent recall loss).
+    Mask with bitwiseAND instead."""
     import pyspark.sql.functions as F
 
     n_blocks = max_dist + 1
     width = 64 // n_blocks  # bits per block (last block takes the remainder)
-    h = image_ahash(payloads, grid).select("doc_id", "ahash").localCheckpoint()
 
     def block_val(b: int):
         shifted = F.shiftrightunsigned(F.col("ahash"), b * width)
         bits = width if b < n_blocks - 1 else 64 - b * width
         if bits >= 64:  # single-block degenerate case (max_dist=0)
             return shifted
-        return shifted % F.lit(1 << bits)
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
 
     blocks = F.array(
         *[

@@ -858,6 +858,12 @@ def drift_ks(df_ref, df_cur, col: str, lo: float, hi: float, n_buckets: int = 64
     definitional global-window form, so the hash gate proves the
     decomposition correct.
 
+    NULL contract: a NULL value has no place on a CDF — both engines drop
+    NULL rows BEFORE counting (totals and curve alike), so a nullable
+    input can't make the decomposed Spark form (whose bucket join would
+    silently lose the NULL group while totals kept it) diverge from the
+    definitional oracle.
+
     Output: one row (n_ref, n_cur, d_stat, ks_at)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window as W
@@ -869,7 +875,11 @@ def drift_ks(df_ref, df_cur, col: str, lo: float, hi: float, n_buckets: int = 64
             F.col(col).alias("v"), F.lit(flag).alias("is_ref")
         )
 
-    u = tagged(df_ref, 1).unionByName(tagged(df_cur, 0))
+    u = (
+        tagged(df_ref, 1)
+        .unionByName(tagged(df_cur, 0))
+        .filter(F.col("v").isNotNull())
+    )
     # The distinct-value table feeds three consumers (bucket totals, the
     # interior cumulation join, the n_ref/n_cur totals) — materialize it
     # once or each recompiles from the source scans (the redundant-subtree
@@ -937,9 +947,9 @@ def drift_ks_sql(ref_sql: str, cur_sql: str, col: str) -> str:
     reproduce it bit-for-bit)."""
     return f"""
     WITH u AS (
-        SELECT {col} AS v, 1 AS is_ref FROM {ref_sql}
+        SELECT {col} AS v, 1 AS is_ref FROM {ref_sql} WHERE {col} IS NOT NULL
         UNION ALL
-        SELECT {col} AS v, 0 AS is_ref FROM {cur_sql}
+        SELECT {col} AS v, 0 AS is_ref FROM {cur_sql} WHERE {col} IS NOT NULL
     ),
     vals AS (
         SELECT v, SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc

@@ -825,9 +825,12 @@ def boilerplate_scrub(
     (seg_text) aggregates — both map-side-combinable.  The blocklist of
     over-frequent segments is SMALL by construction (boilerplate is the
     repeated tail of the distribution), so the removal join is a broadcast
-    ANTI join: no corpus-sized join ever materializes pair-wise.  Documents
-    whose every segment is boilerplate survive as empty strings (left join
-    against the per-doc totals), so downstream length filters see them.
+    ANTI join: no corpus-sized join ever materializes pair-wise.  Row
+    identity: EVERY distinct input id survives — all-boilerplate docs and
+    zero-token (empty/whitespace-only) docs alike come back as empty
+    strings with kept_segs = dropped_segs = 0 for the latter (left joins
+    from the distinct id keylist), so downstream length filters see them.
+    No global sort: output order is unspecified, callers order if needed.
     """
     idc = F.col(id_col)
     raw = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -866,17 +869,21 @@ def boilerplate_scrub(
             ),
         ).alias("clean_text"),
     )
+    ids = df.select(idc.alias("id")).distinct()
     return (
-        totals.join(kept_agg, "id", "left")
+        ids.join(totals, "id", "left")
+        .join(kept_agg, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
             F.coalesce(F.col("kept_segs"), F.lit(0)).cast("long").alias("kept_segs"),
-            (F.col("n_segs") - F.coalesce(F.col("kept_segs"), F.lit(0)))
+            (
+                F.coalesce(F.col("n_segs"), F.lit(0))
+                - F.coalesce(F.col("kept_segs"), F.lit(0))
+            )
             .cast("long")
             .alias("dropped_segs"),
         )
-        .orderBy(id_col)
     )
 
 
@@ -911,11 +918,13 @@ def boilerplate_scrub_sql(
         SELECT id, COUNT(*) AS kept_segs,
                string_agg(seg_text, ' ' ORDER BY seg_id) AS clean_text
         FROM kept GROUP BY 1
-    )
-    SELECT t.id AS {id_col},
+    ),
+    ids AS (SELECT DISTINCT {id_col} AS id FROM {table})
+    SELECT i.id AS {id_col},
            COALESCE(k.clean_text, '') AS clean_text,
            COALESCE(k.kept_segs, 0) AS kept_segs,
-           t.n_segs - COALESCE(k.kept_segs, 0) AS dropped_segs
-    FROM totals t LEFT JOIN kept_agg k USING (id)
-    ORDER BY {id_col}
+           COALESCE(t.n_segs, 0) - COALESCE(k.kept_segs, 0) AS dropped_segs
+    FROM ids i
+    LEFT JOIN totals t ON t.id = i.id
+    LEFT JOIN kept_agg k ON k.id = i.id
     """

@@ -1685,11 +1685,8 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact twin."""
     from datapipeline_omnichanneltobigquery_spark.operators.graph import triangle_counts
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "k").filter(F.col("src") != F.col("dst")).select("src", "dst")
-    return triangle_counts(edges)
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return triangle_counts(gr.basket_edges(li, "l_orderkey", "l_partkey"))
 
 
 @query(
@@ -1704,11 +1701,8 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the bit-exact unrolled twin (operators/graph.py::kcore)."""
     from datapipeline_omnichanneltobigquery_spark.operators.graph import kcore
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("key"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("key"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "key").filter(F.col("src") != F.col("dst")).select("src", "dst")
-    return kcore(edges, k=4, rounds=8)
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return kcore(gr.basket_edges(li, "l_orderkey", "l_partkey"), k=4, rounds=8)
 
 
 @query(
@@ -1725,15 +1719,10 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py::pagerank_fixedpoint)."""
     from datapipeline_omnichanneltobigquery_spark.operators.graph import pagerank_fixedpoint
 
-    items = (
-        read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    items = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return pagerank_fixedpoint(
+        gr.basket_edges(items, "l_orderkey", "l_partkey"), iterations=3
     )
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, (a.l_orderkey == b.ok) & (F.col("src") != F.col("dst"))).select(
-        "src", "dst"
-    )
-    return pagerank_fixedpoint(edges, iterations=3)
 
 
 @query(
@@ -2270,8 +2259,5 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per round one neighbor join + one count + one argmax — the same
     bounded-rounds contract as k-core, hash-gated against the unrolled
     MATERIALIZED-CTE twin."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "k").filter(F.col("src") != F.col("dst")).select("src", "dst")
-    return gr.label_propagation(edges, rounds=4)
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return gr.label_propagation(gr.basket_edges(li, "l_orderkey", "l_partkey"), rounds=4)

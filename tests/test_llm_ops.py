@@ -1346,6 +1346,59 @@ def test_image_neardup_pairs_exact_recall_within_radius(spark):
     assert (1, 2) in got  # the seeded near-dup survives
 
 
+def test_basket_edges_guard_and_pairs(spark):
+    """basket_edges makes the |basket|^2 fan-out contract explicit: within
+    the cap it emits exactly the ordered distinct-item pairs per basket
+    (duplicates collapse first); one basket over the cap raises the
+    diagnosable error instead of silently exploding the shuffle."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import basket_edges
+
+    rows = [(1, 10), (1, 11), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)]
+    items = spark.createDataFrame(rows, "ok long, pk long")
+    got = {(r.src, r.dst) for r in basket_edges(items, "ok", "pk").collect()}
+    want = {(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a != b} | {
+        (20, 21), (21, 20),
+    }
+    assert got == want
+    with pytest.raises(SparkRuntimeException, match="max_basket"):
+        basket_edges(items, "ok", "pk", max_basket=2).collect()
+
+
+def test_hash_neardup_sign_bit_block0(spark):
+    """Regression (r8 ADVICE high): block 0's shift is 0, so the sign bit
+    stays in the dividend — a signed ``%`` key would send two hashes that
+    agree on block 0's bits but differ in bit 63 to different buckets,
+    silently missing a pair at hamming distance 1 whose ONLY agreeing
+    block is block 0.  The mask key must find every such pair."""
+    from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
+
+    neg = -(1 << 63)  # only bit 63 set (negative long)
+    cases = [
+        (1, neg), (2, 0),                    # differ only in bit 63, dist 1
+        (3, neg | 5), (4, 5),                # same, with low bits set
+        (5, -1), (6, (1 << 63) - 1),         # all-ones vs bit-63 cleared
+        (7, 1 << 40), (8, (1 << 40) | (1 << 62)),  # high-block-only agree
+    ]
+    h = spark.createDataFrame(cases, "doc_id long, ahash long")
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    vals = dict(cases)
+    for max_dist in (1, 3, 6):
+        want = {
+            (a, b): ham(vals[a], vals[b])
+            for a in vals for b in vals
+            if a < b and ham(vals[a], vals[b]) <= max_dist
+        }
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in mm.hash_neardup_pairs(h, max_dist=max_dist).collect()
+        }
+        assert got == want, f"max_dist={max_dist}"
+    assert (1, 2) in got and (3, 4) in got  # the sign-bit pairs themselves
+
+
 def test_bigram_logprob_sees_word_order(spark):
     """The bigram LM's reason to exist: a document whose words are
     SCRAMBLED (same bag, broken order) scores strictly lower than the
@@ -1501,17 +1554,25 @@ def test_boilerplate_scrub_drops_repeated_segments(spark):
             (2, f"{header} one two three four five"),
             (3, header),
             (4, "totally unique standalone tiny doc"),
+            (5, ""),      # zero-token docs must survive too (r8 ADVICE):
+            (6, "   \t "),  # they produce no segments, but keep their row
         ],
         "doc_id long, text string",
     )
-    out = {r.doc_id: r for r in
-           boilerplate_scrub(docs, "doc_id", "text", seg_len=5, max_df=2).collect()}
+    scrubbed = boilerplate_scrub(docs, "doc_id", "text", seg_len=5, max_df=2)
+    out = {r.doc_id: r for r in scrubbed.collect()}
+    assert len(out) == 6  # every input id survives
     assert out[1].clean_text == "alpha beta gamma delta eps"
     assert out[2].clean_text == "one two three four five"
     assert (out[1].kept_segs, out[1].dropped_segs) == (1, 1)
     assert out[3].clean_text == "" and out[3].dropped_segs == 1
     assert out[4].clean_text == "totally unique standalone tiny doc"
     assert out[4].dropped_segs == 0
+    for empty in (5, 6):
+        r = out[empty]
+        assert (r.clean_text, r.kept_segs, r.dropped_segs) == ("", 0, 0)
+    # contract: no global sort — output order is unspecified
+    assert "Sort [doc_id" not in scrubbed._jdf.queryExecution().executedPlan().toString()
 
 
 def test_prefix_jaccard_is_lossless_where_df_cap_is_not(spark):

@@ -269,6 +269,66 @@ def test_isotonic_pava_matches_brute_force_and_applies(spark):
     assert out[0.5] == mid.p_cal
 
 
+def test_drift_ks_nullable_values_match_oracle(spark):
+    """NULL contract (r8 ADVICE): with NULLs in the value column both
+    engines must agree — the Spark decomposition's bucket join would drop
+    the NULL group while totals kept it, diverging from the definitional
+    global-window oracle; both now filter NULLs before counting."""
+    import duckdb
+    import pandas as pd
+
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        drift_ks,
+        drift_ks_sql,
+    )
+    from tests.helpers import compare_spark_duckdb
+
+    ref = [(float(i % 7),) for i in range(40)] + [(None,)] * 5
+    cur = [(float(i % 5),) for i in range(30)] + [(None,)] * 3
+    sref = spark.createDataFrame(ref, "value double")
+    scur = spark.createDataFrame(cur, "value double")
+    con = duckdb.connect()
+    con.register("ref_t", pd.DataFrame(ref, columns=["value"]))
+    con.register("cur_t", pd.DataFrame(cur, columns=["value"]))
+    out = drift_ks(sref, scur, "value", 0.0, 10.0, n_buckets=4)
+    compare_spark_duckdb(out, con, drift_ks_sql("ref_t", "cur_t", "value"))
+    row = out.collect()[0]
+    assert (row.n_ref, row.n_cur) == (40, 30)  # NULLs excluded from totals
+
+
+def test_isotonic_apply_preserves_rows_and_types(spark):
+    """Row identity (r8 ADVICE): a NULL score in a group WITH a curve must
+    surface as p_cal = NULL, not vanish; a group with no curve keeps its
+    rows; a non-string group column (int version id) round-trips through
+    isotonic_fit's applyInPandas schema.  And the apply must not shuffle
+    per-row: no Window, no exchange keyed by a synthetic row id."""
+    from datapipeline_omnichanneltobigquery_spark.operators.calibration import (
+        isotonic_apply,
+        isotonic_fit,
+    )
+
+    train = spark.createDataFrame(
+        [(1, 0.1, 0), (1, 0.5, 1), (1, 0.9, 1)],
+        "ver int, score double, label int",
+    )
+    curve = isotonic_fit(train, "ver", "score", "label")
+    assert dict(curve.dtypes)["ver"] == "int"
+
+    probe = spark.createDataFrame(
+        [(1, 0.5), (1, None), (2, 0.5), (2, None)], "ver int, score double"
+    )
+    out = isotonic_apply(probe, curve, "ver", "score")
+    rows = {(r.ver, r.score): r.p_cal for r in out.collect()}
+    assert len(rows) == 4  # every input row survives
+    assert rows[(1, 0.5)] is not None
+    assert rows[(1, None)] is None  # NULL score in a fitted group
+    assert rows[(2, 0.5)] is None   # no curve for this group
+    assert rows[(2, None)] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "monotonically_increasing_id" not in plan
+
+
 def test_qsketch_degenerate_and_boundary_groups(spark):
     """A single-valued group must report every quantile inside its own
     bin (width-bounded error), and values exactly on bin edges must bin
