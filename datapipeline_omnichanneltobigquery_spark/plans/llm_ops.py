@@ -35,6 +35,7 @@ EMB_DIM = 64  # embeddings.embedding is a 64-dim float vector (FIXTURES.md)
 
 @query(
     "dedup_exact_docs",
+    driver=False,  # rotated out r9 (green r1-r8 (8 green); family keeps a gated anchor)
     oracle="SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM documents GROUP BY 1",
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,6 +91,7 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash_pairs",
+    driver=False,  # rotated out r9 (green r1-r8 (8 green); family keeps a gated anchor)
     oracle=dd.simhash_near_dup_pairs_sql("documents", "doc_id", "text", max_hamming=3),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +131,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_prefix_jaccard",
-    driver=False,  # new r8: the LOSSLESS candidate-generation face of the Jaccard family
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=dd.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.6),
 )
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,6 +163,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_neardup_pairs",
+    driver=False,  # rotated out r9 (green r1-r8 (8 green); family keeps a gated anchor)
     oracle=sim.cosine_pairs_sql("embeddings", 0.35, EMB_DIM),
 )
 def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,7 +173,7 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_keywords_tfidf",
-    driver=False,  # per-doc keyword face of the gated TF-IDF/IR family (new r8)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=ir.tfidf_keywords_sql("documents", "doc_id", "text", k=3),
 )
 def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,6 +185,7 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_tfidf_pairs",
+    driver=False,  # rotated out r9 (green r7-r8 (2 green, r7 scan fix verified); family keeps a gated anchor)
     # rotated INTO the gate r7 (r6 family, never driver-verified)
     oracle=ir.tfidf_cosine_pairs_sql("documents", "doc_id", "text", threshold=0.3),
 )
@@ -214,6 +218,7 @@ def similarity_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_dedup_keep",
+    driver=False,  # rotated out r9 (green r7-r8 (2 green); family keeps a gated anchor)
     # rotated INTO the gate r7: the SRP-LSH family's own driver entry (composed SRP -> verify -> CC -> keep)
     oracle=sim.embedding_dedup_keep_sql("embeddings", 0.8, dim=EMB_DIM),
 )
@@ -264,7 +269,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bigram_logprob",
-    driver=False,  # bigram-LM face of the text quality-scoring family (new r8)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=ts.bigram_logprob_sql("documents", "doc_id", "text"),
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,6 +309,7 @@ def similarity_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ann_recall",
+    driver=False,  # rotated out r9 (green r6-r8 (3 green); family keeps a gated anchor)
     # rotated INTO the gate r6: the recall NUMBERS themselves hash-gate (VERDICT r5 #3)
     oracle=sim.ann_recall_sql(
         sim.cosine_topk_join_sql("embeddings", "vec_id < 16", k=5, dim=EMB_DIM),
@@ -362,6 +368,7 @@ def similarity_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_quantize_digest",
+    driver=False,  # rotated out r9 (green r4-r8 (5 green); family keeps a gated anchor)
     # rotated INTO the gate r4 (never driver-verified before)
     oracle=sim.quantize_digest_sql("embeddings"),
 )
@@ -413,7 +420,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_boilerplate_scrub",
-    driver=False,  # new r8: corpus-cleaning face of the text family (CCNet-style)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=ts.boilerplate_scrub_sql("documents", "doc_id", "text", seg_len=5, max_df=2),
 )
 def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,7 +554,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped
 
 
-@query("text_normalize_scrub", oracle=ts.normalize_text_sql("documents", "doc_id", "text"))
+@query("text_normalize_scrub", driver=False, oracle=ts.normalize_text_sql("documents", "doc_id", "text"))  # rotated out r9 (green r1-r8 (8 green))
 def text_normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization + PII/boilerplate scrubbing (emails, URLs, long
     digit runs → placeholders) with per-rule substitution counts — the
@@ -622,7 +629,7 @@ _NEARDUP_ORACLE = f"""
 """
 
 
-@query("dedup_neardup_pairs", oracle=_NEARDUP_ORACLE)
+@query("dedup_neardup_pairs", driver=False, oracle=_NEARDUP_ORACLE)  # rotated out r9 (green r2-r8 (7 green))
 def dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text near-dup pairs by BOTH pipelines in one driver entry —
     MinHash→LSH-band→bucket-join→exact-verify, and the exact n-gram Jaccard
@@ -686,6 +693,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_span_dedup",
+    driver=False,  # rotated out r9 (green r5-r8 (4 green); family keeps a gated anchor)
     oracle=dd.duplicate_spans_sql("documents", "doc_id", "text", n=8, min_count=2),
 )
 def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,6 +965,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bm25_scores",
+    driver=False,  # rotated out r9 (green r3-r8 (6 green); family keeps a gated anchor)
     oracle=ir.bm25_scores_sql("documents", "doc_id", "text", _BM25_TERMS),
 )
 def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,6 +1167,7 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_prep_full",
+    driver=False,  # rotated out r9 (green r4-r8 (5 green); family keeps a gated anchor)
     oracle=cp.prepare_corpus_sql(
         _DECONTAM_TRAIN, _DECONTAM_BENCH, "doc_id", "text",
         min_quality=0.7,
@@ -1315,7 +1325,7 @@ def sampling_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_phrase_search",
-    driver=False,  # new r8 family: positional-index exact-phrase retrieval (the quoted-query face of the IR family)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=ir.phrase_search_sql("documents", "doc_id", "text", "window fast query"),
 )
 def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1334,7 +1344,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "shard_rebalance_stability",
-    driver=False,  # new r8 family: HRW consistent sharding (minimal-movement corpus distribution)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=(
         "SELECT doc_id, "
         + sh.hrw_shard_sql("doc_id", 8)
@@ -1368,7 +1378,7 @@ def shard_rebalance_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "seq_training_pairs",
-    driver=False,  # new r8 family: sequence dataset construction (next-event prediction pairs)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     SELECT user_id, event_id,
            l3 || ' ' || l2 || ' ' || l1 AS ctx,
@@ -1414,7 +1424,7 @@ def seq_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_kn_logprob",
-    driver=False,  # new r8 family member: Kneser-Ney smoothing beside the interpolated bigram LM
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=ts.kneser_ney_logprob_sql("documents", "doc_id", "text"),
 )
 def text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

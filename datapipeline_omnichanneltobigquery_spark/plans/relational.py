@@ -723,6 +723,7 @@ def json_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_sketches",
+    driver=False,  # rotated out r9 (green r1-r8 (6 green); family keeps a gated anchor)
     oracle="""
     SELECT 'hll_distinct' AS sketch, event_type AS grp,
            CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact1,

@@ -627,6 +627,7 @@ _PROFILE_COLS = [
 
 @query(
     "profile_orders",
+    driver=False,  # rotated out r9 (green r4-r8 (5 green); family keeps a gated anchor)
     oracle=pf.profile_columns_sql("orders", _PROFILE_COLS),
 )
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,6 +641,7 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "drift_psi_events",
+    driver=False,  # rotated out r9 (green r7-r8 (2 green); family keeps a gated anchor)
     # rotated INTO the gate r7 (r6 family, never driver-verified)
     oracle=pf.drift_psi_sql(
         "(SELECT * FROM events WHERE event_id % 2 = 0)",
@@ -675,6 +677,7 @@ def agg_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_hll_explicit",
+    driver=False,  # rotated out r9 (green r7-r8 (2 green); family keeps a gated anchor)
     # rotated INTO the gate r7: the engine-exact sketch ESTIMATE hash-gates where native HLL++ is rows-only
     oracle=pf.hll_explicit_sql("events", "event_type", "user_id"),
 )
@@ -739,7 +742,7 @@ _QARGS = dict(lo=0.0, hi=500000.0, n_bins=256)
 
 @query(
     "agg_qsketch_quantiles",
-    driver=False,  # new r8 family (sketch triad completed); queued for the r9 rotation
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=pf.qsketch_quantiles_sql(
         "orders", "o_orderpriority", "o_totalprice", _QSPEC, **_QARGS
     ),
@@ -758,7 +761,7 @@ def agg_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_qsketch_merged",
-    driver=False,  # cross-day merge face of agg_qsketch_quantiles (bin counts ADD => merge exact)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=pf.qsketch_quantiles_sql(
         "orders", "o_orderpriority", "o_totalprice", _QSPEC, **_QARGS
     ),
@@ -1045,7 +1048,7 @@ _SNM_PASSES_SQL = [
 
 @query(
     "dedup_snm_multipass",
-    driver=False,  # multi-pass recall face of the gated dedup_snm_part_names (r8)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=dd.snm_pairs_multipass_sql("part", "p_partkey", _SNM_PASSES_SQL, window=3),
 )
 def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,7 +1153,7 @@ _ER_PAIRS_SQL = """
 
 @query(
     "er_golden_parts",
-    driver=False,  # new r8 family: survivorship completes the ER chain (block->score->cluster->merge)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=er.golden_records_sql(
         table_sql=(
             "SELECT p_partkey AS pk, trim(lower(p_name)) AS name,"
@@ -1280,6 +1283,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_funnel_signup_purchase",
+    driver=False,  # rotated out r9 (green r5-r8 (4 green); family keeps a gated anchor)
     # rotated INTO the gate r5 (never driver-verified before)
     oracle="""
     WITH s AS (
@@ -1707,6 +1711,7 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_pagerank_parts",
+    driver=False,  # rotated out r9 (green r6-r8 (3 green); family keeps a gated anchor)
     # rotated INTO the gate r6: first iterative-fixed-point entry (VERDICT r5 #3)
     oracle=gr.pagerank_fixedpoint_sql(_COPURCHASE_EDGES_SQL, iterations=3),
 )
@@ -1811,7 +1816,7 @@ def robust_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "robust_mad_outliers",
-    driver=False,  # MAD face of the robust-stats family (winsorize/weighted-median siblings)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     WITH base AS (
         SELECT o_orderpriority AS grp,
@@ -2009,7 +2014,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_ab_experiment",
-    driver=False,  # new r8 family: experiment analytics (two-sample proportion z-test)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     WITH u AS (
         SELECT user_id,
@@ -2085,7 +2090,7 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "feature_mutual_info",
-    driver=False,  # new r8 family: feature-relevance screening (binned MI, ordered-fold total)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     WITH e AS (
         SELECT event_type AS y,
@@ -2165,7 +2170,7 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "drift_ks_events",
-    driver=False,  # new r8 family: exact KS drift (distributed two-level-prefix ECDF vs definitional twin)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=pf.drift_ks_sql(
         "(SELECT * FROM events WHERE event_id % 2 = 0)",
         "(SELECT * FROM events WHERE event_id % 2 = 1)",
@@ -2190,7 +2195,7 @@ def drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_target_encoding",
-    driver=False,  # new r8 family: leakage-safe categorical encoding (LOO + smoothing)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     WITH e AS (
         SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS v
@@ -2249,7 +2254,7 @@ def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_lpa_communities",
-    driver=False,  # new r8 family member: community detection beside CC/PageRank/triangles/k-core
+    # rotated INTO the gate r9 (never driver-verified)
     oracle=gr.label_propagation_sql(_COPURCHASE_EDGES_SQL, rounds=4),
 )
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:

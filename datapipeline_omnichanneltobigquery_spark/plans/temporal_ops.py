@@ -280,7 +280,7 @@ def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_point_in_time",
-    driver=False,  # new r8 family: leakage-free feature generation (feature-store materialization)
+    # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep, event_type,
                       CAST(value AS DECIMAL(18,6)) AS v

@@ -14,6 +14,7 @@ from datapipeline_omnichanneltobigquery_spark.sources.tables import read_table
 
 @query(
     "q3_shipping_priority",
+    driver=False,  # rotated out r9 (green r2-r8 (7 green); family keeps a gated anchor)
     oracle="""
     SELECT l.l_orderkey,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
