@@ -858,34 +858,42 @@ def srp_keys(
     planes = _srp_hyperplanes(n_bits, dim, seed)
     num_bands = n_bits // rows_per_band
 
-    # The whole projection is generated as SQL TEXT and parsed in one
-    # F.expr call per band: building it from Column objects costs ~5000
-    # py4j round-trips (≈6 s of pure client-side latency per query
-    # build), and dot(vec, F.array(lits)) additionally re-embeds the
-    # literal array under every element_at.  Same scalar arithmetic, same
-    # left-to-right fold — bit-identical to the DuckDB twin's list_sum.
-    def plane_dot_sql(plane):
-        return " + ".join(
-            f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * {c!r}D"
-            for i, c in enumerate(plane)
-        )
+    # The projection is generated as SQL TEXT (building it from Column
+    # objects costs ~5000 py4j round-trips), but NOT as n_bits inlined
+    # dot-product sums: 16 x 64 literal multiply-add terms blow janino's
+    # 64 KB generated-method limit, Spark logs "Failed to compile" twice
+    # and falls back to INTERPRETED evaluation for the whole projection
+    # (observed r9).  Instead the hyperplanes are one constant-folded
+    # nested array literal and the dots are a zip_with/aggregate loop —
+    # compact generated code that stays inside whole-stage codegen.
+    # Fold-order parity with the DuckDB twin's list_sum: aggregate folds
+    # 0.0 + t1 + ... + t64 left-to-right; adding the leading IEEE +0.0 is
+    # exact (and -0.0 vs +0.0 can only differ when every term is -0.0,
+    # where the >= 0 sign test agrees anyway).
+    planes_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{c!r}D" for c in p) + ")" for p in planes
+    ) + ")"
+    bits_sql = (
+        f"transform({planes_lit}, p -> CASE WHEN aggregate("
+        f"zip_with({vec_col}, p, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"0D, (acc, v) -> acc + v) >= 0D THEN 1 ELSE 0 END)"
+    )
 
-    band_structs = []
-    for b in range(num_bands):
-        key = " + ".join(
-            f"CASE WHEN ({plane_dot_sql(planes[b * rows_per_band + r])}) >= 0 "
-            f"THEN {1 << r} ELSE 0 END"
+    def band_key(b: int) -> str:
+        return " + ".join(
+            f"element_at(__bits, {b * rows_per_band + r + 1}) * {1 << r}"
             for r in range(rows_per_band)
         )
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(f"CAST({key} AS BIGINT)").alias("key"),
-            )
-        )
-    return embeddings.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    bands_sql = "array(" + ", ".join(
+        f"struct({b} AS band, CAST({band_key(b)} AS BIGINT) AS key)"
+        for b in range(num_bands)
+    ) + ")"
+    return (
+        embeddings.select(F.col(id_col).alias("id"), F.expr(bits_sql).alias("__bits"))
+        .select("id", F.explode(F.expr(bands_sql)).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
 
 
 #: candidate-generation band-bucket cap — the Zipf-head discipline of
@@ -945,15 +953,35 @@ def srp_near_dup_pairs(
         .distinct()
         .localCheckpoint()
     )
-    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # Precompute each side's L2 norm BEFORE the join: Catalyst pushes the
+    # cos_sim >= threshold filter into the join condition, and an inlined
+    # dot + BOTH norms there (3 x dim static multiply-add chains in one
+    # generated method) breaks janino's 64 KB limit — the whole stage then
+    # silently runs INTERPRETED (r8's plan did; observed "Failed to
+    # compile" in every driver_sim).  With norms as per-side projection
+    # columns the condition carries ONE dot chain and compiles.  Values
+    # are bit-identical: sqrt(dot(x,x)) is the same double wherever it is
+    # evaluated, so the oracle twin needs no change.
+    from datapipeline_omnichanneltobigquery_spark.functions.vectors import dot, l2_norm
+
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(F.col(vec_col), dim).alias("__na"),
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(F.col(vec_col), dim).alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("__va"), F.col("__vb"), dim).alias("cos_sim"),
+            (dot(F.col("__va"), F.col("__vb"), dim) / (F.col("__na") * F.col("__nb")))
+            .alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
