@@ -1526,3 +1526,92 @@ def prefix_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """DIRECTED containment join: (id_a, id_b, containment) for every
+    ordered pair with |A∩B| / |A| >= threshold (A = id_a's distinct
+    n-gram set) — the asymmetric cousin of the Jaccard join, and the
+    detector symmetric similarity is blind to: a short quote or snippet
+    embedded in a much longer document scores near-1 containment but
+    near-0 Jaccard.
+
+    LOSSLESS candidates by the asymmetric prefix property: if
+    |A∩B| >= ceil(t*|A|), then in ANY global shingle order A's prefix of
+    size |A| - ceil(t*|A|) + 1 must contain an element of A∩B ⊆ B — so
+    joining A-prefixes against the FULL inverted index misses nothing.
+    Only the PROBE side can be prefixed (B's prefix length would depend
+    on |A|); cost stays bounded because prefixes keep each document's
+    RAREST shingles (df asc), so candidate volume is Σ_s prefix_df(s)·df(s)
+    with prefix_df concentrated on small-df shingles — the Zipf head
+    appears only on the indexed side where its prefix_df is ~0.  Verify
+    is exact (array_intersect over full per-doc sets, |pairs| rows).
+
+    Self-pairs are excluded; both directions emit when both hold."""
+    sh = shingles(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    flagged = sh.join(dfreq, "shingle").localCheckpoint()
+    wid = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
+    ranked = flagged.select(
+        "id",
+        "shingle",
+        F.row_number().over(wid).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"),
+    )
+    prefix = ranked.filter(
+        F.col("__r") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "shingle")
+    full = flagged.select("id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    per_id = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"), F.collect_set("shingle").alias("set")
+    )
+    pa = per_id.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("set").alias("set_a")
+    )
+    pb = per_id.select(F.col("id").alias("id_b"), F.col("set").alias("set_b"))
+    ic = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (ic.cast("double") / F.col("sz_a").cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs_sql(
+    table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.7
+) -> str:
+    """DuckDB twin of :func:`containment_pairs` — the DEFINITIONAL
+    all-pairs form (losslessness of the prefix filter proved by the hash
+    gate); the containment division is the identical IEEE expression."""
+    return f"""
+    WITH {_shingles_sql(table, id_col, text_col, n)},
+    per AS (SELECT id, list(DISTINCT shingle) AS s, COUNT(*) AS sz
+            FROM sh GROUP BY id)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(a.sz AS DOUBLE) AS containment
+    FROM per a JOIN per b ON a.id <> b.id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(a.sz AS DOUBLE) >= {float(threshold)!r}
+    """

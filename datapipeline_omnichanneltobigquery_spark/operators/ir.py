@@ -483,3 +483,113 @@ def phrase_search_sql(table: str, id_col: str, text_col: str, phrase: str) -> st
     )
     SELECT id AS doc_id, p AS start_pos FROM hits
     """
+
+
+# ---------------------------------------------------------------------------
+# Trigram substring index (new r9): the pg_trgm / code-search design —
+# a persisted posting-list index that answers arbitrary substring queries
+# by reading only the pattern's trigram postings, never the corpus.
+# ---------------------------------------------------------------------------
+
+#: hash-bucket count for the index's partition column: small enough that
+#: the directory tree stays flat, large enough that one query's pattern
+#: trigrams prune most of the index's bytes at the directory level.
+TRIGRAM_BUCKETS = 32
+
+
+def _trigram_bucket_py(tri: str) -> int:
+    """Driver-side twin of the index's bucket expression — the repo's
+    md5-60-bit convention (functions/hashing.py::md5_long), so the probe
+    can compute its partition filter without a JVM round-trip."""
+    import hashlib
+
+    return int(hashlib.md5(tri.encode("utf-8")).hexdigest()[:15], 16) % TRIGRAM_BUCKETS
+
+
+def build_trigram_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist the character-trigram posting index: one (doc_id, trigram)
+    row per DISTINCT trigram of lower(text), hive-partitioned by the
+    md5 bucket of the trigram and sorted by trigram within each partition
+    (directory pruning first, then row-group min/max pruning — the
+    persisted-IVF layout discipline).  Building is one map-side explode +
+    one distinct; the index scales linearly with corpus bytes."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long
+
+    t = F.lower(F.col(text_col))
+    tris = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 0)), "
+            f"i -> substr(lower({text_col}), i, 3))"
+        )
+    )
+    postings = (
+        docs.filter(F.length(t) >= 3)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tris).alias("trigram"))
+        .withColumn("pfx", (md5_long(F.col("trigram")) % TRIGRAM_BUCKETS).cast("int"))
+    )
+    (
+        postings.repartition("pfx")
+        .sortWithinPartitions("trigram", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("pfx")
+        .parquet(path)
+    )
+
+
+def trigram_search_from_index(
+    spark,
+    index_path: str,
+    docs: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring search through the persisted trigram index — LOSSLESS:
+    any document containing ``pattern`` (case-insensitive) contains every
+    one of its trigrams, so the posting intersection is a superset of the
+    answer and the final ``instr`` verify makes the result EQUAL to the
+    definitional full-scan LIKE (the oracle of record).  The index scan
+    reads only the pattern trigrams' hash-bucket directories
+    (PartitionFilters) and, inside them, only the row groups whose
+    trigram min/max straddle a probe (the scan never touches the corpus;
+    the verify reads just the candidate docs via a semi-join).
+
+    Returns (id_col, pos_first) for every matching document."""
+    import pyspark.sql.functions as F
+
+    pat = pattern.lower()
+    if len(pat) < 3:
+        raise ValueError("trigram search needs a pattern of >= 3 characters")
+    tris = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
+    buckets = sorted({_trigram_bucket_py(t) for t in tris})
+    postings = spark.read.parquet(index_path).filter(
+        F.col("pfx").isin(buckets) & F.col("trigram").isin(tris)
+    )
+    cands = (
+        postings.groupBy("doc_id")
+        .agg(F.count_distinct("trigram").alias("__k"))
+        .filter(F.col("__k") == len(tris))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    pos = F.instr(F.lower(F.col(text_col)), pat)
+    return (
+        docs.join(cands, id_col, "left_semi")
+        .filter(pos > 0)
+        .select(id_col, pos.cast("bigint").alias("pos_first"))
+    )
+
+
+def trigram_search_sql(table: str, id_col: str, text_col: str, pattern: str) -> str:
+    """DuckDB twin of :func:`trigram_search_from_index` — the DEFINITIONAL
+    full-scan substring search the index path must reproduce exactly
+    (losslessness proved by the hash gate)."""
+    pat = pattern.lower().replace("'", "''")
+    return f"""
+    SELECT {id_col}, CAST(strpos(lower({text_col}), '{pat}') AS BIGINT) AS pos_first
+    FROM {table}
+    WHERE strpos(lower({text_col}), '{pat}') > 0
+    """

@@ -18,6 +18,7 @@ from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import ir
 from datapipeline_omnichanneltobigquery_spark.operators import membership as mb
 from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
+from datapipeline_omnichanneltobigquery_spark.operators import pii
 from datapipeline_omnichanneltobigquery_spark.operators import sampling as sa
 from datapipeline_omnichanneltobigquery_spark.operators import similarity as sim
 from datapipeline_omnichanneltobigquery_spark.operators import sharding as sh
@@ -1435,4 +1436,74 @@ def text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation (operators/textstats.py::kneser_ney_logprob)."""
     return ts.kneser_ney_logprob(
         read_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII family (new r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_pii_scrub",
+    driver=False,  # new r9 family: PII detection/redaction (queued for the r10 rotation)
+    oracle=pii.pii_scrub_sql("documents", "doc_id", "text"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII redaction: staged email/ipv4/ssn/card/phone
+    regex detectors, per-type counts taken stage-wise so overlapping
+    digit-run families never double-count — one map-side projection, no
+    shuffle at any corpus size (operators/pii.py::pii_scrub)."""
+    return pii.pii_scrub(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_pii_report",
+    driver=False,  # one-row reporting face of text_pii_scrub
+    oracle=pii.pii_report_sql("documents", "doc_id", "text"),
+)
+def text_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII prevalence (total matches + affected docs per
+    type): the go/no-go privacy report before a corpus ships to training
+    (operators/pii.py::pii_report)."""
+    return pii.pii_report(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_trigram_search",
+    driver=False,  # new r9 family: persisted trigram substring index (queued for the r10 rotation)
+    oracle=ir.trigram_search_sql("documents", "doc_id", "text", "fast merge"),
+)
+def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search ('fast merge', case-insensitive) through the
+    PERSISTED character-trigram posting index — the pg_trgm / code-search
+    design: the probe reads only the pattern trigrams' hash-bucket
+    directories (PartitionFilters), intersects posting lists, and verifies
+    candidates with one semi-joined instr — the corpus itself is scanned
+    only for candidates.  LOSSLESS by the trigram-containment property,
+    so it hash-matches the definitional full-scan oracle
+    (operators/ir.py::trigram_search_from_index)."""
+    from datapipeline_omnichanneltobigquery_spark.plans.persistence import SCRATCH
+
+    docs = read_table(spark, sf_dir, "documents")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"{SCRATCH}/trigram_index_{sf_tag}"
+    ir.build_trigram_index(docs, path, "doc_id", "text")
+    return ir.trigram_search_from_index(spark, path, docs, "fast merge", "doc_id", "text")
+
+
+@query(
+    "dedup_containment_pairs",
+    driver=False,  # new r9 family: asymmetric containment join (queued for the r10 rotation)
+    oracle=dd.containment_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.7),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment join at t=0.7: ordered pairs where >= 70% of
+    id_a's trigram set lies inside id_b's — the quote/snippet detector
+    symmetric Jaccard misses.  Lossless asymmetric prefix filtering
+    (probe-side rarest-first prefixes against the full inverted index),
+    hash-gated against the definitional all-pairs oracle
+    (operators/dedup.py::containment_pairs)."""
+    return dd.containment_pairs(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.7
     )

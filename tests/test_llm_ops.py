@@ -1346,6 +1346,114 @@ def test_image_neardup_pairs_exact_recall_within_radius(spark):
     assert (1, 2) in got  # the seeded near-dup survives
 
 
+def test_containment_finds_embedded_quote_jaccard_misses(spark):
+    """The reason containment exists: a short snippet fully embedded in a
+    much longer document has containment 1.0 but Jaccard far below any
+    useful threshold — the directed pair must surface (snippet → host,
+    not the reverse), and unrelated docs must not."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    host = " ".join(
+        ["alpha beta gamma delta epsilon zeta eta theta"] * 6 + [quote]
+        + ["iota kappa lambda mu nu xi omicron pi rho sigma"] * 6
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host), (3, "completely unrelated filler words here only")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    assert got.get((1, 2)) == 1.0  # quote ⊂ host, directed
+    assert (2, 1) not in got       # host not contained in quote
+    assert all(a != 3 and b != 3 for a, b in got)
+    jac = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    assert jac.filter("id_a = 1 AND id_b = 2").count() == 0  # Jaccard blind
+
+
+def test_trigram_index_prunes_and_is_lossless(spark, tmp_path):
+    """The persisted trigram index answers a substring probe by opening
+    only the pattern trigrams' hash-bucket directories (PartitionFilters
+    on pfx), and the posting-intersection + instr verify returns EXACTLY
+    the brute-force LIKE answer (losslessness via trigram containment) —
+    including a pattern that straddles token boundaries and a miss."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ir import (
+        TRIGRAM_BUCKETS,
+        build_trigram_index,
+        trigram_search_from_index,
+    )
+    from datapipeline_omnichanneltobigquery_spark.plans.audit import plan_string
+
+    docs = read_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "trgm")
+    build_trigram_index(docs, path, "doc_id", "text")
+    for pattern in ("fast merge", "merge batch part", "zz-never-there"):
+        got = trigram_search_from_index(spark, path, docs, pattern, "doc_id", "text")
+        plan = plan_string(got)
+        assert "PartitionFilters" in plan and "pfx" in plan, plan
+        want = {
+            (r.doc_id, r.pos)
+            for r in docs.select(
+                "doc_id", F.instr(F.lower("text"), pattern.lower()).alias("pos")
+            )
+            .filter(F.col("pos") > 0)
+            .collect()
+        }
+        assert {(r.doc_id, r.pos_first) for r in got.collect()} == want, pattern
+    with pytest.raises(ValueError, match=">= 3"):
+        trigram_search_from_index(spark, path, docs, "ab", "doc_id", "text")
+    # the index partition column really is the md5 bucket convention
+    pfx_vals = {r.pfx for r in spark.read.parquet(path).select("pfx").distinct().collect()}
+    assert pfx_vals <= set(range(TRIGRAM_BUCKETS))
+
+
+def test_pii_scrub_types_and_twin(spark):
+    """Every seeded PII type is detected, redacted, and counted once —
+    staged precedence means the card is never double-counted as a phone,
+    the IP never as a phone — and the DuckDB twin reproduces clean_text
+    and every count bit-for-bit (Java regex vs RE2 on the shared
+    constructs).  NULL/empty docs survive with zero counts."""
+    import duckdb
+    import pandas as pd
+
+    from datapipeline_omnichanneltobigquery_spark.operators import pii
+    from tests.helpers import compare_spark_duckdb
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk or call +1 (415) 555-0100 now"),
+        (2, "server 192.168.001.1 leaked ssn 123-45-6789 and card 4111 1111 1111 1111"),
+        (3, "no pii here, just text with numbers 42 and 7"),
+        (4, None),
+        (5, "double email a@b.io c@d.org and phone 0049 30 123456"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii.pii_scrub(df, "doc_id", "text").collect()}
+    assert out[1].clean_text == "contact me at <EMAIL> or call <PHONE> now"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_pii) == (1, 1, 2)
+    assert out[2].clean_text == "server <IP> leaked ssn <SSN> and card <CARD>"
+    assert (out[2].n_ipv4, out[2].n_ssn, out[2].n_card, out[2].n_phone) == (1, 1, 1, 0)
+    assert out[3].n_pii == 0 and out[3].clean_text == rows[2][1]
+    assert out[4].clean_text is None and out[4].n_pii == 0
+    assert out[5].n_email == 2 and out[5].n_phone == 1
+    assert out[6].clean_text == "" and out[6].n_pii == 0
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    compare_spark_duckdb(
+        pii.pii_scrub(df, "doc_id", "text"), con, pii.pii_scrub_sql("docs", "doc_id", "text")
+    )
+    compare_spark_duckdb(
+        pii.pii_report(df, "doc_id", "text"), con, pii.pii_report_sql("docs", "doc_id", "text")
+    )
+
+
 def test_basket_edges_guard_and_pairs(spark):
     """basket_edges makes the |basket|^2 fan-out contract explicit: within
     the cap it emits exactly the ordered distinct-item pairs per basket
