@@ -793,3 +793,81 @@ def mixture_plan_sql(
                            - CAST(a.tokens_available AS DOUBLE)) AS deficit_tokens
     FROM agg a JOIN w ON w.source = a.source
     """
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Temperature-scaled source mixing at T = 1/2 (the multilingual /
+    multi-source rebalancing rule of mC4 / XLM-R: sample source i with
+    probability p_i^α / Σ p_j^α, upweighting the tail, downweighting the
+    head) — where :func:`mixture_plan` takes EXPLICIT weights, this
+    DERIVES them from the corpus itself.  α = 0.5 is the specialization
+    whose power is IEEE-exact (sqrt), so the whole plan hash-gates; other
+    temperatures would drag exp/ln cross-engine rounding into the gate.
+
+    Per source: share = sqrt(tokens_i) / Σ_j sqrt(tokens_j) (the Σ is an
+    ordered per-source fold — sources, not rows, so the frame is tiny at
+    any corpus size), tokens_target = budget·share, sample_rate =
+    min(1, target/available) with 0-token sources pinned to 0.0.
+
+    Plan: one partial-aggregated groupBy over the corpus, then a one-row
+    fold broadcast back — nothing else touches the data."""
+    agg = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).cast("bigint").alias("tokens_available"),
+        )
+        .localCheckpoint()  # feeds the fold AND the final projection
+    )
+    total = agg.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "tokens_available"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["tokens_available"].cast("double")),
+        ).alias("__tot")
+    )
+    share = F.sqrt(F.col("tokens_available").cast("double")) / F.col("__tot")
+    target = F.lit(float(budget_tokens)) * share
+    avail = F.col("tokens_available").cast("double")
+    empty = F.col("tokens_available") == 0
+    return agg.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "tokens_available",
+        share.alias("share"),
+        target.alias("tokens_target"),
+        F.when(empty, F.lit(0.0))
+        .otherwise(F.least(F.lit(1.0), target / avail))
+        .alias("sample_rate"),
+    )
+
+
+def temperature_mix_sql(
+    table: str, source_col: str, token_col: str, budget_tokens: int
+) -> str:
+    """DuckDB twin of :func:`temperature_mix` — same ordered fold over
+    (source asc), same single-division expressions."""
+    return f"""
+    WITH agg AS (SELECT {source_col} AS source, COUNT(*) AS n_docs,
+                        CAST(SUM({token_col}) AS BIGINT) AS tokens_available
+                 FROM {table} GROUP BY 1),
+    tot AS (SELECT list_sum(list_transform(
+                list(struct_pack(source := source, t := tokens_available)
+                     ORDER BY source),
+                s -> sqrt(CAST(s.t AS DOUBLE)))) AS tt
+            FROM agg)
+    SELECT a.source, a.n_docs, a.tokens_available,
+           sqrt(CAST(a.tokens_available AS DOUBLE)) / tt AS share,
+           CAST({float(budget_tokens)!r} AS DOUBLE)
+             * (sqrt(CAST(a.tokens_available AS DOUBLE)) / tt) AS tokens_target,
+           CASE WHEN a.tokens_available = 0 THEN 0.0
+                ELSE LEAST(1.0, (CAST({float(budget_tokens)!r} AS DOUBLE)
+                        * (sqrt(CAST(a.tokens_available AS DOUBLE)) / tt))
+                        / CAST(a.tokens_available AS DOUBLE)) END AS sample_rate
+    FROM agg a CROSS JOIN tot
+    """

@@ -928,3 +928,84 @@ def boilerplate_scrub_sql(
     LEFT JOIN totals t ON t.id = i.id
     LEFT JOIN kept_agg k ON k.id = i.id
     """
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy (nats) of each document's CHARACTER distribution —
+    the model-free gibberish/encoded-blob detector beside
+    :func:`compression_ratio` (zlib sees long-range structure, entropy
+    sees the symbol histogram: base64 blobs and key-mash score high,
+    natural text sits near ~3 nats).  Returns (id, n_chars, n_distinct,
+    entropy); empty/NULL docs survive with entropy 0.0.
+
+    Determinism: per-(id, char) counts are exact integers; the only
+    floats are (c/n)·ln(c/n) per distinct character, folded in character
+    order (the ordered-fold discipline), rounded to 6 — the MI precedent.
+    Scale: one (id, char) shuffle (alphabet-bounded per doc) + one id
+    aggregate; no UDF."""
+    # length >= 1 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
+    # of being empty, which would give empty docs two phantom '' chars
+    chars = df.filter(F.length(text_col) >= 1).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(f"transform(sequence(1, length({text_col})), i -> substr({text_col}, i, 1))")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_id = counts.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sort_array(F.collect_list(F.struct("ch", "c"))).alias("__cs"),
+    )
+    ent = F.round(
+        -F.aggregate(
+            F.col("__cs"),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + (s["c"].cast("double") / F.col("n_chars").cast("double"))
+            * F.log(s["c"].cast("double") / F.col("n_chars").cast("double")),
+        ),
+        6,
+    )
+    out = per_id.select("id", "n_chars", "n_distinct", ent.alias("entropy"))
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(out, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        # -0.0 from the single-char fold normalizes to 0.0 on both engines
+        F.coalesce(F.col("entropy") + F.lit(0.0), F.lit(0.0)).alias("entropy"),
+    )
+
+
+def char_entropy_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`char_entropy` — same per-char counts, same
+    (char asc) ordered fold, same rounding."""
+    return f"""
+    WITH chars AS (
+        SELECT {id_col} AS id, UNNEST(list_transform(range(1, length({text_col}) + 1),
+                                                     i -> {text_col}[i:i])) AS ch
+        FROM {table}
+    ),
+    counts AS (SELECT id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+    grouped AS (
+        SELECT id, CAST(SUM(c) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               list(struct_pack(ch := ch, c := c) ORDER BY ch) AS cs
+        FROM counts GROUP BY id
+    ),
+    per_id AS (
+        SELECT id, n_chars, n_distinct,
+               round(-list_sum(list_transform(cs,
+                   s -> (CAST(s.c AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                        * ln(CAST(s.c AS DOUBLE) / CAST(n_chars AS DOUBLE)))), 6)
+                 AS entropy
+        FROM grouped
+    )
+    SELECT t.{id_col},
+           COALESCE(p.n_chars, 0) AS n_chars,
+           COALESCE(p.n_distinct, 0) AS n_distinct,
+           COALESCE(p.entropy + 0.0, 0.0) AS entropy
+    FROM (SELECT DISTINCT {id_col} FROM {table}) t
+    LEFT JOIN per_id p ON p.id = t.{id_col}
+    """

@@ -1507,3 +1507,36 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_pairs(
         read_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.7
     )
+
+
+@query(
+    "sampling_temperature_mix",
+    driver=False,  # new r9 family: temperature-derived mixture weights (queued for the r10 rotation)
+    oracle=sa.temperature_mix_sql("documents", "source", "n_chars", 1_000_000),
+)
+def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing at T = 1/2 (the mC4 / XLM-R
+    multilingual rebalancing rule, p_i^alpha-normalized): per-source
+    share = sqrt(tokens_i) / ordered-fold Σ sqrt(tokens_j), token targets
+    and sampling rates against a 1M budget — mixture weights DERIVED from
+    the corpus where sampling_mixture_plan takes them as arguments; the
+    sqrt specialization keeps every float IEEE-exact for the hash gate
+    (operators/sampling.py::temperature_mix)."""
+    return sa.temperature_mix(
+        read_table(spark, sf_dir, "documents"), "source", "n_chars", 1_000_000
+    )
+
+
+@query(
+    "text_char_entropy",
+    driver=False,  # new r9 quality-signal member (queued for the r10 rotation)
+    oracle=ts.char_entropy_sql("documents", "doc_id", "text"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the symbol-
+    histogram gibberish/encoded-blob detector beside compression_ratio's
+    long-range redundancy signal: base64 blobs and key-mash score high,
+    natural text sits near ~3 nats.  Exact per-char counts, (char asc)
+    ordered ln fold, every input row survives
+    (operators/textstats.py::char_entropy)."""
+    return ts.char_entropy(read_table(spark, sf_dir, "documents"), "doc_id", "text")

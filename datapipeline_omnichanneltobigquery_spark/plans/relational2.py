@@ -7,6 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from datapipeline_omnichanneltobigquery_spark.functions.scalars import money
 from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import er
 from datapipeline_omnichanneltobigquery_spark.operators import graph as gr
@@ -2266,3 +2267,134 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATERIALIZED-CTE twin."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return gr.label_propagation(gr.basket_edges(li, "l_orderkey", "l_partkey"), rounds=4)
+
+
+@query(
+    "feature_correlations",
+    driver=False,  # new r9 family: exact-sum Pearson correlation (queued for the r10 rotation)
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS x,
+               COUNT(l.l_orderkey) AS y
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_totalprice
+    ),
+    sums AS (
+        SELECT priority,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               -- y as DECIMAL(9,0): a (18,2)x(20,0) product needs precision
+               -- 39 and the two engines apply DIFFERENT precision-loss
+               -- rules past 38; (18,2)x(9,0) stays exact in both
+               CAST(SUM(x * CAST(y AS DECIMAL(9,0))) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM per_order GROUP BY 1
+    )
+    SELECT priority, n AS n_orders,
+           -- round(6): DuckDB's compiled a*b - c*d contracts to FMA and
+           -- diverges from Java/Python in the last ulp (measured, 2 of 5
+           -- groups) — the MI/attribution/z_stat rounding precedent
+           round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_price_items
+    FROM sums
+    """,
+)
+def feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Pearson correlation between an order's total price and
+    its line-item count — feature-redundancy screening from EXACT sums:
+    the five sufficient statistics accumulate in DECIMAL/BIGINT (order-
+    independent, so the distributed partial+final agg is deterministic),
+    and ONLY the final r formula touches IEEE floats, in the identical
+    expression order on both engines.  At 100 TB: one join shuffle on
+    orderkey, one partial-aggregated groupBy — the float work is one row
+    per group."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            money(F.col("o_totalprice")).alias("x"),
+            "y",
+        )
+    )
+    sums = per_order.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        # DECIMAL(9,0) keeps the product inside precision 38 (see oracle)
+        F.sum(F.col("x") * F.col("y").cast("decimal(9,0)")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return sums.select(
+        "priority",
+        F.col("n").alias("n_orders"),
+        F.expr(
+            "round((n * sxy - sx * sy)"
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)"
+        ).alias("corr_price_items"),
+    )
+
+
+@query(
+    "features_woe_iv",
+    driver=False,  # new r9 family: weight-of-evidence encoding + information value (queued for the r10 rotation)
+    oracle="""
+    WITH lab AS (
+        SELECT o_orderpriority AS cat,
+               CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pos
+        FROM orders
+    ),
+    cells AS (
+        SELECT cat,
+               CAST(SUM(pos) AS BIGINT) + 1 AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT) + 1 AS n_neg
+        FROM lab GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+                   CAST(SUM(n_neg) AS BIGINT) AS tn FROM cells)
+    SELECT cat, n_pos, n_neg,
+           ln((CAST(n_pos AS DOUBLE) / tp) / (CAST(n_neg AS DOUBLE) / tn)) AS woe,
+           (CAST(n_pos AS DOUBLE) / tp - CAST(n_neg AS DOUBLE) / tn)
+             * ln((CAST(n_pos AS DOUBLE) / tp) / (CAST(n_neg AS DOUBLE) / tn)) AS iv_term
+    FROM cells CROSS JOIN tot
+    """,
+)
+def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of order priority against the
+    high-value label (totalprice > 150k), with each category's
+    information-value term — the credit-scoring-style categorical
+    screen beside [[features_target_encoding]]'s LOO means.  Laplace +1
+    on both class counts keeps ln defined for pure categories.  Counts
+    are exact integers; the only floats are two divisions and one ln per
+    CATEGORY (5 rows), identical expression order both engines.  At
+    100 TB: one partial-aggregated groupBy; totals ride a broadcast
+    cross join of a 1-row frame."""
+    lab = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("pos"),
+    )
+    cells = lab.groupBy("cat").agg(
+        (F.sum("pos") + F.lit(1)).cast("long").alias("n_pos"),
+        (F.sum(F.lit(1) - F.col("pos")) + F.lit(1)).cast("long").alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").cast("long").alias("tp"), F.sum("n_neg").cast("long").alias("tn")
+    )
+    woe = F.expr("ln((CAST(n_pos AS DOUBLE) / tp) / (CAST(n_neg AS DOUBLE) / tn))")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe"),
+        (
+            F.expr("CAST(n_pos AS DOUBLE) / tp - CAST(n_neg AS DOUBLE) / tn") * woe
+        ).alias("iv_term"),
+    )

@@ -1346,6 +1346,25 @@ def test_image_neardup_pairs_exact_recall_within_radius(spark):
     assert (1, 2) in got  # the seeded near-dup survives
 
 
+def test_char_entropy_orders_texts_and_preserves_rows(spark):
+    """Entropy ranks alphabet-rich text above repeated-symbol text (the
+    signal's reason to exist), a uniform 4-char doc scores exactly
+    ln(4)≈1.386294, and empty/NULL docs survive with (0, 0, 0.0)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import char_entropy
+
+    rows = [(1, "aaaaaaaa"), (2, "abcd"), (3, ""), (4, None),
+            (5, "the quick brown fox")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in char_entropy(df, "doc_id", "text").collect()}
+    assert len(out) == 5
+    assert out[1].entropy == 0.0 and out[1].n_distinct == 1
+    assert out[2].entropy == 1.386294  # ln(4) rounded to 6
+    assert out[5].entropy > out[1].entropy
+    for empty in (3, 4):
+        r = out[empty]
+        assert (r.n_chars, r.n_distinct, r.entropy) == (0, 0, 0.0)
+
+
 def test_containment_finds_embedded_quote_jaccard_misses(spark):
     """The reason containment exists: a short snippet fully embedded in a
     much longer document has containment 1.0 but Jaccard far below any

@@ -115,7 +115,7 @@ def test_pack_sequences_single_shard_shuffle(spark):
 def test_dedup_exact_shuffles_fingerprint_not_text(spark):
     """dedup_exact_docs must shuffle (fp, id) only: one exchange, and the
     exchange input carries the md5 fingerprint, never the document body."""
-    df = QUERIES["dedup_exact_docs"](spark, SF_DIR)
+    df = EXTRA_QUERIES["dedup_exact_docs"](spark, SF_DIR)  # rotated out r9
     plan = audit.plan_string(df)
     assert audit.exchange_count(df) == 1, plan
     exchange_inputs = [
