@@ -537,6 +537,10 @@ def qsketch_quantiles(
     spec = F.broadcast(
         spark.createDataFrame(list(quantiles), "quantile string, num long, den long")
     )
+    # Two consumers (cumulative window + totals) — materialize the register
+    # table once (the redundant-subtree discipline) or each recompiles the
+    # full source scan + aggregate; the state is ≤ n_bins rows per group.
+    regs = regs.localCheckpoint()
     cum = regs.withColumn(
         "cum", F.sum("c").over(W.partitionBy("grp").orderBy("bin"))
     )

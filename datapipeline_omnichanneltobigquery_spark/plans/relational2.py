@@ -2384,7 +2384,7 @@ def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = lab.groupBy("cat").agg(
         (F.sum("pos") + F.lit(1)).cast("long").alias("n_pos"),
         (F.sum(F.lit(1) - F.col("pos")) + F.lit(1)).cast("long").alias("n_neg"),
-    )
+    ).localCheckpoint()  # feeds totals AND the final projection: one scan
     tot = cells.agg(
         F.sum("n_pos").cast("long").alias("tp"), F.sum("n_neg").cast("long").alias("tn")
     )
