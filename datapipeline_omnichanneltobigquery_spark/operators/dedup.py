@@ -1615,3 +1615,61 @@ def containment_pairs_sql(
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(a.sz AS DOUBLE) >= {float(threshold)!r}
     """
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col,
+) -> DataFrame:
+    """Quality-aware exact dedup keep-list: one (fp, id, score) row per
+    distinct ``text_col`` value, keeping the duplicate with the HIGHEST
+    ``score_col`` (ties to the smallest id) — :func:`dedup_exact_keylist`
+    keeps an arbitrary-but-deterministic min-id winner, which throws away
+    information when duplicates differ in provenance quality (the common
+    crawl case: the same article from a clean source and a boilerplate-
+    ridden mirror).  ``score_col`` may be any column or expression (e.g.
+    textstats.quality_score(text)).
+
+    Scale shape is unchanged from the keylist: fp/score/id are computed
+    map-side, the aggregate shuffles 32 bytes per row via a max_by-style
+    struct-max partial+final — the document body never crosses an
+    exchange.  The struct orders (score, -id): max score wins, smaller id
+    wins ties — a total order, so the winner is unique and
+    engine-reproducible."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    picked = (
+        df.select(
+            F.md5(F.col(text_col)).alias("fp"),
+            F.struct(
+                score.cast("double").alias("s"),
+                (-F.col(id_col)).alias("neg_id"),
+            ).alias("__k"),
+        )
+        .groupBy("fp")
+        .agg(F.max("__k").alias("__k"))
+    )
+    return picked.select(
+        "fp",
+        (-F.col("__k.neg_id")).alias(id_col),
+        F.col("__k.s").alias("score"),
+    )
+
+
+def dedup_keep_best_sql(table: str, text_col: str, id_col: str, score_sql: str) -> str:
+    """DuckDB twin of :func:`dedup_keep_best` — same struct-max total
+    order via arg-max over (score, -id)."""
+    return f"""
+    WITH scored AS (
+        SELECT md5({text_col}) AS fp, {id_col} AS id,
+               CAST({score_sql} AS DOUBLE) AS s
+        FROM {table}
+    ),
+    ranked AS (
+        SELECT fp, id, s,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY s DESC, id ASC) AS rn
+        FROM scored
+    )
+    SELECT fp, id AS {id_col}, s AS score FROM ranked WHERE rn = 1
+    """

@@ -1009,3 +1009,16 @@ def char_entropy_sql(table: str, id_col: str, text_col: str) -> str:
     FROM (SELECT DISTINCT {id_col} FROM {table}) t
     LEFT JOIN per_id p ON p.id = t.{id_col}
     """
+
+
+def quality_score_sql(t: str) -> str:
+    """The composite [0,1] quality score as a DuckDB expression — the twin
+    of :func:`quality_score` as a reusable snippet (the same text that
+    text_quality_sql / corpus_report inline)."""
+    return (
+        f"least(CAST(len(regexp_split_to_array(trim(lower({t})), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4"
+        f" + CAST(length(regexp_replace(lower({t}), '[^a-z]', '', 'g')) AS DOUBLE)"
+        f" / CAST(greatest(length({t}), 1) AS DOUBLE) * 0.4"
+        f" + (1.0 - least(CAST(length(regexp_replace({t}, '[^.,;:!?]', '', 'g')) AS DOUBLE)"
+        f" / CAST(greatest(length({t}), 1) AS DOUBLE) * 10.0, 1.0)) * 0.2"
+    )

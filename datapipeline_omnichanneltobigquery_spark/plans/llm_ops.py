@@ -1540,3 +1540,21 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered ln fold, every input row survives
     (operators/textstats.py::char_entropy)."""
     return ts.char_entropy(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_keep_best",
+    driver=False,  # new r9 dedup-family member: quality-aware winner (queued for the r10 rotation)
+    oracle=dd.dedup_keep_best_sql("documents", "text", "doc_id", ts.quality_score_sql("text")),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: per distinct text, keep the duplicate
+    with the highest composite quality score (ties to smallest id) via a
+    struct-max aggregate — the keep-the-clean-copy policy where
+    dedup_exact_docs keeps an arbitrary-but-deterministic min id; the
+    document body still never crosses an exchange
+    (operators/dedup.py::dedup_keep_best)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.dedup_keep_best(docs, "text", "doc_id", quality_score(F.col("text")))

@@ -1346,6 +1346,24 @@ def test_image_neardup_pairs_exact_recall_within_radius(spark):
     assert (1, 2) in got  # the seeded near-dup survives
 
 
+def test_dedup_keep_best_picks_highest_quality_duplicate(spark):
+    """The quality-aware winner: identical texts collapse to ONE row whose
+    id is the duplicate with the highest score (here: id_col as the score
+    proxy flipped — higher score wins even when min-id would pick the
+    other), ties break to the smallest id."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        (1, "same text here", 0.2),   # min-id winner under keylist...
+        (2, "same text here", 0.9),   # ...but the BEST copy is id 2
+        (3, "same text here", 0.9),   # tie on score -> smaller id (2) wins
+        (4, "unique text", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    got = {r.doc_id: r.score for r in dedup_keep_best(df, "text", "doc_id", "q").collect()}
+    assert got == {2: 0.9, 4: 0.5}
+
+
 def test_char_entropy_orders_texts_and_preserves_rows(spark):
     """Entropy ranks alphabet-rich text above repeated-symbol text (the
     signal's reason to exist), a uniform 4-char doc scores exactly
