@@ -225,21 +225,13 @@ BROADCAST_REVIEW_ALLOWLIST = {
     # bench-side shingle index + contaminated-id list: evaluation suites
     # are small by construction (operators/decontam.py module contract)
     "text_decontaminate": 1,
-    # same two decontam broadcasts riding inside the composed pipeline
-    "corpus_prep_full": 2,
-    # and inside its incremental (nightly) face, gated since r7
+    # decontam broadcasts riding inside the incremental (nightly) face,
+    # gated since r7 (corpus_prep_full rotated out r9 — see the EXTRA list)
     "corpus_prep_incremental": 2,
     # (r7: the Bloom probe no longer broadcasts at all — the bounded words
     # table is materialized into a literal array, pure map-side probe)
     # (r8: bm25's per-query-term dfreq broadcast now rides on the
     # localCheckpointed tf_q frame — mechanically bounded, off this list)
-    # batch-ANN probe set: the query batch (vec_id < 16 literal range) is
-    # bounded by the caller's contract — broadcasting the probe batch IS
-    # the batch-ANN plan shape (operators/similarity.py
-    # ::ivf_topk_join_from_index); the exact-truth side's 2 hints moved
-    # into ann_recall's localCheckpoint job in r8, leaving the candidate
-    # probe's
-    "similarity_ann_recall": 1,
 }
 
 
@@ -277,6 +269,16 @@ EXTRA_BROADCAST_REVIEW_ALLOWLIST = {
     # eval-suite shingle index + contaminated-id list (decontam module
     # contract: evaluation suites are small by construction)
     "text_decontam_keep": 2,
+    # the same two decontam broadcasts riding inside the composed pipeline
+    # (rotated out of the gate r9; justification unchanged)
+    "corpus_prep_full": 2,
+    # batch-ANN probe set: the query batch (vec_id < 16 literal range) is
+    # bounded by the caller's contract — broadcasting the probe batch IS
+    # the batch-ANN plan shape (operators/similarity.py
+    # ::ivf_topk_join_from_index); the exact-truth side's 2 hints moved
+    # into ann_recall's localCheckpoint job in r8, leaving the candidate
+    # probe's (rotated out of the gate r9)
+    "similarity_ann_recall": 1,
 }
 
 
