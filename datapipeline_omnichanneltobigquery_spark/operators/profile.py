@@ -746,6 +746,36 @@ def k_anonymity_sql(table: str, quasi_cols: list, k: int) -> str:
     """
 
 
+def l_diversity(df, quasi_cols: list, sensitive_col: str, l: int):
+    """l-diversity audit: k-anonymity's stronger sibling (Machanavajjhala
+    '06) — a quasi-identifier group can be k-anonymous yet leak the
+    SENSITIVE attribute outright when every member shares one value
+    (homogeneity attack).  Per quasi combination: population, distinct
+    sensitive values, and whether it meets the diversity floor
+    (``distinct_sensitive >= l``).
+
+    One partial-aggregated groupBy (count_distinct carries a per-group
+    distinct-set partial); output bounded by the quasi domain product."""
+    import pyspark.sql.functions as F
+
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.count_distinct(sensitive_col).alias("distinct_sensitive"),
+        (F.count_distinct(sensitive_col) >= F.lit(int(l))).alias("l_diverse"),
+    )
+
+
+def l_diversity_sql(table: str, quasi_cols: list, sensitive_col: str, l: int) -> str:
+    """DuckDB twin of :func:`l_diversity`."""
+    cols = ", ".join(quasi_cols)
+    return f"""
+    SELECT {cols}, COUNT(*) AS group_n,
+           COUNT(DISTINCT {sensitive_col}) AS distinct_sensitive,
+           COUNT(DISTINCT {sensitive_col}) >= {int(l)} AS l_diverse
+    FROM {table} GROUP BY {cols}
+    """
+
+
 def validate_constraints(df, rules: list) -> "DataFrame":
     """Declarative data-contract validation (the Deequ/Great-Expectations
     primitive): evaluate a list of rules in ONE aggregate pass and return

@@ -1022,3 +1022,103 @@ def quality_score_sql(t: str) -> str:
         f" + (1.0 - least(CAST(length(regexp_replace({t}, '[^.,;:!?]', '', 'g')) AS DOUBLE)"
         f" / CAST(greatest(length({t}), 1) AS DOUBLE) * 10.0, 1.0)) * 0.2"
     )
+
+
+def self_dedup(
+    df: DataFrame, id_col: str, text_col: str, seg_len: int = 5
+) -> DataFrame:
+    """INTRA-document repetition removal: split each document into
+    consecutive ``seg_len``-token segments and keep only the FIRST
+    occurrence of each distinct segment text within its own document,
+    reassembling survivors in order — the self-repetition cleaner for
+    looped/templated crawl pages (where :func:`boilerplate_scrub` drops
+    segments repeated ACROSS documents, this drops repeats WITHIN one).
+    Returns (id, clean_text, kept_segs, dropped_segs); every input id
+    survives (zero-token docs come back as empty rows — the scrub row-
+    identity contract).
+
+    Scale shape: segmentation is the shared tokenize-once stream; the
+    first-occurrence pick and the reassembly both ride ONE exchange keyed
+    by id (min-per-(id, seg_text) is partial-aggregated) — no cross-
+    document state at all, so the operator is embarrassingly parallel
+    over documents at any corpus size."""
+    idc = F.col(id_col)
+    raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = (
+        df.select(idc.alias("id"), F.posexplode(raw).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    seg = tok.groupBy(
+        "id", F.floor(F.col("pos") / F.lit(seg_len)).cast("int").alias("seg_id")
+    ).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("seg_text")
+    ).localCheckpoint()  # totals + first-occurrence both read it
+    first = seg.groupBy("id", "seg_text").agg(F.min("seg_id").alias("seg_id"))
+    totals = seg.groupBy("id").agg(F.count(F.lit(1)).alias("n_segs"))
+    kept = first.groupBy("id").agg(
+        F.count(F.lit(1)).alias("kept_segs"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+        ).alias("clean_text"),
+    )
+    ids = df.select(idc.alias("id")).distinct()
+    return (
+        ids.join(totals, "id", "left")
+        .join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("kept_segs", F.lit(0)).cast("long").alias("kept_segs"),
+            (
+                F.coalesce(F.col("n_segs"), F.lit(0))
+                - F.coalesce(F.col("kept_segs"), F.lit(0))
+            )
+            .cast("long")
+            .alias("dropped_segs"),
+        )
+    )
+
+
+def self_dedup_sql(table: str, id_col: str, text_col: str, seg_len: int = 5) -> str:
+    """DuckDB twin of :func:`self_dedup` (same segmentation, same
+    first-occurrence pick, same reassembly order)."""
+    return f"""
+    WITH tok0 AS (
+        SELECT {id_col} AS id,
+               UNNEST(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok,
+               generate_subscripts(regexp_split_to_array(trim({text_col}), '\\s+'), 1) - 1 AS pos
+        FROM {table}
+    ),
+    tok AS (SELECT id, tok, pos FROM tok0 WHERE tok <> ''),
+    seg AS (
+        SELECT id, CAST(FLOOR(pos / {seg_len}) AS INT) AS seg_id,
+               string_agg(tok, ' ' ORDER BY pos) AS seg_text
+        FROM tok GROUP BY 1, 2
+    ),
+    first AS (
+        SELECT id, seg_text, MIN(seg_id) AS seg_id FROM seg GROUP BY 1, 2
+    ),
+    totals AS (SELECT id, COUNT(*) AS n_segs FROM seg GROUP BY 1),
+    kept AS (
+        SELECT id, COUNT(*) AS kept_segs,
+               string_agg(seg_text, ' ' ORDER BY seg_id) AS clean_text
+        FROM first GROUP BY 1
+    ),
+    ids AS (SELECT DISTINCT {id_col} AS id FROM {table})
+    SELECT i.id AS {id_col},
+           COALESCE(k.clean_text, '') AS clean_text,
+           COALESCE(k.kept_segs, 0) AS kept_segs,
+           COALESCE(t.n_segs, 0) - COALESCE(k.kept_segs, 0) AS dropped_segs
+    FROM ids i
+    LEFT JOIN totals t ON t.id = i.id
+    LEFT JOIN kept k ON k.id = i.id
+    """

@@ -437,3 +437,81 @@ def ewma_smooth_sql(
     )
     SELECT uid, key, value, ({num}) / ({den}) AS ewma FROM lagged
     """
+
+
+def seasonal_residuals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    z_threshold: float = 3.0,
+    min_n: int = 30,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each observation scored against
+    the mean/std of ITS OWN (key, hour-of-day) cell — the periodic
+    complement of :func:`rolling_zscore` (trailing windows see a spike
+    coming; a seasonal baseline sees Tuesday-3am traffic that is normal at
+    3pm).  Returns (unique, key, hr, zscore, is_anomaly) for rows whose
+    cell has ≥ ``min_n`` observations and non-zero spread.
+
+    Same determinism rails as rolling_zscore: FLOOR micro-unit
+    quantization, exact integer/decimal cell sums, then mean/var/z as one
+    fixed IEEE expression.  Scale: one partial-aggregated groupBy to the
+    (keys × 24)-cell profile, which AQE broadcasts back onto the stream —
+    the data shuffles zero times."""
+    v = F.expr(f"CAST(FLOOR({val_col} * 1000000) AS BIGINT)")
+    base = df.select(
+        F.col(unique_col),
+        F.col(key_col),
+        F.hour(ts_col).alias("hr"),
+        v.alias("__v"),
+    )
+    prof = base.groupBy(key_col, "hr").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.expr("CAST(__v AS DECIMAL(19,0)) * __v")).alias("__sq"),
+    )
+    joined = base.join(prof, [key_col, "hr"])
+    n_d = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n_d
+    var = F.col("__sq").cast("double") / n_d - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("__v").cast("double") - mean) / std
+    return (
+        joined.filter((F.col("__n") >= min_n) & (std > 0))
+        .filter(F.abs(z) > F.lit(z_threshold))
+        .select(unique_col, key_col, "hr", z.alias("zscore"))
+    )
+
+
+def seasonal_residuals_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    z_threshold: float = 3.0,
+    min_n: int = 30,
+) -> str:
+    """DuckDB twin of :func:`seasonal_residuals` — same quantization, same
+    cell sums (HUGEINT as the exact accumulator), same expression order."""
+    mean = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    std = (
+        f"sqrt(GREATEST(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - ({mean}) * ({mean}), 0.0))"
+    )
+    z = f"(CAST(v AS DOUBLE) - {mean}) / {std}"
+    return f"""
+    WITH base AS (
+        SELECT {unique_col}, {key_col}, hour({ts_col}) AS hr,
+               CAST(FLOOR({val_col} * 1000000) AS BIGINT) AS v
+        FROM {table}),
+    prof AS (
+        SELECT {key_col}, hr, COUNT(*) AS n, SUM(v) AS s,
+               SUM(CAST(v AS HUGEINT) * v) AS sq
+        FROM base GROUP BY 1, 2)
+    SELECT b.{unique_col}, b.{key_col}, b.hr, {z} AS zscore
+    FROM base b JOIN prof USING ({key_col}, hr)
+    WHERE n >= {min_n} AND {std} > 0 AND abs({z}) > {z_threshold}
+    """

@@ -1558,3 +1558,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return dd.dedup_keep_best(docs, "text", "doc_id", quality_score(F.col("text")))
+
+
+@query(
+    "text_self_dedup",
+    driver=False,  # new r9 family: intra-document repetition removal (queued for the r10 rotation)
+    oracle=ts.self_dedup_sql("documents", "doc_id", "text", seg_len=5),
+)
+def text_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: keep only the FIRST occurrence
+    of each distinct 5-token segment within its own document — the
+    self-repetition cleaner for looped/templated pages, complementing
+    text_boilerplate_scrub's cross-document blocklist.  No cross-document
+    state: one id-keyed exchange, embarrassingly parallel over documents
+    (operators/textstats.py::self_dedup)."""
+    return ts.self_dedup(read_table(spark, sf_dir, "documents"), "doc_id", "text", seg_len=5)

@@ -2398,3 +2398,44 @@ def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_pos AS DOUBLE) / tp - CAST(n_neg AS DOUBLE) / tn") * woe
         ).alias("iv_term"),
     )
+
+
+@query(
+    "events_seasonal_residuals",
+    driver=False,  # new r9 timeseries-family member (queued for the r10 rotation)
+    oracle=tsr.seasonal_residuals_sql(
+        "events", "event_type", "ts", "value", "event_id", z_threshold=2.0, min_n=10
+    ),
+)
+def events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomalies: each event scored against the
+    mean/std of its own (event_type, hour-of-day) cell — the periodic
+    complement of events_rolling_zscore's trailing windows (normal-at-3pm
+    is anomalous at 3am).  Exact micro-unit cell sums; the profile is
+    (types × 24) rows broadcast back, so the stream never shuffles
+    (operators/timeseries.py::seasonal_residuals)."""
+    return tsr.seasonal_residuals(
+        read_table(spark, sf_dir, "events"),
+        # min_n=10 (not 30): sf0.001's (type, hour) cells hold ~20 rows,
+        # so a 30-row floor would make the gate trivially empty there
+        "event_type", "ts", "value", "event_id", z_threshold=2.0, min_n=10,
+    )
+
+
+@query(
+    "dq_l_diversity",
+    driver=False,  # new r9 privacy-family member beside dq_k_anonymity (queued for the r10 rotation)
+    oracle=pf.l_diversity_sql(
+        "(SELECT o_orderpriority, year(o_orderdate) AS order_yr, o_orderstatus FROM orders)",
+        ["o_orderpriority", "order_yr"], "o_orderstatus", 2,
+    ),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity privacy audit: per (priority, order year) quasi-group,
+    the distinct count of the sensitive order status and whether it meets
+    the l=2 floor — k-anonymity's homogeneity-attack complement
+    (operators/profile.py::l_diversity)."""
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("order_yr"), "o_orderstatus"
+    )
+    return pf.l_diversity(od, ["o_orderpriority", "order_yr"], "o_orderstatus", 2)

@@ -1346,6 +1346,29 @@ def test_image_neardup_pairs_exact_recall_within_radius(spark):
     assert (1, 2) in got  # the seeded near-dup survives
 
 
+def test_self_dedup_drops_repeats_within_doc_only(spark):
+    """A looped page keeps one copy of its repeated segment (order
+    preserved around it); the SAME segment in a different doc is
+    untouched — self-dedup has no cross-document state.  Zero-token docs
+    survive as empty rows."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import self_dedup
+
+    loop = "nav home about contact legal"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{loop} real body content goes here {loop}"),
+            (2, loop),          # same segment elsewhere: kept (df irrelevant)
+            (3, "  "),          # zero-token
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in self_dedup(docs, "doc_id", "text", seg_len=5).collect()}
+    assert out[1].clean_text == f"{loop} real body content goes here"
+    assert (out[1].kept_segs, out[1].dropped_segs) == (2, 1)
+    assert out[2].clean_text == loop and out[2].dropped_segs == 0
+    assert (out[3].clean_text, out[3].kept_segs, out[3].dropped_segs) == ("", 0, 0)
+
+
 def test_dedup_keep_best_picks_highest_quality_duplicate(spark):
     """The quality-aware winner: identical texts collapse to ONE row whose
     id is the duplicate with the highest score (here: id_col as the score
