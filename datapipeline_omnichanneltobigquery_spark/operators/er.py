@@ -163,3 +163,79 @@ def golden_records_sql(
 {join_block}
     LEFT JOIN cnt USING (cluster_id)
     """
+
+
+def reciprocal_best(
+    pairs, id_a: str = "id_a", id_b: str = "id_b", score_col: str = "match_score"
+):
+    """Reciprocal-best-match filter over a scored UNDIRECTED pair list:
+    keep (a, b) only when b is a's highest-scoring partner AND a is b's —
+    the standard ER precision upgrade (a hub record that weakly matches
+    everything survives blocked scoring but is nobody's mutual best).
+    Ties break to the smaller partner id, so "best" is a total order and
+    the output is engine-exact.
+
+    Scale: explode pairs to a directed view (2|pairs| rows), one
+    partial-aggregated struct-max per src (argmax without a window sort),
+    then a self-join of the node-count-sized best table — never touches
+    the records themselves."""
+    import pyspark.sql.functions as F
+
+    d1 = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst"), F.col(score_col).alias("s")
+    )
+    d2 = pairs.select(
+        F.col(id_b).alias("src"), F.col(id_a).alias("dst"), F.col(score_col).alias("s")
+    )
+    best = (
+        d1.unionByName(d2)
+        .groupBy("src")
+        .agg(F.max(F.struct(F.col("s"), (-F.col("dst")).alias("nd"))).alias("__b"))
+        .select(
+            "src",
+            (-F.col("__b.nd")).alias("best_dst"),
+            F.col("__b.s").alias("best_s"),
+        )
+        .localCheckpoint()  # both self-join sides read it
+    )
+    x, y = best.alias("x"), best.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.best_dst") == F.col("y.src"))
+            & (F.col("y.best_dst") == F.col("x.src"))
+            & (F.col("x.src") < F.col("x.best_dst")),
+        )
+        .select(
+            F.col("x.src").alias(id_a),
+            F.col("x.best_dst").alias(id_b),
+            F.col("x.best_s").alias(score_col),
+        )
+    )
+
+
+def reciprocal_best_sql(
+    pairs_sql: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "match_score",
+) -> str:
+    """DuckDB twin of :func:`reciprocal_best` — same struct-max argmax
+    ((score, -dst) lexicographic), same mutuality join."""
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    directed AS (
+        SELECT {id_a} AS src, {id_b} AS dst, {score_col} AS s FROM pairs
+        UNION ALL
+        SELECT {id_b} AS src, {id_a} AS dst, {score_col} AS s FROM pairs
+    ),
+    best AS (
+        SELECT src,
+               -((MAX(struct_pack(s := s, nd := -dst))).nd) AS best_dst,
+               (MAX(struct_pack(s := s, nd := -dst))).s AS best_s
+        FROM directed GROUP BY src
+    )
+    SELECT x.src AS {id_a}, x.best_dst AS {id_b}, x.best_s AS {score_col}
+    FROM best x JOIN best y
+      ON x.best_dst = y.src AND y.best_dst = x.src AND x.src < x.best_dst
+    """

@@ -871,3 +871,53 @@ def temperature_mix_sql(
                         / CAST(a.tokens_available AS DOUBLE)) END AS sample_rate
     FROM agg a CROSS JOIN tot
     """
+
+
+def rate_cap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    unique_col: str,
+    window_seconds: int,
+    max_per_window: int,
+) -> DataFrame:
+    """Per-key rate capping: keep at most ``max_per_window`` rows per
+    (key, tumbling event-time window), earliest-first (ties by the unique
+    column — a total order, so the kept set is engine-exact).  The
+    ingestion throttle for abusive producers / scraper bursts: a key that
+    floods one window loses its excess, everyone else is untouched.
+    Returns the kept rows with their window start and in-window rank.
+
+    Scale: one (key, window) exchange + sort for the row_number — the
+    same shape as sessionization; the window bucket is integer-exact
+    microsecond arithmetic shared with the twin."""
+    win_us = int(window_seconds) * 1_000_000
+    bucket = F.expr(f"(unix_micros({ts_col}) div {win_us}) * {win_us}")
+    w = Window.partitionBy(key_col, "win_start").orderBy(ts_col, unique_col)
+    return (
+        df.withColumn("win_start", bucket)
+        .withColumn("in_window_rank", F.row_number().over(w))
+        .filter(F.col("in_window_rank") <= int(max_per_window))
+    )
+
+
+def rate_cap_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    unique_col: str,
+    window_seconds: int,
+    max_per_window: int,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`rate_cap` — same integer bucket, same total
+    order, QUALIFY form."""
+    win_us = int(window_seconds) * 1_000_000
+    return f"""
+    SELECT {select_cols},
+           (epoch_us({ts_col}) // {win_us}) * {win_us} AS win_start,
+           ROW_NUMBER() OVER (PARTITION BY {key_col}, (epoch_us({ts_col}) // {win_us})
+                              ORDER BY {ts_col}, {unique_col}) AS in_window_rank
+    FROM {table}
+    QUALIFY in_window_rank <= {int(max_per_window)}
+    """

@@ -12,6 +12,7 @@ from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import er
 from datapipeline_omnichanneltobigquery_spark.operators import graph as gr
 from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
+from datapipeline_omnichanneltobigquery_spark.operators import sampling as sa
 from datapipeline_omnichanneltobigquery_spark.operators import skew as sk
 from datapipeline_omnichanneltobigquery_spark.operators import timeseries as tsr
 from datapipeline_omnichanneltobigquery_spark.operators.upsert import snapshot_diff_sql
@@ -1070,10 +1071,9 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "er_part_matches",
-    driver=False,  # entity-resolution face of the gated fuzzy-matching family (r7)
-    oracle="""
+# The scored ER pair list (shared by er_part_matches and the reciprocal-
+# best filter below — one definition, no drift).
+_ER_SCORED_PAIRS_SQL = """
     WITH p AS (SELECT p_partkey AS pk, trim(lower(p_name)) AS name,
                       p_brand AS brand, p_type AS typ, p_size AS sz,
                       str_split(trim(lower(p_name)), ' ')[1] AS tok0
@@ -1090,7 +1090,13 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / CAST(GREATEST(length(a.name), length(b.name)) AS DOUBLE))
             + (CASE WHEN a.typ = b.typ THEN 2.0 ELSE 0.0 END)
             + (CASE WHEN abs(a.sz - b.sz) <= 2 THEN 1.0 ELSE 0.0 END) >= 3.5
-    """,
+    """
+
+
+@query(
+    "er_part_matches",
+    driver=False,  # entity-resolution face of the gated fuzzy-matching family (r7)
+    oracle=_ER_SCORED_PAIRS_SQL,
 )
 def er_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-field entity-resolution scoring over the part catalog
@@ -2439,3 +2445,45 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", F.year("o_orderdate").alias("order_yr"), "o_orderstatus"
     )
     return pf.l_diversity(od, ["o_orderpriority", "order_yr"], "o_orderstatus", 2)
+
+
+@query(
+    "er_reciprocal_best",
+    driver=False,  # new r9 ER-family member: mutual-best precision filter (queued for the r10 rotation)
+    oracle=er.reciprocal_best_sql(_ER_SCORED_PAIRS_SQL),
+)
+def er_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best-match filter over the blocked ER scores: keep a
+    pair only when each side is the other's highest-scoring partner
+    (ties to the smaller id) — the precision upgrade that drops hub
+    records which weakly match everything.  Struct-max argmax per node,
+    no window sort (operators/er.py::reciprocal_best)."""
+    from datapipeline_omnichanneltobigquery_spark.plans.relational2 import er_part_matches
+
+    return er.reciprocal_best(er_part_matches(spark, sf_dir))
+
+
+@query(
+    "events_rate_capped",
+    driver=False,  # new r9 ingestion-hygiene member (queued for the r10 rotation)
+    # daily window / cap 3: hourly buckets never exceed 3 in the synthetic
+    # stream, which would make the gate a no-op — daily buckets reach 7-10
+    oracle="""
+    SELECT event_id, user_id, event_type, win_start, in_window_rank
+    FROM (""" + sa.rate_cap_sql(
+        "events", "user_id", "ts", "event_id", 86400, 3,
+        select_cols="event_id, user_id, event_type",
+    ) + """)
+    """,
+)
+def events_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rate capping: at most 3 events per (user, day window),
+    earliest-first with event_id tie-break — the ingestion throttle for
+    scraper bursts; integer-exact microsecond buckets shared with the
+    twin (operators/sampling.py::rate_cap)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return sa.rate_cap(ev, "user_id", "ts", "event_id", 86400, 3).select(
+        "event_id", "user_id", "event_type", "win_start", "in_window_rank"
+    )

@@ -1346,6 +1346,41 @@ def test_image_neardup_pairs_exact_recall_within_radius(spark):
     assert (1, 2) in got  # the seeded near-dup survives
 
 
+def test_reciprocal_best_drops_hub_records(spark):
+    """A hub that weakly matches everything survives blocked scoring but
+    is nobody's mutual best: (1,2) score 0.9 each way is mutual; hub 9
+    scores 0.5 against both, so its best (1, by tie-break) does NOT pick
+    it back — the hub must vanish from the reciprocal output."""
+    from datapipeline_omnichanneltobigquery_spark.operators.er import reciprocal_best
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 9, 0.5), (2, 9, 0.5), (3, 4, 0.7)],
+        "id_a long, id_b long, match_score double",
+    )
+    got = {(r.id_a, r.id_b): r.match_score for r in reciprocal_best(pairs).collect()}
+    assert got == {(1, 2): 0.9, (3, 4): 0.7}
+
+
+def test_rate_cap_keeps_earliest_per_window(spark):
+    """A key flooding one window keeps exactly its earliest max_per_window
+    rows (event-id tie-break on equal timestamps); quiet keys and other
+    windows are untouched."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import rate_cap
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(i, 7, t0 + dt.timedelta(minutes=i)) for i in range(5)]  # burst: 5 in 1h
+    rows += [(10, 7, t0 + dt.timedelta(hours=2))]                    # next window
+    rows += [(20, 8, t0), (21, 8, t0)]                               # tie on ts
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    kept = rate_cap(df, "user_id", "ts", "event_id", 3600, 2)
+    ids = sorted(r.event_id for r in kept.collect())
+    assert ids == [0, 1, 10, 20, 21]  # burst trimmed to its 2 earliest
+    ranks = {r.event_id: r.in_window_rank for r in kept.collect()}
+    assert ranks[20] == 1 and ranks[21] == 2  # deterministic tie-break
+
+
 def test_self_dedup_drops_repeats_within_doc_only(spark):
     """A looped page keeps one copy of its repeated segment (order
     preserved around it); the SAME segment in a different doc is
