@@ -776,6 +776,36 @@ def l_diversity_sql(table: str, quasi_cols: list, sensitive_col: str, l: int) ->
     """
 
 
+def fd_violations(df, lhs_cols: list, rhs_col: str):
+    """Functional-dependency check: report every LHS combination that maps
+    to MORE than one distinct RHS value — the classic consistency screen
+    (same customer ⇒ same nation; same SKU ⇒ same brand).  Returns
+    (lhs..., n_rows, n_rhs) for violating groups only.
+
+    One partial-aggregated groupBy; output bounded by violating-key
+    count, so the report stays small even when the table is not."""
+    import pyspark.sql.functions as F
+
+    return (
+        df.groupBy(*lhs_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(rhs_col).alias("n_rhs"),
+        )
+        .filter(F.col("n_rhs") > 1)
+    )
+
+
+def fd_violations_sql(table: str, lhs_cols: list, rhs_col: str) -> str:
+    """DuckDB twin of :func:`fd_violations`."""
+    cols = ", ".join(lhs_cols)
+    return f"""
+    SELECT {cols}, COUNT(*) AS n_rows, COUNT(DISTINCT {rhs_col}) AS n_rhs
+    FROM {table} GROUP BY {cols}
+    HAVING COUNT(DISTINCT {rhs_col}) > 1
+    """
+
+
 def validate_constraints(df, rules: list) -> "DataFrame":
     """Declarative data-contract validation (the Deequ/Great-Expectations
     primitive): evaluate a list of rules in ONE aggregate pass and return

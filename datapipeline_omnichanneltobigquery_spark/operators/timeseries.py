@@ -515,3 +515,52 @@ def seasonal_residuals_sql(
     FROM base b JOIN prof USING ({key_col}, hr)
     WHERE n >= {min_n} AND {std} > 0 AND abs({z}) > {z_threshold}
     """
+
+
+def debounce(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    unique_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Per-key debouncing: keep an event only when at least
+    ``gap_seconds`` passed since the previous KEPT event of the same key
+    — approximated by the standard lag form (gap from the previous
+    ARRIVED event), which collapses every burst to its first row: the
+    duplicate-click / sensor-chatter cleaner, the time-domain complement
+    of :func:`~..operators.sampling.rate_cap`'s volume cap.  Determinism:
+    (ts, unique) total order; integer-microsecond gap arithmetic.
+    One (key)-partitioned window — the sessionize shape."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, unique_col)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    gap_us = int(gap_seconds) * 1_000_000
+    return (
+        df.withColumn("__prev", prev)
+        .filter(
+            F.col("__prev").isNull()
+            | (F.unix_micros(F.col(ts_col)) - F.col("__prev") >= gap_us)
+        )
+        .drop("__prev")
+    )
+
+
+def debounce_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    unique_col: str,
+    gap_seconds: int,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`debounce` — same lag form, same integer gap."""
+    gap_us = int(gap_seconds) * 1_000_000
+    return f"""
+    SELECT {select_cols}
+    FROM (
+        SELECT *, LAG(epoch_us({ts_col})) OVER (PARTITION BY {key_col}
+                      ORDER BY {ts_col}, {unique_col}) AS __prev
+        FROM {table}
+    )
+    WHERE __prev IS NULL OR epoch_us({ts_col}) - __prev >= {gap_us}
+    """

@@ -2487,3 +2487,40 @@ def events_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sa.rate_cap(ev, "user_id", "ts", "event_id", 86400, 3).select(
         "event_id", "user_id", "event_type", "win_start", "in_window_rank"
     )
+
+
+@query(
+    "events_debounced",
+    driver=False,  # new r9 ingestion-hygiene member beside rate capping (queued for the r10 rotation)
+    oracle=tsr.debounce_sql(
+        "events", "user_id", "ts", "event_id", 86400,
+        select_cols="event_id, user_id, event_type",
+    ),
+)
+def events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user debouncing: drop any event arriving within a day of the
+    previous one from the same user — burst collapse (duplicate clicks /
+    sensor chatter), the time-gap complement of events_rate_capped's
+    volume cap.  (ts, event_id) total order, integer-microsecond gap
+    (operators/timeseries.py::debounce)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return tsr.debounce(ev, "user_id", "ts", "event_id", 86400).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query(
+    "dq_fd_violations",
+    driver=False,  # new r9 DQ-family member beside constraints/k-anonymity (queued for the r10 rotation)
+    oracle=pf.fd_violations_sql("lineitem", ["l_orderkey"], "l_linestatus"),
+)
+def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency consistency screen: orders whose line items
+    carry MORE than one distinct linestatus (l_orderkey ↛ l_linestatus
+    holds for ~75% of multi-line orders in this data — the report is the
+    violating subset, bounded by violating-key count)
+    (operators/profile.py::fd_violations)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return pf.fd_violations(li, ["l_orderkey"], "l_linestatus")
