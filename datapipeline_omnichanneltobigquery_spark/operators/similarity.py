@@ -1108,3 +1108,126 @@ def embedding_dedup_keep_sql(
     SELECT {id_col} FROM {table}
     WHERE {id_col} NOT IN (SELECT id FROM labeled WHERE id <> cluster_id)
     """
+
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = 64,
+    n_centroids: int = 16,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public method): semantic dedup by
+    CLUSTER-blocked exact cosine — k-means-style clusters are the blocking
+    structure, pairs are checked only WITHIN a cluster, and each near-dup
+    component keeps its min-id representative.  The third embedding-dedup
+    discovery strategy beside SRP-LSH banding (:func:`embedding_dedup_keep`)
+    and the df-capped exact baseline: clusters catch near-dups that
+    straddle an unlucky hyperplane band, bands catch pairs split across
+    cluster boundaries — at corpus scale run both and union the loser
+    lists.
+
+    Scale contract: within-cluster pairing is Σ|cluster|² — ``n_centroids``
+    is the knob that keeps clusters bounded (grow it with the corpus, the
+    SemDeDup paper runs 50k clusters); a cluster larger than
+    ``max_cluster`` raises the diagnosable guard error (the basket_edges
+    discipline) instead of silently exploding the shuffle.  Assignment is
+    the deterministic IVF argmax, so the whole keep-list hash-gates.
+
+    Returns the KEEP-LIST (id_col) — semi-join it onto the payload table."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    unit = _unit_df(embeddings, id_col, vec_col, dim)
+    assign = _assign_from_unit(unit, n_centroids, id_col, dim).select(id_col, "cluster")
+    keyed = (
+        unit.join(assign, id_col)
+        .select(id_col, "cluster", "__u")
+        .localCheckpoint()  # both self-join sides read it
+    )
+    csz = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    guarded = keyed.withColumn(
+        "__u",
+        F.when(csz <= F.lit(int(max_cluster)), F.col("__u")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("semdedup_keep: cluster "),
+                    F.col("cluster").cast("string"),
+                    F.lit(
+                        f" exceeds max_cluster={int(max_cluster)}; raise n_centroids "
+                        "(or max_cluster explicitly) — the |cluster|^2 pair fan-out "
+                        "would explode the shuffle"
+                    ),
+                )
+            )
+        ),
+    )
+    a = guarded.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col("__u").alias("__ua")
+    )
+    b = guarded.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col("__u").alias("__ub")
+    )
+    pairs = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot(F.col("__ua"), F.col("__ub"), dim).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    cc = connected_components_star(pairs.select("id_a", "id_b"))
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return (
+        embeddings.select(F.col(id_col).alias("id"))
+        .join(losers, "id", "left_anti")
+        .select(F.col("id").alias(id_col))
+    )
+
+
+def semdedup_keep_sql(
+    table: str,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+) -> str:
+    """DuckDB twin of :func:`semdedup_keep` — same deterministic centroid
+    seeds, same argmax tie-break, same within-cluster pairs, composed
+    through the recursive-CTE connected components."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        connected_components_sql,
+    )
+
+    norm = f"sqrt({_dot_sql(vec_col, vec_col, dim)})"
+    pairs = f"""
+    WITH unit AS (
+        SELECT {id_col},
+               list_transform(range(1, {dim + 1}),
+                              i -> CAST({vec_col}[i] AS DOUBLE) / {norm}) AS u
+        FROM {table}
+    ),
+    cent AS (SELECT {id_col} AS cid, u AS cv FROM unit ORDER BY {id_col} LIMIT {n_centroids}),
+    scored AS (SELECT u.{id_col}, c.cid, {_dot_sql("u.u", "c.cv", dim, cast=False)} AS sim
+               FROM unit u CROSS JOIN cent c),
+    assign AS (SELECT {id_col}, cid AS cluster FROM (
+                   SELECT {id_col}, cid,
+                          ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                             ORDER BY sim DESC, cid) AS rn
+                   FROM scored)
+               WHERE rn = 1),
+    keyed AS (SELECT a.{id_col}, a.cluster, u.u
+              FROM assign a JOIN unit u USING ({id_col}))
+    SELECT x.{id_col} AS id_a, y.{id_col} AS id_b
+    FROM keyed x JOIN keyed y
+      ON x.cluster = y.cluster AND x.{id_col} < y.{id_col}
+    WHERE {_dot_sql("x.u", "y.u", dim, cast=False)} >= {float(threshold)!r}
+    """
+    cc = connected_components_sql(f"SELECT id_a, id_b FROM ({pairs})")
+    return f"""
+    WITH labeled AS ({cc})
+    SELECT {id_col} FROM {table}
+    WHERE {id_col} NOT IN (SELECT id FROM labeled WHERE id <> cluster_id)
+    """

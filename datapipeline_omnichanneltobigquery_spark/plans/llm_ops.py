@@ -18,6 +18,7 @@ from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import ir
 from datapipeline_omnichanneltobigquery_spark.operators import membership as mb
 from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
+from datapipeline_omnichanneltobigquery_spark.operators import dsir
 from datapipeline_omnichanneltobigquery_spark.operators import pii
 from datapipeline_omnichanneltobigquery_spark.operators import sampling as sa
 from datapipeline_omnichanneltobigquery_spark.operators import similarity as sim
@@ -221,14 +222,17 @@ def similarity_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_dedup_keep",
     driver=False,  # rotated out r9 (green r7-r8 (2 green); family keeps a gated anchor)
     # rotated INTO the gate r7: the SRP-LSH family's own driver entry (composed SRP -> verify -> CC -> keep)
-    oracle=sim.embedding_dedup_keep_sql("embeddings", 0.8, dim=EMB_DIM),
+    # threshold 0.35 since r9: at the old 0.8 the synthetic embeddings (max
+    # pairwise cosine 0.479) produced ZERO losers, so the gated keep-list
+    # was a trivially-complete identity proving only row survival
+    oracle=sim.embedding_dedup_keep_sql("embeddings", 0.35, dim=EMB_DIM),
 )
 def similarity_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call embedding dedup keep-list: SRP-LSH candidates → exact
-    cosine ≥ 0.8 → star connected components → min-id winners
+    cosine ≥ 0.35 → star connected components → min-id winners
     (operators/similarity.py::embedding_dedup_keep) — the embedding twin
     of the text dedup_pipeline, end-to-end under one composed oracle."""
-    return sim.embedding_dedup_keep(read_table(spark, sf_dir, "embeddings"), 0.8, dim=EMB_DIM)
+    return sim.embedding_dedup_keep(read_table(spark, sf_dir, "embeddings"), 0.35, dim=EMB_DIM)
 
 
 @query(
@@ -1573,3 +1577,47 @@ def text_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state: one id-keyed exchange, embarrassingly parallel over documents
     (operators/textstats.py::self_dedup)."""
     return ts.self_dedup(read_table(spark, sf_dir, "documents"), "doc_id", "text", seg_len=5)
+
+
+@query(
+    "sampling_dsir_weights",
+    driver=False,  # new r9 family: DSIR importance weighting (queued for the r10 rotation)
+    oracle=dsir.dsir_logweights_sql(
+        "documents", "doc_id", "text", "source = 'src0'", n_buckets=256
+    ),
+)
+def sampling_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (hashed n-gram importance resampling): score
+    every document by how much its hashed-bigram distribution resembles
+    the TARGET slice (source = 'src0') rather than the raw pool — select
+    the highest log-weights to shift the pool toward the target.  One
+    tokenize pass carries both distributions; the 256-bucket count table
+    broadcasts; per-doc fold is position-ordered
+    (operators/dsir.py::dsir_logweights)."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "is_tgt", F.col("source") == "src0"
+    )
+    return dsir.dsir_logweights(docs, "doc_id", "text", "is_tgt", n_buckets=256)
+
+
+@query(
+    "similarity_semdedup_keep",
+    driver=False,  # new r9 family: SemDeDup cluster-blocked embedding dedup (queued for the r10 rotation)
+    # threshold 0.35 (not the 0.8 doc-dedup default): the synthetic
+    # embeddings' max pairwise cosine is 0.479, so a 0.8 gate would be a
+    # trivially-complete keep-list proving nothing
+    oracle=sim.semdedup_keep_sql(
+        "embeddings", threshold=0.35, dim=EMB_DIM, n_centroids=16
+    ),
+)
+def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic dedup by CLUSTER-blocked exact cosine — the
+    deterministic IVF clusters are the blocking structure, pairs check
+    only within a cluster, each near-dup component keeps its min id.
+    Third embedding-dedup discovery strategy beside SRP-LSH banding and
+    the df-capped exact baseline; cluster-size guard makes the |cluster|²
+    bound explicit (operators/similarity.py::semdedup_keep)."""
+    return sim.semdedup_keep(
+        read_table(spark, sf_dir, "embeddings"),
+        threshold=0.35, dim=EMB_DIM, n_centroids=16,
+    )

@@ -1346,6 +1346,50 @@ def test_image_neardup_pairs_exact_recall_within_radius(spark):
     assert (1, 2) in got  # the seeded near-dup survives
 
 
+def test_semdedup_dedups_within_cluster_and_guards(spark):
+    """A planted near-identical pair lands in the same cluster and loses
+    its larger id; an orthogonal vector survives.  The cluster-size guard
+    raises the diagnosable error instead of exploding |cluster|² pairs."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import semdedup_keep
+
+    base = [1.0] + [0.0] * 7
+    near = [0.99, 0.01] + [0.0] * 6
+    orth = [0.0] * 7 + [1.0]
+    rows = [(0, base), (1, near), (2, orth)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one cluster: with n_centroids=2 the near-dup pair would BE the two
+    # seed centroids and split apart (the boundary-miss case the SRP-LSH
+    # band path covers; at corpus scale seeds are a vanishing fraction)
+    kept = {r.vec_id for r in semdedup_keep(df, 0.9, dim=8, n_centroids=1).collect()}
+    assert kept == {0, 2}  # near-dup 1 lost to min-id 0; orthogonal kept
+    with pytest.raises(SparkRuntimeException, match="max_cluster"):
+        semdedup_keep(df, 0.9, dim=8, n_centroids=1, max_cluster=2).collect()
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    """DSIR's reason to exist: among RAW docs, the one whose bigrams look
+    like the target slice scores a strictly higher importance log-weight
+    than off-distribution noise — and a token-free doc survives at 0.0."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dsir import dsir_logweights
+
+    target = "the quantum field theory of gauge bosons and fermion masses"
+    rows = [
+        (1, target, True),
+        (2, target.replace("masses", "couplings"), True),
+        (3, "quantum field theory of gauge symmetry breaking", False),  # target-like
+        (4, "buy cheap pills online casino bonus click here now", False),
+        (5, "", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    out = {r.doc_id: r for r in dsir_logweights(df, "doc_id", "text", "is_tgt").collect()}
+    assert out[3].dsir_logw > out[4].dsir_logw
+    assert out[1].is_target and not out[3].is_target
+    assert (out[5].n_feats, out[5].dsir_logw) == (0, 0.0)
+
+
 def test_reciprocal_best_drops_hub_records(spark):
     """A hub that weakly matches everything survives blocked scoring but
     is nobody's mutual best: (1,2) score 0.9 each way is mutual; hub 9
