@@ -157,3 +157,73 @@ def test_jaccard_cap_invariants(spark, docs, max_df):
         for r in jaccard_pairs(df, "doc_id", "text", 3, 0.3, max_df=len(docs)).collect()
     }
     assert uncut == full
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # user
+            st.integers(0, 7200),   # second offset within 2 hours
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    cap=st.integers(1, 3),
+)
+def test_rate_cap_matches_bruteforce(spark, events, cap):
+    """rate_cap ≡ the obvious per-(key, window) Python recompute: sort by
+    (ts, id), keep the first `cap` per (user, hour bucket) — for arbitrary
+    bursts, ties, and caps."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import rate_cap
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, u, t0 + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r.event_id for r in rate_cap(df, "user_id", "ts", "event_id", 3600, cap).collect()}
+    want, seen = set(), {}
+    for i, u, ts in sorted(rows, key=lambda r: (r[2], r[0])):
+        b = (u, int((ts - dt.datetime(1970, 1, 1)).total_seconds()) // 3600)
+        seen[b] = seen.get(b, 0) + 1
+        if seen[b] <= cap:
+            want.add(i)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_containment_matches_bruteforce(spark, docs, threshold):
+    """containment_pairs ≡ the definitional all-pairs |A∩B|/|A| >= t over
+    arbitrary tiny corpora (unigram shingles so even short docs have
+    sets) — the lossless-prefix claim under random inputs, including
+    shared-everything and empty docs."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import containment_pairs
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(df, "doc_id", "text", n=1, threshold=threshold).collect()
+    }
+    sets = {i: set(t.split()) - {""} for i, t in rows}
+    want = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a != b and sets[a]
+        and len(sets[a] & sets[b]) / len(sets[a]) >= threshold
+    }
+    assert got == want
