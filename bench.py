@@ -86,17 +86,24 @@ def main() -> int:
         passes += 1
 
     # Final partial pass: spend the remaining budget improving per-query
-    # minima, cheapest-first (ascending current min), so one contended full
-    # pass cannot be the last word on any query the budget can still retry.
+    # minima MOST-EXPENSIVE-FIRST (descending current min).  The r9 verdict
+    # showed the old cheapest-first order sampling the expensive tail worst:
+    # the queries where a contended pass or first-execution codegen distorts
+    # the min the most were exactly the ones the leftover budget never
+    # reached (retrieval_rrf_hybrid's manufactured 4.84x).  Queries whose
+    # projected rerun exceeds the budget are SKIPPED, not a loop break, so
+    # cheaper tail entries still use whatever budget remains.
     remaining = budget - (time.time() - start)
     if remaining > 2.0:
         cal = calibrate()
         improved = 0
         for name in sorted(
-            (n for n in timings if timings[n] >= 0), key=lambda n: timings[n]
+            (n for n in timings if timings[n] >= 0),
+            key=lambda n: timings[n],
+            reverse=True,
         ):
             if time.time() - start + 1.5 * timings[name] > budget:
-                break
+                continue
             run_query(name)
             improved += 1
         pass_meta.append(

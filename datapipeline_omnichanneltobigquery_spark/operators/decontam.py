@@ -97,7 +97,8 @@ def decontaminate(
 def _shingle_cte(suffix: str, table_expr: str, id_col: str, text_col: str, n: int) -> str:
     return f"""
     toks_{suffix} AS (SELECT {id_col} AS id,
-                    regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+                    list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                                t -> t <> '') AS w
              FROM {table_expr}),
     sh_{suffix} AS (SELECT DISTINCT id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
            FROM toks_{suffix}, UNNEST(range(1, len(w) - {n - 2})) AS u(i))

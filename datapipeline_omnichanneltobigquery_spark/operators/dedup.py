@@ -124,11 +124,18 @@ def positional_shingle_stream(
     offset each n-gram starts at.  Span-level consumers (duplicate_spans)
     need the position to merge hits back into intervals; frequency
     consumers project it away (the column costs nothing — it already
-    exists as posexplode's output)."""
+    exists as posexplode's output).
+
+    split(trim(''), '\\s+') yields [''] — an empty/whitespace-only document
+    would otherwise carry the empty-string unigram as a shingle (|set| = 1
+    instead of 0), which scores two empty docs containment/Jaccard 1.0.
+    trim + \\s+ guarantee '' is the ONLY possible empty token (and only for
+    the whole-doc-empty case), so filtering it post-explode leaves every
+    non-empty document's positions untouched."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "tok"),
-    )
+    ).filter(F.col("tok") != "")
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("tok", j).over(w).alias(f"_l{j}") for j in range(1, n)]
     sh = toks.select(
@@ -150,7 +157,8 @@ def _shingles_sql(table: str, id_col: str, text_col: str, n: int) -> str:
     """DuckDB twin of :func:`shingles` (as a CTE body)."""
     return f"""
     toks AS (SELECT {id_col} AS id,
-                    regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+                    list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                                t -> t <> '') AS w
              FROM {table}),
     sh AS (SELECT DISTINCT id, array_to_string(w[i:i+{n - 1}], ' ') AS shingle
            FROM toks, UNNEST(range(1, len(w) - {n - 2})) AS u(i))
@@ -1193,7 +1201,8 @@ def duplicate_spans_sql(
     h = md5_long_sql(f"array_to_string(w[i:i+{n - 1}], ' ')")
     return f"""
     WITH toks AS (SELECT {id_col} AS id,
-                         regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+                         list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                                     t -> t <> '') AS w
                   FROM {table}),
     st AS (SELECT id, i - 1 AS pos, {h} AS h
            FROM toks, UNNEST(range(1, len(w) - {n - 2})) AS u(i)),
@@ -1239,11 +1248,16 @@ def cut_spans(
     anti-join is linear; the rebuild is one groupBy(id) with an
     array_sort(collect_list(struct(pos, tok))) — order restored inside the
     aggregate, no extra sort exchange.  Token counts ride the same
-    aggregates."""
+    aggregates.
+
+    Tokens are empty-filtered exactly like :func:`positional_shingle_stream`
+    so the span positions line up with the detector's token grid; an
+    empty/whitespace-only document has zero tokens and (like the detector)
+    produces no output row."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "tok"),
-    )
+    ).filter(F.col("tok") != "")
     sp = spans.select(
         F.col("doc_id").alias("__sid"), "span_start", "span_end"
     )
@@ -1288,7 +1302,8 @@ def cut_spans_sql(
     WITH spans AS ({spans}),
     toks AS (SELECT {id_col} AS id, i - 1 AS pos, w[i] AS tok
              FROM (SELECT {id_col},
-                          regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+                          list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                                      t -> t <> '') AS w
                    FROM {table}),
                   UNNEST(range(1, len(w) + 1)) AS u(i)),
     kept AS (SELECT t.id, t.pos, t.tok FROM toks t
@@ -1488,8 +1503,14 @@ def prefix_jaccard_pairs(
         F.row_number().over(wid).alias("__r"),
         F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"),
     )
+    # ceil(t*sz - eps), not ceil(t*sz): when t*sz rounds up past the exact
+    # integer product in IEEE (0.55*100 = 55.000000000000007) a bare ceil
+    # shortens the prefix by one and silently drops pairs sitting exactly
+    # AT the threshold.  The epsilon under-ceil can only LENGTHEN the
+    # prefix, which preserves losslessness.
     prefix = ranked.filter(
-        F.col("__r") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        F.col("__r")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
     ).select("id", "shingle", "sz")
     cand = (
         prefix.alias("a")
@@ -1497,9 +1518,13 @@ def prefix_jaccard_pairs(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id"))
-            # length filter: t*max(sz) <= min(sz) is necessary for J >= t
-            & (F.lit(threshold) * F.col("a.sz") <= F.col("b.sz"))
-            & (F.lit(threshold) * F.col("b.sz") <= F.col("a.sz")),
+            # length filter: t*max(sz) <= min(sz) is necessary for J >= t;
+            # the same epsilon as the prefix bound — at an exact integer
+            # product the IEEE round-up (0.55*100 > 55) would falsely
+            # exclude an at-threshold pair, and relaxing by eps only
+            # admits extra candidates for the exact verify to drop.
+            & (F.lit(threshold) * F.col("a.sz") - F.lit(1e-9) <= F.col("b.sz"))
+            & (F.lit(threshold) * F.col("b.sz") - F.lit(1e-9) <= F.col("a.sz")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -1564,8 +1589,12 @@ def containment_pairs(
         F.row_number().over(wid).alias("__r"),
         F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"),
     )
+    # ceil(t*sz - eps): see prefix_jaccard_pairs — the epsilon guards the
+    # IEEE round-up past an exact integer product; under-ceil only
+    # lengthens the prefix, preserving losslessness.
     prefix = ranked.filter(
-        F.col("__r") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        F.col("__r")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
     ).select("id", "shingle")
     full = flagged.select("id", "shingle")
     cand = (
@@ -1635,24 +1664,30 @@ def dedup_keep_best(
     Scale shape is unchanged from the keylist: fp/score/id are computed
     map-side, the aggregate shuffles 32 bytes per row via a max_by-style
     struct-max partial+final — the document body never crosses an
-    exchange.  The struct orders (score, -id): max score wins, smaller id
-    wins ties — a total order, so the winner is unique and
-    engine-reproducible."""
+    exchange.  The struct-MIN orders (-score, id): max score wins, smaller
+    id wins ties — a total order, so the winner is unique and
+    engine-reproducible.  Negating the (double) SCORE instead of the id
+    keeps the operator generic: ids may be strings, and Long.MIN_VALUE
+    can't overflow (double negation is total; a NaN score loses to any
+    real score rather than winning, which is the sane quality contract).
+    The raw score rides the struct as a third field (never compared — the
+    id tie-break is unique), so no double-negation touches the output."""
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     picked = (
         df.select(
             F.md5(F.col(text_col)).alias("fp"),
             F.struct(
+                (-score.cast("double")).alias("neg_s"),
+                F.col(id_col).alias("idv"),
                 score.cast("double").alias("s"),
-                (-F.col(id_col)).alias("neg_id"),
             ).alias("__k"),
         )
         .groupBy("fp")
-        .agg(F.max("__k").alias("__k"))
+        .agg(F.min("__k").alias("__k"))
     )
     return picked.select(
         "fp",
-        (-F.col("__k.neg_id")).alias(id_col),
+        F.col("__k.idv").alias(id_col),
         F.col("__k.s").alias("score"),
     )
 

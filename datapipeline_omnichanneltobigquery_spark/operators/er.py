@@ -173,10 +173,13 @@ def reciprocal_best(
     the standard ER precision upgrade (a hub record that weakly matches
     everything survives blocked scoring but is nobody's mutual best).
     Ties break to the smaller partner id, so "best" is a total order and
-    the output is engine-exact.
+    the output is engine-exact.  The argmax is a struct-MIN over
+    (-score, dst): negating the (double) score instead of the id keeps
+    the filter generic — ids may be strings, and a Long.MIN_VALUE id
+    can't overflow; the raw ids never pass through a negation.
 
     Scale: explode pairs to a directed view (2|pairs| rows), one
-    partial-aggregated struct-max per src (argmax without a window sort),
+    partial-aggregated struct-min per src (argmax without a window sort),
     then a self-join of the node-count-sized best table — never touches
     the records themselves."""
     import pyspark.sql.functions as F
@@ -190,10 +193,18 @@ def reciprocal_best(
     best = (
         d1.unionByName(d2)
         .groupBy("src")
-        .agg(F.max(F.struct(F.col("s"), (-F.col("dst")).alias("nd"))).alias("__b"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("s").cast("double")).alias("neg_s"),
+                    F.col("dst"),
+                    F.col("s"),
+                )
+            ).alias("__b")
+        )
         .select(
             "src",
-            (-F.col("__b.nd")).alias("best_dst"),
+            F.col("__b.dst").alias("best_dst"),
             F.col("__b.s").alias("best_s"),
         )
         .localCheckpoint()  # both self-join sides read it
@@ -220,8 +231,8 @@ def reciprocal_best_sql(
     id_b: str = "id_b",
     score_col: str = "match_score",
 ) -> str:
-    """DuckDB twin of :func:`reciprocal_best` — same struct-max argmax
-    ((score, -dst) lexicographic), same mutuality join."""
+    """DuckDB twin of :func:`reciprocal_best` — same struct-min argmax
+    ((-score, dst) lexicographic), same mutuality join."""
     return f"""
     WITH pairs AS ({pairs_sql}),
     directed AS (
@@ -231,8 +242,10 @@ def reciprocal_best_sql(
     ),
     best AS (
         SELECT src,
-               -((MAX(struct_pack(s := s, nd := -dst))).nd) AS best_dst,
-               (MAX(struct_pack(s := s, nd := -dst))).s AS best_s
+               (MIN(struct_pack(ns := -CAST(s AS DOUBLE), dst := dst, s := s))).dst
+                 AS best_dst,
+               (MIN(struct_pack(ns := -CAST(s AS DOUBLE), dst := dst, s := s))).s
+                 AS best_s
         FROM directed GROUP BY src
     )
     SELECT x.src AS {id_a}, x.best_dst AS {id_b}, x.best_s AS {score_col}

@@ -890,9 +890,14 @@ def rate_cap(
 
     Scale: one (key, window) exchange + sort for the row_number — the
     same shape as sessionization; the window bucket is integer-exact
-    microsecond arithmetic shared with the twin."""
+    microsecond arithmetic shared with the twin.  The bucket is
+    ``a - pmod(a, w)`` (exact integer FLOOR division), not ``div``:
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors,
+    so the two silently disagree on pre-1970 (negative-epoch)
+    timestamps; pmod's always-positive remainder makes Spark's bucket
+    the floored one on the whole signed range."""
     win_us = int(window_seconds) * 1_000_000
-    bucket = F.expr(f"(unix_micros({ts_col}) div {win_us}) * {win_us}")
+    bucket = F.expr(f"unix_micros({ts_col}) - pmod(unix_micros({ts_col}), {win_us})")
     w = Window.partitionBy(key_col, "win_start").orderBy(ts_col, unique_col)
     return (
         df.withColumn("win_start", bucket)
@@ -910,13 +915,17 @@ def rate_cap_sql(
     max_per_window: int,
     select_cols: str = "*",
 ) -> str:
-    """DuckDB twin of :func:`rate_cap` — same integer bucket, same total
-    order, QUALIFY form."""
+    """DuckDB twin of :func:`rate_cap` — same FLOORED integer bucket
+    (``a - ((a % w + w) % w)``: DuckDB's integer ``//`` truncates toward
+    zero like Spark's ``div``, so floor semantics must be explicit on
+    both engines for pre-1970 epochs), same total order, QUALIFY form."""
     win_us = int(window_seconds) * 1_000_000
+    e = f"epoch_us({ts_col})"
+    bucket = f"({e} - ((({e} % {win_us}) + {win_us}) % {win_us}))"
     return f"""
     SELECT {select_cols},
-           (epoch_us({ts_col}) // {win_us}) * {win_us} AS win_start,
-           ROW_NUMBER() OVER (PARTITION BY {key_col}, (epoch_us({ts_col}) // {win_us})
+           {bucket} AS win_start,
+           ROW_NUMBER() OVER (PARTITION BY {key_col}, {bucket}
                               ORDER BY {ts_col}, {unique_col}) AS in_window_rank
     FROM {table}
     QUALIFY in_window_rank <= {int(max_per_window)}

@@ -528,7 +528,8 @@ def ngram_topk_sql(table: str, id_col: str, text_col: str, n: int = 3, k: int = 
     dedup._shingles_sql, minus the DISTINCT — occurrences, not sets)."""
     return f"""
     WITH toks AS (SELECT {id_col} AS id,
-                         regexp_split_to_array(trim(lower({text_col})), '\\s+') AS w
+                         list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                                     t -> t <> '') AS w
                   FROM {table}),
     st AS (SELECT id, array_to_string(w[i:i+{n - 1}], ' ') AS ngram
            FROM toks, UNNEST(range(1, len(w) - {n - 2})) AS u(i))

@@ -524,12 +524,15 @@ def debounce(
     unique_col: str,
     gap_seconds: int,
 ) -> DataFrame:
-    """Per-key debouncing: keep an event only when at least
-    ``gap_seconds`` passed since the previous KEPT event of the same key
-    — approximated by the standard lag form (gap from the previous
-    ARRIVED event), which collapses every burst to its first row: the
-    duplicate-click / sensor-chatter cleaner, the time-domain complement
-    of :func:`~..operators.sampling.rate_cap`'s volume cap.  Determinism:
+    """Per-key TRAILING-SUPPRESS debouncing: keep an event only when at
+    least ``gap_seconds`` passed since the previous ARRIVED event of the
+    same key (the standard lag form).  Contract implication: continuous
+    chatter with inter-arrival < gap keeps ONLY its first row for as long
+    as the chatter lasts — it does NOT re-admit one event per gap_seconds
+    (that alternative, gap-since-previous-KEPT, needs a sessionize pass;
+    use :func:`~..operators.sampling.rate_cap` when a per-window admit
+    budget is what's wanted).  This is the duplicate-click / sensor-
+    chatter cleaner: a burst collapses to its first row.  Determinism:
     (ts, unique) total order; integer-microsecond gap arithmetic.
     One (key)-partitioned window — the sessionize shape."""
     w = Window.partitionBy(key_col).orderBy(ts_col, unique_col)

@@ -57,10 +57,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             continue
         dtype = dict(df.dtypes)[col]
         if dtype == "bigint":
-            # TIMESTAMP(NANOS) read as epoch-nanos.  Integer division:
+            # TIMESTAMP(NANOS) read as epoch-nanos.  Integer arithmetic:
             # epoch-nanos exceed double's 2^53 exact range, so a float
-            # divide would occasionally shift the microsecond.
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            # divide would occasionally shift the microsecond; and the
+            # pmod form FLOORS (matching every other engine's unit
+            # conversion) where `div` truncates toward zero and would be
+            # +1µs off for pre-1970 instants.
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(
+                    F.expr(f"(`{col}` - pmod(`{col}`, 1000)) div 1000")
+                ),
+            )
         elif dtype == "timestamp_ntz":
             # TIMESTAMP(MICROS, no UTC adjustment).  Session tz is UTC, so
             # this cast relabels the same instant; unix_micros/window/etc.

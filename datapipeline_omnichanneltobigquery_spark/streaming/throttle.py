@@ -35,11 +35,20 @@ def _capper(max_per_window: int):
     def _cap(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         n = state.get[0] if state.exists else 0
         out_ids, out_ranks = [], []
-        for pdf in pdfs:
+        # applyInPandasWithState delivers one group as MULTIPLE Arrow chunks
+        # once it exceeds arrow.maxRecordsPerBatch — sorting each chunk
+        # independently would admit in chunk order, not (ts, event_id)
+        # order, breaking the ordered-replay ≡ batch rate_cap contract.
+        # Concatenate the whole group FIRST, then sort once.  Group size is
+        # bounded by the micro-batch's rows for one (key, window) — the
+        # same order of memory the per-chunk form already held transiently.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             # earliest-first inside the micro-batch, unique-id tie-break —
             # the batch twin's total order
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid in pdf["event_id"]:
+            whole = whole.sort_values(["ts", "event_id"])
+            for eid in whole["event_id"]:
                 if n < max_per_window:
                     n += 1
                     out_ids.append(int(eid))
@@ -66,11 +75,14 @@ def streaming_rate_cap(
     arrival-ordered, exactly once across micro-batches (the admit counter
     is GroupState).  Returns the ADMITTED rows with their rank."""
     win_us = int(window_seconds) * 1_000_000
+    # a - pmod(a, w): exact integer FLOOR bucket, matching the batch twin
+    # (operators/sampling.rate_cap) on the whole signed epoch range —
+    # `div` truncates toward zero and would diverge pre-1970.
     keyed = events.select(
         "event_id",
         "user_id",
         "ts",
-        F.expr(f"(unix_micros(ts) div {win_us}) * {win_us}").alias("win_start"),
+        F.expr(f"unix_micros(ts) - pmod(unix_micros(ts), {win_us})").alias("win_start"),
     )
     return keyed.groupBy("user_id", "win_start").applyInPandasWithState(
         _capper(int(max_per_window)),

@@ -1102,6 +1102,32 @@ def test_triangle_counts_known_graphs(spark):
     assert triangle_counts(square).count() == 0
 
 
+def test_triangle_orientation_caps_star_wedges(spark):
+    """The degree-ordered orientation's scale contract (r9 verdict #2): a
+    star whose hub has the LOWEST id emits ZERO wedges — every edge
+    orients leaf→hub (leaves have degree 1 < hub's n), so the hub has
+    out-degree 0; id-orientation would have built C(n,2) wedge rows at
+    the hub.  Counts stay correct: a star has no triangles, and adding
+    one leaf-leaf edge yields exactly one triangle."""
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import (
+        _degree_oriented,
+        triangle_counts,
+    )
+
+    n = 12
+    star = spark.createDataFrame([(0, i) for i in range(1, n + 1)], ["src", "dst"])
+    dirv = _degree_oriented(
+        star.selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v").distinct()
+    )
+    out_deg = {r.x: r.c for r in dirv.groupBy("x").agg(F.count("*").alias("c")).collect()}
+    assert 0 not in out_deg            # hub (id 0) has out-degree 0
+    assert all(c == 1 for c in out_deg.values())  # each leaf points at the hub
+    assert triangle_counts(star).count() == 0
+    closed = star.union(spark.createDataFrame([(1, 2)], ["src", "dst"]))
+    got = {r.node: r.n_triangles for r in triangle_counts(closed).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
 def test_kcore_known_graphs(spark):
     """k-core peeling: a lollipop (K4 + pendant chain) peels the chain and
     keeps exactly the K4 as its 3-core; a pure chain has no 2-core; peeling
@@ -1466,6 +1492,34 @@ def test_dedup_keep_best_picks_highest_quality_duplicate(spark):
     assert got == {2: 0.9, 4: 0.5}
 
 
+def test_keep_best_and_reciprocal_best_accept_string_and_extreme_ids(spark):
+    """r9 ADVICE: the old (score, -id) struct-max silently narrowed these
+    generic operators to signed-numeric ids (string ids failed analysis;
+    Long.MIN_VALUE overflowed negation).  The (-score, id) struct-min form
+    must keep string ids and the full long range working, same winners."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import dedup_keep_best
+    from datapipeline_omnichanneltobigquery_spark.operators.er import reciprocal_best
+
+    min_long = -(2**63)
+    df = spark.createDataFrame(
+        [("doc-b", "same", 0.9), ("doc-a", "same", 0.9), ("doc-c", "same", 0.1)],
+        "doc_id string, text string, q double",
+    )
+    got = {r.doc_id for r in dedup_keep_best(df, "text", "doc_id", "q").collect()}
+    assert got == {"doc-a"}  # score tie -> lexicographically smaller id
+    dfl = spark.createDataFrame(
+        [(min_long, "same", 0.5), (0, "same", 0.5)], "doc_id long, text string, q double"
+    )
+    win = dedup_keep_best(dfl, "text", "doc_id", "q").collect()
+    assert [r.doc_id for r in win] == [min_long]  # no negation overflow
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "c", 0.4), ("b", "c", 0.3)],
+        "id_a string, id_b string, match_score double",
+    )
+    rb = {(r.id_a, r.id_b) for r in reciprocal_best(pairs).collect()}
+    assert rb == {("a", "b")}  # string ids: mutual best survives analysis
+
+
 def test_char_entropy_orders_texts_and_preserves_rows(spark):
     """Entropy ranks alphabet-rich text above repeated-symbol text (the
     signal's reason to exist), a uniform 4-char doc scores exactly
@@ -1513,6 +1567,66 @@ def test_containment_finds_embedded_quote_jaccard_misses(spark):
     assert all(a != 3 and b != 3 for a, b in got)
     jac = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     assert jac.filter("id_a = 1 AND id_b = 2").count() == 0  # Jaccard blind
+
+
+def test_empty_and_whitespace_docs_have_no_shingles(spark):
+    """split(trim(''), '\\s+') yields [''] — the empty-string unigram must
+    NOT become a shingle: two empty docs are NOT 1.0-containment pairs, an
+    empty doc has zero shingles at every n, and non-empty docs' shingle
+    sets/positions are untouched by the filter (r9 verdict bug)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        containment_pairs,
+        positional_shingle_stream,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t \n"), (4, "real words here")],
+        "doc_id long, text string",
+    )
+    for n in (1, 2):
+        sh = shingles(docs, "doc_id", "text", n=n)
+        assert sh.filter(F.col("id").isin(1, 2, 3)).count() == 0
+    # positions of the non-empty doc are the plain 0-based token grid
+    pos = {
+        (r.pos, r.shingle)
+        for r in positional_shingle_stream(docs, "doc_id", "text", n=1)
+        .filter("id = 4")
+        .collect()
+    }
+    assert pos == {(0, "real"), (1, "words"), (2, "here")}
+    got = containment_pairs(docs, "doc_id", "text", n=1, threshold=0.5).collect()
+    assert got == []  # |A| = 0 for empty docs: no directed pairs at all
+
+
+def test_prefix_ceil_boundary_keeps_at_threshold_pairs(spark):
+    """ADVICE r9 repro: t=0.55 with |A|=100 — IEEE 0.55*100 =
+    55.000000000000007, a bare ceil shortens the prefix by one and drops
+    the pair whose containment is exactly the threshold.  45 A-unique +
+    55 shared unigrams → containment(A→B) = 0.55 must surface."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        containment_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    shared = [f"s{i}" for i in range(55)]
+    a_only = [f"a{i}" for i in range(45)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_only + shared)), (2, " ".join(shared))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, "doc_id", "text", n=1, threshold=0.55).collect()
+    }
+    assert got.get((1, 2)) == 0.55   # exactly-at-threshold pair kept
+    assert got.get((2, 1)) == 1.0    # B ⊂ A
+    # Jaccard twin of the same trap: J = 55/100 = 0.55 exactly
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.55).collect()
+    }
+    assert jac.get((1, 2)) == 0.55
 
 
 def test_trigram_index_prunes_and_is_lossless(spark, tmp_path):

@@ -62,6 +62,30 @@ def test_no_hugeint_oracle_outputs(duck):
     )
 
 
+def test_no_truncating_div_on_signed_epochs():
+    """Registry lint (VERDICT r9 #3): Spark's ``div`` truncates toward zero
+    while DuckDB's ``//`` floors, so any ``unix_micros(...) div`` /
+    ``epoch_us(...) div`` bucketing silently disagrees with its oracle for
+    pre-1970 timestamps.  Epoch bucketing must use the floor-consistent
+    ``a - pmod(a, w)`` idiom (rate_cap / streaming_rate_cap precedent);
+    this sweep pins that no source file reintroduces the trap.  Same class
+    as the r8 signed-% and HUGEINT sweeps."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "datapipeline_omnichanneltobigquery_spark"
+    pat = re.compile(r"(unix_micros|unix_millis|epoch_us|epoch_ms)\s*\([^)]*\)\s*div\b")
+    offenders = [
+        f"{p.relative_to(pkg)}:{i}"
+        for p in sorted(pkg.rglob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if pat.search(line)
+    ]
+    assert not offenders, (
+        f"truncating `div` on signed epoch values (use a - pmod(a, w)): {offenders}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_ALL_ORACLES))
 def test_oracle_parity(spark, duck, name):
     sdf = _ALL_QUERIES[name](spark, SF_DIR)

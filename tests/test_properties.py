@@ -203,7 +203,9 @@ def test_rate_cap_matches_bruteforce(spark, events, cap):
         min_size=1,
         max_size=6,
     ),
-    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+    # 0.55 / 0.67 exercise the IEEE round-up-past-exact-product ceil trap
+    # (0.55*|A| for |A| in {20, 40, ...} lands above the exact integer)
+    threshold=st.sampled_from([0.5, 0.55, 0.67, 0.7, 0.9]),
 )
 def test_containment_matches_bruteforce(spark, docs, threshold):
     """containment_pairs ≡ the definitional all-pairs |A∩B|/|A| >= t over

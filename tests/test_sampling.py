@@ -329,3 +329,46 @@ def test_hrw_sharding_minimal_movement(spark):
     assert all(r.s8 == r.s9 for r in stay)
     # shard_assignments face covers all rows
     assert shard_assignments(keys, "k", 8).count() == 2000
+
+
+def test_rate_cap_floors_pre_1970_buckets(spark, duck):
+    """VERDICT r9 #3: `div` truncates toward zero, `//` floors — a
+    pre-1970 timestamp must land in the FLOORED window on both engines.
+    23:30 on 1969-12-31 belongs to the window starting 23:00 that day
+    (win_start = -3600s in micros), not to the hour-0 window truncation
+    would pick; and the Spark bucket must equal DuckDB's to the
+    microsecond."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import (
+        rate_cap,
+        rate_cap_sql,
+    )
+
+    rows = [
+        (1, 10, dt.datetime(1969, 12, 31, 23, 30)),
+        (2, 10, dt.datetime(1969, 12, 31, 23, 45)),
+        (3, 10, dt.datetime(1970, 1, 1, 0, 15)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r.event_id: (r.win_start, r.in_window_rank)
+        for r in rate_cap(df, "user_id", "ts", "event_id", 3600, 5).collect()
+    }
+    hour_us = 3600 * 1_000_000
+    assert got[1] == (-hour_us, 1)
+    assert got[2] == (-hour_us, 2)  # same pre-epoch window, floored
+    assert got[3] == (0, 1)         # post-epoch window unaffected
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE pre70 AS SELECT * FROM (VALUES "
+        "(1, 10, TIMESTAMP '1969-12-31 23:30:00'),"
+        "(2, 10, TIMESTAMP '1969-12-31 23:45:00'),"
+        "(3, 10, TIMESTAMP '1970-01-01 00:15:00')) t(event_id, user_id, ts)"
+    )
+    oracle = {
+        r[0]: (r[3], r[4])
+        for r in duck.execute(
+            rate_cap_sql("pre70", "user_id", "ts", "event_id", 3600, 5)
+        ).fetchall()
+    }
+    assert oracle == got

@@ -741,3 +741,51 @@ def test_streaming_rate_cap_matches_batch_on_ordered_replay(spark, tmp_path):
     assert streamed == batch and len(batch) > 0
     # the cap binds: fewer admitted than arrived
     assert len(batch) < len(rows)
+
+
+def test_streaming_rate_cap_sorts_across_arrow_chunks(spark, tmp_path):
+    """A (key, window) group larger than arrow.maxRecordsPerBatch arrives
+    at the stateful capper as MULTIPLE pandas chunks; the admit order must
+    still be (ts, event_id) over the WHOLE group, not per-chunk (r9 ADVICE:
+    per-chunk sort admitted in chunk order once a group straddled chunks).
+    Rows are written ts-DESCENDING so any chunk-local ordering admits the
+    wrong (latest) events."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.streaming.throttle import (
+        streaming_rate_cap,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    n_rows = 40
+    rows = [
+        (i, 7, t0 + dt.timedelta(seconds=n_rows - i)) for i in range(n_rows)
+    ]  # event_id 39 is the EARLIEST ts; file order is ts-descending
+    src = str(tmp_path / "chunk_src")
+    schema = "event_id long, user_id long, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        sdf = streaming_rate_cap(stream, 86400, 3)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("t_chunk_cap")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.event_id, r.in_window_rank)
+            for r in spark.table("t_chunk_cap").collect()
+        }
+        # earliest three timestamps are event_ids 39, 38, 37
+        assert got == {(39, 1), (38, 2), (37, 3)}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
