@@ -348,6 +348,41 @@ def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return src.mapInPandas(run, schema=PAYLOAD_SCHEMA)
 
 
+def attach_png_tile_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture 8×8 REAL PNG payloads whose 64 gray pixels tile the
+    text's md5 digest (16 bytes × 4) — the deterministic NON-TRIVIAL
+    image fixture for the aHash oracle: because pixel (x, y) is
+    md5_byte[(8y + x) mod 16], the expected average-hash is pure md5
+    arithmetic a SQL engine can recompute (the solid-gray
+    :func:`attach_png_payload` fixture hashes every image to 0, which
+    would make an aHash gate trivially green).  8×8 means the grid=8
+    sampler reads every pixel exactly once — no resize ambiguity in the
+    oracle."""
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__text"]:
+                tile = hashlib.md5(text.encode("utf-8")).digest() * 4
+                payloads.append(
+                    encode_png_pixels([tile[y * 8 : (y + 1) * 8] for y in range(8)])
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "image",
+                    "fmt": "image/png",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return src.mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Audio modality: real pure-stdlib WAV (RIFF/PCM) codec
 # ---------------------------------------------------------------------------

@@ -203,6 +203,7 @@ def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_srp_pairs",
+    driver=False,  # rotated out r10 (green r6-r9 (4 green); similarity_ann_ivf + semdedup anchor similarity)
     # rotated INTO the gate r8 (never driver-verified; similarity_neardup_pairs is its exact-all-pairs baseline)
     oracle=sim.srp_near_dup_pairs_sql("embeddings", 0.35, dim=EMB_DIM),
 )
@@ -589,7 +590,8 @@ _PROFILE_ORACLE = f"""
 """
 
 
-@query("text_profile", oracle=_PROFILE_ORACLE)
+@query("text_profile", driver=False,   # rotated out r10 (green r1-r9 (9 green); bigram/kn/boilerplate + char_entropy keep text gated)
+    oracle=_PROFILE_ORACLE)
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document text-analysis profile in one driver entry: quality
     features + composite score, function-word language ID, whitespace/BPE-ish
@@ -677,7 +679,8 @@ _CLUSTERS_ORACLE = f"""
 """
 
 
-@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+@query("dedup_clusters", driver=False,   # rotated out r10 (green r2-r9 (8 green); snm_part_names + containment anchor dedup)
+    oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: connected components over the exact
     3-gram Jaccard ≥ 0.5 pairs (a dup of a dup is a dup), each doc labeled
@@ -820,6 +823,44 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png.unionByName(meta)
 
 
+@query(
+    "multimodal_image_ahash",
+    driver=False,  # new r10 family gate (VERDICT r9 #7): image perceptual hash
+    oracle="""
+    WITH px AS (
+        SELECT doc_id, i,
+               CAST('0x' || substr(md5(text), ((i % 16) * 2) + 1, 2) AS INT) AS v
+        FROM documents, UNNEST(range(0, 64)) AS u(i)
+    ),
+    m AS (SELECT doc_id, CAST(SUM(v) // 64 AS BIGINT) AS mean_px
+          FROM px GROUP BY doc_id)
+    SELECT px.doc_id,
+           -- bit 63 is the sign bit of the Spark LongType hash: add its
+           -- low-63-bit sum, then wrap by subtracting 2^63 when set
+           CAST(SUM(CASE WHEN v > mean_px AND i < 63
+                         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                + CASE WHEN MAX(CASE WHEN v > mean_px AND i = 63 THEN 1 ELSE 0 END) = 1
+                       THEN -9223372036854775807 - 1 ELSE 0 END
+                AS BIGINT) AS ahash,
+           MAX(mean_px) AS mean_px
+    FROM px JOIN m USING (doc_id)
+    GROUP BY px.doc_id
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual hashing end-to-end through the REAL codec path:
+    8×8 PNGs whose pixels tile each document's md5 digest are encoded
+    (stdlib PNG writer), shipped through Arrow, pixel-DECODED, grid-
+    sampled, and average-hashed (operators/multimodal.py::image_ahash) —
+    while the oracle recomputes the expected 64-bit hash and mean purely
+    from md5 hex arithmetic.  A hash match therefore proves the whole
+    encode → Arrow → decode → sample → threshold pipeline bit-exact; the
+    hash table this emits is what image_neardup_pairs' pigeonhole
+    hamming join consumes (pytest-pinned)."""
+    d = read_table(spark, sf_dir, "documents")
+    return mm.image_ahash(mm.attach_png_tile_payload(d, "doc_id", "text"))
+
+
 # ---------------------------------------------------------------------------
 # Dataset selection: sample -> split -> pack (operators/sampling.py)
 # ---------------------------------------------------------------------------
@@ -844,7 +885,8 @@ _SAMPLING_ORACLE = f"""
 """
 
 
-@query("sampling_pipeline", oracle=_SAMPLING_ORACLE)
+@query("sampling_pipeline", driver=False,   # rotated out r10 (green r2-r9 (8 green); temperature_mix/dsir/rate_capped take the sampling slots)
+    oracle=_SAMPLING_ORACLE)
 def sampling_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset-selection layer end-to-end: deterministic stratified
     downsample (en halved), contamination-stable hash split (90/5/5), and
@@ -889,6 +931,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_pack_greedy",
+    driver=False,  # rotated out r10 (green r8-r9 (2 green); temperature_mix/dsir/rate_capped take the sampling slots)
     # rotated INTO the gate r8 (r7 flagship, never driver-verified)
     oracle=sa.pack_greedy_sql(
         "documents", "doc_id", "(n_chars + 3) // 4", 512, n_shards=8
@@ -1064,6 +1107,7 @@ _DECONTAM_BENCH = "(SELECT * FROM documents WHERE doc_id % 29 = 7)"
 
 @query(
     "bloom_membership_screen",
+    driver=False,  # rotated out r10 (green r6-r9 (4 green); full local parity continues in pytest)
     # NEW FAMILY r6 (approximate membership): gates per the standing rule;
     # dedup_keep_latest rotated out to free the slot (green r1-r5, dedup
     # family keeps exact/neardup/simhash/clusters/span gated)
@@ -1096,6 +1140,7 @@ _DECONTAM_MAX_DF_BENCH = 8
 
 @query(
     "text_decontaminate",
+    driver=False,  # rotated out r10 (green r4-r9 (6 green); full local parity continues in pytest)
     oracle=dc.contamination_pairs_sql(
         _DECONTAM_TRAIN, _DECONTAM_BENCH, "doc_id", "text", "doc_id", "text",
         n=_DECONTAM_N, min_overlap=_DECONTAM_MIN_OVERLAP,
@@ -1450,7 +1495,7 @@ def text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_pii_scrub",
-    driver=False,  # new r9 family: PII detection/redaction (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=pii.pii_scrub_sql("documents", "doc_id", "text"),
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,7 +1508,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_pii_report",
-    driver=False,  # one-row reporting face of text_pii_scrub
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=pii.pii_report_sql("documents", "doc_id", "text"),
 )
 def text_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,7 +1520,7 @@ def text_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_trigram_search",
-    driver=False,  # new r9 family: persisted trigram substring index (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=ir.trigram_search_sql("documents", "doc_id", "text", "fast merge"),
 )
 def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1498,7 +1543,7 @@ def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_containment_pairs",
-    driver=False,  # new r9 family: asymmetric containment join (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=dd.containment_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.7),
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,7 +1560,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_temperature_mix",
-    driver=False,  # new r9 family: temperature-derived mixture weights (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=sa.temperature_mix_sql("documents", "source", "n_chars", 1_000_000),
 )
 def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1533,7 +1578,7 @@ def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_char_entropy",
-    driver=False,  # new r9 quality-signal member (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=ts.char_entropy_sql("documents", "doc_id", "text"),
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,7 +1593,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_keep_best",
-    driver=False,  # new r9 dedup-family member: quality-aware winner (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=dd.dedup_keep_best_sql("documents", "text", "doc_id", ts.quality_score_sql("text")),
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1566,7 +1611,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_self_dedup",
-    driver=False,  # new r9 family: intra-document repetition removal (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=ts.self_dedup_sql("documents", "doc_id", "text", seg_len=5),
 )
 def text_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,7 +1626,7 @@ def text_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_dsir_weights",
-    driver=False,  # new r9 family: DSIR importance weighting (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=dsir.dsir_logweights_sql(
         "documents", "doc_id", "text", "source = 'src0'", n_buckets=256
     ),
@@ -1602,7 +1647,7 @@ def sampling_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_semdedup_keep",
-    driver=False,  # new r9 family: SemDeDup cluster-blocked embedding dedup (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     # threshold 0.35 (not the 0.8 doc-dedup default): the synthetic
     # embeddings' max pairwise cosine is 0.479, so a 0.8 gate would be a
     # trivially-complete keep-list proving nothing

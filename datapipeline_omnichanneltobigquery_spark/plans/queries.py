@@ -105,6 +105,7 @@ def flagship_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q1_pricing_summary",
+    driver=False,  # rotated out r10 (green r1-r9 (9 green); flagship_monthly_revenue anchors aggregations)
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -98,6 +98,7 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_anti_dormant_customers",
+    driver=False,  # rotated out r10 (green r1-r9 (9 green); bucketed_revenue_join + q18 anchor joins)
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -119,6 +120,7 @@ def join_anti_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_multiway_nation_revenue",
+    driver=False,  # rotated out r10 (green r1-r9 (9 green); bucketed_revenue_join + q18 anchor joins)
     oracle="""
     SELECT n.n_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -265,6 +267,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_topn_orders_per_customer",
+    driver=False,  # rotated out r10 (green r1-r9 (9 green); seq_training_pairs keeps windows gated)
     oracle="""
     SELECT c_custkey, o_orderkey, rn, rnk, drnk FROM (
         SELECT o_custkey AS c_custkey, o_orderkey,

@@ -666,6 +666,7 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cms_estimates",
+    driver=False,  # rotated out r10 (green r6-r9 (4 green); qsketch rows keep sketches gated)
     # rotated INTO the gate r8 (never driver-verified; engine-exact like agg_hll_explicit)
     oracle=pf.cms_estimates_sql("events", "user_id"),
 )
@@ -718,6 +719,7 @@ def agg_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cms_merged",
+    driver=False,  # rotated out r10 (green r7-r9 (3 green); qsketch rows keep sketches gated)
     # rotated INTO the gate r8 — the register-MERGE path gets its own driver check
     oracle=pf.cms_estimates_sql("events", "user_id"),
 )
@@ -809,6 +811,7 @@ def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_rolling_zscore",
+    driver=False,  # rotated out r10 (green r6-r9 (4 green); seasonal_residuals + debounced take the timeseries slots)
     # rotated INTO the gate r7 (r6 family, never driver-verified)
     oracle=tsr.rolling_zscore_sql("events", "user_id", "ts", "value", "event_id"),
 )
@@ -870,6 +873,7 @@ _ORDER_RULES = [
 
 @query(
     "dq_constraint_report",
+    driver=False,  # rotated out r10 (green r7-r9 (3 green); l_diversity + fd_violations take the DQ slots)
     # rotated INTO the gate r8 (r7 flagship, never driver-verified)
     oracle=pf.validate_constraints_sql("orders", _ORDER_RULES),
 )
@@ -1702,6 +1706,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_kcore_parts",
+    driver=False,  # rotated out r10 (green r7-r9 (3 green); triangles + LPA keep graph gated)
     # rotated INTO the gate r8 (r7 flagship, never driver-verified)
     oracle=gr.kcore_sql(_COPURCHASE_EDGES_SQL, k=4, rounds=8),
 )
@@ -2259,6 +2264,67 @@ def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed isotonic step curves for the calibration-apply gate: one monotone
+# curve per event_type (purchase's first interval starts ABOVE the value
+# floor so the below-every-pool clamp path executes); 'error' and 'signup'
+# have no curve, pinning the missing-group → NULL contract.  The FIT that
+# would produce such curves (operators/calibration.py::isotonic_fit) is a
+# sequential PAVA fixed point with no SQL oracle (the BPE/kmeans class,
+# pytest-pinned in test_profile.py); the APPLY is pure join + step lookup,
+# which this entry hash-verifies end-to-end.
+_ISO_CURVE = [
+    ("click", 0.0, 50.0, 0.10, 100),
+    ("click", 50.0, 200.0, 0.40, 80),
+    ("click", 200.0, 500.0, 0.80, 40),
+    ("view", 0.0, 100.0, 0.20, 120),
+    ("view", 100.0, 500.0, 0.70, 60),
+    ("purchase", 30.0, 120.0, 0.05, 50),
+    ("purchase", 120.0, 500.0, 0.95, 30),
+]
+
+_ISO_CURVE_SQL = "), (".join(
+    f"'{g}', {lo!r}, {p!r}" for g, lo, _hi, p, _n in _ISO_CURVE
+)
+
+
+@query(
+    "calibration_isotonic_apply",
+    driver=False,  # new r10 family gate (VERDICT r9 #7): isotonic calibration
+    oracle=f"""
+    WITH curve(event_type, score_lo, p_cal) AS (VALUES ({_ISO_CURVE_SQL}))
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value IS NULL THEN NULL ELSE COALESCE(
+             (SELECT c.p_cal FROM curve c
+              WHERE c.event_type = e.event_type AND c.score_lo <= e.value
+              ORDER BY c.score_lo DESC LIMIT 1),
+             (SELECT c.p_cal FROM curve c
+              WHERE c.event_type = e.event_type
+              ORDER BY c.score_lo ASC LIMIT 1)
+           ) END AS p_cal
+    FROM events e
+    """,
+)
+def calibration_isotonic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-calibration APPLY over the events stream: each event's raw
+    value maps to the calibrated probability of the last step interval at
+    or below it (operators/calibration.py::isotonic_apply) — groups with
+    no fitted curve surface p_cal = NULL, values below every interval
+    clamp to the first pool.  The curve collapses to one sorted
+    step-array row per group; the lookup is a per-row array probe after
+    the group join — scored rows shuffle once for the join, never for a
+    window."""
+    from datapipeline_omnichanneltobigquery_spark.operators import calibration as cal
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    curve = spark.createDataFrame(
+        _ISO_CURVE,
+        "event_type string, score_lo double, score_hi double, p_cal double, n_obs long",
+    )
+    return cal.isotonic_apply(ev, curve, "event_type", "value").select(
+        "event_id", "event_type", "value", "p_cal"
+    )
+
+
 @query(
     "graph_lpa_communities",
     # rotated INTO the gate r9 (never driver-verified)
@@ -2277,7 +2343,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "feature_correlations",
-    driver=False,  # new r9 family: exact-sum Pearson correlation (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle="""
     WITH per_order AS (
         SELECT o.o_orderpriority AS priority,
@@ -2351,7 +2417,7 @@ def feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_woe_iv",
-    driver=False,  # new r9 family: weight-of-evidence encoding + information value (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle="""
     WITH lab AS (
         SELECT o_orderpriority AS cat,
@@ -2408,7 +2474,7 @@ def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_seasonal_residuals",
-    driver=False,  # new r9 timeseries-family member (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=tsr.seasonal_residuals_sql(
         "events", "event_type", "ts", "value", "event_id", z_threshold=2.0, min_n=10
     ),
@@ -2430,7 +2496,7 @@ def events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_l_diversity",
-    driver=False,  # new r9 privacy-family member beside dq_k_anonymity (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=pf.l_diversity_sql(
         "(SELECT o_orderpriority, year(o_orderdate) AS order_yr, o_orderstatus FROM orders)",
         ["o_orderpriority", "order_yr"], "o_orderstatus", 2,
@@ -2449,7 +2515,7 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "er_reciprocal_best",
-    driver=False,  # new r9 ER-family member: mutual-best precision filter (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=er.reciprocal_best_sql(_ER_SCORED_PAIRS_SQL),
 )
 def er_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2465,7 +2531,7 @@ def er_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_rate_capped",
-    driver=False,  # new r9 ingestion-hygiene member (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     # daily window / cap 3: hourly buckets never exceed 3 in the synthetic
     # stream, which would make the gate a no-op — daily buckets reach 7-10
     oracle="""
@@ -2491,7 +2557,7 @@ def events_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_debounced",
-    driver=False,  # new r9 ingestion-hygiene member beside rate capping (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=tsr.debounce_sql(
         "events", "user_id", "ts", "event_id", 86400,
         select_cols="event_id, user_id, event_type",
@@ -2513,7 +2579,7 @@ def events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_fd_violations",
-    driver=False,  # new r9 DQ-family member beside constraints/k-anonymity (queued for the r10 rotation)
+    # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=pf.fd_violations_sql("lineitem", ["l_orderkey"], "l_linestatus"),
 )
 def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,6 +55,7 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "events_overlap_windows",
+    driver=False,  # rotated out r10 (green r6-r9 (4 green); features_point_in_time keeps temporal gated)
     # rotated INTO the gate r8 (never driver-verified)
     oracle="""
     WITH pv AS (SELECT event_id AS lid, user_id, ts AS ls, ts + INTERVAL 30 MINUTE AS le
@@ -92,6 +93,7 @@ def events_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_overlap_duration",
+    driver=False,  # rotated out r10 (green r9 after the r8 CAST fix + r7 (2 green); features_point_in_time keeps temporal gated)
     # rotated INTO the gate r8 (r7 flagship, never driver-verified)
     oracle="""
     WITH pv AS (SELECT event_id AS lid, user_id, ts AS ls, ts + INTERVAL 30 MINUTE AS le

@@ -222,9 +222,6 @@ def test_capped_jaccard_has_no_extra_exchanges(spark):
 # mechanical form of the round-4 lesson (the ANN corpus-id broadcast and
 # the funnel stage broadcasts would both have tripped this).
 BROADCAST_REVIEW_ALLOWLIST = {
-    # bench-side shingle index + contaminated-id list: evaluation suites
-    # are small by construction (operators/decontam.py module contract)
-    "text_decontaminate": 1,
     # decontam broadcasts riding inside the incremental (nightly) face,
     # gated since r7 (corpus_prep_full rotated out r9 — see the EXTRA list)
     "corpus_prep_incremental": 2,
@@ -269,6 +266,9 @@ EXTRA_BROADCAST_REVIEW_ALLOWLIST = {
     # eval-suite shingle index + contaminated-id list (decontam module
     # contract: evaluation suites are small by construction)
     "text_decontam_keep": 2,
+    # same two decontam broadcasts, standalone face (rotated out of the
+    # gate r10; justification unchanged)
+    "text_decontaminate": 1,
     # the same two decontam broadcasts riding inside the composed pipeline
     # (rotated out of the gate r9; justification unchanged)
     "corpus_prep_full": 2,
