@@ -1038,3 +1038,96 @@ def drift_ks_sql(ref_sql: str, cur_sql: str, col: str) -> str:
            (MAX(struct_pack(d := dnum, at := v))).at AS ks_at
     FROM scored
     """
+
+
+# Benford first-digit probabilities log10(1 + 1/d), materialized as Python
+# float literals so BOTH engines multiply by the identical IEEE constants
+# (never re-deriving the log on either side).
+BENFORD_P: tuple[float, ...] = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit over a positive numeric column —
+    (digit, n_obs, expected_share, expected_n, chi2_term) for digits 1-9.
+    Fabricated or systematically-capped monetary data diverges from the
+    log-uniform first-digit law; the chi-square contribution per digit
+    localizes WHICH digit carries the divergence (the classic
+    forensic-accounting / DQ screen).  Values < 1 are excluded (no
+    leading significant digit in the integer part).
+
+    Determinism: digit extraction is integer/string only; the expected
+    shares are shared float literals, and the two float expressions per
+    digit are single fixed-order formulas rounded to 6 — the MI/
+    correlation rounding precedent.  Scale: one partial-aggregated
+    9-group aggregate; the digit spine is a 9-row inline frame so absent
+    digits report 0 observations instead of vanishing."""
+    d = (
+        df.filter(F.col(value_col) >= 1)
+        .select(
+            F.substring(F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(BENFORD_P)], "digit int, expected_share double"
+    )
+    total = d.agg(F.sum("n_obs").cast("bigint").alias("__total"))
+    return (
+        spine.join(d, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            "expected_share",
+            F.expr("round(__total * expected_share, 6)").alias("expected_n"),
+            F.expr(
+                "round((coalesce(n_obs, 0) - __total * expected_share)"
+                " * (coalesce(n_obs, 0) - __total * expected_share)"
+                " / (__total * expected_share), 6)"
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def benford_audit_sql(table: str, value_col: str) -> str:
+    """DuckDB twin of :func:`benford_audit` — same literals, same
+    fixed-order float expressions."""
+    # CAST AS DOUBLE: DuckDB types a bare decimal VALUES literal as DECIMAL,
+    # and the downstream (n - total*share)^2 would overflow DECIMAL(38) —
+    # the repr digits round-trip to the identical IEEE double Spark uses
+    spine = ", ".join(
+        f"({i + 1}, CAST({p!r} AS DOUBLE))" for i, p in enumerate(BENFORD_P)
+    )
+    return f"""
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(floor({value_col}) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit,
+               COUNT(*) AS n_obs
+        FROM {table} WHERE {value_col} >= 1
+        GROUP BY 1
+    ),
+    spine(digit, expected_share) AS (VALUES {spine}),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM obs)
+    SELECT s.digit,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           s.expected_share,
+           round(t.total * s.expected_share, 6) AS expected_n,
+           round((COALESCE(o.n_obs, 0) - t.total * s.expected_share)
+                 * (COALESCE(o.n_obs, 0) - t.total * s.expected_share)
+                 / (t.total * s.expected_share), 6) AS chi2_term
+    FROM spine s LEFT JOIN obs o ON o.digit = s.digit CROSS JOIN tot t
+    """

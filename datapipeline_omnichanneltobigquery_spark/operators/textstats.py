@@ -1123,3 +1123,115 @@ def self_dedup_sql(table: str, id_col: str, text_col: str, seg_len: int = 5) -> 
     LEFT JOIN totals t ON t.id = i.id
     LEFT JOIN kept k ON k.id = i.id
     """
+
+
+def vocab_growth(df: DataFrame, id_col: str, text_col: str, n_buckets: int = 64) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law diagnostic): scanning documents
+    in id order, how many NEW token types each document introduces and
+    the running vocabulary / token totals after it — (id, new_types,
+    vocab_size, cum_tokens).  A flattening curve says the corpus has
+    stopped contributing vocabulary (more data, same types — the
+    diversity signal dataset-selection weighs against raw volume);
+    tokenization is the shared empty-filtered whitespace stream.
+
+    Scale: type introductions are one groupBy(token) MIN(id) — partial-
+    aggregated, linear.  The prefix sums do NOT use a global
+    single-partition window: doc-level rollup rows land in ``n_buckets``
+    RANGE buckets by exact integer binning of the id (the profile.py
+    histogram idiom), cumsum runs inside each bucket in parallel, and
+    each bucket adds the offsets of its predecessors (an n_buckets-row
+    window, broadcast back) — the global_shuffle two-level discipline
+    applied to ordered prefix sums."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    intro = (
+        toks.groupBy("tok")
+        .agg(F.min("id").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    per_doc = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_toks"))
+    base = (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(intro, "id", "left")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+            F.coalesce("n_toks", F.lit(0)).cast("bigint").alias("n_toks"),
+        )
+    )
+    stats = base.agg(
+        F.min("id").alias("__lo"), F.max("id").alias("__hi")
+    )
+    # exact integer range binning: ((id - lo) * n) div (hi - lo + 1) — the
+    # profile.py histogram idiom, monotone in id so bucket order == id order
+    bucketed = base.crossJoin(F.broadcast(stats)).withColumn(
+        "__b",
+        F.expr(f"((id - __lo) * {int(n_buckets)}) div (__hi - __lo + 1)"),
+    )
+    win = (
+        Window.partitionBy("__b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.select(
+        "id",
+        "new_types",
+        "__b",
+        F.sum("new_types").over(win).alias("__cv"),
+        F.sum("n_toks").over(win).alias("__ct"),
+    )
+    sizes = bucketed.groupBy("__b").agg(
+        F.sum("new_types").alias("__sv"), F.sum("n_toks").alias("__st")
+    )
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    offs = sizes.select(
+        "__b",
+        (F.sum("__sv").over(wo) - F.col("__sv")).alias("__ov"),
+        (F.sum("__st").over(wo) - F.col("__st")).alias("__ot"),
+    )
+    return local.join(F.broadcast(offs), "__b").select(
+        F.col("id").alias(id_col),
+        "new_types",
+        (F.col("__cv") + F.col("__ov")).cast("bigint").alias("vocab_size"),
+        (F.col("__ct") + F.col("__ot")).cast("bigint").alias("cum_tokens"),
+    )
+
+
+def vocab_growth_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`vocab_growth` — the definitional single
+    running-sum form (the bucketed two-level Spark plan must equal it
+    exactly; bucket boundaries cannot change a prefix sum)."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS id, tok FROM (
+            SELECT {id_col},
+                   UNNEST(list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                                      t -> t <> '')) AS tok
+            FROM {table})
+    ),
+    intro AS (SELECT MIN(id) AS id, COUNT(*) AS new_types
+              FROM (SELECT tok, MIN(id) AS id FROM toks GROUP BY tok)
+              GROUP BY id),
+    per_doc AS (SELECT id, COUNT(*) AS n_toks FROM toks GROUP BY id),
+    base AS (
+        SELECT d.id,
+               CAST(COALESCE(i.new_types, 0) AS BIGINT) AS new_types,
+               CAST(COALESCE(p.n_toks, 0) AS BIGINT) AS n_toks
+        FROM (SELECT DISTINCT {id_col} AS id FROM {table}) d
+        LEFT JOIN intro i ON i.id = d.id
+        LEFT JOIN per_doc p ON p.id = d.id
+    )
+    SELECT id AS {id_col}, new_types,
+           CAST(SUM(new_types) OVER (ORDER BY id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size,
+           CAST(SUM(n_toks) OVER (ORDER BY id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+    FROM base
+    """

@@ -567,3 +567,103 @@ def debounce_sql(
     )
     WHERE __prev IS NULL OR epoch_us({ts_col}) - __prev >= {gap_us}
     """
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """OHLC time bars: per (key, tumbling window) the Open (value at the
+    earliest (ts, unique)), High, Low, Close (value at the latest
+    (ts, unique)), event count, and exact total — the candle/bar
+    aggregation every time-series warehouse ships, and the standard
+    compaction step before charting or trend models.
+
+    Determinism: open/close are single PICKED values (struct-min/max over
+    (ts_us, unique, value) — a total order via the unique tie-break, so
+    no distributed float summation decides them); high/low are float
+    min/max (order-free); the total accumulates in DECIMAL(18,6) and
+    casts to double once.  Window bucket = the floored a - pmod(a, w)
+    integer idiom shared with rate_cap (pre-1970-safe).
+
+    Scale: ONE partial-aggregated groupBy(key, bucket) — map-side combine
+    collapses each partition's bars before the exchange, so the shuffle
+    carries ≤ |distinct bars per partition| rows, never the event stream."""
+    win_us = int(window_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    bucket = us - F.pmod(us, F.lit(win_us))
+    tagged = df.select(
+        F.col(key_col).alias("key"),
+        bucket.alias("win_start"),
+        F.struct(
+            us.alias("us"), F.col(unique_col).alias("uid"), F.col(val_col).alias("v")
+        ).alias("__t"),
+        F.col(val_col).alias("v"),
+        F.col(val_col).cast("decimal(18,6)").alias("vd"),
+    )
+    return (
+        tagged.groupBy("key", "win_start")
+        .agg(
+            F.min("__t").alias("__first"),
+            F.max("__t").alias("__last"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vd").alias("__total"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "win_start",
+            F.col("__first.v").alias("open"),
+            "high",
+            "low",
+            F.col("__last.v").alias("close"),
+            "n_events",
+            F.col("__total").cast("double").alias("total_value"),
+        )
+    )
+
+
+def ohlc_bars_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    window_seconds: int,
+) -> str:
+    """DuckDB twin of :func:`ohlc_bars` — same floored integer bucket,
+    same (ts_us, unique) total order picking open/close, same DECIMAL
+    total."""
+    win_us = int(window_seconds) * 1_000_000
+    e = f"epoch_us({ts_col})"
+    bucket = f"({e} - ((({e} % {win_us}) + {win_us}) % {win_us}))"
+    return f"""
+    WITH tagged AS (
+        SELECT {key_col} AS key, {bucket} AS win_start,
+               {e} AS us, {unique_col} AS uid, {val_col} AS v,
+               CAST({val_col} AS DECIMAL(18,6)) AS vd
+        FROM {table}
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY key, win_start
+                                  ORDER BY us, uid) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY key, win_start
+                                  ORDER BY us DESC, uid DESC) AS rn_d
+        FROM tagged
+    )
+    SELECT key AS {key_col}, win_start,
+           MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+           MAX(v) AS high,
+           MIN(v) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(vd) AS DOUBLE) AS total_value
+    FROM ranked
+    GROUP BY 1, 2
+    """

@@ -1666,3 +1666,19 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "embeddings"),
         threshold=0.35, dim=EMB_DIM, n_centroids=16,
     )
+
+
+@query(
+    "text_vocab_growth",
+    driver=False,  # new r10 family: vocabulary growth (Heaps) curve
+    oracle=ts.vocab_growth_sql("documents", "doc_id", "text"),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve over the corpus in doc-id order: new token
+    types introduced per document plus running vocabulary / token totals
+    (the Heaps'-law diagnostic dataset selection reads for diminishing
+    diversity returns).  The prefix sums run two-level (exact-integer
+    range buckets + broadcast offsets — the global_shuffle discipline),
+    never a single-partition window over the corpus
+    (operators/textstats.py::vocab_growth)."""
+    return ts.vocab_growth(read_table(spark, sf_dir, "documents"), "doc_id", "text")

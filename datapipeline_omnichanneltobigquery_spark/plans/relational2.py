@@ -13,6 +13,7 @@ from datapipeline_omnichanneltobigquery_spark.operators import er
 from datapipeline_omnichanneltobigquery_spark.operators import graph as gr
 from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
 from datapipeline_omnichanneltobigquery_spark.operators import sampling as sa
+from datapipeline_omnichanneltobigquery_spark.operators import segments as sg
 from datapipeline_omnichanneltobigquery_spark.operators import skew as sk
 from datapipeline_omnichanneltobigquery_spark.operators import timeseries as tsr
 from datapipeline_omnichanneltobigquery_spark.operators.upsert import snapshot_diff_sql
@@ -2590,3 +2591,127 @@ def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/profile.py::fd_violations)."""
     li = read_table(spark, sf_dir, "lineitem")
     return pf.fd_violations(li, ["l_orderkey"], "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# New r10 families: RFM segmentation, OHLC bars, Benford DQ audit, per-group
+# OLS trend (operators/segments.py, timeseries.py, profile.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rfm_customer_segments",
+    driver=False,  # new r10 family: RFM quintile segmentation
+    oracle=sg.rfm_scores_sql("orders", "o_custkey", "o_orderdate", "o_totalprice"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of the order stream — recency/frequency/
+    monetary quintile scores + the standard segment read per customer,
+    anchored on the corpus max order date (operators/segments.py).  The
+    three global ranks run two-level (range buckets + offsets), never a
+    single-partition sort of the customer table."""
+    return sg.rfm_scores(
+        read_table(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+@query(
+    "events_ohlc_hourly",
+    driver=False,  # new r10 family: OHLC time bars
+    oracle=tsr.ohlc_bars_sql("events", "event_type", "ts", "value", "event_id", 3600),
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close picked at the
+    (ts, event_id) total-order endpoints, float high/low, DECIMAL-exact
+    totals — one partial-aggregated groupBy
+    (operators/timeseries.py::ohlc_bars)."""
+    return tsr.ohlc_bars(
+        read_table(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id", 3600
+    )
+
+
+@query(
+    "dq_benford_prices",
+    driver=False,  # new r10 family: Benford first-digit audit
+    oracle=pf.benford_audit_sql("orders", "o_totalprice"),
+)
+def dq_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    log-uniform expected counts with per-digit chi-square contributions —
+    the forensic DQ screen for fabricated or range-capped monetary data
+    (operators/profile.py::benford_audit; shares its float literals with
+    the oracle)."""
+    return pf.benford_audit(read_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@query(
+    "events_trend_ols",
+    driver=False,  # new r10 family: per-group OLS trend
+    oracle="""
+    WITH e AS (
+        -- floored second conversion (numerator made exactly divisible by
+        -- subtracting the positive mod) — the a - pmod(a, w) idiom, so the
+        -- Spark twin's pmod form matches on the whole signed epoch range
+        SELECT event_type,
+               CAST((epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000))
+                    // 1000000 - 1704067200 AS BIGINT) AS x,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(v) AS DOUBLE) AS sv,
+               -- x as DECIMAL(12,0): the (18,6)x(12,0) product stays inside
+               -- precision 38 on both engines (the correlations precedent)
+               CAST(SUM(CAST(x AS DECIMAL(12,0)) * v) AS DOUBLE) AS sxv,
+               CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0))) AS DOUBLE)
+                 AS sxx
+        FROM e GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           -- round(6): the FMA-contraction guard (a*b - c*d diverges in the
+           -- last ulp between engines) — the correlations/MI precedent
+           round(86400.0 * (n * sxv - sx * sv) / (n * sxx - sx * sx), 6)
+             AS slope_per_day,
+           round((sv * sxx - sx * sxv) / (n * sxx - sx * sx), 6) AS intercept
+    FROM sums
+    """,
+)
+def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time — slope (per day) and
+    intercept from EXACT sufficient statistics: x = integer epoch seconds
+    (anchored 2024-01-01), v DECIMAL(18,6); the five sums accumulate in
+    BIGINT/DECIMAL (order-independent), and only the two final formulas
+    touch IEEE floats, in identical expression order on both engines.
+    The drift-direction screen beside [[feature_correlations]]'s r.  At
+    100 TB: ONE partial-aggregated groupBy; float work is a row per
+    group."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000"
+            " - 1704067200 AS BIGINT)"
+        ).alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("v").cast("double").alias("sv"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("v")).cast("double").alias("sxv"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("x").cast("decimal(12,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr("round(86400.0 * (n * sxv - sx * sv) / (n * sxx - sx * sx), 6)").alias(
+            "slope_per_day"
+        ),
+        F.expr("round((sv * sxx - sx * sxv) / (n * sxx - sx * sx), 6)").alias(
+            "intercept"
+        ),
+    )

@@ -1955,3 +1955,25 @@ def test_prefix_jaccard_is_lossless_where_df_cap_is_not(spark):
     assert capped == []  # every shared shingle has df 2 > 1: contract miss
     got = prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6).collect()
     assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+
+def test_vocab_growth_manual_curve(spark):
+    """Running vocabulary/token totals on a hand-checkable corpus — a doc
+    of only repeats introduces 0 types, an empty doc keeps its row with
+    zero deltas, and the curve is the prefix sum in id order."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),        # +3 types, 3 toks
+            (2, "b c d"),        # +1 (d), 3 toks
+            (3, "a a a"),        # +0, 3 toks
+            (4, ""),             # +0, 0 toks (row survives)
+            (5, "e"),            # +1, 1 tok
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in vocab_growth(docs, "doc_id", "text").collect()}
+    assert [out[i].new_types for i in range(1, 6)] == [3, 1, 0, 0, 1]
+    assert [out[i].vocab_size for i in range(1, 6)] == [3, 4, 4, 4, 5]
+    assert [out[i].cum_tokens for i in range(1, 6)] == [3, 6, 9, 9, 10]

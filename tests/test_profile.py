@@ -351,3 +351,21 @@ def test_qsketch_degenerate_and_boundary_groups(spark):
     # one value per bin: p50 -> 50th of 100 ranked values (bin 49), p99 -> bin 98
     assert 49.0 <= out[("edge", "p50")] <= 50.0
     assert 98.0 <= out[("edge", "p99")] <= 99.0
+
+
+def test_benford_audit_counts_and_spine(spark):
+    """First-digit extraction, <1 exclusion, and the 9-row spine: digits
+    with no observations report 0 with a well-defined chi2 term."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        BENFORD_P,
+        benford_audit,
+    )
+
+    vals = [1.2, 19.0, 123.4, 2.5, 0.7, 900.0]  # digits 1,1,1,2,excluded,9
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r.digit: r for r in benford_audit(df, "x").collect()}
+    assert len(out) == 9
+    assert out[1].n_obs == 3 and out[2].n_obs == 1 and out[9].n_obs == 1
+    assert all(out[d].n_obs == 0 for d in (3, 4, 5, 6, 7, 8))
+    assert abs(out[1].expected_n - 5 * BENFORD_P[0]) < 1e-6
+    assert out[3].chi2_term == round(5 * BENFORD_P[2], 6)  # (0-e)^2/e = e

@@ -175,3 +175,32 @@ def test_ewma_smooth_known_series(spark):
     assert got[2] == (16.0 + 0.5 * 8.0 + 0.25 * 4.0) / 1.75
     for i in range(5):
         assert got[10 + i] == 7.0             # constant series fixed point
+
+
+def test_ohlc_bars_picks_endpoints_deterministically(spark):
+    """OHLC: open/close come from the (ts, unique) total order — including
+    a tie on ts where the smaller event_id is the open — high/low are
+    value extremes, totals are DECIMAL-exact."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import ohlc_bars
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (2, "a", t0, 5.0),                                   # ts tie: id 1 wins open
+        (1, "a", t0, 3.0),
+        (3, "a", t0 + dt.timedelta(minutes=10), 9.5),        # high
+        (4, "a", t0 + dt.timedelta(minutes=20), 0.5),        # low
+        (5, "a", t0 + dt.timedelta(minutes=30), 7.0),        # close
+        (6, "a", t0 + dt.timedelta(hours=2), 4.0),           # separate bar
+        (7, "b", t0, 1.0),                                   # separate key
+    ]
+    df = spark.createDataFrame(rows, "event_id long, key string, ts timestamp, v double")
+    out = {
+        (r.key, r.win_start): r
+        for r in ohlc_bars(df, "key", "ts", "v", "event_id", 3600).collect()
+    }
+    bar = out[("a", int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000)]
+    assert (bar.open, bar.high, bar.low, bar.close) == (3.0, 9.5, 0.5, 7.0)
+    assert bar.n_events == 5 and bar.total_value == 25.0
+    assert len(out) == 3
