@@ -34,9 +34,17 @@ def _global_rank(df: DataFrame, id_col: str, val_col: str, out: str) -> DataFram
     row_number, plus the cumulative sizes of preceding buckets (a
     RANK_BUCKETS-row window, broadcast back)."""
     stats = df.agg(F.min(val_col).alias("__lo"), F.max(val_col).alias("__hi"))
-    b = df.crossJoin(F.broadcast(stats)).withColumn(
-        "__b",
-        F.expr(f"(({val_col} - __lo) * {RANK_BUCKETS}) div (__hi - __lo + 1)"),
+    # localCheckpoint: `b` feeds BOTH the ranked window and the bucket-size
+    # aggregate, and chained rank calls would otherwise re-embed the whole
+    # upstream subtree twice per call (exponential plan growth — caught by
+    # the r10 plan audit at 70 exchanges for three chained ranks)
+    b = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__b",
+            F.expr(f"(({val_col} - __lo) * {RANK_BUCKETS}) div (__hi - __lo + 1)"),
+        )
+        .localCheckpoint()
     )
     w = Window.partitionBy("__b").orderBy(val_col, id_col)
     local = b.withColumn("__r", F.row_number().over(w))

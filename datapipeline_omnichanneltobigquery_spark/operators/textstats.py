@@ -1142,10 +1142,17 @@ def vocab_growth(df: DataFrame, id_col: str, text_col: str, n_buckets: int = 64)
     each bucket adds the offsets of its predecessors (an n_buckets-row
     window, broadcast back) — the global_shuffle two-level discipline
     applied to ordered prefix sums."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    # localCheckpoint: the token stream feeds BOTH the type-introduction
+    # aggregate and the per-doc counts (the ≥2-consumer discipline — the
+    # r10 plan audit caught 8 source scans without it)
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .localCheckpoint()
+    )
     intro = (
         toks.groupBy("tok")
         .agg(F.min("id").alias("id"))
@@ -1163,15 +1170,22 @@ def vocab_growth(df: DataFrame, id_col: str, text_col: str, n_buckets: int = 64)
             F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
             F.coalesce("n_toks", F.lit(0)).cast("bigint").alias("n_toks"),
         )
+        .localCheckpoint()  # stats probe + bucketed consumers
     )
     stats = base.agg(
         F.min("id").alias("__lo"), F.max("id").alias("__hi")
     )
     # exact integer range binning: ((id - lo) * n) div (hi - lo + 1) — the
-    # profile.py histogram idiom, monotone in id so bucket order == id order
-    bucketed = base.crossJoin(F.broadcast(stats)).withColumn(
-        "__b",
-        F.expr(f"((id - __lo) * {int(n_buckets)}) div (__hi - __lo + 1)"),
+    # profile.py histogram idiom, monotone in id so bucket order == id order;
+    # localCheckpoint: the bucketed frame feeds both the cumsum window and
+    # the bucket-size aggregate
+    bucketed = (
+        base.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__b",
+            F.expr(f"((id - __lo) * {int(n_buckets)}) div (__hi - __lo + 1)"),
+        )
+        .localCheckpoint()
     )
     win = (
         Window.partitionBy("__b")
