@@ -667,3 +667,252 @@ def ohlc_bars_sql(
     FROM ranked
     GROUP BY 1, 2
     """
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per key (Page 1954, the
+    standard sequential drift detector): the classic recurrences
+    ``s+ = max(0, s+ + (x - mu - k))`` / ``s- = min(0, s- + (x - mu + k))``
+    flagged when |s| exceeds ``threshold``.  ``slack`` (k) and
+    ``threshold`` (h) are in the value's own units.
+
+    DISTRIBUTED-EXACT form: the max(0, ...) recurrence is not a prefix
+    sum, but it has the closed form ``s+_i = P_i - min_{j<=i} P_j`` over
+    the centered prefix sums P — two stacked windows per key, no
+    sequential state.  Exactness discipline: values land in integer
+    MICRO-units (``floor(v * 1e6)`` — the established micro-scaling
+    idiom), everything is multiplied through by n (the key's row count)
+    so the mean never divides, and the prefix sums accumulate in
+    DECIMAL(38,0) — order-independent, engine-exact; the threshold
+    compare ``P_i - min P > n*h_micro*n?`` stays integer-exact, and only
+    the two REPORTED cusum columns divide (one fixed-order double +
+    round(6) each).
+
+    Output: (key, unique, ts, value, cusum_pos, cusum_neg, is_change).
+    One shuffle on the key; at 100 TB per-key state is a window frame."""
+    k_micro = int(round(float(slack) * 1_000_000))
+    h_micro = int(round(float(threshold) * 1_000_000))
+    xm = F.expr(f"CAST(floor({val_col} * 1000000.0) AS BIGINT)")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(unique_col).alias("uid"),
+        F.col(ts_col).alias("ts"),
+        F.col(val_col).alias("v"),
+        xm.alias("xm"),
+    )
+    wk = Window.partitionBy("key")
+    stats = base.select(
+        "key",
+        "uid",
+        "ts",
+        "v",
+        "xm",
+        F.count(F.lit(1)).over(wk).cast("decimal(18,0)").alias("n"),
+        F.sum("xm").over(wk).cast("decimal(28,0)").alias("s"),
+    )
+    # centered, n-scaled integer step: n*x_micro - S_micro -/+ n*k_micro
+    step_pos = (
+        F.col("n") * F.col("xm") - F.col("s") - F.col("n") * F.lit(k_micro)
+    ).cast("decimal(38,0)")
+    step_neg = (
+        F.col("n") * F.col("xm") - F.col("s") + F.col("n") * F.lit(k_micro)
+    ).cast("decimal(38,0)")
+    wo = (
+        Window.partitionBy("key")
+        .orderBy("ts", "uid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = stats.select(
+        "key",
+        "uid",
+        "ts",
+        "v",
+        "n",
+        F.sum(step_pos).over(wo).cast("decimal(38,0)").alias("p_pos"),
+        F.sum(step_neg).over(wo).cast("decimal(38,0)").alias("p_neg"),
+    )
+    run = pre.select(
+        "key",
+        "uid",
+        "ts",
+        "v",
+        "n",
+        "p_pos",
+        "p_neg",
+        # clamp with 0: the classic recurrences start from the EMPTY
+        # prefix (P_0 = 0), so the running extremum must include it —
+        # s+_i = P_i - min(0, min_j P_j), symmetrically for s-
+        F.least(F.min("p_pos").over(wo), F.lit(0).cast("decimal(38,0)")).alias("m_pos"),
+        F.greatest(F.max("p_neg").over(wo), F.lit(0).cast("decimal(38,0)")).alias("m_neg"),
+    )
+    nh = (F.col("n") * F.lit(h_micro)).cast("decimal(38,0)")
+    return run.select(
+        F.col("key").alias(key_col),
+        F.col("uid").alias(unique_col),
+        "ts",
+        F.col("v").alias(val_col),
+        F.round(
+            (F.col("p_pos") - F.col("m_pos")).cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("cusum_pos"),
+        F.round(
+            (F.col("p_neg") - F.col("m_neg")).cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("cusum_neg"),
+        (
+            ((F.col("p_pos") - F.col("m_pos")) > nh)
+            | ((F.col("p_neg") - F.col("m_neg")) < -nh)
+        ).alias("is_change"),
+    )
+
+
+def cusum_changepoints_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> str:
+    """DuckDB twin of :func:`cusum_changepoints` — same micro-unit
+    integer scaling, same n-scaled DECIMAL prefix sums, same
+    running-extremum closed form, same final divisions."""
+    k_micro = int(round(float(slack) * 1_000_000))
+    h_micro = int(round(float(threshold) * 1_000_000))
+    return f"""
+    WITH base AS (
+        SELECT {key_col} AS key, {unique_col} AS uid, {ts_col} AS ts,
+               {val_col} AS v,
+               CAST(floor({val_col} * 1000000.0) AS BIGINT) AS xm
+        FROM {table}
+    ),
+    stats AS (
+        SELECT *,
+               CAST(COUNT(*) OVER (PARTITION BY key) AS DECIMAL(18,0)) AS n,
+               CAST(SUM(xm) OVER (PARTITION BY key) AS DECIMAL(28,0)) AS s
+        FROM base
+    ),
+    pre AS (
+        SELECT key, uid, ts, v, n,
+               CAST(SUM(CAST(n * xm - s - n * {k_micro} AS DECIMAL(38,0)))
+                 OVER (PARTITION BY key ORDER BY ts, uid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(38,0)) AS p_pos,
+               CAST(SUM(CAST(n * xm - s + n * {k_micro} AS DECIMAL(38,0)))
+                 OVER (PARTITION BY key ORDER BY ts, uid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(38,0)) AS p_neg
+        FROM stats
+    ),
+    run AS (
+        SELECT *,
+               -- clamp with 0: the running extremum includes the empty
+               -- prefix P_0 = 0 the classic recurrences start from
+               LEAST(MIN(p_pos) OVER (PARTITION BY key ORDER BY ts, uid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     CAST(0 AS DECIMAL(38,0))) AS m_pos,
+               GREATEST(MAX(p_neg) OVER (PARTITION BY key ORDER BY ts, uid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     CAST(0 AS DECIMAL(38,0))) AS m_neg
+        FROM pre
+    )
+    SELECT key AS {key_col}, uid AS {unique_col}, ts, v AS {val_col},
+           round(CAST(p_pos - m_pos AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+             AS cusum_pos,
+           round(CAST(p_neg - m_neg AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+             AS cusum_neg,
+           (p_pos - m_pos) > CAST(n * {h_micro} AS DECIMAL(38,0))
+             OR (p_neg - m_neg) < -CAST(n * {h_micro} AS DECIMAL(38,0))
+             AS is_change
+    FROM run
+    """
+
+
+def burstiness(
+    df: DataFrame, key_col: str, ts_col: str, unique_col: str
+) -> DataFrame:
+    """Per-key burstiness of the event arrival process (Goh & Barabási
+    2008, public measure): B = (sigma - mu) / (sigma + mu) over the
+    inter-arrival gaps — B→-1 periodic, B≈0 Poisson, B→+1 bursty.  The
+    traffic-shape screen that separates organic users from schedulers and
+    scrapers.
+
+    Exactness: gaps are INTEGER microseconds (lag over the (ts, unique)
+    total order); n, Σg, Σg² accumulate in BIGINT/DECIMAL, and B's
+    sqrt/divisions are one fixed-order double expression rounded to 6.
+    Keys with < 3 events (fewer than 2 gaps) are reported with NULL B.
+    One shuffle on the key, then one partial-aggregated groupBy."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, unique_col)
+    us = F.unix_micros(F.col(ts_col))
+    gaps = (
+        df.select(F.col(key_col).alias("key"), us.alias("us"), F.col(unique_col).alias("uid"))
+        .withColumn("__gap", F.col("us") - F.lag("us").over(
+            Window.partitionBy("key").orderBy("us", "uid")
+        ))
+        .filter(F.col("__gap").isNotNull())
+    )
+    sums = gaps.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("__gap").cast("decimal(24,0)").alias("sg"),
+        # (19,0)x(19,0): wide enough that BOTH engines compute the product in
+        # 128-bit (DuckDB overflows a same-width DECIMAL(18) multiply on
+        # multi-hour microsecond gaps; 19+19 = 38 stays inside both caps)
+        F.sum(F.col("__gap").cast("decimal(19,0)") * F.col("__gap").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sgg"),
+    )
+    b = F.expr(
+        "round((sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n_gaps) / n_gaps)"
+        " - CAST(sg AS DOUBLE) / n_gaps)"
+        " / (sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n_gaps) / n_gaps)"
+        " + CAST(sg AS DOUBLE) / n_gaps), 6)"
+    )
+    return sums.select(
+        F.col("key").alias(key_col),
+        "n_gaps",
+        F.round((F.col("sg").cast("double") / F.col("n_gaps") / 1e6), 6).alias(
+            "mean_gap_sec"
+        ),
+        F.when(F.col("n_gaps") >= 2, b).alias("burstiness"),
+    )
+
+
+def burstiness_sql(table: str, key_col: str, ts_col: str, unique_col: str) -> str:
+    """DuckDB twin of :func:`burstiness` — same integer gaps, same exact
+    sums, same fixed-order B expression."""
+    return f"""
+    WITH gaps AS (
+        SELECT key, us - LAG(us) OVER (PARTITION BY key ORDER BY us, uid) AS g
+        FROM (SELECT {key_col} AS key, epoch_us({ts_col}) AS us,
+                     {unique_col} AS uid FROM {table})
+    ),
+    sums AS (
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(g) AS DECIMAL(24,0)) AS sg,
+               CAST(SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sgg
+        FROM gaps WHERE g IS NOT NULL GROUP BY key
+    )
+    SELECT key AS {key_col}, n_gaps,
+           round(CAST(sg AS DOUBLE) / n_gaps / 1e6, 6) AS mean_gap_sec,
+           CASE WHEN n_gaps >= 2 THEN
+             round((sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n_gaps) / n_gaps)
+                    - CAST(sg AS DOUBLE) / n_gaps)
+                   / (sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n_gaps) / n_gaps)
+                      + CAST(sg AS DOUBLE) / n_gaps), 6)
+           END AS burstiness
+    FROM sums
+    """

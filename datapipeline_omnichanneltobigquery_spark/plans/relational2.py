@@ -2715,3 +2715,37 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "events_cusum_changes",
+    driver=False,  # new r10 family: CUSUM change-point detection
+    oracle=tsr.cusum_changepoints_sql(
+        "events", "event_type", "ts", "value", "event_id", slack=20.0, threshold=150.0
+    ),
+)
+def events_cusum_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection per event type — the sequential
+    max(0, ...) recurrence computed distributed-exactly via its
+    prefix-sum/running-extremum closed form in integer micro-units
+    (operators/timeseries.py::cusum_changepoints): two stacked windows
+    per key, DECIMAL prefix sums, float only in the two reported
+    columns."""
+    return tsr.cusum_changepoints(
+        read_table(spark, sf_dir, "events"),
+        "event_type", "ts", "value", "event_id", slack=20.0, threshold=150.0,
+    )
+
+
+@query(
+    "events_burstiness",
+    driver=False,  # new r10 family: arrival-process burstiness
+    oracle=tsr.burstiness_sql("events", "user_id", "ts", "event_id"),
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness B = (sigma-mu)/(sigma+mu) of inter-arrival
+    gaps (Goh & Barabási) — the traffic-shape screen separating organic
+    users from schedulers/scrapers.  Integer-microsecond gaps,
+    BIGINT/DECIMAL sufficient statistics, one fixed-order double B
+    (operators/timeseries.py::burstiness)."""
+    return tsr.burstiness(read_table(spark, sf_dir, "events"), "user_id", "ts", "event_id")

@@ -204,3 +204,67 @@ def test_ohlc_bars_picks_endpoints_deterministically(spark):
     assert (bar.open, bar.high, bar.low, bar.close) == (3.0, 9.5, 0.5, 7.0)
     assert bar.n_events == 5 and bar.total_value == 25.0
     assert len(out) == 3
+
+
+def test_cusum_matches_sequential_reference(spark):
+    """The windowed closed form (prefix sum minus running extremum) equals
+    the classic sequential CUSUM recurrences on a series with a known
+    level shift — both sides flag, in the right halves."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    vals = [10.0] * 10 + [20.0] * 10
+    rows = [
+        (i, "a", t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, key string, ts timestamp, v double")
+    out = {
+        r.event_id: r
+        for r in cusum_changepoints(
+            df, "key", "ts", "v", "event_id", slack=2.0, threshold=20.0
+        ).collect()
+    }
+    # sequential reference in the same integer micro-unit space
+    n = len(vals)
+    xm = [int(v * 1_000_000) for v in vals]
+    s_total = sum(xm)
+    k = 2_000_000
+    sp = sn = 0
+    for i in range(n):
+        centered = n * xm[i] - s_total  # n-scaled (x - mu)
+        sp = max(0, sp + centered - n * k)
+        sn = min(0, sn + centered + n * k)
+        r = out[i]
+        assert r.cusum_pos == round(sp / n / 1e6, 6), i
+        assert r.cusum_neg == round(sn / n / 1e6, 6), i
+        assert r.is_change == (sp > n * 20_000_000 or sn < -n * 20_000_000), i
+    # the shift is detected: flags exist and only after the level change
+    # (the negative side accumulates during the LOW half)
+    flagged = [i for i in range(n) if out[i].is_change]
+    assert flagged and min(flagged) >= 5
+
+
+def test_burstiness_separates_periodic_from_bursty(spark):
+    """A perfectly periodic arrival process scores B < 0 (→ -1 with n);
+    a heavy-burst process scores B > 0; a 2-event key has 1 gap and NULL
+    B (undefined sigma regime guarded)."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import burstiness
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    rows += [(i, 1, t0 + dt.timedelta(seconds=60 * i)) for i in range(30)]  # periodic
+    burst_offsets = [0, 1, 2, 3, 4, 3600, 3601, 3602, 3603, 7200]          # bursty
+    rows += [(100 + i, 2, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(burst_offsets)]
+    rows += [(200, 3, t0), (201, 3, t0 + dt.timedelta(seconds=5))]         # 1 gap
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.user_id: r for r in burstiness(df, "user_id", "ts", "event_id").collect()}
+    assert out[1].burstiness == -1.0          # zero variance, exactly -mu/+mu
+    assert out[2].burstiness > 0.3            # bursts dominate
+    assert out[3].burstiness is None and out[3].n_gaps == 1
+    assert out[1].mean_gap_sec == 60.0
