@@ -1682,3 +1682,47 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a single-partition window over the corpus
     (operators/textstats.py::vocab_growth)."""
     return ts.vocab_growth(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "multimodal_image_neardup",
+    driver=False,  # new r10 family face: perceptual-hash near-dup pairs
+    oracle="""
+    WITH px AS (
+        SELECT doc_id, i,
+               CAST('0x' || substr(md5(text), ((i % 16) * 2) + 1, 2) AS INT) AS v
+        FROM documents, UNNEST(range(0, 64)) AS u(i)
+    ),
+    m AS (SELECT doc_id, CAST(SUM(v) // 64 AS BIGINT) AS mean_px
+          FROM px GROUP BY doc_id),
+    h AS (
+        SELECT px.doc_id,
+               CAST(SUM(CASE WHEN v > mean_px AND i < 63
+                             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                    + CASE WHEN MAX(CASE WHEN v > mean_px AND i = 63
+                                         THEN 1 ELSE 0 END) = 1
+                           THEN -9223372036854775807 - 1 ELSE 0 END
+                    AS BIGINT) AS ahash
+        FROM px JOIN m USING (doc_id)
+        GROUP BY px.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+    """,
+)
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs at hamming <= 6 between average-hashes
+    computed through the REAL codec path (md5-tiled 8x8 PNG fixtures —
+    see multimodal_image_ahash), discovered by the exact-recall pigeonhole
+    block join (operators/multimodal.py::image_neardup_pairs) while the
+    oracle runs the definitional all-pairs form over md5-arithmetic
+    hashes — losslessness of the blocking AND the codec path in one
+    hash gate.  The corpus's exact-duplicate texts surface at hamming 0;
+    near-miss hash collisions at small positive distances."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = mm.image_neardup_pairs(
+        mm.attach_png_tile_payload(d, "doc_id", "text"), max_dist=6
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
