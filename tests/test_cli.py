@@ -11,7 +11,8 @@ from tests.conftest import SF_DIR
 def test_cli_list(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
-    assert "q1_pricing_summary  [gated]" in out
+    assert "flagship_monthly_revenue  [gated]" in out
+    assert "q1_pricing_summary" in out  # rotated out r10: listed, ungated
     assert "q6_forecast_revenue" in out
 
 
