@@ -2749,3 +2749,134 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT/DECIMAL sufficient statistics, one fixed-order double B
     (operators/timeseries.py::burstiness)."""
     return tsr.burstiness(read_table(spark, sf_dir, "events"), "user_id", "ts", "event_id")
+
+
+@query(
+    "features_lift_table",
+    driver=False,  # new r10 family: decile lift/gains table
+    oracle="""
+    WITH base AS (
+        SELECT event_id,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS xm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS resp
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY xm DESC, event_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM base
+    ),
+    dec AS (
+        SELECT CAST(1 + ((rk - 1) * 10) // n AS INT) AS decile, resp FROM ranked
+    ),
+    agg AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(resp) AS BIGINT) AS responders
+        FROM dec GROUP BY 1
+    ),
+    cum AS (
+        SELECT *,
+               CAST(SUM(n_rows) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+               CAST(SUM(responders) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_resp,
+               CAST(SUM(n_rows) OVER () AS BIGINT) AS tot_n,
+               CAST(SUM(responders) OVER () AS BIGINT) AS tot_resp
+        FROM agg
+    )
+    SELECT decile, n_rows, responders,
+           round(CAST(responders AS DOUBLE) / n_rows, 6) AS response_rate,
+           round((CAST(cum_resp AS DOUBLE) / cum_n)
+                 / (CAST(tot_resp AS DOUBLE) / tot_n), 6) AS cum_lift
+    FROM cum
+    """,
+)
+def features_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table for a score column (value as the model
+    score, purchase as the response): rows rank score-DESCENDING into
+    uniform deciles via the exact two-level global rank
+    (operators/segments.py::_global_rank — never a single-partition
+    sort), then per-decile response rates and cumulative lift — the
+    standard campaign-targeting / classifier-evaluation read.  Rank keys
+    are integer micro-units; float math is two fixed-order expressions
+    on 10 rows."""
+    from pyspark.sql import Window
+
+    from datapipeline_omnichanneltobigquery_spark.operators.segments import _global_rank
+
+    base = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        # negate the integer micro-score: _global_rank is ascending, the
+        # lift convention ranks best-score-first
+        (-F.expr("CAST(floor(value * 1000000.0) AS BIGINT)")).alias("neg_xm"),
+        (F.col("event_type") == "purchase").cast("int").alias("resp"),
+    )
+    ranked = _global_rank(base, "id", "neg_xm", "rk")
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    dec = ranked.crossJoin(F.broadcast(n)).select(
+        F.expr("CAST(1 + ((rk - 1) * 10) div __n AS INT)").alias("decile"), "resp"
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("resp").cast("bigint").alias("responders"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = agg.select(
+        "decile",
+        "n_rows",
+        "responders",
+        F.sum("n_rows").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("responders").over(wc).cast("bigint").alias("cum_resp"),
+        F.sum("n_rows").over(wt).cast("bigint").alias("tot_n"),
+        F.sum("responders").over(wt).cast("bigint").alias("tot_resp"),
+    )
+    return cum.select(
+        "decile",
+        "n_rows",
+        "responders",
+        F.expr("round(CAST(responders AS DOUBLE) / n_rows, 6)").alias("response_rate"),
+        F.expr(
+            "round((CAST(cum_resp AS DOUBLE) / cum_n)"
+            " / (CAST(tot_resp AS DOUBLE) / tot_n), 6)"
+        ).alias("cum_lift"),
+    )
+
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "events_type_pivot",
+    driver=False,  # new r10 family: pivot (wide contingency)
+    oracle=f"""
+    SELECT user_id,
+           {', '.join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS n_{t}" for t in _PIVOT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user contingency via Spark's pivot over the FIXED
+    category list (passing the values avoids the extra
+    distinct-collection job AND makes the output schema static — the
+    production pivot discipline).  Missing cells coalesce to 0 so the
+    wide frame is dense."""
+    ev = read_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
