@@ -2880,3 +2880,103 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _PIVOT_TYPES
         ],
     )
+
+
+@query(
+    "events_type_unpivot",
+    driver=False,  # new r10: unpivot/melt face of events_type_pivot
+    oracle=f"""
+    WITH wide AS (
+        SELECT user_id,
+               {', '.join(
+                   f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+                   f" AS n_{t}" for t in _PIVOT_TYPES
+               )}
+        FROM events GROUP BY user_id
+    )
+    {' UNION ALL '.join(
+        f"SELECT user_id, '{t}' AS event_type, n_{t} AS n FROM wide"
+        for t in _PIVOT_TYPES
+    )}
+    """,
+)
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip face of [[events_type_pivot]]: the wide contingency
+    MELTED back to long form through Spark's unpivot — (user_id,
+    event_type, n) with zero-count cells present (the dense long form a
+    modeling pipeline feeds).  Exercises the pivot ↔ unpivot API pair
+    end-to-end; the oracle is the UNION ALL definitional melt."""
+    wide = events_type_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{t}" for t in _PIVOT_TYPES],
+            "event_type",
+            "n",
+        )
+        .select(
+            "user_id",
+            F.expr("substring(event_type, 3)").alias("event_type"),
+            "n",
+        )
+    )
+
+
+@query(
+    "dq_id_islands",
+    driver=False,  # new r10 family: id-range consolidation (gaps and islands)
+    oracle="""
+    WITH ids AS (
+        SELECT DISTINCT event_type, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    marked AS (
+        SELECT event_type, event_id,
+               CASE WHEN event_id - LAG(event_id) OVER (
+                        PARTITION BY event_type ORDER BY event_id) = 1
+                    THEN 0 ELSE 1 END AS brk
+        FROM ids
+    ),
+    isl AS (
+        SELECT event_type, event_id,
+               CAST(SUM(brk) OVER (PARTITION BY event_type ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS island
+        FROM marked
+    )
+    SELECT event_type, island,
+           MIN(event_id) AS range_start, MAX(event_id) AS range_end,
+           CAST(COUNT(*) AS BIGINT) AS n_ids
+    FROM isl GROUP BY 1, 2
+    """,
+)
+def dq_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands consolidation of an id space: the contiguous
+    event_id ranges held by one slice (purchases) — the completeness/
+    allocation report that turns 'which ids do we have' from row-count
+    noise into a bounded range list (and the building block for range-
+    based compaction manifests).  One key shuffle, two stacked windows —
+    the sessionize shape on ids instead of time."""
+    ids = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_type", "event_id")
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    wo = W.partitionBy("event_type").orderBy("event_id")
+    marked = ids.withColumn(
+        "brk",
+        F.when(F.col("event_id") - F.lag("event_id").over(wo) == 1, 0).otherwise(1),
+    )
+    isl = marked.withColumn(
+        "island",
+        F.sum("brk")
+        .over(wo.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return isl.groupBy("event_type", "island").agg(
+        F.min("event_id").alias("range_start"),
+        F.max("event_id").alias("range_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+    )
