@@ -1131,3 +1131,93 @@ def benford_audit_sql(table: str, value_col: str) -> str:
                  / (t.total * s.expected_share), 6) AS chi2_term
     FROM spine s LEFT JOIN obs o ON o.digit = s.digit CROSS JOIN tot t
     """
+
+
+def cms_join_size(
+    a, key_a: str, b, key_b: str, depth: int = 4, width: int = 256
+):
+    """Join-cardinality estimation by count-min INNER PRODUCT (Cormode &
+    Muthukrishnan's second classic CMS use beside point queries):
+    |A ⋈ B| ≈ min_d Σ_w cmsA[d][w] · cmsB[d][w], an over-estimate whp —
+    the cost-based-optimizer primitive that sizes a join from two
+    constant-size sketches without touching either table again.
+
+    Returns ONE row: (est_join_size, true_join_size) — the exact size
+    rides along (Σ_k cntA(k)·cntB(k), one aggregate each + a key join)
+    so the estimate's guarantee (est ≥ true) is visible in the output.
+    All integer arithmetic: counts in BIGINT, products accumulated in
+    DECIMAL(38,0) (a 100 TB pair of streams can carry 1e12-scale counts
+    whose products overflow BIGINT).  Sketch state is depth×width rows
+    per side regardless of table size."""
+    import pyspark.sql.functions as F
+
+    sa = cms_sketch(a.select(F.col(key_a).alias("k")), "k", depth, width)
+    sb = cms_sketch(b.select(F.col(key_b).alias("k")), "k", depth, width)
+    prod = (
+        sa.alias("x")
+        .join(sb.alias("y"), ["d", "bucket"])
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.col("x.c").cast("decimal(19,0)") * F.col("y.c").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("ip")
+        )
+    )
+    est = prod.agg(F.min("ip").cast("bigint").alias("est_join_size"))
+    ca = a.groupBy(F.col(key_a).alias("k")).agg(F.count(F.lit(1)).alias("na"))
+    cb = b.groupBy(F.col(key_b).alias("k")).agg(F.count(F.lit(1)).alias("nb"))
+    true = ca.join(cb, "k").agg(
+        F.coalesce(
+            F.sum(F.col("na").cast("decimal(19,0)") * F.col("nb").cast("decimal(19,0)")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("true_join_size")
+    )
+    return est.crossJoin(true)
+
+
+def cms_join_size_sql(
+    table_a: str, key_a: str, table_b: str, key_b: str, depth: int = 4, width: int = 256
+) -> str:
+    """DuckDB twin of :func:`cms_join_size` — identical salts, buckets,
+    inner product and exact companion."""
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long_sql
+
+    def side(table, key):
+        parts = []
+        for d in range(depth):
+            salted = md5_long_sql(f"concat('cms{d}:', CAST({key} AS VARCHAR))")
+            parts.append(
+                f"SELECT {d} AS d, ({salted}) % {width} AS bucket FROM {table}"
+            )
+        return "\n        UNION ALL\n        ".join(parts)
+
+    return f"""
+    WITH pos_a AS (
+        {side(table_a, key_a)}
+    ),
+    sk_a AS (SELECT d, bucket, COUNT(*) AS c FROM pos_a GROUP BY 1, 2),
+    pos_b AS (
+        {side(table_b, key_b)}
+    ),
+    sk_b AS (SELECT d, bucket, COUNT(*) AS c FROM pos_b GROUP BY 1, 2),
+    prod AS (
+        SELECT x.d,
+               CAST(SUM(CAST(x.c AS DECIMAL(19,0)) * CAST(y.c AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS ip
+        FROM sk_a x JOIN sk_b y ON y.d = x.d AND y.bucket = x.bucket
+        GROUP BY 1
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM prod),
+    ca AS (SELECT {key_a} AS k, COUNT(*) AS na FROM {table_a} GROUP BY 1),
+    cb AS (SELECT {key_b} AS k, COUNT(*) AS nb FROM {table_b} GROUP BY 1),
+    tru AS (
+        SELECT CAST(COALESCE(SUM(CAST(na AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))), 0)
+                    AS BIGINT) AS true_join_size
+        FROM ca JOIN cb ON cb.k = ca.k
+    )
+    SELECT est.est_join_size, tru.true_join_size FROM est CROSS JOIN tru
+    """

@@ -2980,3 +2980,21 @@ def dq_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("range_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_ids"),
     )
+
+
+@query(
+    "agg_cms_join_size",
+    driver=False,  # new r10 family: sketch-based join-size estimation
+    oracle=pf.cms_join_size_sql("events", "user_id", "orders", "o_custkey", width=4096),
+)
+def agg_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two count-min sketches (CMS inner
+    product, the optimizer primitive): |events ⋈ orders| on the user/
+    customer key estimated as min_d Σ_w cmsA·cmsB, with the exact join
+    size alongside so the ≥-truth guarantee is visible — two constant-
+    size sketch states replace re-scanning either table
+    (operators/profile.py::cms_join_size)."""
+    return pf.cms_join_size(
+        read_table(spark, sf_dir, "events"), "user_id",
+        read_table(spark, sf_dir, "orders"), "o_custkey", width=4096,
+    )
