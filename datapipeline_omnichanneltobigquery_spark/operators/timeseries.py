@@ -916,3 +916,98 @@ def burstiness_sql(table: str, key_col: str, ts_col: str, unique_col: str) -> st
            END AS burstiness
     FROM sums
     """
+
+
+def twap_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Time-weighted average price/value per (key, tumbling window) — the
+    irregular-sampling correction plain AVG gets wrong: a value that held
+    for 59 minutes weighs 59× one that held for a minute.  Each
+    observation holds until the next observation in the window (the last
+    holds to the window end), so
+    ``twap = Σ v_i·d_i / (window_end - first_ts)`` over the held
+    durations d_i.
+
+    Exactness: durations are integer microseconds (lead over the
+    (ts, unique) total order), values land in integer micro-units, the
+    Σ v·d products accumulate in DECIMAL(38,0), and one final division
+    per bar touches floats (round 6).  One key+bucket shuffle shared by
+    the lead window and the aggregate."""
+    win_us = int(window_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    bucket = us - F.pmod(us, F.lit(win_us))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(unique_col).alias("uid"),
+        us.alias("us"),
+        bucket.alias("win_start"),
+        F.expr(f"CAST(floor({val_col} * 1000000.0) AS BIGINT)").alias("vm"),
+    )
+    w = Window.partitionBy("key", "win_start").orderBy("us", "uid")
+    seg = base.withColumn(
+        "dur",
+        F.coalesce(F.lead("us").over(w), F.col("win_start") + F.lit(win_us))
+        - F.col("us"),
+    )
+    return (
+        seg.groupBy("key", "win_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.col("vm").cast("decimal(19,0)") * F.col("dur").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("__vd"),
+            F.sum("dur").cast("decimal(28,0)").alias("__d"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "win_start",
+            "n_events",
+            F.round(
+                F.col("__vd").cast("double") / F.col("__d").cast("double") / 1e6, 6
+            ).alias("twap"),
+        )
+    )
+
+
+def twap_bars_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    window_seconds: int,
+) -> str:
+    """DuckDB twin of :func:`twap_bars` — same floored bucket, same held
+    durations, same DECIMAL products and final division."""
+    win_us = int(window_seconds) * 1_000_000
+    e = f"epoch_us({ts_col})"
+    bucket = f"({e} - ((({e} % {win_us}) + {win_us}) % {win_us}))"
+    return f"""
+    WITH base AS (
+        SELECT {key_col} AS key, {unique_col} AS uid, {e} AS us,
+               {bucket} AS win_start,
+               CAST(floor({val_col} * 1000000.0) AS BIGINT) AS vm
+        FROM {table}
+    ),
+    seg AS (
+        SELECT *,
+               COALESCE(LEAD(us) OVER (PARTITION BY key, win_start
+                                       ORDER BY us, uid),
+                        win_start + {win_us}) - us AS dur
+        FROM base
+    )
+    SELECT key AS {key_col}, win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(CAST(SUM(CAST(vm AS DECIMAL(19,0)) * CAST(dur AS DECIMAL(19,0)))
+                           AS DECIMAL(38,0)) AS DOUBLE)
+                 / CAST(CAST(SUM(dur) AS DECIMAL(28,0)) AS DOUBLE) / 1e6, 6) AS twap
+    FROM seg GROUP BY 1, 2
+    """

@@ -2998,3 +2998,18 @@ def agg_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "events"), "user_id",
         read_table(spark, sf_dir, "orders"), "o_custkey", width=4096,
     )
+
+
+@query(
+    "events_twap_hourly",
+    driver=False,  # new r10 family: time-weighted average bars
+    oracle=tsr.twap_bars_sql("events", "event_type", "ts", "value", "event_id", 3600),
+)
+def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly TWAP per event type: duration-held value averaging over
+    integer-microsecond segments — the irregular-sampling correction a
+    plain AVG bar misses (operators/timeseries.py::twap_bars); the
+    continuous-time sibling of [[events_ohlc_hourly]]."""
+    return tsr.twap_bars(
+        read_table(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id", 3600
+    )

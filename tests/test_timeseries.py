@@ -268,3 +268,23 @@ def test_burstiness_separates_periodic_from_bursty(spark):
     assert out[2].burstiness > 0.3            # bursts dominate
     assert out[3].burstiness is None and out[3].n_gaps == 1
     assert out[1].mean_gap_sec == 60.0
+
+
+def test_twap_weighs_held_durations(spark):
+    """TWAP: a value held 3/4 of the hour dominates; plain AVG would say
+    the midpoint.  Last observation holds to the window end."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import twap_bars
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, "a", t0, 100.0),                               # held 45 min
+        (2, "a", t0 + dt.timedelta(minutes=45), 200.0),    # held 15 min
+    ]
+    df = spark.createDataFrame(rows, "event_id long, key string, ts timestamp, v double")
+    out = twap_bars(df, "key", "ts", "v", "event_id", 3600).collect()
+    assert len(out) == 1
+    r = out[0]
+    # (100*45 + 200*15) / 60 = 125 — vs the naive AVG 150
+    assert r.twap == 125.0 and r.n_events == 2
