@@ -1726,3 +1726,55 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm.attach_png_tile_payload(d, "doc_id", "text"), max_dist=6
     )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "dedup_lsh_eval",
+    driver=False,  # new r10 family: LSH candidate-quality evaluation
+    oracle=f"""
+    WITH truth AS ({dd.jaccard_pairs_sql("documents", "doc_id", "text", 3, 0.5)}),
+    cand AS ({dd.minhash_candidates_sql("documents", "doc_id", "text", 3, 16, 2)}),
+    tp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS true_positives
+        FROM truth t JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand)
+    SELECT n_truth, n_candidates, true_positives,
+           round(CAST(true_positives AS DOUBLE) / n_candidates, 6) AS precision,
+           round(CAST(true_positives AS DOUBLE) / n_truth, 6) AS recall
+    FROM nt CROSS JOIN nc CROSS JOIN tp
+    """,
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-quality evaluation — the text-dedup sibling of
+    [[similarity_ann_recall]]: MinHash band candidates (16 hashes, 2
+    rows/band) scored against the LOSSLESS exact-Jaccard truth at 0.5
+    (prefix-filter join), reporting candidate precision and recall in
+    one row.  This is the measurement that justifies (or indicts) an
+    LSH parameter choice before a 100 TB run — recall < 1 quantifies
+    the banding miss probability 1-(1-s^r)^b, precision the bucket
+    noise the verify stage must absorb."""
+    docs = read_table(spark, sf_dir, "documents")
+    truth = dd.prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    cand = dd.minhash_candidate_pairs(docs, "doc_id", "text", n=3, num_hashes=16, rows_per_band=2)
+    tp = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_positives")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(tp)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "true_positives",
+            F.expr("round(CAST(true_positives AS DOUBLE) / n_candidates, 6)").alias(
+                "precision"
+            ),
+            F.expr("round(CAST(true_positives AS DOUBLE) / n_truth, 6)").alias("recall"),
+        )
+    )
