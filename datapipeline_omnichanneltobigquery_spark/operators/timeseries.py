@@ -1011,3 +1011,131 @@ def twap_bars_sql(
                  / CAST(CAST(SUM(dur) AS DECIMAL(28,0)) AS DOUBLE) / 1e6, 6) AS twap
     FROM seg GROUP BY 1, 2
     """
+
+
+def cusum_fixed_ref(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    ref: float,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """CUSUM against a FIXED reference level ``ref`` (the process-control
+    form: mu0 is the known target, not the sample mean) — the batch twin
+    of :func:`streaming.cusum.streaming_cusum`, and simpler than
+    :func:`cusum_changepoints`: steps are plain integers
+    ``x_micro - ref_micro -/+ k_micro`` (no n-scaling needed because
+    nothing divides), so prefix sums are DECIMAL-exact and the closed
+    form ``s+ = P - min(0, running min P)`` applies directly.
+
+    Output: (key, unique, ts, value, cusum_pos, cusum_neg, is_change)
+    with the cusum columns in value units (round 6)."""
+    ref_micro = int(round(float(ref) * 1_000_000))
+    k_micro = int(round(float(slack) * 1_000_000))
+    h_micro = int(round(float(threshold) * 1_000_000))
+    xm = F.expr(f"CAST(floor({val_col} * 1000000.0) AS BIGINT)")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(unique_col).alias("uid"),
+        F.col(ts_col).alias("ts"),
+        F.col(val_col).alias("v"),
+        xm.alias("xm"),
+    )
+    wo = (
+        Window.partitionBy("key")
+        .orderBy("ts", "uid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = base.select(
+        "key",
+        "uid",
+        "ts",
+        "v",
+        F.sum(
+            (F.col("xm") - F.lit(ref_micro) - F.lit(k_micro)).cast("decimal(38,0)")
+        ).over(wo).alias("p_pos"),
+        F.sum(
+            (F.col("xm") - F.lit(ref_micro) + F.lit(k_micro)).cast("decimal(38,0)")
+        ).over(wo).alias("p_neg"),
+    )
+    run = pre.select(
+        "key",
+        "uid",
+        "ts",
+        "v",
+        "p_pos",
+        "p_neg",
+        F.least(F.min("p_pos").over(wo), F.lit(0).cast("decimal(38,0)")).alias("m_pos"),
+        F.greatest(F.max("p_neg").over(wo), F.lit(0).cast("decimal(38,0)")).alias("m_neg"),
+    )
+    return run.select(
+        F.col("key").alias(key_col),
+        F.col("uid").alias(unique_col),
+        "ts",
+        F.col("v").alias(val_col),
+        F.round((F.col("p_pos") - F.col("m_pos")).cast("double") / 1e6, 6).alias(
+            "cusum_pos"
+        ),
+        F.round((F.col("p_neg") - F.col("m_neg")).cast("double") / 1e6, 6).alias(
+            "cusum_neg"
+        ),
+        (
+            ((F.col("p_pos") - F.col("m_pos")) > F.lit(h_micro).cast("decimal(38,0)"))
+            | ((F.col("p_neg") - F.col("m_neg")) < F.lit(-h_micro).cast("decimal(38,0)"))
+        ).alias("is_change"),
+    )
+
+
+def cusum_fixed_ref_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    ref: float,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> str:
+    """DuckDB twin of :func:`cusum_fixed_ref`."""
+    ref_micro = int(round(float(ref) * 1_000_000))
+    k_micro = int(round(float(slack) * 1_000_000))
+    h_micro = int(round(float(threshold) * 1_000_000))
+    return f"""
+    WITH base AS (
+        SELECT {key_col} AS key, {unique_col} AS uid, {ts_col} AS ts,
+               {val_col} AS v,
+               CAST(floor({val_col} * 1000000.0) AS BIGINT) AS xm
+        FROM {table}
+    ),
+    pre AS (
+        SELECT key, uid, ts, v,
+               CAST(SUM(CAST(xm - {ref_micro} - {k_micro} AS DECIMAL(38,0)))
+                 OVER (PARTITION BY key ORDER BY ts, uid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(38,0)) AS p_pos,
+               CAST(SUM(CAST(xm - {ref_micro} + {k_micro} AS DECIMAL(38,0)))
+                 OVER (PARTITION BY key ORDER BY ts, uid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(38,0)) AS p_neg
+        FROM base
+    ),
+    run AS (
+        SELECT *,
+               LEAST(MIN(p_pos) OVER (PARTITION BY key ORDER BY ts, uid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     CAST(0 AS DECIMAL(38,0))) AS m_pos,
+               GREATEST(MAX(p_neg) OVER (PARTITION BY key ORDER BY ts, uid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     CAST(0 AS DECIMAL(38,0))) AS m_neg
+        FROM pre
+    )
+    SELECT key AS {key_col}, uid AS {unique_col}, ts, v AS {val_col},
+           round(CAST(p_pos - m_pos AS DOUBLE) / 1e6, 6) AS cusum_pos,
+           round(CAST(p_neg - m_neg AS DOUBLE) / 1e6, 6) AS cusum_neg,
+           (p_pos - m_pos) > CAST({h_micro} AS DECIMAL(38,0))
+             OR (p_neg - m_neg) < CAST(-{h_micro} AS DECIMAL(38,0)) AS is_change
+    FROM run
+    """

@@ -3013,3 +3013,24 @@ def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsr.twap_bars(
         read_table(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id", 3600
     )
+
+
+@query(
+    "events_cusum_fixed_ref",
+    driver=False,  # new r10: fixed-reference (process-control) CUSUM face
+    oracle=tsr.cusum_fixed_ref_sql(
+        "events", "event_type", "ts", "value", "event_id",
+        ref=50.0, slack=20.0, threshold=300.0,
+    ),
+)
+def events_cusum_fixed_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM against a fixed reference level (the process-control form —
+    mu0 is the known target, not the sample mean): the batch twin of
+    streaming/cusum.py's per-key stateful detector, computed via the
+    prefix-sum closed form in integer micro-units
+    (operators/timeseries.py::cusum_fixed_ref)."""
+    return tsr.cusum_fixed_ref(
+        read_table(spark, sf_dir, "events"),
+        "event_type", "ts", "value", "event_id",
+        ref=50.0, slack=20.0, threshold=300.0,
+    )

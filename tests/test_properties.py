@@ -229,3 +229,52 @@ def test_containment_matches_bruteforce(spark, docs, threshold):
         and len(sets[a] & sets[b]) / len(sets[a]) >= threshold
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 2), st.floats(0.0, 100.0, allow_nan=False)),
+        min_size=1,
+        max_size=25,
+    ),
+    slack=st.sampled_from([0.0, 2.0, 10.0]),
+)
+def test_cusum_closed_form_matches_recurrence(spark, series, slack):
+    """The prefix-sum/running-extremum closed form == the classic
+    sequential CUSUM recurrences for arbitrary per-key series, slacks,
+    and the empty-prefix boundary (sample-mean variant)."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, f"k{k}", t0 + dt.timedelta(minutes=i), v)
+        for i, (k, v) in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, key string, ts timestamp, v double")
+    got = {
+        r.event_id: (r.cusum_pos, r.cusum_neg)
+        for r in cusum_changepoints(
+            df, "key", "ts", "v", "event_id", slack=slack, threshold=1e9
+        ).collect()
+    }
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for i, (k, v) in enumerate(series):
+        by_key[k].append((i, v))
+    k_micro = int(round(slack * 1_000_000))
+    for _, items in by_key.items():
+        n = len(items)
+        xms = [int(__import__("math").floor(v * 1_000_000.0)) for _, v in items]
+        s_total = sum(xms)
+        sp = sn = 0
+        for (i, _), xm in zip(items, xms):
+            centered = n * xm - s_total
+            sp = max(0, sp + centered - n * k_micro)
+            sn = min(0, sn + centered + n * k_micro)
+            assert got[i] == (round(sp / n / 1e6, 6), round(sn / n / 1e6, 6)), i

@@ -789,3 +789,70 @@ def test_streaming_rate_cap_sorts_across_arrow_chunks(spark, tmp_path):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_cusum_matches_batch_on_ordered_replay(spark, tmp_path):
+    """streaming/cusum.py: the two-integer GroupState detector replayed
+    in event-time order through maxFilesPerTrigger=1 emits EXACTLY the
+    batch cusum_fixed_ref scores and flags — including drift that builds
+    across the micro-batch boundary (state carry), and with
+    arrow.maxRecordsPerBatch forced tiny so multi-chunk groups exercise
+    the concat-then-sort discipline."""
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import (
+        cusum_fixed_ref,
+    )
+    from datapipeline_omnichanneltobigquery_spark.streaming.cusum import streaming_cusum
+
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "cusum_src")
+    schema = ev.schema
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(f"{src}/b=0")
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(f"{src}/b=1")
+
+    batch = {
+        r.event_id: (r.cusum_pos, r.cusum_neg, r.is_change)
+        for r in cusum_fixed_ref(
+            spark.read.parquet(src), "event_type", "ts", "value", "event_id",
+            ref=100.0, slack=20.0, threshold=150.0,
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sdf = streaming_cusum(
+            stream, "event_type", "ts", "value", "event_id",
+            ref=100.0, slack=20.0, threshold=150.0,
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("t_cusum")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            r.event_id: (r.cusum_pos, r.cusum_neg, r.is_change)
+            for r in spark.table("t_cusum").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert streamed == batch and len(batch) > 0
+    # the detector is non-trivial on this data: both flag values occur
+    flags = {v[2] for v in batch.values()}
+    assert flags == {True, False}
