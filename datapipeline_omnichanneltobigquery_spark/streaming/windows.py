@@ -164,3 +164,56 @@ def dedup_within_watermark(
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
     return events.dropDuplicates(key_cols)
+
+
+def ohlc_windowed(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    unique_col: str,
+    window_len: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """OHLC bars as a watermarked tumbling-window aggregate — works on a
+    STREAM (set ``watermark``) or a batch frame (leave it None), and on
+    ordered replay equals :func:`operators.timeseries.ohlc_bars` exactly
+    (pinned in tests): the open/close picks are the same struct-min/max
+    over (ts_us, unique, value) — an ordinary min/max aggregate, so
+    Structured Streaming maintains them incrementally in state with no
+    custom stateful kernel; the total accumulates in DECIMAL(18,6).
+
+    Output matches the batch operator's schema: (key, win_start
+    [bigint micros], open, high, low, close, n_events, total_value)."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    us = F.unix_micros(F.col(ts_col))
+    tagged = src.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("__ts"),
+        F.struct(
+            us.alias("us"), F.col(unique_col).alias("uid"), F.col(val_col).alias("v")
+        ).alias("__t"),
+        F.col(val_col).alias("v"),
+        F.col(val_col).cast("decimal(18,6)").alias("vd"),
+    )
+    return (
+        tagged.groupBy(F.window("__ts", window_len).alias("win"), "key")
+        .agg(
+            F.min("__t").alias("__first"),
+            F.max("__t").alias("__last"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vd").alias("__total"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            F.unix_micros(F.col("win.start")).alias("win_start"),
+            F.col("__first.v").alias("open"),
+            "high",
+            "low",
+            F.col("__last.v").alias("close"),
+            "n_events",
+            F.col("__total").cast("double").alias("total_value"),
+        )
+    )

@@ -856,3 +856,34 @@ def test_streaming_cusum_matches_batch_on_ordered_replay(spark, tmp_path):
     # the detector is non-trivial on this data: both flag values occur
     flags = {v[2] for v in batch.values()}
     assert flags == {True, False}
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    """streaming/windows.py::ohlc_windowed under readStream+availableNow
+    equals the batch operators/timeseries.py::ohlc_bars bar for bar —
+    the struct-min/max endpoint picks are plain aggregates, so streaming
+    state maintains them incrementally without a custom kernel."""
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import ohlc_bars
+    from datapipeline_omnichanneltobigquery_spark.streaming.windows import ohlc_windowed
+
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "event_type", "ts", "value")
+    src = str(tmp_path / "ohlc_src")
+    ev.write.parquet(src)
+    batch = {
+        tuple(r)
+        for r in ohlc_bars(
+            spark.read.parquet(src), "event_type", "ts", "value", "event_id", 3600
+        ).collect()
+    }
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sdf = ohlc_windowed(stream, "event_type", "ts", "value", "event_id", "1 hour")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_ohlc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.table("t_ohlc").collect()}
+    assert streamed == batch and len(batch) > 0
