@@ -278,3 +278,64 @@ def test_cusum_closed_form_matches_recurrence(spark, series, slack):
             sp = max(0, sp + centered - n * k_micro)
             sn = min(0, sn + centered + n * k_micro)
             assert got[i] == (round(sp / n / 1e6, 6), round(sn / n / 1e6, 6)), i
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 1),       # key
+            st.integers(0, 7200),    # second offset (2 windows)
+            st.floats(0.0, 50.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_ohlc_and_twap_match_bruteforce(spark, events):
+    """OHLC endpoint picks and TWAP held-duration averaging equal direct
+    per-(key, hour) Python recomputes — arbitrary ties (same-ts events
+    break by event_id), bursts, and single-event windows."""
+    import datetime as dt
+    import math
+    from collections import defaultdict
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import (
+        ohlc_bars,
+        twap_bars,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, f"k{k}", t0 + dt.timedelta(seconds=s), v)
+        for i, (k, s, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, key string, ts timestamp, v double")
+    got_ohlc = {
+        (r.key, r.win_start): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc_bars(df, "key", "ts", "v", "event_id", 3600).collect()
+    }
+    got_twap = {
+        (r.key, r.win_start): r.twap
+        for r in twap_bars(df, "key", "ts", "v", "event_id", 3600).collect()
+    }
+    base_us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    groups = defaultdict(list)
+    for i, (k, s, v) in enumerate(events):
+        us = base_us + s * 1_000_000
+        win = us - us % 3_600_000_000
+        groups[(f"k{k}", win)].append((us, i, v))
+    assert set(got_ohlc) == set(groups) == set(got_twap)
+    for gk, items in groups.items():
+        items.sort()
+        vals = [v for _, _, v in items]
+        o, h, lo, c, n = got_ohlc[gk]
+        assert (o, c, n) == (items[0][2], items[-1][2], len(items))
+        assert (h, lo) == (max(vals), min(vals))
+        win_end = gk[1] + 3_600_000_000
+        num = 0
+        for j, (us, _, v) in enumerate(items):
+            nxt = items[j + 1][0] if j + 1 < len(items) else win_end
+            num += math.floor(v * 1_000_000.0) * (nxt - us)
+        den = win_end - items[0][0]
+        assert got_twap[gk] == round(num / den / 1e6, 6), gk
