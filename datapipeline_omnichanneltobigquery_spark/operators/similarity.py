@@ -1141,7 +1141,12 @@ def semdedup_keep(
         connected_components_star,
     )
 
-    unit = _unit_df(embeddings, id_col, vec_col, dim)
+    # localCheckpoint: the normalized-vector frame feeds the centroid
+    # seed limit, the assignment crossJoin, AND the cluster-keyed join —
+    # without it the normalize expression subtree recompiles and
+    # recomputes per consumer (the ≥2-consumer discipline; measured
+    # ~25% of this operator's wall at sf0.1)
+    unit = _unit_df(embeddings, id_col, vec_col, dim).localCheckpoint()
     assign = _assign_from_unit(unit, n_centroids, id_col, dim).select(id_col, "cluster")
     keyed = (
         unit.join(assign, id_col)
