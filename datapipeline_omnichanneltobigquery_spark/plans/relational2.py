@@ -3034,3 +3034,51 @@ def events_cusum_fixed_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "ts", "value", "event_id",
         ref=50.0, slack=20.0, threshold=300.0,
     )
+
+
+@query(
+    "features_quantile_normalize",
+    driver=False,  # new r10 family: rank-transform feature normalization
+    oracle="""
+    WITH base AS (
+        SELECT event_id,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS xm,
+               value
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_id, value,
+               ROW_NUMBER() OVER (ORDER BY xm, event_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM base
+    )
+    SELECT event_id, value,
+           round((CAST(rk AS DOUBLE) - 0.5) / n, 6) AS q_norm
+    FROM ranked
+    """,
+)
+def features_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of a feature column to uniform
+    (0, 1): q = (rank - 0.5) / n over the (value, id) total order — the
+    outlier-immune rescaling that makes heavy-tailed features comparable
+    (feed it through a probit for the inverse-normal transform off-
+    engine).  The rank is the exact two-level global rank
+    (operators/segments.py::_global_rank) — one range-ish exchange, no
+    single-partition sort of the corpus; the division is one fixed-order
+    double per row (round 6)."""
+    from pyspark.sql import Window as _W  # noqa: F401 (parity with siblings)
+
+    from datapipeline_omnichanneltobigquery_spark.operators.segments import _global_rank
+
+    base = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("xm"),
+        "value",
+    )
+    ranked = _global_rank(base, "id", "xm", "rk")
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        F.col("id").alias("event_id"),
+        "value",
+        F.expr("round((CAST(rk AS DOUBLE) - 0.5) / __n, 6)").alias("q_norm"),
+    )
