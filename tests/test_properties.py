@@ -339,3 +339,60 @@ def test_ohlc_and_twap_match_bruteforce(spark, events):
             num += math.floor(v * 1_000_000.0) * (nxt - us)
         den = win_end - items[0][0]
         assert got_twap[gk] == round(num / den / 1e6, 6), gk
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(1, 8),        # customer
+            st.integers(0, 90),       # days before anchor
+            # integer CENTS: a float amount here would race Python round()
+            # against Spark's double->DECIMAL(18,2) cast on .005 halves
+            st.integers(100, 50_000),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_rfm_scores_match_bruteforce(spark, orders):
+    """rfm_scores ≡ a direct Python recompute: per-customer rollup,
+    ascending (value, cust) ranks, the uniform 1+((rank-1)*5)//n bucket
+    formula, recency inverted — for arbitrary order histories including
+    single-order customers and monetary ties."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from datapipeline_omnichanneltobigquery_spark.operators.segments import rfm_scores
+
+    anchor = dt.datetime(2024, 6, 1)
+    rows = [
+        (c, anchor - dt.timedelta(days=d), cents / 100.0)
+        for c, d, cents in orders
+    ]
+    df = spark.createDataFrame(rows, "cust long, odate timestamp, amount double")
+    got = {
+        r.cust: (r.recency_days, r.frequency, r.r_score, r.f_score, r.m_score)
+        for r in rfm_scores(df, "cust", "odate", "amount").collect()
+    }
+    per = defaultdict(lambda: [None, 0, 0])  # last, freq, cents
+    for c, od, amt in rows:
+        p = per[c]
+        p[0] = od if p[0] is None or od > p[0] else p[0]
+        p[1] += 1
+        p[2] += round(amt * 100)  # cents/100.0 is 2-decimal exact-roundable
+    real_anchor = max(p[0] for p in per.values())
+    stats = {
+        c: ((real_anchor - p[0]).days, p[1], p[2]) for c, p in per.items()
+    }
+    n = len(stats)
+
+    def score(vals):
+        order = sorted(vals)  # (value, cust) ascending
+        return {cust: 1 + ((order.index((v, cust))) * 5) // n for v, cust in vals}
+
+    r_asc = score([(s[0], c) for c, s in stats.items()])
+    f_sc = score([(s[1], c) for c, s in stats.items()])
+    m_sc = score([(s[2], c) for c, s in stats.items()])
+    for c, (rec, freq, _cents) in stats.items():
+        assert got[c] == (rec, freq, 6 - r_asc[c], f_sc[c], m_sc[c]), c
