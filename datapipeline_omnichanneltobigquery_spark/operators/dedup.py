@@ -1693,8 +1693,14 @@ def dedup_keep_best(
 
 
 def dedup_keep_best_sql(table: str, text_col: str, id_col: str, score_sql: str) -> str:
-    """DuckDB twin of :func:`dedup_keep_best` — same struct-max total
-    order via arg-max over (score, -id)."""
+    """DuckDB twin of :func:`dedup_keep_best` — mirrors the Spark
+    struct-MIN over (-score, id) EXACTLY rather than paraphrasing it as
+    ``ORDER BY s DESC`` (ADVICE r10): on the negated axis a NaN score is
+    NaN and sorts GREATEST ascending in both engines (so it loses, per
+    the docstring contract), and a NULL negated score sorts with
+    NULLS FIRST to match Spark's null-smallest struct-field comparison
+    (so it wins) — the DESC paraphrase got both special cases backwards
+    (DuckDB DESC puts NaN first = wins, NULL last = loses)."""
     return f"""
     WITH scored AS (
         SELECT md5({text_col}) AS fp, {id_col} AS id,
@@ -1703,7 +1709,10 @@ def dedup_keep_best_sql(table: str, text_col: str, id_col: str, score_sql: str) 
     ),
     ranked AS (
         SELECT fp, id, s,
-               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY s DESC, id ASC) AS rn
+               ROW_NUMBER() OVER (
+                   PARTITION BY fp
+                   ORDER BY -CAST(s AS DOUBLE) ASC NULLS FIRST, id ASC
+               ) AS rn
         FROM scored
     )
     SELECT fp, id AS {id_col}, s AS score FROM ranked WHERE rn = 1

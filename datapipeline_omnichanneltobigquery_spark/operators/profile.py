@@ -1165,7 +1165,14 @@ def cms_join_size(
             .alias("ip")
         )
     )
-    est = prod.agg(F.min("ip").cast("bigint").alias("est_join_size"))
+    # COALESCE(.., 0): an empty input table means MIN aggregates zero rows
+    # (NULL) while the exact companion coalesces to 0 — the documented
+    # est >= true guarantee must hold on the empty boundary too (ADVICE r11)
+    est = prod.agg(
+        F.coalesce(F.min("ip").cast("bigint"), F.lit(0).cast("bigint")).alias(
+            "est_join_size"
+        )
+    )
     ca = a.groupBy(F.col(key_a).alias("k")).agg(F.count(F.lit(1)).alias("na"))
     cb = b.groupBy(F.col(key_b).alias("k")).agg(F.count(F.lit(1)).alias("nb"))
     true = ca.join(cb, "k").agg(
@@ -1211,7 +1218,7 @@ def cms_join_size_sql(
         FROM sk_a x JOIN sk_b y ON y.d = x.d AND y.bucket = x.bucket
         GROUP BY 1
     ),
-    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM prod),
+    est AS (SELECT COALESCE(CAST(MIN(ip) AS BIGINT), 0) AS est_join_size FROM prod),
     ca AS (SELECT {key_a} AS k, COUNT(*) AS na FROM {table_a} GROUP BY 1),
     cb AS (SELECT {key_b} AS k, COUNT(*) AS nb FROM {table_b} GROUP BY 1),
     tru AS (

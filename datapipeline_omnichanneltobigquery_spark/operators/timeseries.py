@@ -697,7 +697,17 @@ def cusum_changepoints(
     round(6) each).
 
     Output: (key, unique, ts, value, cusum_pos, cusum_neg, is_change).
-    One shuffle on the key; at 100 TB per-key state is a window frame."""
+    One shuffle on the key; at 100 TB per-key state is a window frame.
+
+    PER-KEY CARDINALITY BOUND (ADVICE r11): the n-scaled steps
+    ``n*x_micro - S`` prefix-sum over n rows, so the worst-case
+    magnitude grows ~ n^2 * 1e6 * max|v|; DECIMAL(38,0) holds that up
+    to roughly n ~ 1e9 rows PER KEY at 100-unit values (n^2*1e8 <
+    1e38).  A 100 TB table is fine as long as no single key carries
+    more than ~1e9 points; beyond that use :func:`cusum_fixed_ref`,
+    whose steps are NOT n-scaled (magnitude ~ n * 1e6 * max|v|, safe to
+    n ~ 1e30) — the fixed-reference variant is also the statistically
+    standard form when a target mean is known."""
     k_micro = int(round(float(slack) * 1_000_000))
     h_micro = int(round(float(threshold) * 1_000_000))
     xm = F.expr(f"CAST(floor({val_col} * 1000000.0) AS BIGINT)")

@@ -1492,6 +1492,43 @@ def test_dedup_keep_best_picks_highest_quality_duplicate(spark):
     assert got == {2: 0.9, 4: 0.5}
 
 
+def test_dedup_keep_best_nan_null_scores_match_twin(spark, duck):
+    """ADVICE r11: the DuckDB twin must mirror the struct-min (-score, id)
+    order EXACTLY — under the old ``ORDER BY s DESC`` paraphrase a NaN
+    score WON in DuckDB (NaN sorts greatest) but LOSES in Spark, and a
+    NULL score lost in DuckDB (DESC nulls-last) but WINS in Spark.  Pins
+    both special cases engine-side and cross-engine."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        dedup_keep_best,
+        dedup_keep_best_sql,
+    )
+    from tests.helpers import compare_spark_duckdb
+
+    df = spark.createDataFrame(
+        [
+            (1, "nan group", float("nan")),
+            (2, "nan group", 0.1),   # any real score beats NaN
+            (3, "null group", None),  # NULL wins the struct-min (nulls first)
+            (4, "null group", 0.9),
+            (5, "plain", 0.5),
+        ],
+        "doc_id long, text string, q double",
+    )
+    got = {r.doc_id for r in dedup_keep_best(df, "text", "doc_id", "q").collect()}
+    assert got == {2, 3, 5}
+    duck.execute("CREATE OR REPLACE TEMP TABLE kb_probe (doc_id BIGINT, text VARCHAR, q DOUBLE)")
+    duck.execute(
+        "INSERT INTO kb_probe VALUES (1,'nan group',CAST('nan' AS DOUBLE)),"
+        "(2,'nan group',0.1),(3,'null group',NULL),(4,'null group',0.9),(5,'plain',0.5)"
+    )
+    compare_spark_duckdb(
+        dedup_keep_best(df, "text", "doc_id", "q"),
+        duck,
+        dedup_keep_best_sql("kb_probe", "text", "doc_id", "q"),
+    )
+    duck.execute("DROP TABLE kb_probe")
+
+
 def test_keep_best_and_reciprocal_best_accept_string_and_extreme_ids(spark):
     """r9 ADVICE: the old (score, -id) struct-max silently narrowed these
     generic operators to signed-numeric ids (string ids failed analysis;

@@ -86,6 +86,47 @@ def test_no_truncating_div_on_signed_epochs():
     )
 
 
+def test_round6_half_boundary_cross_engine(spark, duck):
+    """Determinism pin (VERDICT r10 #2): every family reporting
+    ``round(int_micro / n / 1e6, 6)`` can land the quotient on an exact
+    7th-decimal half, where the ROUNDING RULE (not arithmetic) decides
+    the output.  Spark routes doubles through BigDecimal.valueOf — the
+    SHORTEST decimal repr of the double — then HALF_UP; DuckDB agrees on
+    every probed half (verified live in r10 on -0.7148435 -> -0.714844).
+    Python's builtin round() is half-even on the BINARY double and is
+    the odd one out (the r10 red CUSUM property test), which is why
+    tests/test_properties.py::round6_half_up exists.  This pins the
+    Spark<->DuckDB agreement on a fixed boundary battery so a Spark or
+    DuckDB upgrade that changes either rule fails loudly here instead of
+    as an opaque driver hash mismatch."""
+    cases = [
+        (-1429687, 2),  # the r10 falsifying case: -0.7148435
+        (1429687, 2),
+        (1, 2),         # 5e-07: HALF_UP -> 1e-06, half-even -> 0.0
+        (-1, 2),
+        (3, 2),
+        (7, 4),
+        (2859375, 4),   # 0.71484375 (8th-decimal half, exact binary)
+        (12345675, 10),
+        (-12345675, 10),
+        (105, 2),
+        (9999995, 10),
+        (5, 10),
+    ]
+    exprs = ", ".join(
+        f"round(CAST({p} AS DOUBLE)/CAST({n} AS DOUBLE)/1000000.0, 6) AS c{i}"
+        for i, (p, n) in enumerate(cases)
+    )
+    got_spark = spark.sql(f"SELECT {exprs}").collect()[0]
+    got_duck = duck.execute(f"SELECT {exprs}").fetchone()
+    for i, (p, n) in enumerate(cases):
+        s, d = got_spark[i], got_duck[i]
+        assert s == d, f"round6 half-boundary split on {p}/{n}/1e6: spark={s} duckdb={d}"
+    # the discipline note: at least one probed case MUST discriminate
+    # against Python half-even, else the battery isn't testing the rule
+    assert round(1 / 2 / 1e6, 6) != got_spark[2]
+
+
 @pytest.mark.parametrize("name", sorted(_ALL_ORACLES))
 def test_oracle_parity(spark, duck, name):
     sdf = _ALL_QUERIES[name](spark, SF_DIR)

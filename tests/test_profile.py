@@ -102,6 +102,33 @@ def test_cms_estimates_upper_bound_and_exactness(spark):
     assert exact_hits / len(exact) >= 0.9
 
 
+def test_cms_join_size_empty_side_estimates_zero(spark, duck):
+    """ADVICE r11: with one side empty, the inner-product MIN aggregates
+    zero rows — the estimate must coalesce to 0 (matching the exact
+    companion) so the documented est >= true guarantee holds on the empty
+    boundary; both engines pinned."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        cms_join_size,
+        cms_join_size_sql,
+    )
+    from tests.helpers import compare_spark_duckdb
+
+    a = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    b = spark.createDataFrame([], "k long")
+    row = cms_join_size(a, "k", b, "k").collect()[0]
+    assert (row.est_join_size, row.true_join_size) == (0, 0)
+    duck.execute("CREATE OR REPLACE TEMP TABLE cjs_a (k BIGINT)")
+    duck.execute("INSERT INTO cjs_a VALUES (1),(2),(2)")
+    duck.execute("CREATE OR REPLACE TEMP TABLE cjs_b (k BIGINT)")
+    compare_spark_duckdb(
+        cms_join_size(a, "k", b, "k"),
+        duck,
+        cms_join_size_sql("cjs_a", "k", "cjs_b", "k"),
+    )
+    duck.execute("DROP TABLE cjs_a")
+    duck.execute("DROP TABLE cjs_b")
+
+
 def test_hll_merge_incremental_equals_direct(spark, tmp_path):
     """Sketch mergeability (rollup_ivm discipline, r7 VERDICT #6): persist
     day-1 and day-2 HLL register tables as parquet, merge them, and the

@@ -5,10 +5,25 @@ dirty inputs — SURVEY.md §5.2's 'merge twice ≡ merge once' property."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from datapipeline_omnichanneltobigquery_spark.operators.normalize import cast_columns
 from datapipeline_omnichanneltobigquery_spark.operators.upsert import upsert
+
+
+def round6_half_up(x: float) -> float:
+    """Round to 6 decimals the way BOTH engines do — Spark's round()
+    goes through BigDecimal.valueOf (shortest decimal repr of the
+    double) then HALF_UP, and DuckDB's round() agrees on exact
+    7th-decimal halves (verified live on -0.7148435 -> -0.714844).
+    Python's builtin round() is half-even on the BINARY double and
+    diverges exactly on those halves, so property-test references
+    must never use it for engine comparisons."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
 
 dirty_scalar = st.one_of(
     st.none(),
@@ -240,6 +255,11 @@ def test_containment_matches_bruteforce(spark, docs, threshold):
     ),
     slack=st.sampled_from([0.0, 2.0, 10.0]),
 )
+# binary-fraction boundary: floor(1.4296875e6)=1429687 over n=2 puts the
+# quotient on the exact 7th-decimal half -0.7148435, where Spark/DuckDB
+# (HALF_UP -> -0.714844) and Python round (half-even -> -0.714843) split
+@example(series=[(0, 0.0), (0, 1.4296875)], slack=0.0)
+@example(series=[(1, 1.4296875), (1, 0.0), (1, 1.4296875)], slack=0.0)
 def test_cusum_closed_form_matches_recurrence(spark, series, slack):
     """The prefix-sum/running-extremum closed form == the classic
     sequential CUSUM recurrences for arbitrary per-key series, slacks,
@@ -277,7 +297,10 @@ def test_cusum_closed_form_matches_recurrence(spark, series, slack):
             centered = n * xm - s_total
             sp = max(0, sp + centered - n * k_micro)
             sn = min(0, sn + centered + n * k_micro)
-            assert got[i] == (round(sp / n / 1e6, 6), round(sn / n / 1e6, 6)), i
+            assert got[i] == (
+                round6_half_up(sp / n / 1e6),
+                round6_half_up(sn / n / 1e6),
+            ), i
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
@@ -292,6 +315,10 @@ def test_cusum_closed_form_matches_recurrence(spark, series, slack):
         max_size=20,
     )
 )
+# TWAP half-boundary: 0.0 held 1800s then floor(1.4296875e6)=1429687
+# held 1800s -> mean micro 714843.5 -> 0.7148435, the HALF_UP/half-even
+# split point (same class as the CUSUM falsifying example)
+@example(events=[(0, 0, 0.0), (0, 1800, 1.4296875)])
 def test_ohlc_and_twap_match_bruteforce(spark, events):
     """OHLC endpoint picks and TWAP held-duration averaging equal direct
     per-(key, hour) Python recomputes — arbitrary ties (same-ts events
@@ -338,7 +365,7 @@ def test_ohlc_and_twap_match_bruteforce(spark, events):
             nxt = items[j + 1][0] if j + 1 < len(items) else win_end
             num += math.floor(v * 1_000_000.0) * (nxt - us)
         den = win_end - items[0][0]
-        assert got_twap[gk] == round(num / den / 1e6, 6), gk
+        assert got_twap[gk] == round6_half_up(num / den / 1e6), gk
 
 
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))

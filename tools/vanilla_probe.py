@@ -37,13 +37,16 @@ def main(argv: list[str]) -> int:
     from tests.helpers import compare_spark_duckdb
 
     args = [a for a in argv if not a.startswith("--")]
-    sf = next((a for a in args if a.startswith("/")), "/root/testdata/sf0.01")
+    # a dataset dir is whatever argument IS a directory (ADVICE r11: the
+    # old leading-slash heuristic silently ate relative paths as names)
+    sf = next((a for a in args if os.path.isdir(a)), "/root/testdata/sf0.01")
+    args = [a for a in args if a != sf]
     all_q = {**QUERIES, **EXTRA_QUERIES}
     all_o = {**ORACLES, **EXTRA_ORACLES}
     if "--all-extras" in argv:
         names = sorted(k for k in EXTRA_QUERIES if k in EXTRA_ORACLES)
     else:
-        named = next((a for a in args if not a.startswith("/")), None)
+        named = next(iter(args), None)
         if not named:
             print(__doc__)
             return 2
