@@ -133,6 +133,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_prefix_jaccard",
+    driver=False,  # rotated out r11 (green r9+r10); containment_pairs anchors set-similarity joins
     # rotated INTO the gate r9 (never driver-verified)
     oracle=dd.jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.6),
 )
@@ -175,6 +176,7 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_keywords_tfidf",
+    driver=False,  # rotated out r11 (green r9+r10); trigram search + vocab growth anchor IR/text
     # rotated INTO the gate r9 (never driver-verified)
     oracle=ir.tfidf_keywords_sql("documents", "doc_id", "text", k=3),
 )
@@ -238,6 +240,7 @@ def similarity_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ann_ivf",
+    driver=False,  # rotated out r11 (multi-green r6-r10); semdedup_keep anchors similarity
     oracle=sim.ivf_topk_sql("embeddings", 0, k=10, n_centroids=16, n_probe=4, dim=EMB_DIM),
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,6 +429,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_boilerplate_scrub",
+    driver=False,  # rotated out r11 (green r9+r10); self-dedup + char-entropy anchor text quality
     # rotated INTO the gate r9 (never driver-verified)
     oracle=ts.boilerplate_scrub_sql("documents", "doc_id", "text", seg_len=5, max_df=2),
 )
@@ -774,6 +778,7 @@ def dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_png_decode",
+    driver=False,  # rotated out r11 (multi-green r4-r10); image ahash+neardup anchor multimodal
     oracle="""
     SELECT doc_id, 'png' AS kind,
            1 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS width,
@@ -825,7 +830,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_image_ahash",
-    driver=False,  # new r10 family gate (VERDICT r9 #7): image perceptual hash
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""
     WITH px AS (
         SELECT doc_id, i,
@@ -1375,6 +1380,7 @@ def sampling_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_phrase_search",
+    driver=False,  # rotated out r11 (green r9+r10); text_trigram_search anchors search indexes
     # rotated INTO the gate r9 (never driver-verified)
     oracle=ir.phrase_search_sql("documents", "doc_id", "text", "window fast query"),
 )
@@ -1428,6 +1434,7 @@ def shard_rebalance_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "seq_training_pairs",
+    driver=False,  # rotated out r11 (green r9+r10); OHLC/TWAP/CUSUM keep windows gated
     # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     SELECT user_id, event_id,
@@ -1474,6 +1481,7 @@ def seq_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_kn_logprob",
+    driver=False,  # rotated out r11 (green r9+r10); text_bigram_logprob anchors the LM family
     # rotated INTO the gate r9 (never driver-verified)
     oracle=ts.kneser_ney_logprob_sql("documents", "doc_id", "text"),
 )
@@ -1670,7 +1678,7 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_vocab_growth",
-    driver=False,  # new r10 family: vocabulary growth (Heaps) curve
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=ts.vocab_growth_sql("documents", "doc_id", "text"),
 )
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1686,7 +1694,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_image_neardup",
-    driver=False,  # new r10 family face: perceptual-hash near-dup pairs
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""
     WITH px AS (
         SELECT doc_id, i,
@@ -1730,7 +1738,7 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_lsh_eval",
-    driver=False,  # new r10 family: LSH candidate-quality evaluation
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=f"""
     WITH truth AS ({dd.jaccard_pairs_sql("documents", "doc_id", "text", 3, 0.5)}),
     cand AS ({dd.minhash_candidates_sql("documents", "doc_id", "text", 3, 16, 2)}),

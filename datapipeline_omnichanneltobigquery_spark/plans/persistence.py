@@ -89,6 +89,7 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bucketed_revenue_join",
+    driver=False,  # rotated out r11 (multi-green); q18 + flagship anchor joins
     # new r4: the bucketed-layout path itself under the oracle gate
     oracle="""
     SELECT o.o_orderkey, o.o_custkey,

@@ -766,6 +766,7 @@ def agg_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_qsketch_merged",
+    driver=False,  # rotated out r11 (green r9+r10); agg_qsketch_quantiles anchors qsketch
     # rotated INTO the gate r9 (never driver-verified)
     oracle=pf.qsketch_quantiles_sql(
         "orders", "o_orderpriority", "o_totalprice", _QSPEC, **_QARGS
@@ -1055,6 +1056,7 @@ _SNM_PASSES_SQL = [
 
 @query(
     "dedup_snm_multipass",
+    driver=False,  # rotated out r11 (green r9+r10); dedup_snm_part_names anchors SNM
     # rotated INTO the gate r9 (never driver-verified)
     oracle=dd.snm_pairs_multipass_sql("part", "p_partkey", _SNM_PASSES_SQL, window=3),
 )
@@ -1165,6 +1167,7 @@ _ER_PAIRS_SQL = """
 
 @query(
     "er_golden_parts",
+    driver=False,  # rotated out r11 (green r9+r10); er_reciprocal_best anchors ER
     # rotated INTO the gate r9 (never driver-verified)
     oracle=er.golden_records_sql(
         table_sql=(
@@ -1829,6 +1832,7 @@ def robust_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "robust_mad_outliers",
+    driver=False,  # rotated out r11 (green r9+r10); seasonal residuals anchor robust stats
     # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     WITH base AS (
@@ -2027,6 +2031,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_ab_experiment",
+    driver=False,  # rotated out r11 (green r9+r10); trend-OLS/Benford anchor inferential stats
     # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     WITH u AS (
@@ -2103,6 +2108,7 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "feature_mutual_info",
+    driver=False,  # rotated out r11 (green r9+r10); feature_correlations anchors dependence measures
     # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     WITH e AS (
@@ -2183,6 +2189,7 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "drift_ks_events",
+    driver=False,  # rotated out r11 (green r9+r10); the CUSUM pair anchors drift detection
     # rotated INTO the gate r9 (never driver-verified)
     oracle=pf.drift_ks_sql(
         "(SELECT * FROM events WHERE event_id % 2 = 0)",
@@ -2208,6 +2215,7 @@ def drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_target_encoding",
+    driver=False,  # rotated out r11 (green r9+r10); WOE/lift anchor supervised encodings
     # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     WITH e AS (
@@ -2290,7 +2298,7 @@ _ISO_CURVE_SQL = "), (".join(
 
 @query(
     "calibration_isotonic_apply",
-    driver=False,  # new r10 family gate (VERDICT r9 #7): isotonic calibration
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=f"""
     WITH curve(event_type, score_lo, p_cal) AS (VALUES ({_ISO_CURVE_SQL}))
     SELECT e.event_id, e.event_type, e.value,
@@ -2328,6 +2336,7 @@ def calibration_isotonic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_lpa_communities",
+    driver=False,  # rotated out r11 (green r9+r10); graph_triangle_counts anchors graph
     # rotated INTO the gate r9 (never driver-verified)
     oracle=gr.label_propagation_sql(_COPURCHASE_EDGES_SQL, rounds=4),
 )
@@ -2601,7 +2610,7 @@ def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rfm_customer_segments",
-    driver=False,  # new r10 family: RFM quintile segmentation
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=sg.rfm_scores_sql("orders", "o_custkey", "o_orderdate", "o_totalprice"),
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2617,7 +2626,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_ohlc_hourly",
-    driver=False,  # new r10 family: OHLC time bars
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=tsr.ohlc_bars_sql("events", "event_type", "ts", "value", "event_id", 3600),
 )
 def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2632,7 +2641,7 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_benford_prices",
-    driver=False,  # new r10 family: Benford first-digit audit
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=pf.benford_audit_sql("orders", "o_totalprice"),
 )
 def dq_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2646,7 +2655,7 @@ def dq_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_trend_ols",
-    driver=False,  # new r10 family: per-group OLS trend
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""
     WITH e AS (
         -- floored second conversion (numerator made exactly divisible by
@@ -2719,7 +2728,7 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_cusum_changes",
-    driver=False,  # new r10 family: CUSUM change-point detection
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=tsr.cusum_changepoints_sql(
         "events", "event_type", "ts", "value", "event_id", slack=20.0, threshold=150.0
     ),
@@ -2739,7 +2748,7 @@ def events_cusum_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_burstiness",
-    driver=False,  # new r10 family: arrival-process burstiness
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=tsr.burstiness_sql("events", "user_id", "ts", "event_id"),
 )
 def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2753,7 +2762,7 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_lift_table",
-    driver=False,  # new r10 family: decile lift/gains table
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""
     WITH base AS (
         SELECT event_id,
@@ -2851,7 +2860,7 @@ _PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 @query(
     "events_type_pivot",
-    driver=False,  # new r10 family: pivot (wide contingency)
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=f"""
     SELECT user_id,
            {', '.join(
@@ -2884,7 +2893,7 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_type_unpivot",
-    driver=False,  # new r10: unpivot/melt face of events_type_pivot
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=f"""
     WITH wide AS (
         SELECT user_id,
@@ -2924,7 +2933,7 @@ def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_id_islands",
-    driver=False,  # new r10 family: id-range consolidation (gaps and islands)
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""
     WITH ids AS (
         SELECT DISTINCT event_type, event_id FROM events WHERE event_type = 'purchase'
@@ -2984,7 +2993,7 @@ def dq_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cms_join_size",
-    driver=False,  # new r10 family: sketch-based join-size estimation
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=pf.cms_join_size_sql("events", "user_id", "orders", "o_custkey", width=4096),
 )
 def agg_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3002,7 +3011,7 @@ def agg_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_twap_hourly",
-    driver=False,  # new r10 family: time-weighted average bars
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=tsr.twap_bars_sql("events", "event_type", "ts", "value", "event_id", 3600),
 )
 def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3017,7 +3026,7 @@ def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_cusum_fixed_ref",
-    driver=False,  # new r10: fixed-reference (process-control) CUSUM face
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=tsr.cusum_fixed_ref_sql(
         "events", "event_type", "ts", "value", "event_id",
         ref=50.0, slack=20.0, threshold=300.0,
@@ -3038,7 +3047,7 @@ def events_cusum_fixed_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_quantile_normalize",
-    driver=False,  # new r10 family: rank-transform feature normalization
+    # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""
     WITH base AS (
         SELECT event_id,

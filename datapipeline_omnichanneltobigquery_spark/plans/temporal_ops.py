@@ -282,6 +282,7 @@ def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_point_in_time",
+    driver=False,  # rotated out r11 (green r9+r10); correlations/WOE/lift/quantile-norm anchor features
     # rotated INTO the gate r9 (never driver-verified)
     oracle="""
     WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep, event_type,
