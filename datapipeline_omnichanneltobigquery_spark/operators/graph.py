@@ -183,10 +183,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     closed = wedges.join(
         dirv.select(F.col("x").alias("b"), F.col("y").alias("c")), ["b", "c"]
     )
-    per_corner = (
-        closed.select(F.col("x").alias("node"))
-        .unionAll(closed.select(F.col("b").alias("node")))
-        .unionAll(closed.select(F.col("c").alias("node")))
+    # one corner row per triangle endpoint via a map-side explode — NOT a
+    # 3-way unionAll of projections of `closed`, which re-ran the whole
+    # Σ min-deg² wedge join + closure shuffle once per branch (the r11
+    # profile: 35.8 s for the union vs 8.4 s for a single closure pass)
+    per_corner = closed.select(
+        F.explode(F.array("x", "b", "c")).alias("node")
     )
     return per_corner.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
