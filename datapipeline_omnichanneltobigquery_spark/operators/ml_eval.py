@@ -1,0 +1,146 @@
+"""Model-evaluation metrics computed EXACTLY from integer sufficient
+statistics — the family beside the decile lift/gains table
+(plans/relational2.py::features_lift_table): ROC AUC per group, the
+standard threshold-free ranking metric an ML-platform consumer of this
+engine scores candidate features / model outputs with.
+
+Exactness discipline: tie-aware AUC is the Mann-Whitney U statistic —
+AUC = (n_concordant + ties/2) / (n_pos · n_neg) — and every term is an
+exact integer until ONE final division: the 2×-scaled numerator
+2·Σ_s pos_s·cum_neg_before(s) + Σ_s pos_s·neg_s accumulates in
+DECIMAL(38,0) (pos·neg products up to ~1e24 at 100 TB-scale group
+sizes), the divisor is 2·n_pos·n_neg, and the quotient rounds to 6 — so
+the DuckDB twin hash-matches bit-for-bit.
+
+Scale shape: the stream first collapses to DISTINCT (group, score)
+sufficient-statistic rows (one partial+final aggregate — the only
+corpus-wide exchange); the negative-count prefix sum over those rows
+runs TWO-LEVEL (exact integer range buckets + within-bucket window +
+a ≤RANK_BUCKETS-row offset window per group, the segments.py::
+_global_rank discipline) — never a single-reducer-per-group sort of the
+distinct-score table.  The oracle uses the definitional per-group
+window, proving the two-level decomposition exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+#: range-bucket fan-out for the two-level prefix (same constant class as
+#: segments.RANK_BUCKETS; the offset table is n_groups × buckets rows)
+AUC_BUCKETS = 32
+
+
+def roc_auc(
+    df: DataFrame, group_col: str, label: Column, score: Column
+) -> DataFrame:
+    """Tie-aware ROC AUC per ``group_col``: (grp, n_pos, n_neg, auc).
+
+    ``label`` is a boolean column expression (positive class), ``score``
+    an INTEGER-valued ranking column expression (money in cents, counts,
+    micro-units — the module's exactness contract; callers with float
+    scores scale them to integers first).  A group with no positives or
+    no negatives has undefined AUC and reports NULL.
+
+    Bucket arithmetic note: scores feed ``(s - lo) * AUC_BUCKETS`` — safe
+    while |score span| < 2^58; document scores wider than that should be
+    range-reduced first."""
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        score.cast("bigint").alias("s"),
+        label.cast("int").alias("y"),
+    )
+    d = (
+        base.groupBy("grp", "s")
+        .agg(
+            F.sum("y").cast("bigint").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg"),
+        )
+    )
+    stats = d.groupBy("grp").agg(F.min("s").alias("__lo"), F.max("s").alias("__hi"))
+    # localCheckpoint: the bucketed frame feeds BOTH the within-bucket
+    # window and the bucket-size aggregate (the segments.py lesson)
+    b = (
+        d.join(F.broadcast(stats), "grp")
+        .withColumn(
+            "__b", F.expr(f"((s - __lo) * {AUC_BUCKETS}) div (__hi - __lo + 1)")
+        )
+        .localCheckpoint()
+    )
+    wiv = (
+        Window.partitionBy("grp", "__b")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sizes = b.groupBy("grp", "__b").agg(F.sum("neg").alias("__bn"))
+    wo = (
+        Window.partitionBy("grp")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = sizes.select(
+        "grp", "__b", (F.sum("__bn").over(wo) - F.col("__bn")).alias("__off")
+    )
+    scored = (
+        b.withColumn("__within", F.sum("neg").over(wiv) - F.col("neg"))
+        .join(F.broadcast(offs), ["grp", "__b"])
+        .select(
+            "grp",
+            "pos",
+            "neg",
+            (F.col("__off") + F.col("__within")).alias("cnb"),
+        )
+    )
+    num2 = F.sum(
+        F.col("pos").cast("decimal(19,0)")
+        * (F.lit(2) * F.col("cnb") + F.col("neg")).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    agg = scored.groupBy("grp").agg(
+        num2.alias("__num2"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+    )
+    auc = F.round(
+        F.col("__num2").cast("double")
+        / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double") * F.lit(2.0)),
+        6,
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
+    )
+
+
+def roc_auc_sql(table: str, group_col: str, label_sql: str, score_sql: str) -> str:
+    """DuckDB twin of :func:`roc_auc` — the DEFINITIONAL per-group window
+    prefix over distinct scores (the gate proves the two-level Spark
+    decomposition); identical integer numerator and one rounded
+    division."""
+    return f"""
+    WITH base AS (SELECT {group_col} AS grp,
+                         CAST({score_sql} AS BIGINT) AS s,
+                         CAST({label_sql} AS INT) AS y
+                  FROM {table}),
+    d AS (SELECT grp, s,
+                 CAST(SUM(y) AS BIGINT) AS pos,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+          FROM base GROUP BY 1, 2),
+    c AS (SELECT grp, pos, neg,
+                 COALESCE(CAST(SUM(neg) OVER (PARTITION BY grp ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                      0) AS cnb
+          FROM d)
+    SELECT grp AS {group_col},
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+             round(CAST(CAST(SUM(CAST(pos AS DECIMAL(19,0))
+                                 * CAST(2 * cnb + neg AS DECIMAL(19,0)))
+                             AS DECIMAL(38,0)) AS DOUBLE)
+                   / (CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE) * 2.0), 6)
+           END AS auc
+    FROM c GROUP BY 1
+    """

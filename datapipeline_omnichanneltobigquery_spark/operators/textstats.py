@@ -1249,3 +1249,117 @@ def vocab_growth_sql(table: str, id_col: str, text_col: str) -> str:
              AS cum_tokens
     FROM base
     """
+
+
+def pmi_collocations(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-``k`` bigram COLLOCATIONS by pointwise mutual information
+    (Church & Hanks 1990): PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ) with
+    P(ab) = c_ab/T_big, P(a) = c_a/T_uni — the ASSOCIATION statistic the
+    conditional-probability LMs (unigram/bigram/Kneser-Ney scoring) do
+    not expose: a rare pair that always co-occurs ("san francisco")
+    outranks a frequent pair that co-occurs by chance ("of the").  The
+    vocabulary-building primitive for multi-word tokenizer entries and
+    phrase mining over a training corpus.
+
+    ``min_count`` floors c_ab (PMI's classic low-frequency pathology: a
+    hapax pair has maximal PMI by construction).
+
+    Determinism: every factor is an exact integer count converted once
+    to double; the score is ONE fixed-order chain of lns
+    (ln c_ab + ln T_uni + ln T_uni − ln T_big − ln c_a − ln c_b — left-
+    associative in both engines), rounded to 6; ranking orders by the
+    ROUNDED score with (term_a, term_b) tie-break, so the top-k is a
+    total order.  Scale: one token-stream exchange builds both count
+    tables (localCheckpointed — each feeds two consumers); the top-k is
+    TakeOrderedAndProject, never a global sort.
+
+    Returns (term_a, term_b, n_pair, pmi), pmi desc."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_ws_tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select("id", "pos", "term")
+    )
+    lagged = toks.withColumn(
+        "prev", F.lag("term").over(Window.partitionBy("id").orderBy("pos"))
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu")).localCheckpoint()
+    big = (
+        lagged.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .localCheckpoint()
+    )
+    totals = (
+        uni.agg(F.sum("cu").cast("bigint").alias("t_uni"))
+        .crossJoin(big.agg(F.sum("cab").cast("bigint").alias("t_big")))
+    )
+    ua = uni.select(F.col("term").alias("prev"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("term").alias("term"), F.col("cu").alias("cb"))
+    scored = (
+        big.filter(F.col("cab") >= min_count)
+        .join(ua, "prev")
+        .join(ub, "term")
+        .crossJoin(F.broadcast(totals))
+    )
+    ln = F.log
+    pmi = F.round(
+        ln(F.col("cab").cast("double"))
+        + ln(F.col("t_uni").cast("double"))
+        + ln(F.col("t_uni").cast("double"))
+        - ln(F.col("t_big").cast("double"))
+        - ln(F.col("ca").cast("double"))
+        - ln(F.col("cb").cast("double")),
+        6,
+    )
+    return (
+        scored.select(
+            F.col("prev").alias("term_a"),
+            F.col("term").alias("term_b"),
+            F.col("cab").cast("bigint").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(k)
+    )
+
+
+def pmi_collocations_sql(
+    table: str, id_col: str, text_col: str, min_count: int = 5, k: int = 50
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations` — same counts, the same
+    left-associative ln chain, same (pmi desc, term_a, term_b) top-k."""
+    return f"""
+    WITH toks0 AS (SELECT {id_col} AS id,
+                          UNNEST(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS term,
+                          generate_subscripts(regexp_split_to_array(trim(lower({text_col})), '\\s+'), 1) AS pos
+                   FROM {table}),
+    toks AS (SELECT id, pos, term FROM toks0 WHERE term <> ''),
+    lagged AS (SELECT id, term,
+                      LAG(term) OVER (PARTITION BY id ORDER BY pos) AS prev
+               FROM toks),
+    uni AS (SELECT term, COUNT(*) AS cu FROM toks GROUP BY term),
+    big AS (SELECT prev, term, COUNT(*) AS cab FROM lagged
+            WHERE prev IS NOT NULL GROUP BY prev, term),
+    totals AS (SELECT (SELECT CAST(SUM(cu) AS BIGINT) FROM uni) AS t_uni,
+                      (SELECT CAST(SUM(cab) AS BIGINT) FROM big) AS t_big)
+    SELECT b.prev AS term_a, b.term AS term_b,
+           CAST(b.cab AS BIGINT) AS n_pair,
+           round(ln(CAST(b.cab AS DOUBLE))
+                 + ln(CAST(t.t_uni AS DOUBLE))
+                 + ln(CAST(t.t_uni AS DOUBLE))
+                 - ln(CAST(t.t_big AS DOUBLE))
+                 - ln(CAST(ua.cu AS DOUBLE))
+                 - ln(CAST(ub.cu AS DOUBLE)), 6) AS pmi
+    FROM big b
+    JOIN uni ua ON ua.term = b.prev
+    JOIN uni ub ON ub.term = b.term
+    CROSS JOIN totals t
+    WHERE b.cab >= {min_count}
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT {k}
+    """

@@ -1786,3 +1786,52 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("round(CAST(true_positives AS DOUBLE) / n_truth, 6)").alias("recall"),
         )
     )
+
+
+from datapipeline_omnichanneltobigquery_spark.operators import winnow as wn  # noqa: E402
+
+
+@query(
+    "text_pmi_collocations",
+    driver=False,  # new r11 family (PMI association mining); full oracle
+    oracle=ts.pmi_collocations_sql("documents", "doc_id", "text", min_count=5, k=50),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by pointwise mutual information (Church
+    & Hanks 1990) with a min-count floor — the phrase-mining /
+    multi-word-vocabulary primitive the conditional-probability LM
+    scores don't expose (operators/textstats.py::pmi_collocations)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ts.pmi_collocations(docs, "doc_id", "text", min_count=5, k=50)
+
+
+@query(
+    "text_winnow_fingerprints",
+    driver=False,  # new r11 family (winnowing/MOSS fingerprint selection); full oracle
+    oracle=wn.winnow_fingerprints_sql("documents", "doc_id", "text", k=3, w=4),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. SIGMOD'03): the
+    w-window minima of token-3-gram hashes — guaranteed-local document
+    fingerprints with ~2/(w+1) density; the window-frame struct-min
+    decomposition is proven by the definitional O(n*w) oracle
+    (operators/winnow.py::winnow_fingerprints)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return wn.winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+
+
+@query(
+    "dedup_winnow_overlap",
+    driver=False,  # new r11 family (substring-overlap pairs); full oracle
+    oracle=wn.winnow_overlap_pairs_sql(
+        "documents", "doc_id", "text", k=3, w=4, min_shared=2
+    ),
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 2 winnowing fingerprints — the
+    SUBSTRING-overlap detector (embedded passages >= w+k-1 tokens are
+    caught with recall 1 by the winnowing guarantee) that whole-set
+    Jaccard dilutes away; df-capped postings keep the join linear
+    (operators/winnow.py::winnow_overlap_pairs)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return wn.winnow_overlap_pairs(docs, "doc_id", "text", k=3, w=4, min_shared=2)

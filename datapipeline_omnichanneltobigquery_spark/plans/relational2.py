@@ -11,6 +11,7 @@ from datapipeline_omnichanneltobigquery_spark.functions.scalars import money
 from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import er
 from datapipeline_omnichanneltobigquery_spark.operators import graph as gr
+from datapipeline_omnichanneltobigquery_spark.operators import ml_eval as me
 from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
 from datapipeline_omnichanneltobigquery_spark.operators import sampling as sa
 from datapipeline_omnichanneltobigquery_spark.operators import segments as sg
@@ -3090,4 +3091,30 @@ def features_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("event_id"),
         "value",
         F.expr("round((CAST(rk AS DOUBLE) - 0.5) / __n, 6)").alias("q_norm"),
+    )
+
+
+@query(
+    "features_roc_auc",
+    driver=False,  # new r11 family (exact tie-aware AUC); full oracle
+    oracle=me.roc_auc_sql(
+        "orders",
+        "o_orderpriority",
+        "o_orderstatus = 'F'",
+        "CAST(o_totalprice AS DECIMAL(18,2)) * 100",
+    ),
+)
+def features_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware ROC AUC of order price as a ranker of fulfilled status,
+    per priority class — the threshold-free model/feature evaluation
+    metric beside the decile lift table.  Mann-Whitney numerator from
+    exact integer counts (DECIMAL(38,0)), two-level distributed prefix
+    over distinct scores, ONE rounded division
+    (operators/ml_eval.py::roc_auc)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return me.roc_auc(
+        orders,
+        "o_orderpriority",
+        F.col("o_orderstatus") == "F",
+        (money(F.col("o_totalprice")) * 100).cast("bigint"),
     )

@@ -887,3 +887,63 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
     streamed = {tuple(r) for r in spark.table("t_ohlc").collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_sessionize_matches_batch_on_ordered_replay(spark, tmp_path):
+    """streaming/sessions.py: the (seq, last_ts) GroupState sessionizer
+    replayed in event-time order through maxFilesPerTrigger=1 emits
+    EXACTLY the batch sessionize labels — including sessions straddling
+    the micro-batch boundary (state carry: no session split, and an
+    inactivity gap spanning batches still opens a new session) and with
+    arrow.maxRecordsPerBatch forced tiny so multi-chunk groups exercise
+    the concat-then-sort discipline."""
+    from datapipeline_omnichanneltobigquery_spark.streaming.sessions import (
+        streaming_sessionize,
+    )
+    from datapipeline_omnichanneltobigquery_spark.streaming.windows import sessionize
+
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "sess_src")
+    schema = ev.schema
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(f"{src}/b=0")
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(f"{src}/b=1")
+
+    batch = {
+        (str(r.user_id), r.event_id): r.session_seq
+        for r in sessionize(spark.read.parquet(src), gap_seconds=1800).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sdf = streaming_sessionize(stream, gap_seconds=1800)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("t_sessionize")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            (r.user_id, r.event_id): r.session_seq
+            for r in spark.table("t_sessionize").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert streamed == batch
+    assert max(streamed.values()) > 1  # gap structure exercised, not one session

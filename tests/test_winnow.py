@@ -1,0 +1,216 @@
+"""Winnowing fingerprints (operators/winnow.py): brute-force reference
+equality, the paper's substring-detection guarantee, and the df-capped
+overlap join — plus PMI collocations and exact ROC AUC (the other r11
+families)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _winnow_ref(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Sequential reference: (pos, fp) selections per the module contract
+    (window minima of k-gram md5-60 hashes, ties to the SMALLEST pos,
+    1-based positions, one truncated window when n_kg < w)."""
+    toks = [t for t in text.strip().lower().split() if t]
+    kgrams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [_md5_60(g) for g in kgrams]
+    n = len(hs)
+    if n == 0:
+        return set()
+    out = set()
+    for s in range(max(n - w + 1, 1)):
+        window = hs[s : s + w]
+        mh = min(window)
+        sp = s + window.index(mh)  # first (smallest pos) occurrence of min
+        out.add((sp + 1, mh))  # 1-based
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("a b c d aa bb cc".split()), min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnow_fingerprints_match_bruteforce(spark, docs):
+    """The Spark window-frame struct-min selection equals the sequential
+    winnowing reference for arbitrary docs — including docs shorter than
+    k (no output) and docs with fewer than w k-grams (one window)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    }
+    want = {
+        (i, pos, fp)
+        for i, ws in enumerate(docs)
+        for pos, fp in _winnow_ref(" ".join(ws), 3, 4)
+    }
+    assert got == want
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    """The SIGMOD'03 guarantee: two documents embedding the same passage
+    of >= w + k - 1 tokens (here 6) share at least one selected
+    fingerprint VALUE, whatever surrounds the passage."""
+    from datapipeline_omnichanneltobigquery_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    passage = "the quick brown fox jumps high"  # 6 tokens = w + k - 1
+    rows = [
+        (1, f"alpha beta {passage} gamma delta epsilon"),
+        (2, f"one two three four {passage}"),
+        (3, "entirely different words with no shared passage at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        d: {r.fp for r in grp}
+        for d, grp in __import__("itertools").groupby(
+            sorted(
+                winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect(),
+                key=lambda r: r.doc_id,
+            ),
+            key=lambda r: r.doc_id,
+        )
+    }
+    assert fps[1] & fps[2], "shared 6-token passage must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_overlap_pairs(
+            df, "doc_id", "text", k=3, w=4, min_shared=1
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+
+
+def test_winnow_overlap_df_cap_drops_boilerplate(spark):
+    """A fingerprint selected in more than max_df documents (template
+    text) is excluded from pairing — the documented recall contract."""
+    from datapipeline_omnichanneltobigquery_spark.operators.winnow import (
+        winnow_overlap_pairs,
+    )
+
+    boiler = "standard license header applies to this file always"
+    rows = [(i, boiler) for i in range(1, 6)]  # 5 identical docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the df: no pairs at all survive
+    assert (
+        winnow_overlap_pairs(df, "doc_id", "text", min_shared=1, max_df=4).count() == 0
+    )
+    # cap at/above the df: all 10 pairs
+    assert (
+        winnow_overlap_pairs(df, "doc_id", "text", min_shared=1, max_df=5).count() == 10
+    )
+
+
+def test_pmi_ranks_true_collocation_above_chance_pair(spark):
+    """PMI orders a low-frequency always-together pair above a
+    high-frequency chance pair, and min_count drops hapax pairs."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    # 'san francisco' always together (6x); 'the cat'/'the dog'... 'the'
+    # pairs with everything; 'rare unique' occurs once (hapax)
+    docs = [
+        "san francisco is where the cat and the dog and the bird live",
+        "the cat saw the dog near san francisco yesterday evening",
+        "san francisco fog rolled over the cat and the dog",
+        "in san francisco the dog chased the cat around",
+        "san francisco streets and the bird above the dog",
+        "the cat the dog and san francisco again rare unique",
+    ]
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = pmi_collocations(df, "doc_id", "text", min_count=3, k=50).collect()
+    scores = {(r.term_a, r.term_b): r.pmi for r in out}
+    assert ("san", "francisco") in scores
+    assert ("rare", "unique") not in scores  # below min_count
+    the_pairs = [v for (a, b), v in scores.items() if a == "the" or b == "the"]
+    assert the_pairs, "frequent pairs present for contrast"
+    assert scores[("san", "francisco")] > max(the_pairs)
+    # top-1 by (pmi desc, a, b) is deterministic and the collocation wins
+    assert (out[0].term_a, out[0].term_b) == ("san", "francisco")
+
+
+def _auc_ref(pairs: list[tuple[int, int]]) -> float | None:
+    """Brute-force tie-aware AUC: mean over (pos, neg) pairs of
+    1[s_p > s_n] + 0.5*1[s_p == s_n]."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        return None
+    num = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    return num / (2.0 * len(pos) * len(neg))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),       # group
+            st.integers(-50, 50),    # integer score
+            st.booleans(),           # label
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_roc_auc_matches_bruteforce(spark, rows):
+    """The two-level prefix-sum AUC equals the definitional pairwise
+    Mann-Whitney statistic for arbitrary groups, ties, and single-class
+    groups (NULL)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import roc_auc
+
+    df = spark.createDataFrame(rows, "grp int, s long, y boolean")
+    got = {
+        r.grp: (r.n_pos, r.n_neg, r.auc)
+        for r in roc_auc(df, "grp", F.col("y"), F.col("s")).collect()
+    }
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, s, y in rows:
+        by_g[g].append((s, int(y)))
+    for g, pairs in by_g.items():
+        n_pos = sum(y for _, y in pairs)
+        n_neg = len(pairs) - n_pos
+        want = _auc_ref(pairs)
+        assert got[g][:2] == (n_pos, n_neg), g
+        if want is None:
+            assert got[g][2] is None, g
+        else:
+            assert got[g][2] is not None and abs(got[g][2] - want) <= 1e-6, (
+                g, got[g][2], want,
+            )
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    """Sanity anchors: a perfectly-separating score gives 1.0, the
+    inverted score 0.0, and all-tied scores 0.5."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import roc_auc
+
+    rows = [("g", s, s >= 10) for s in range(20)]
+    df = spark.createDataFrame(rows, "grp string, s long, y boolean")
+    assert roc_auc(df, "grp", F.col("y"), F.col("s")).collect()[0].auc == 1.0
+    assert roc_auc(df, "grp", F.col("y"), -F.col("s")).collect()[0].auc == 0.0
+    assert (
+        roc_auc(df, "grp", F.col("y"), F.lit(7)).collect()[0].auc == 0.5
+    )
