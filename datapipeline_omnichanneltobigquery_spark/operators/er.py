@@ -252,3 +252,96 @@ def reciprocal_best_sql(
     FROM best x JOIN best y
       ON x.best_dst = y.src AND y.best_dst = x.src AND x.src < x.best_dst
     """
+
+
+def fs_weights(
+    pairs: DataFrame, label_col: str, field_cols: list[str], alpha: float = 1.0
+) -> DataFrame:
+    """Fellegi-Sunter match/unmatch weight ESTIMATION (Fellegi & Sunter,
+    JASA 1969) from labeled candidate pairs — the learning step that
+    turns the fixed-weight ER scorer (plans/relational2.py
+    ``er_part_matches``) into a principled one: for each comparison
+    field k, estimate m_k = P(agree_k | match) and
+    u_k = P(agree_k | non-match) with Laplace smoothing ``alpha``, and
+    report the log-likelihood-ratio weights the linkage score sums —
+    w_agree = ln(m/u), w_disagree = ln((1-m)/(1-u)).
+
+    ``pairs`` carries one row per labeled candidate pair with
+    ``label_col`` (boolean: true match) and one boolean agreement column
+    per field.  Output: one row per field —
+    (field, n_match, n_unmatch, m, u, w_agree, w_disagree), ordered by
+    field name.
+
+    Scale shape: ONE partial+final aggregate over the pair list (counts
+    only — 4 integers per field); the per-field pivot is a fixed-width
+    stack expression, no shuffle beyond the single scalar aggregate.
+    Determinism: exact integer counts; m, u and both weights are each
+    ONE fixed-order double expression over those counts (the smoothing
+    sums stay integer-valued until the division), rounded to 6."""
+    lab = F.col(label_col).cast("int")
+    aggs = [F.sum(lab).cast("bigint").alias("n_match")]
+    aggs.append((F.count(F.lit(1)) - F.sum(lab)).cast("bigint").alias("n_unmatch"))
+    for f in field_cols:
+        a = F.col(f).cast("int")
+        aggs.append(F.sum(a * lab).cast("bigint").alias(f"__am_{f}"))
+        aggs.append(F.sum(a * (1 - lab)).cast("bigint").alias(f"__au_{f}"))
+    counts = pairs.agg(*aggs)
+    stacked = counts.selectExpr(
+        "n_match",
+        "n_unmatch",
+        "stack({}, {}) AS (field, agree_m, agree_u)".format(
+            len(field_cols),
+            ", ".join(f"'{f}', __am_{f}, __au_{f}" for f in field_cols),
+        ),
+    )
+    a_ = float(alpha)
+    m = (F.col("agree_m").cast("double") + F.lit(a_)) / (
+        F.col("n_match").cast("double") + F.lit(2.0 * a_)
+    )
+    u = (F.col("agree_u").cast("double") + F.lit(a_)) / (
+        F.col("n_unmatch").cast("double") + F.lit(2.0 * a_)
+    )
+    return stacked.select(
+        "field",
+        "n_match",
+        "n_unmatch",
+        F.round(m, 6).alias("m"),
+        F.round(u, 6).alias("u"),
+        F.round(F.log(m) - F.log(u), 6).alias("w_agree"),
+        F.round(F.log(F.lit(1.0) - m) - F.log(F.lit(1.0) - u), 6).alias("w_disagree"),
+    ).orderBy("field")
+
+
+def fs_weights_sql(
+    pairs_sql: str, label_sql: str, fields: list[tuple[str, str]], alpha: float = 1.0
+) -> str:
+    """DuckDB twin of :func:`fs_weights`.  ``pairs_sql`` is a query
+    producing the labeled pair rows; ``fields`` is [(name, agree_sql)]
+    evaluated against it; same smoothing, same fixed-order expressions."""
+    a_ = f"CAST({float(alpha)!r} AS DOUBLE)"
+    two_a = f"CAST({2.0 * float(alpha)!r} AS DOUBLE)"
+    field_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT '{name}' AS field,"
+        f" CAST(SUM(CAST(({agree}) AS INT) * CAST(({label_sql}) AS INT)) AS BIGINT) AS agree_m,"
+        f" CAST(SUM(CAST(({agree}) AS INT) * (1 - CAST(({label_sql}) AS INT))) AS BIGINT) AS agree_u"
+        f" FROM pairs"
+        for name, agree in fields
+    )
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    tot AS (SELECT CAST(SUM(CAST(({label_sql}) AS INT)) AS BIGINT) AS n_match,
+                   CAST(COUNT(*) - SUM(CAST(({label_sql}) AS INT)) AS BIGINT) AS n_unmatch
+            FROM pairs),
+    fl AS (
+        {field_rows}
+    )
+    SELECT field, n_match, n_unmatch,
+           round((CAST(agree_m AS DOUBLE) + {a_}) / (CAST(n_match AS DOUBLE) + {two_a}), 6) AS m,
+           round((CAST(agree_u AS DOUBLE) + {a_}) / (CAST(n_unmatch AS DOUBLE) + {two_a}), 6) AS u,
+           round(ln((CAST(agree_m AS DOUBLE) + {a_}) / (CAST(n_match AS DOUBLE) + {two_a}))
+                 - ln((CAST(agree_u AS DOUBLE) + {a_}) / (CAST(n_unmatch AS DOUBLE) + {two_a})), 6) AS w_agree,
+           round(ln(1.0 - (CAST(agree_m AS DOUBLE) + {a_}) / (CAST(n_match AS DOUBLE) + {two_a}))
+                 - ln(1.0 - (CAST(agree_u AS DOUBLE) + {a_}) / (CAST(n_unmatch AS DOUBLE) + {two_a})), 6) AS w_disagree
+    FROM fl CROSS JOIN tot
+    ORDER BY field
+    """

@@ -1363,3 +1363,75 @@ def pmi_collocations_sql(
     ORDER BY pmi DESC, term_a, term_b
     LIMIT {k}
     """
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; the classic
+    education-level quality signal beside entropy/compression/repetition):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with the
+    standard cheap proxies — sentences = runs of [.!?] (floored at 1),
+    syllables = per-word vowel-group ([aeiouy]+) runs floored at 1 per
+    word (Σ_w max(vg(w),1) = total vowel-group runs + vowel-less words,
+    since a run cannot cross whitespace).
+
+    Pure map-side (regexp counts + one higher-order filter over the
+    token array — no shuffle, no UDF); empty documents report NULL.
+    Determinism: integer counts into ONE fixed-order double formula with
+    CAST-exact literals, round 6.
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch)."""
+    low = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(low, r"\s+")
+    n_words = F.size(F.filter(toks, lambda t: t != "")).cast("bigint")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("bigint")
+    vg = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0)).cast("bigint")
+    no_vowel = F.size(
+        F.filter(toks, lambda t: (t != "") & ~t.rlike("[aeiouy]"))
+    ).cast("bigint")
+    n_syl = (vg + no_vowel).alias("n_syllables")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double")),
+        6,
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl,
+    )
+    return base.select(
+        F.col("id").alias(id_col),
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(F.col("n_words") > 0, flesch).alias("flesch"),
+    )
+
+
+def readability_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`readability` — same counts, same CAST-exact
+    literals, same fixed-order formula."""
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS id,
+               CAST(len(list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_words,
+               CAST(GREATEST(len(regexp_extract_all({text_col}, '[.!?]+')), 1) AS BIGINT)
+                 AS n_sentences,
+               CAST(len(regexp_extract_all(trim(lower({text_col})), '[aeiouy]+'))
+                    + len(list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                                      t -> t <> '' AND NOT regexp_matches(t, '[aeiouy]')))
+                 AS BIGINT) AS n_syllables
+        FROM {table})
+    SELECT id AS {id_col}, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+           END AS flesch
+    FROM base
+    """

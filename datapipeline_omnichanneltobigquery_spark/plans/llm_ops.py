@@ -1835,3 +1835,17 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/winnow.py::winnow_overlap_pairs)."""
     docs = read_table(spark, sf_dir, "documents")
     return wn.winnow_overlap_pairs(docs, "doc_id", "text", k=3, w=4, min_shared=2)
+
+
+@query(
+    "text_readability",
+    driver=False,  # new r11 family (Flesch reading ease); full oracle
+    oracle=ts.readability_sql("documents", "doc_id", "text"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the education-level quality
+    signal beside entropy/compression/repetition; pure map-side regexp
+    counts, one fixed-order formula
+    (operators/textstats.py::readability)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ts.readability(docs, "doc_id", "text")

@@ -3118,3 +3118,64 @@ def features_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F",
         (money(F.col("o_totalprice")) * 100).cast("bigint"),
     )
+
+
+_FS_PAIRS_SQL = """
+    WITH p AS (SELECT p_partkey AS pk, trim(lower(p_name)) AS name,
+                      p_brand AS brand, p_type AS typ, p_size AS sz,
+                      CAST(p_retailprice AS DECIMAL(18,2)) AS pr,
+                      str_split(trim(lower(p_name)), ' ')[1] AS tok0
+               FROM part)
+    SELECT (1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+                  / CAST(GREATEST(length(a.name), length(b.name)) AS DOUBLE)) >= 0.75
+             AS is_match,
+           a.typ = b.typ AS typ_eq,
+           abs(a.sz - b.sz) <= 2 AS sz_close,
+           abs(a.pr - b.pr) <= CAST(10.00 AS DECIMAL(18,2)) AS price_close
+    FROM p a JOIN p b
+      ON a.brand = b.brand AND a.tok0 = b.tok0 AND a.pk < b.pk
+"""
+
+
+@query(
+    "er_fs_weights",
+    driver=False,  # new r11 family (Fellegi-Sunter weight learning); full oracle
+    oracle=er.fs_weights_sql(
+        _FS_PAIRS_SQL,
+        "is_match",
+        [("price_close", "price_close"), ("sz_close", "sz_close"), ("typ_eq", "typ_eq")],
+    ),
+)
+def er_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter m/u weight estimation over blocked part pairs —
+    the LEARNING step completing the ER chain block->learn->score->
+    cluster->survive: name-similarity >= 0.75 labels the pairs, and the
+    per-field agreement rates yield the log-likelihood-ratio weights a
+    principled scorer sums (operators/er.py::fs_weights; Fellegi &
+    Sunter, JASA 1969)."""
+    p = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.trim(F.lower("p_name")).alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("typ"),
+        F.col("p_size").alias("sz"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("pr"),
+    ).withColumn("tok0", F.split("name", " ")[0])
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name")).cast("double")
+    maxlen = F.greatest(F.length(F.col("a.name")), F.length(F.col("b.name"))).cast("double")
+    pairs = a.join(
+        b,
+        (F.col("a.brand") == F.col("b.brand"))
+        & (F.col("a.tok0") == F.col("b.tok0"))
+        & (F.col("a.pk") < F.col("b.pk")),
+    ).select(
+        ((F.lit(1.0) - lev / maxlen) >= F.lit(0.75)).alias("is_match"),
+        (F.col("a.typ") == F.col("b.typ")).alias("typ_eq"),
+        (F.abs(F.col("a.sz") - F.col("b.sz")) <= F.lit(2)).alias("sz_close"),
+        (
+            F.abs(F.col("a.pr") - F.col("b.pr"))
+            <= F.lit("10.00").cast("decimal(18,2)")
+        ).alias("price_close"),
+    )
+    return er.fs_weights(pairs, "is_match", ["price_close", "sz_close", "typ_eq"])

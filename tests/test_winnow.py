@@ -214,3 +214,23 @@ def test_roc_auc_perfect_and_inverted(spark):
     assert (
         roc_auc(df, "grp", F.col("y"), F.lit(7)).collect()[0].auc == 0.5
     )
+
+
+def test_readability_hand_computed(spark):
+    """Flesch reading ease ≡ the by-hand formula: word/sentence/syllable
+    proxies (vowel-group runs floored at 1 per word) on known text;
+    empty documents report NULL."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences, 6 syllables
+        (2, "xyz 123"),                     # no vowels: 2 words -> 2 syllables, 1 sentence
+        (3, ""),                            # empty -> NULL flesch
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in readability(df, "doc_id", "text").collect()}
+    assert (out[1].n_words, out[1].n_sentences, out[1].n_syllables) == (6, 2, 6)
+    want = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    assert abs(out[1].flesch - want) < 1e-6
+    assert (out[2].n_words, out[2].n_sentences, out[2].n_syllables) == (2, 1, 2)
+    assert out[3].n_words == 0 and out[3].flesch is None
