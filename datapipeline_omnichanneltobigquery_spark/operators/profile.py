@@ -1228,3 +1228,126 @@ def cms_join_size_sql(
     )
     SELECT est.est_join_size, tru.true_join_size FROM est CROSS JOIN tru
     """
+
+
+def hll_overlap(
+    df,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    n_buckets: int = 512,
+):
+    """Audience-overlap estimation by HLL INCLUSION-EXCLUSION — the third
+    classic sketch composition beside point queries and the CMS join-size
+    inner product: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where the
+    union's registers are EXACTLY the per-register max of A's and B's
+    (the mergeability property — no third data pass).  The standard
+    audience/segment-overlap primitive: both sides sketch independently
+    (e.g. on different days or clusters), and any pairwise overlap is
+    answerable from constant-size state.
+
+    Returns ONE row: (est_a, est_b, est_union, est_overlap, true_overlap)
+    — the exact overlap rides along (one distinct-aggregate) so the
+    estimator's error is visible in the output, the cms_join_size
+    discipline.  est_overlap is the one fixed-order difference of the
+    three engine-exact estimates, rounded to 6.
+
+    Scale: one (grp, bucket) register aggregate over the filtered stream
+    + an m-row register merge; the exact companion is one distinct
+    aggregate.  Inclusion-exclusion error compounds (±1.04/√m per term),
+    so size ``n_buckets`` for the SMALLEST audience, not the union."""
+    import pyspark.sql.functions as F
+
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    ev = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("grp"), val.alias("v")
+    )
+    regs = hll_registers(ev, "grp", "v", n_buckets).localCheckpoint()
+    regs_u = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .select(F.lit("__union").alias("grp"), "bucket", "m_j")
+    )
+    ests = hll_estimate(
+        regs.select("grp", "bucket", "m_j").unionByName(regs_u), "grp", n_buckets
+    )
+    wide = ests.agg(
+        F.max(F.when(F.col("grp") == group_a, F.col("est_distinct"))).alias("est_a"),
+        F.max(F.when(F.col("grp") == group_b, F.col("est_distinct"))).alias("est_b"),
+        F.max(F.when(F.col("grp") == "__union", F.col("est_distinct"))).alias(
+            "est_union"
+        ),
+    )
+    both = (
+        ev.groupBy("v")
+        .agg(F.count_distinct("grp").alias("__ng"))
+        .filter(F.col("__ng") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_overlap"))
+    )
+    return wide.crossJoin(both).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+        ).alias("est_overlap"),
+        "true_overlap",
+    )
+
+
+def hll_overlap_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int = 512,
+) -> str:
+    """DuckDB twin of :func:`hll_overlap` — identical registers, merge,
+    estimator algebra, inclusion-exclusion order, and exact companion."""
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long_sql
+
+    rest_bits = 60 - n_buckets.bit_length() + 1
+    alpha = _hll_alpha(n_buckets)
+    h = md5_long_sql("CAST(v AS VARCHAR)")
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    md = f"CAST({float(n_buckets)!r} AS DOUBLE)"
+    p60 = f"CAST({float(1 << 60)!r} AS DOUBLE)"
+    s_total = (
+        f"CAST(s_present + CAST({n_buckets} - present AS DECIMAL(38,0))"
+        f" * CAST({1 << 60} AS DECIMAL(38,0)) AS DOUBLE)"
+    )
+    raw = f"{a} * {md} * {md} * {p60} / {s_total}"
+    est = (
+        f"CASE WHEN {raw} <= CAST(2.5 AS DOUBLE) * {md} AND {n_buckets} - present > 0 "
+        f"THEN {md} * ln({md} / CAST({n_buckets} - present AS DOUBLE)) ELSE {raw} END"
+    )
+    return f"""
+    WITH ev AS (SELECT {group_col} AS grp, {value_col} AS v FROM {table}
+                WHERE {group_col} IN ('{group_a}', '{group_b}')),
+    keyed AS (SELECT grp, ({h}) % {n_buckets} AS bucket,
+                     CAST(({h}) // {n_buckets} AS BIGINT) AS rest
+              FROM ev),
+    regs AS (SELECT grp, bucket,
+                    MAX(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                             ELSE {rest_bits} - length(bin(rest)) + 1 END) AS m_j
+             FROM keyed GROUP BY 1, 2),
+    all_regs AS (SELECT grp, bucket, m_j FROM regs
+                 UNION ALL
+                 SELECT '__union', bucket, MAX(m_j) FROM regs GROUP BY 2),
+    per AS (SELECT grp, COUNT(*) AS present,
+                   SUM(CAST(CAST(1 AS BIGINT) << (60 - m_j) AS DECIMAL(38,0))) AS s_present
+            FROM all_regs GROUP BY 1),
+    ests AS (SELECT grp, {est} AS est_distinct FROM per),
+    wide AS (SELECT MAX(CASE WHEN grp = '{group_a}' THEN est_distinct END) AS est_a,
+                    MAX(CASE WHEN grp = '{group_b}' THEN est_distinct END) AS est_b,
+                    MAX(CASE WHEN grp = '__union' THEN est_distinct END) AS est_union
+             FROM ests),
+    tru AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_overlap
+            FROM (SELECT v FROM ev GROUP BY v HAVING COUNT(DISTINCT grp) = 2))
+    SELECT est_a, est_b, est_union,
+           round(est_a + est_b - est_union, 6) AS est_overlap,
+           true_overlap
+    FROM wide CROSS JOIN tru
+    """

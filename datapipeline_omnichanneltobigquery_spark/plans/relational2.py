@@ -3179,3 +3179,33 @@ def er_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_close"),
     )
     return er.fs_weights(pairs, "is_match", ["price_close", "sz_close", "typ_eq"])
+
+
+_UDAY_SQL = """(SELECT event_type,
+        CAST(user_id AS VARCHAR) || ':' ||
+        CAST(epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)
+             AS VARCHAR) AS uday
+ FROM events) ev0"""
+
+
+@query(
+    "agg_hll_overlap",
+    driver=False,  # new r11 family (HLL inclusion-exclusion overlap); full oracle
+    oracle=pf.hll_overlap_sql(_UDAY_SQL, "event_type", "uday", "purchase", "view"),
+)
+def agg_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap by HLL inclusion-exclusion: on how many active
+    user-DAYS do purchasing and viewing co-occur — est(A) + est(B) −
+    est(A∪B) from mergeable registers (the union's registers are the
+    per-register max, no third pass), with the exact overlap riding
+    along so the estimator error is visible
+    (operators/profile.py::hll_overlap).  The user-day key is the
+    timezone-free pmod epoch-day bucket."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "concat(CAST(user_id AS STRING), ':', "
+            "CAST(unix_micros(ts) - pmod(unix_micros(ts), 86400000000) AS STRING))"
+        ).alias("uday"),
+    )
+    return pf.hll_overlap(ev, "event_type", "uday", "purchase", "view")

@@ -396,3 +396,24 @@ def test_benford_audit_counts_and_spine(spark):
     assert all(out[d].n_obs == 0 for d in (3, 4, 5, 6, 7, 8))
     assert abs(out[1].expected_n - 5 * BENFORD_P[0]) < 1e-6
     assert out[3].chi2_term == round(5 * BENFORD_P[2], 6)  # (0-e)^2/e = e
+
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    """hll_overlap: the union estimate comes from per-register max (no
+    third pass), inclusion-exclusion lands within HLL tolerance of the
+    exact overlap, and the exact companion is exact."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import hll_overlap
+
+    # A = 0..599, B = 400..999 -> |A|=600 |B|=600 |A∩B|=200 |A∪B|=1000
+    rows = [("a", str(i)) for i in range(600)] + [("b", str(i)) for i in range(400, 1000)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    r = hll_overlap(df, "grp", F.col("v"), "a", "b").collect()[0]
+    assert r.true_overlap == 200
+    assert abs(r.est_a - 600) / 600 <= 0.10
+    assert abs(r.est_b - 600) / 600 <= 0.10
+    assert abs(r.est_union - 1000) / 1000 <= 0.10
+    # inclusion-exclusion compounds the three errors; 25% is ~5 sigma here
+    assert abs(r.est_overlap - 200) / 200 <= 0.25
+    assert r.est_overlap == round(r.est_a + r.est_b - r.est_union, 6)
