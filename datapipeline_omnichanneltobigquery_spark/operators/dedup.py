@@ -424,11 +424,13 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     seed: int = 42,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """The LSH candidate stage alone: distinct (id_a, id_b) pairs agreeing on
     at least one MinHash band (P(candidate | J=s) = 1-(1-s^r)^b).  Exposed
     separately so callers that already have an exact-similarity table (e.g.
-    the merged driver query) can intersect with it instead of re-verifying.
+    the merged driver query) can intersect with it instead of re-verifying;
+    ``shingles_df`` shares a caller-materialized (id, shingle) stream.
     """
     num_bands = num_hashes // rows_per_band
     # The candidate pair list (tiny — bucket-mates only) is eagerly
@@ -438,7 +440,7 @@ def minhash_candidate_pairs(
     # recompute it, and an earlier .cache() of the signature table leaked
     # for the session lifetime).  Within the single job the band self-join's
     # identical children share one exchange (ReusedExchange).
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n) if shingles_df is None else shingles_df
     sig = _signatures_from_shingles(sh, num_hashes, seed)
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"), _band_key(num_hashes, rows_per_band, i).alias("key"))
@@ -1465,6 +1467,7 @@ def prefix_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-threshold Jaccard join via LOSSLESS prefix filtering (the
     AllPairs/PPJoin family, Bayardo et al. WWW'07; public algorithm).
@@ -1490,8 +1493,11 @@ def prefix_jaccard_pairs(
     (array_intersect on full sets); no driver collects.
 
     Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    ``shingles_df`` lets a caller that already materialized the distinct
+    (id, shingle) stream (e.g. an eval harness ALSO banding the same
+    corpus) share it instead of paying a second tokenize pass.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n) if shingles_df is None else shingles_df
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     # The df-joined stream feeds BOTH the prefix build and the per-doc
     # verify sets — materialize once (the shared-stream discipline).

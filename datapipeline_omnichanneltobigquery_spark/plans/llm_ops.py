@@ -1764,10 +1764,21 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding miss probability 1-(1-s^r)^b, precision the bucket
     noise the verify stage must absorb."""
     docs = read_table(spark, sf_dir, "documents")
-    truth = dd.prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
-        "id_a", "id_b"
+    # one tokenize pass serves BOTH the exact truth and the band
+    # candidates (r11: the two stages each paid a full shingle build)
+    sh = dd.shingles(docs, "doc_id", "text", n=3).localCheckpoint()
+    # localCheckpoint: truth and cand each feed TWO consumers (the
+    # tp-join and their own count) — the >=2-consumer discipline
+    truth = (
+        dd.prefix_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, shingles_df=sh
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
     )
-    cand = dd.minhash_candidate_pairs(docs, "doc_id", "text", n=3, num_hashes=16, rows_per_band=2)
+    cand = dd.minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, rows_per_band=2, shingles_df=sh
+    ).localCheckpoint()
     tp = truth.join(cand, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("true_positives")
     )
