@@ -1149,3 +1149,106 @@ def cusum_fixed_ref_sql(
              OR (p_neg - m_neg) < CAST(-{h_micro} AS DECIMAL(38,0)) AS is_change
     FROM run
     """
+
+
+def km_survival(df: DataFrame, duration_col: str, observed_col: str) -> DataFrame:
+    """Kaplan-Meier survival estimate (Kaplan & Meier, JASA 1958 — the
+    standard right-censored time-to-event curve: conversion lag, churn,
+    time-to-failure): one subject per input row with an integer
+    ``duration_col`` and boolean ``observed_col`` (true = the event
+    happened at duration; false = censored there).  Returns the KM table
+    (duration, n_at_risk, n_events, n_censored, survival) with
+    S(t) = Π_{s<=t} (1 - d_s/n_s) over event times.
+
+    Scale shape: ONE partial+final aggregate collapses subjects to
+    per-duration (d, c) counts; the KM fold then runs over DISTINCT
+    durations only — bounded by the observation horizon (days/hours),
+    not by subject count, so the single-partition ordered window over it
+    is a deliberate constant-size fold (the bucket-offset window class),
+    never a subject sort.
+
+    Determinism: counts are exact integers; each factor is ONE double
+    division (n-d)/n, the product is exp(Σ ln factor) in duration order
+    (ln/exp agree cross-engine on identical doubles — the module's
+    ordered-fold discipline), rounded to 6.  A duration where d = n
+    (everyone remaining dies) zeroes the curve exactly from there on —
+    pinned via a flag, never ln(0)."""
+    obs = F.col(observed_col).cast("int")
+    # localCheckpoint: the horizon-bounded (duration, d, c) table feeds
+    # BOTH the total aggregate and the fold (>=2-consumer discipline —
+    # without it every consumer re-scans the subject table)
+    g = df.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum(obs).cast("bigint").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum(obs)).cast("bigint").alias("n_censored"),
+    ).localCheckpoint()
+    total = g.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).cast("bigint").alias("__total")
+    )
+    wo = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    base = g.crossJoin(F.broadcast(total)).select(
+        "duration",
+        "n_events",
+        "n_censored",
+        (
+            F.col("__total")
+            - (
+                F.sum(F.col("n_events") + F.col("n_censored")).over(wo)
+                - (F.col("n_events") + F.col("n_censored"))
+            )
+        ).cast("bigint").alias("n_at_risk"),
+    )
+    lnf = F.when(
+        F.col("n_events") == 0, F.lit(0.0)
+    ).when(
+        F.col("n_events") < F.col("n_at_risk"),
+        F.log(
+            (F.col("n_at_risk") - F.col("n_events")).cast("double")
+            / F.col("n_at_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))  # d = n: excluded from the fold, zeroed by the flag
+    zflag = F.max(
+        F.when(F.col("n_events") == F.col("n_at_risk"), F.lit(1)).otherwise(F.lit(0))
+    ).over(wo)
+    return base.select(
+        "duration",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.round(
+            F.when(zflag == 1, F.lit(0.0)).otherwise(F.exp(F.sum(lnf).over(wo))), 6
+        ).alias("survival"),
+    )
+
+
+def km_survival_sql(subjects_sql: str) -> str:
+    """DuckDB twin of :func:`km_survival`.  ``subjects_sql`` yields
+    (duration BIGINT, observed BOOLEAN) rows; identical counts, fold
+    order, and the d = n zero flag."""
+    return f"""
+    WITH subjects AS ({subjects_sql}),
+    g AS (SELECT duration,
+                 CAST(SUM(CAST(observed AS INT)) AS BIGINT) AS n_events,
+                 CAST(COUNT(*) - SUM(CAST(observed AS INT)) AS BIGINT) AS n_censored
+          FROM subjects GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS total FROM g),
+    base AS (SELECT duration, n_events, n_censored,
+                    CAST(total - (SUM(n_events + n_censored)
+                          OVER (ORDER BY duration
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - (n_events + n_censored)) AS BIGINT) AS n_at_risk
+             FROM g CROSS JOIN tot)
+    SELECT duration, n_at_risk, n_events, n_censored,
+           round(CASE WHEN MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+                           OVER (ORDER BY duration
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                      THEN 0.0
+                      ELSE exp(SUM(CASE WHEN n_events = 0 THEN 0.0
+                                        WHEN n_events < n_at_risk
+                                        THEN ln(CAST(n_at_risk - n_events AS DOUBLE)
+                                                / CAST(n_at_risk AS DOUBLE))
+                                        ELSE 0.0 END)
+                               OVER (ORDER BY duration
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 END, 6) AS survival
+    FROM base
+    """

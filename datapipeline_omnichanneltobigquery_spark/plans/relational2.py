@@ -3209,3 +3209,55 @@ def agg_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uday"),
     )
     return pf.hll_overlap(ev, "event_type", "uday", "purchase", "view")
+
+
+_KM_SUBJECTS_SQL = """
+    WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS f,
+                      MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+               FROM events GROUP BY 1),
+    m AS (SELECT MIN(f) + 259200000000 AS cut FROM u)
+    SELECT CASE WHEN p IS NOT NULL AND p <= cut THEN (p - f) // 86400000000
+                ELSE (cut - f) // 86400000000 END AS duration,
+           (p IS NOT NULL AND p <= cut) AS observed
+    FROM u CROSS JOIN m WHERE f <= cut
+"""
+
+
+@query(
+    "events_survival_km",
+    driver=False,  # new r11 family (Kaplan-Meier survival); full oracle
+    oracle=tsr.km_survival_sql(_KM_SUBJECTS_SQL),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: days from each user's first
+    event to their first purchase, ADMINISTRATIVELY CENSORED at a 3-day
+    analysis cutoff after the corpus start — users enrolled before the
+    cutoff who haven't converted by it are censored at their observed
+    span (varying censor times, the real KM structure; 29 of 150 users
+    censored at sf0.01).  Duration division is truncating on provably
+    non-negative spans (p >= f, cut >= f), identical in both engines
+    (operators/timeseries.py::km_survival; Kaplan & Meier, JASA 1958)."""
+    day_us = 86_400_000_000
+    ev = read_table(spark, sf_dir, "events")
+    # localCheckpoint: the per-user rollup feeds BOTH the cutoff
+    # aggregate and the subject projection (>=2-consumer discipline;
+    # uncheckpointed this plan scanned events four times)
+    u = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("f"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("p"),
+    ).localCheckpoint()
+    m = u.agg((F.min("f") + F.lit(3 * day_us)).alias("cut"))
+    observed = F.col("p").isNotNull() & (F.col("p") <= F.col("cut"))
+    subjects = (
+        u.crossJoin(F.broadcast(m))
+        .filter(F.col("f") <= F.col("cut"))
+        .select(
+            F.when(observed, F.expr(f"(p - f) div {day_us}"))
+            .otherwise(F.expr(f"(cut - f) div {day_us}"))
+            .alias("duration"),
+            observed.alias("observed"),
+        )
+    )
+    return tsr.km_survival(subjects, "duration", "observed")

@@ -288,3 +288,31 @@ def test_twap_weighs_held_durations(spark):
     r = out[0]
     # (100*45 + 200*15) / 60 = 125 — vs the naive AVG 150
     assert r.twap == 125.0 and r.n_events == 2
+
+
+def test_km_survival_hand_computed_with_censoring(spark):
+    """km_survival ≡ the textbook product-limit estimate on a hand-worked
+    table with interleaved censoring, a censor-only time (curve carries
+    forward), and a terminal d = n time (curve hits exactly 0)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import km_survival
+
+    # t=1: n=10, d=2           -> S=0.8
+    # t=2: n=8,  c=2 (only)    -> S carries at 0.8
+    # t=3: n=6,  d=3, c=1      -> S=0.8*(3/6)=0.4
+    # t=5: n=2,  d=2 (=n)      -> S=0.0 exactly
+    rows = (
+        [(1, True)] * 2
+        + [(2, False)] * 2
+        + [(3, True)] * 3
+        + [(3, False)]
+        + [(5, True)] * 2
+    )
+    df = spark.createDataFrame(rows, "duration long, observed boolean")
+    out = {r.duration: r for r in km_survival(df, "duration", "observed").collect()}
+    assert (out[1].n_at_risk, out[1].n_events, out[1].n_censored) == (10, 2, 0)
+    assert abs(out[1].survival - 0.8) < 1e-6
+    assert (out[2].n_events, out[2].n_censored) == (0, 2)
+    assert abs(out[2].survival - 0.8) < 1e-6  # censor-only: carries forward
+    assert out[3].n_at_risk == 6
+    assert abs(out[3].survival - 0.4) < 1e-6
+    assert out[5].n_at_risk == 2 and out[5].survival == 0.0  # d = n -> exact 0
