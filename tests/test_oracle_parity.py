@@ -127,6 +127,28 @@ def test_round6_half_boundary_cross_engine(spark, duck):
     assert round(1 / 2 / 1e6, 6) != got_spark[2]
 
 
+def test_ln_exp_cross_engine_battery(spark, duck):
+    """Determinism pin for the ordered ln/exp fold discipline: every LM /
+    entropy / KM family assumes Spark's java.lang.Math.log/exp and
+    DuckDB's libm agree BITWISE on identical double inputs.  That has
+    held across ~12 gated families for 10 rounds (ln) and the KM curve
+    (exp, new in r11); this battery makes an engine upgrade that breaks
+    either fail loudly here instead of as an opaque hash mismatch.
+    Inputs are exact integer ratios (the repo's only ln/exp operand
+    shape)."""
+    cases = [(1, 2), (2, 3), (9, 10), (1, 150), (149, 150), (77, 150),
+             (1, 3), (10, 37), (26, 37), (999999, 1000000)]
+    exprs = ", ".join(
+        f"ln(CAST({a} AS DOUBLE)/CAST({b} AS DOUBLE)) AS l{i}, "
+        f"exp(ln(CAST({a} AS DOUBLE)/CAST({b} AS DOUBLE))) AS e{i}"
+        for i, (a, b) in enumerate(cases)
+    )
+    gs = spark.sql(f"SELECT {exprs}").collect()[0]
+    gd = duck.execute(f"SELECT {exprs}").fetchone()
+    for i in range(len(cases) * 2):
+        assert gs[i] == gd[i], f"ln/exp split at col {i}: {gs[i]!r} vs {gd[i]!r}"
+
+
 @pytest.mark.parametrize("name", sorted(_ALL_ORACLES))
 def test_oracle_parity(spark, duck, name):
     sdf = _ALL_QUERIES[name](spark, SF_DIR)
