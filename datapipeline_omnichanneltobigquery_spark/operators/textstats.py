@@ -1435,3 +1435,155 @@ def readability_sql(table: str, id_col: str, text_col: str) -> str:
            END AS flesch
     FROM base
     """
+
+
+def js_divergence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    top_k: int = 256,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus slices' unigram
+    distributions (Lin 1991) — the bounded, symmetric domain-shift
+    measure (0 = identical vocabularies, ln 2 = disjoint) a training-data
+    pipeline tracks between sources, snapshots, or train/eval splits;
+    the distributional complement of the per-document drift screens
+    (KS tests values, PSI bins scores — this compares LANGUAGE).
+
+    Distribution support is the TOP-``top_k`` terms by combined count
+    (count desc, term asc — a total order) with everything else folded
+    into one ``__other`` bucket, so the term table is bounded by
+    construction and the final fold is ordered and exact (the MI
+    ≤50-cell discipline at vocabulary scale).
+
+    Determinism: counts are exact integers; p, q, and each
+    ``p·ln(p / ((p+q)/2))`` term are built from ONE shared arithmetic
+    text on both engines (identical IEEE tree), zero-count sides
+    contribute exactly 0, the ≤ top_k+1 terms fold in term order, and
+    the result rounds to 6.
+
+    Returns ONE row: (n_terms, tokens_a, tokens_b, jsd)."""
+    toks = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(_ws_tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    # localCheckpoint: the (grp, term) counts feed the top-k keep-list
+    # AND the bucketed distribution (>=2-consumer discipline)
+    cnt = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    top = (
+        cnt.groupBy("term")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.col("tot").desc(), "term")
+        .limit(int(top_k))
+        .select("term", F.lit(1).alias("__keep"))
+    )
+    bucketed = (
+        cnt.join(F.broadcast(top), "term", "left")
+        .select(
+            "grp",
+            F.when(F.col("__keep").isNull(), F.lit("__other"))
+            .otherwise(F.col("term"))
+            .alias("bterm"),
+            "c",
+        )
+        .groupBy("grp", "bterm")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .localCheckpoint()  # feeds the per-side projections AND totals
+    )
+    tot = bucketed.groupBy("grp").agg(F.sum("c").cast("bigint").alias("t"))
+    ta = tot.filter(F.col("grp") == group_a).select(F.col("t").alias("ta"))
+    tb = tot.filter(F.col("grp") == group_b).select(F.col("t").alias("tb"))
+    ca = bucketed.filter(F.col("grp") == group_a).select("bterm", F.col("c").alias("ca"))
+    cb = bucketed.filter(F.col("grp") == group_b).select("bterm", F.col("c").alias("cb"))
+    wide = (
+        ca.join(cb, "bterm", "full_outer")
+        .select(
+            "bterm",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    # one shared arithmetic text -> identical IEEE tree on both engines
+    term_sql = (
+        "0.5 * (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / ta)"
+        " * ln((CAST(ca AS DOUBLE) / ta)"
+        " / (((CAST(ca AS DOUBLE) / ta) + (CAST(cb AS DOUBLE) / tb)) / 2.0))"
+        " ELSE 0.0 END)"
+        " + 0.5 * (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / tb)"
+        " * ln((CAST(cb AS DOUBLE) / tb)"
+        " / (((CAST(ca AS DOUBLE) / ta) + (CAST(cb AS DOUBLE) / tb)) / 2.0))"
+        " ELSE 0.0 END)"
+    )
+    terms = wide.select("bterm", F.expr(term_sql).alias("t"), "ta", "tb")
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.max("ta").cast("bigint").alias("tokens_a"),
+        F.max("tb").cast("bigint").alias("tokens_b"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("bterm", "t"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ),
+            6,
+        ).alias("jsd"),
+    )
+
+
+def js_divergence_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    top_k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`js_divergence` — same top-k keep-list, the
+    same shared arithmetic text per term, ordered SUM fold."""
+    term_sql = (
+        "0.5 * (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / ta)"
+        " * ln((CAST(ca AS DOUBLE) / ta)"
+        " / (((CAST(ca AS DOUBLE) / ta) + (CAST(cb AS DOUBLE) / tb)) / 2.0))"
+        " ELSE 0.0 END)"
+        " + 0.5 * (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / tb)"
+        " * ln((CAST(cb AS DOUBLE) / tb)"
+        " / (((CAST(ca AS DOUBLE) / ta) + (CAST(cb AS DOUBLE) / tb)) / 2.0))"
+        " ELSE 0.0 END)"
+    )
+    return f"""
+    WITH toks0 AS (SELECT {group_col} AS grp,
+                          UNNEST(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS term
+                   FROM {table}
+                   WHERE {group_col} IN ('{group_a}', '{group_b}')),
+    cnt AS (SELECT grp, term, COUNT(*) AS c FROM toks0 WHERE term <> '' GROUP BY 1, 2),
+    top AS (SELECT term FROM (SELECT term, SUM(c) AS tot FROM cnt GROUP BY 1)
+            ORDER BY tot DESC, term LIMIT {int(top_k)}),
+    bucketed AS (SELECT grp,
+                        CASE WHEN t.term IS NULL THEN '__other' ELSE c.term END AS bterm,
+                        CAST(SUM(c.c) AS BIGINT) AS c
+                 FROM cnt c LEFT JOIN top t ON t.term = c.term
+                 GROUP BY 1, 2),
+    tot AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS t FROM bucketed GROUP BY 1),
+    wide AS (SELECT COALESCE(a.bterm, b.bterm) AS bterm,
+                    COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+             FROM (SELECT bterm, c FROM bucketed WHERE grp = '{group_a}') a
+             FULL OUTER JOIN (SELECT bterm, c FROM bucketed WHERE grp = '{group_b}') b
+               ON b.bterm = a.bterm),
+    scal AS (SELECT (SELECT t FROM tot WHERE grp = '{group_a}') AS ta,
+                    (SELECT t FROM tot WHERE grp = '{group_b}') AS tb)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(MAX(ta) AS BIGINT) AS tokens_a,
+           CAST(MAX(tb) AS BIGINT) AS tokens_b,
+           round(SUM({term_sql} ORDER BY bterm), 6) AS jsd
+    FROM wide CROSS JOIN scal
+    """

@@ -1860,3 +1860,21 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.py::readability)."""
     docs = read_table(spark, sf_dir, "documents")
     return ts.readability(docs, "doc_id", "text")
+
+
+@query(
+    "text_js_divergence",
+    driver=False,  # new r11 family (vocabulary drift between sources); full oracle
+    oracle=ts.js_divergence_sql(
+        "documents", "doc_id", "text", "source", "src0", "src1", top_k=256
+    ),
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' unigram
+    distributions over the top-256 combined vocabulary (+ __other
+    bucket) — the bounded symmetric domain-shift measure for corpus
+    slices (operators/textstats.py::js_divergence; Lin 1991)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ts.js_divergence(
+        docs, "doc_id", "text", "source", "src0", "src1", top_k=256
+    )

@@ -234,3 +234,31 @@ def test_readability_hand_computed(spark):
     assert abs(out[1].flesch - want) < 1e-6
     assert (out[2].n_words, out[2].n_sentences, out[2].n_syllables) == (2, 1, 2)
     assert out[3].n_words == 0 and out[3].flesch is None
+
+
+def test_js_divergence_bounds_and_symmetry(spark):
+    """JSD anchors: 0 for identical slices, ln 2 for disjoint
+    vocabularies, symmetric under slice swap, and the __other bucket
+    engages when the vocabulary exceeds top_k."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import (
+        js_divergence,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha", "a"),
+        (2, "alpha beta gamma alpha", "b"),   # identical distribution
+        (3, "delta epsilon zeta", "c"),       # disjoint from a
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    same = js_divergence(df, "doc_id", "text", "source", "a", "b").collect()[0]
+    assert same.jsd == 0.0
+    disj = js_divergence(df, "doc_id", "text", "source", "a", "c").collect()[0]
+    assert abs(disj.jsd - math.log(2)) < 1e-6
+    ab = js_divergence(df, "doc_id", "text", "source", "a", "c").collect()[0].jsd
+    ba = js_divergence(df, "doc_id", "text", "source", "c", "a").collect()[0].jsd
+    assert ab == ba
+    # top_k=2 folds the tail into __other on both sides
+    small = js_divergence(df, "doc_id", "text", "source", "a", "c", top_k=2).collect()[0]
+    assert small.n_terms <= 3 and small.jsd > 0
