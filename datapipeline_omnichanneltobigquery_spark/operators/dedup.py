@@ -153,6 +153,24 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     return shingle_stream(df, id_col, text_col, n).distinct()
 
 
+def _validate_shingles_df(shingles_df: DataFrame) -> DataFrame:
+    """Guard for the ``shingles_df`` fast path: the caller-materialized
+    stream must carry exactly the (id, shingle) columns :func:`shingles`
+    produces.  When it is given, the ``id_col``/``text_col``/``n``
+    arguments of the calling operator are IGNORED — the caller owns the
+    shingling parameters — so a frame with a different shape is the only
+    detectable misuse, and it must fail loudly instead of silently
+    producing wrong pairs."""
+    cols = set(shingles_df.columns)
+    if cols != {"id", "shingle"}:
+        raise ValueError(
+            "shingles_df must have exactly columns ('id', 'shingle') as "
+            f"produced by shingles(); got {sorted(cols)}. Note id_col/"
+            "text_col/n are ignored when shingles_df is provided."
+        )
+    return shingles_df
+
+
 def _shingles_sql(table: str, id_col: str, text_col: str, n: int) -> str:
     """DuckDB twin of :func:`shingles` (as a CTE body)."""
     return f"""
@@ -430,8 +448,12 @@ def minhash_candidate_pairs(
     at least one MinHash band (P(candidate | J=s) = 1-(1-s^r)^b).  Exposed
     separately so callers that already have an exact-similarity table (e.g.
     the merged driver query) can intersect with it instead of re-verifying;
-    ``shingles_df`` shares a caller-materialized (id, shingle) stream.
+    ``shingles_df`` shares a caller-materialized (id, shingle) stream —
+    when given, ``id_col``/``text_col``/``n`` are ignored (the caller owns
+    the shingling parameters) and the frame's schema is validated.
     """
+    if shingles_df is not None:
+        _validate_shingles_df(shingles_df)
     num_bands = num_hashes // rows_per_band
     # The candidate pair list (tiny — bucket-mates only) is eagerly
     # localCheckpoint-ed below, so the whole signature→band→join pipeline
@@ -1495,8 +1517,12 @@ def prefix_jaccard_pairs(
     Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     ``shingles_df`` lets a caller that already materialized the distinct
     (id, shingle) stream (e.g. an eval harness ALSO banding the same
-    corpus) share it instead of paying a second tokenize pass.
+    corpus) share it instead of paying a second tokenize pass — when
+    given, ``id_col``/``text_col``/``n`` are ignored (the caller owns the
+    shingling parameters) and the frame's schema is validated.
     """
+    if shingles_df is not None:
+        _validate_shingles_df(shingles_df)
     sh = shingles(df, id_col, text_col, n) if shingles_df is None else shingles_df
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     # The df-joined stream feeds BOTH the prefix build and the per-doc

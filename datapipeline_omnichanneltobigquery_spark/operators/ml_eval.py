@@ -44,8 +44,11 @@ def roc_auc(
     no negatives has undefined AUC and reports NULL.
 
     Bucket arithmetic note: scores feed ``(s - lo) * AUC_BUCKETS`` — safe
-    while |score span| < 2^58; document scores wider than that should be
-    range-reduced first."""
+    while |score span| < 2^58; a group whose span exceeds that raises at
+    runtime (``raise_error`` in the bucket expression, checked in DOUBLE
+    so a span that wraps bigint is still caught) instead of silently
+    producing non-monotone buckets and a wrong AUC.  Scores wider than
+    2^58 should be range-reduced first."""
     base = df.select(
         F.col(group_col).alias("grp"),
         score.cast("bigint").alias("s"),
@@ -64,7 +67,16 @@ def roc_auc(
     b = (
         d.join(F.broadcast(stats), "grp")
         .withColumn(
-            "__b", F.expr(f"((s - __lo) * {AUC_BUCKETS}) div (__hi - __lo + 1)")
+            "__b",
+            F.expr(
+                # span check in DOUBLE: a span past 2^63 WRAPS in bigint
+                # arithmetic, so the guard itself must not use (s-lo)
+                f"CASE WHEN CAST(__hi AS DOUBLE) - CAST(__lo AS DOUBLE)"
+                f" > {float(1 << 58)} THEN CAST(raise_error("
+                "'roc_auc: score span exceeds 2^58 and would overflow the"
+                " bucket arithmetic; range-reduce scores first') AS BIGINT)"
+                f" ELSE ((s - __lo) * {AUC_BUCKETS}) div (__hi - __lo + 1) END"
+            ),
         )
         .localCheckpoint()
     )

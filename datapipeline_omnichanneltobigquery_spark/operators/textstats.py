@@ -1497,9 +1497,16 @@ def js_divergence(
         .agg(F.sum("c").cast("bigint").alias("c"))
         .localCheckpoint()  # feeds the per-side projections AND totals
     )
-    tot = bucketed.groupBy("grp").agg(F.sum("c").cast("bigint").alias("t"))
-    ta = tot.filter(F.col("grp") == group_a).select(F.col("t").alias("ta"))
-    tb = tot.filter(F.col("grp") == group_b).select(F.col("t").alias("tb"))
+    # Global agg (not groupBy-then-filter): ALWAYS yields exactly one row,
+    # with a NULL sum when the slice is empty — the exact semantics of the
+    # SQL twin's scalar subquery, so the empty-slice boundary is identical
+    # on both engines (n_terms counts the surviving side's terms, jsd NULL).
+    ta = bucketed.filter(F.col("grp") == group_a).agg(
+        F.sum("c").cast("bigint").alias("ta")
+    )
+    tb = bucketed.filter(F.col("grp") == group_b).agg(
+        F.sum("c").cast("bigint").alias("tb")
+    )
     ca = bucketed.filter(F.col("grp") == group_a).select("bterm", F.col("c").alias("ca"))
     cb = bucketed.filter(F.col("grp") == group_b).select("bterm", F.col("c").alias("cb"))
     wide = (
@@ -1524,18 +1531,28 @@ def js_divergence(
         " ELSE 0.0 END)"
     )
     terms = wide.select("bterm", F.expr(term_sql).alias("t"), "ta", "tb")
+    # jsd is NULL (not 0) when either slice contributed zero tokens — the
+    # divergence is undefined, and the CASE guard keeps Spark's ordered
+    # fold (acc + NULL would poison it) identical to the SQL twin.
     return terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         F.max("ta").cast("bigint").alias("tokens_a"),
         F.max("tb").cast("bigint").alias("tokens_b"),
-        F.round(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("bterm", "t"))),
-                F.lit(0.0),
-                lambda acc, s: acc + s["t"],
-            ),
-            6,
-        ).alias("jsd"),
+        F.when(
+            F.max("ta").isNull() | F.max("tb").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("bterm", "t"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["t"],
+                ),
+                6,
+            )
+        )
+        .alias("jsd"),
     )
 
 
@@ -1584,6 +1601,7 @@ def js_divergence_sql(
     SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
            CAST(MAX(ta) AS BIGINT) AS tokens_a,
            CAST(MAX(tb) AS BIGINT) AS tokens_b,
-           round(SUM({term_sql} ORDER BY bterm), 6) AS jsd
+           CASE WHEN MAX(ta) IS NULL OR MAX(tb) IS NULL THEN NULL
+                ELSE round(SUM({term_sql} ORDER BY bterm), 6) END AS jsd
     FROM wide CROSS JOIN scal
     """

@@ -262,3 +262,94 @@ def test_js_divergence_bounds_and_symmetry(spark):
     # top_k=2 folds the tail into __other on both sides
     small = js_divergence(df, "doc_id", "text", "source", "a", "c", top_k=2).collect()[0]
     assert small.n_terms <= 3 and small.jsd > 0
+
+
+def test_js_divergence_empty_slice_boundary(spark):
+    """ADVICE r12: an empty slice must report the SAME row on both
+    engines — n_terms counts the surviving side's terms, the empty
+    side's token total is NULL, and jsd is NULL (undefined divergence),
+    never a silent 0.0."""
+    import duckdb
+    import pandas as pd
+
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import (
+        js_divergence,
+        js_divergence_sql,
+    )
+    from tests.helpers import compare_spark_duckdb
+
+    rows = [
+        (1, "alpha beta gamma alpha", "a"),
+        (2, "delta epsilon", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # slice b does not exist at all
+    got = js_divergence(df, "doc_id", "text", "source", "a", "b").collect()[0]
+    assert got.n_terms > 0 and got.tokens_a == 6
+    assert got.tokens_b is None and got.jsd is None
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    compare_spark_duckdb(
+        js_divergence(df, "doc_id", "text", "source", "a", "b"),
+        con,
+        js_divergence_sql("docs", "doc_id", "text", "source", "a", "b"),
+    )
+    # BOTH slices empty: zero terms, everything NULL, still identical
+    compare_spark_duckdb(
+        js_divergence(df, "doc_id", "text", "source", "x", "y"),
+        con,
+        js_divergence_sql("docs", "doc_id", "text", "source", "x", "y"),
+    )
+    both = js_divergence(df, "doc_id", "text", "source", "x", "y").collect()[0]
+    assert both.n_terms == 0 and both.jsd is None
+
+
+def test_roc_auc_span_overflow_raises(spark):
+    """ADVICE r12: a score span past 2^58 must raise (bucket arithmetic
+    would overflow into non-monotone ids and a silently wrong AUC), and
+    a span that wraps bigint entirely is still caught."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import roc_auc
+
+    rows = [("g", -(1 << 60), True), ("g", 1 << 60, False), ("g", 0, True)]
+    df = spark.createDataFrame(rows, "grp string, s long, y boolean")
+    with pytest.raises(SparkRuntimeException, match="roc_auc: score span"):
+        roc_auc(df, "grp", F.col("y"), F.col("s")).collect()
+    # the guard leaves in-range groups untouched
+    ok = [("g", s, s >= 10) for s in range(20)]
+    okdf = spark.createDataFrame(ok, "grp string, s long, y boolean")
+    assert roc_auc(okdf, "grp", F.col("y"), F.col("s")).collect()[0].auc == 1.0
+
+
+def test_shingles_df_schema_validated(spark):
+    """ADVICE r12: the shingles_df fast path rejects frames that are not
+    the (id, shingle) shape shingles() produces — a mismatched cache must
+    fail loudly, not silently produce wrong pairs."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        prefix_jaccard_pairs,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    bad = docs.selectExpr("doc_id AS id", "text")  # wrong second column
+    with pytest.raises(ValueError, match="shingles_df must have exactly"):
+        minhash_candidate_pairs(docs, "doc_id", "text", shingles_df=bad)
+    with pytest.raises(ValueError, match="shingles_df must have exactly"):
+        prefix_jaccard_pairs(docs, "doc_id", "text", shingles_df=bad)
+    # the well-formed stream still works and matches the internal path
+    sh = shingles(docs, "doc_id", "text", n=2)
+    a = {tuple(r) for r in minhash_candidate_pairs(docs, "doc_id", "text", n=2).collect()}
+    b = {
+        tuple(r)
+        for r in minhash_candidate_pairs(
+            docs, "doc_id", "text", n=2, shingles_df=sh
+        ).collect()
+    }
+    assert a == b

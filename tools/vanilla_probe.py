@@ -37,12 +37,19 @@ def main(argv: list[str]) -> int:
     from tests.helpers import compare_spark_duckdb
 
     args = [a for a in argv if not a.startswith("--")]
-    # a dataset dir is whatever argument IS a directory (ADVICE r11: the
-    # old leading-slash heuristic silently ate relative paths as names)
-    sf = next((a for a in args if os.path.isdir(a)), "/root/testdata/sf0.01")
-    args = [a for a in args if a != sf]
     all_q = {**QUERIES, **EXTRA_QUERIES}
     all_o = {**ORACLES, **EXTRA_ORACLES}
+    # a dataset dir is whatever argument IS a directory AND is not a
+    # registry name (ADVICE r12: a query named like a CWD subdir must not
+    # be silently rerouted as the dataset path; ADVICE r11: the older
+    # leading-slash heuristic silently ate relative paths as names)
+    def _is_dataset_dir(a: str) -> bool:
+        return os.path.isdir(a) and a not in all_q and not any(
+            part in all_q for part in a.split(",")
+        )
+
+    sf = next((a for a in args if _is_dataset_dir(a)), "/root/testdata/sf0.01")
+    args = [a for a in args if a != sf]
     if "--all-extras" in argv:
         names = sorted(k for k in EXTRA_QUERIES if k in EXTRA_ORACLES)
     else:
