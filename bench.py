@@ -51,8 +51,17 @@ def main() -> int:
     # pass is visible in the artifact itself.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "6"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "450"))
+    # A healthy calibration probe on this host runs 0.12-0.2 s; above this
+    # the pass ran under host CPU contention (BENCH_r11's single 414.6 s
+    # pass probed 0.421 s) and its timings are scheduler noise, not code.
+    cal_healthy = float(os.environ.get("SPARK_GRAFT_BENCH_CAL_HEALTHY_SEC", "0.3"))
+    # Rows with floors below this are covered by BASELINE.md's variance
+    # band; rows at or above it are the ones a single contended sample can
+    # make read as a multi-x regression, so they are the retry targets.
+    multisec_floor = 1.5
     start = time.time()
     timings: dict[str, float] = {}
+    samples: dict[str, int] = {}
     pass_meta: list[dict] = []
     passes = 0
     best_pass: float | None = None
@@ -64,6 +73,7 @@ def main() -> int:
             took = round(time.time() - t0, 3)
             prev = timings.get(name, -1.0)
             timings[name] = took if prev < 0 else min(prev, took)
+            samples[name] = samples.get(name, 0) + 1
         except Exception as exc:  # a failing query must not hide the others
             timings.setdefault(name, -1.0)
             print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
@@ -82,7 +92,14 @@ def main() -> int:
             run_query(name)
         dur = time.time() - t_pass
         best_pass = dur if best_pass is None else min(best_pass, dur)
-        pass_meta.append({"kind": "full", "calibration_sec": cal, "pass_sec": round(dur, 3)})
+        pass_meta.append(
+            {
+                "kind": "full",
+                "calibration_sec": cal,
+                "pass_sec": round(dur, 3),
+                "contended": cal > cal_healthy,
+            }
+        )
         passes += 1
 
     # Final partial pass: spend the remaining budget improving per-query
@@ -107,9 +124,49 @@ def main() -> int:
             run_query(name)
             improved += 1
         pass_meta.append(
-            {"kind": "partial", "calibration_sec": cal, "queries_rerun": improved}
+            {
+                "kind": "partial",
+                "calibration_sec": cal,
+                "queries_rerun": improved,
+                "contended": cal > cal_healthy,
+            }
         )
 
+    # Over-budget contention retry (r11 verdict): when pass 1 was the ONLY
+    # full pass AND it ran contended, min-of-passes degenerated to a single
+    # contended sample for every row the partial pass couldn't reach —
+    # exactly the artifact that read as a 4.12x regression in BENCH_r11 and
+    # cost the judge seven live bisects.  Grant ONE deliberately over-budget
+    # retry of the multi-second rows (floor >= 1.5 s) that still have fewer
+    # than 2 samples, so the published ratio is computed from >= 2 samples
+    # of every row the variance band can't clear.  Bounded work: ~the sum
+    # of the multi-second floors (~20-30 s at the current registry).
+    if passes == 1 and pass_meta and pass_meta[0]["contended"]:
+        cal = calibrate()
+        rerun = sorted(
+            (
+                n
+                for n, t in timings.items()
+                if t >= multisec_floor and samples.get(n, 0) < 2
+            ),
+            key=lambda n: timings[n],
+            reverse=True,
+        )
+        for name in rerun:
+            run_query(name)
+        pass_meta.append(
+            {
+                "kind": "retry_multisecond",
+                "calibration_sec": cal,
+                "queries_rerun": len(rerun),
+                "contended": cal > cal_healthy,
+            }
+        )
+
+    # The artifact self-identifies as contended when NO recorded pass ran
+    # with a healthy calibration probe — a judge (or CI) must not read its
+    # minima as achievable floors.
+    contended = bool(pass_meta) and all(m["contended"] for m in pass_meta)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -121,6 +178,7 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "passes": passes,
                 "agg": "min",
+                "contended": contended,
                 "pass_meta": pass_meta,
             }
         )

@@ -1516,7 +1516,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_pii_report",
-    # rotated INTO the gate r10 (never-driver-verified r9 family)
+    driver=False,  # rotated out r12 (green r10+r11; kept anchor text_pii_scrub)
     oracle=pii.pii_report_sql("documents", "doc_id", "text"),
 )
 def text_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1551,7 +1551,7 @@ def text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_containment_pairs",
-    # rotated INTO the gate r10 (never-driver-verified r9 family)
+    driver=False,  # rotated out r12 (green r10+r11; anchors dedup_snm_part_names/dedup_lsh_eval/dedup_keep_best)
     oracle=dd.containment_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.7),
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1568,7 +1568,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_temperature_mix",
-    # rotated INTO the gate r10 (never-driver-verified r9 family)
+    driver=False,  # rotated out r12 (green r10+r11; kept anchor sampling_dsir_weights)
     oracle=sa.temperature_mix_sql("documents", "source", "n_chars", 1_000_000),
 )
 def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1586,7 +1586,7 @@ def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_char_entropy",
-    # rotated INTO the gate r10 (never-driver-verified r9 family)
+    driver=False,  # rotated out r12 (green r10+r11; kept anchors text_bigram_logprob/text_vocab_growth)
     oracle=ts.char_entropy_sql("documents", "doc_id", "text"),
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1804,7 +1804,7 @@ from datapipeline_omnichanneltobigquery_spark.operators import winnow as wn  # n
 
 @query(
     "text_pmi_collocations",
-    driver=False,  # new r11 family (PMI association mining); full oracle
+    # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=ts.pmi_collocations_sql("documents", "doc_id", "text", min_count=5, k=50),
 )
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1818,7 +1818,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_winnow_fingerprints",
-    driver=False,  # new r11 family (winnowing/MOSS fingerprint selection); full oracle
+    # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=wn.winnow_fingerprints_sql("documents", "doc_id", "text", k=3, w=4),
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1833,7 +1833,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_winnow_overlap",
-    driver=False,  # new r11 family (substring-overlap pairs); full oracle
+    # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=wn.winnow_overlap_pairs_sql(
         "documents", "doc_id", "text", k=3, w=4, min_shared=2
     ),
@@ -1850,7 +1850,7 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_readability",
-    driver=False,  # new r11 family (Flesch reading ease); full oracle
+    # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=ts.readability_sql("documents", "doc_id", "text"),
 )
 def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1864,7 +1864,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_js_divergence",
-    driver=False,  # new r11 family (vocabulary drift between sources); full oracle
+    # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=ts.js_divergence_sql(
         "documents", "doc_id", "text", "source", "src0", "src1", top_k=256
     ),

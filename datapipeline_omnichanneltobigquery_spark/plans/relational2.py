@@ -2428,7 +2428,7 @@ def feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_woe_iv",
-    # rotated INTO the gate r10 (never-driver-verified r9 family)
+    driver=False,  # rotated out r12 (green r10+r11; kept anchors feature_correlations/features_lift_table)
     oracle="""
     WITH lab AS (
         SELECT o_orderpriority AS cat,
@@ -2507,7 +2507,7 @@ def events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_l_diversity",
-    # rotated INTO the gate r10 (never-driver-verified r9 family)
+    driver=False,  # rotated out r12 (green r10+r11; kept anchors dq_fd_violations/dq_benford_prices/dq_id_islands)
     oracle=pf.l_diversity_sql(
         "(SELECT o_orderpriority, year(o_orderdate) AS order_yr, o_orderstatus FROM orders)",
         ["o_orderpriority", "order_yr"], "o_orderstatus", 2,
@@ -2526,7 +2526,7 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "er_reciprocal_best",
-    # rotated INTO the gate r10 (never-driver-verified r9 family)
+    driver=False,  # rotated out r12 (green r10+r11; er_fs_weights rotates in as the ER anchor)
     oracle=er.reciprocal_best_sql(_ER_SCORED_PAIRS_SQL),
 )
 def er_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2542,7 +2542,7 @@ def er_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_rate_capped",
-    # rotated INTO the gate r10 (never-driver-verified r9 family)
+    driver=False,  # rotated out r12 (green r10+r11; events family richly anchored (ohlc/twap/cusum/burstiness))
     # daily window / cap 3: hourly buckets never exceed 3 in the synthetic
     # stream, which would make the gate a no-op — daily buckets reach 7-10
     oracle="""
@@ -2568,7 +2568,7 @@ def events_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_debounced",
-    # rotated INTO the gate r10 (never-driver-verified r9 family)
+    driver=False,  # rotated out r12 (green r10+r11; kept anchor events_seasonal_residuals)
     oracle=tsr.debounce_sql(
         "events", "user_id", "ts", "event_id", 86400,
         select_cols="event_id, user_id, event_type",
@@ -3096,7 +3096,7 @@ def features_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_roc_auc",
-    driver=False,  # new r11 family (exact tie-aware AUC); full oracle
+    # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=me.roc_auc_sql(
         "orders",
         "o_orderpriority",
@@ -3139,7 +3139,7 @@ _FS_PAIRS_SQL = """
 
 @query(
     "er_fs_weights",
-    driver=False,  # new r11 family (Fellegi-Sunter weight learning); full oracle
+    # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=er.fs_weights_sql(
         _FS_PAIRS_SQL,
         "is_match",
@@ -3190,7 +3190,7 @@ _UDAY_SQL = """(SELECT event_type,
 
 @query(
     "agg_hll_overlap",
-    driver=False,  # new r11 family (HLL inclusion-exclusion overlap); full oracle
+    # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=pf.hll_overlap_sql(_UDAY_SQL, "event_type", "uday", "purchase", "view"),
 )
 def agg_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3225,7 +3225,7 @@ _KM_SUBJECTS_SQL = """
 
 @query(
     "events_survival_km",
-    driver=False,  # new r11 family (Kaplan-Meier survival); full oracle
+    # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=tsr.km_survival_sql(_KM_SUBJECTS_SQL),
 )
 def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -40,19 +41,26 @@ def _sessionizer(gap_us: int):
         if not chunks:
             return  # no rows for this key: leave state exactly as-is
         whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        whole = whole.sort_values(["ts", "event_id"])
-        out = {k: [] for k in ("event_id", "ts", "session_seq")}
-        for _, row in whole.iterrows():
-            us = int(pd.Timestamp(row["ts"]).value // 1_000)
-            if last_us is None or us - last_us > gap_us:
-                seq += 1
-            last_us = us
-            out["event_id"].append(int(row["event_id"]))
-            out["ts"].append(row["ts"])
-            out["session_seq"].append(int(seq))
-        state.update((int(seq), int(last_us)))
-        res = pd.DataFrame(out)
-        res.insert(0, "user_id", [str(key[0])] * len(res))
+        whole = whole.sort_values(["ts", "event_id"], ignore_index=True)
+        # The gap recurrence has no feedback into the timestamps — the
+        # session starts are just `gap > gap_us` over consecutive sorted
+        # timestamps (plus the state seed at position 0), so the whole
+        # chunk vectorizes as diff-then-cumsum seeded by (seq, last_us);
+        # contrast cusum.py, whose max(0, ·) clamp is genuinely sequential.
+        us = whole["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1_000
+        starts = np.empty(len(us), dtype=bool)
+        starts[0] = last_us is None or (us[0] - last_us) > gap_us
+        starts[1:] = (us[1:] - us[:-1]) > gap_us
+        seqs = seq + np.cumsum(starts)
+        state.update((int(seqs[-1]), int(us[-1])))
+        res = pd.DataFrame(
+            {
+                "user_id": str(key[0]),
+                "event_id": whole["event_id"].astype("int64"),
+                "ts": whole["ts"],
+                "session_seq": seqs.astype("int64"),
+            }
+        )
         yield res
 
     return _run

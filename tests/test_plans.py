@@ -357,3 +357,26 @@ def test_every_gated_aggregate_combines_map_side(spark):
         if final > 0 and partial == 0:
             offenders[name] = (final, partial)
     assert not offenders, offenders
+
+
+def test_coverage_header_counts_match_registry():
+    """The COVERAGE.md current-round header's registry counts are
+    generated facts, not prose — pin them to the live registry so the
+    r11 one-off drift (header said 189/186, registry had 190/187)
+    cannot recur."""
+    import re
+
+    from datapipeline_omnichanneltobigquery_spark.plans.queries import (
+        EXTRA_ORACLES,
+        EXTRA_QUERIES,
+        ORACLES,
+        QUERIES,
+    )
+
+    head = open("/root/repo/COVERAGE.md").read().split("**Round-", 3)[1]
+    m = re.search(r"(\d+) driver-gated entries", "Round-" + head)
+    assert m and int(m.group(1)) == len(QUERIES) == len(ORACLES)
+    m = re.search(r"(\d+) driver=False extras \((\d+)", head)
+    assert m, "header must state the extras counts"
+    assert int(m.group(1)) == len(EXTRA_QUERIES)
+    assert int(m.group(2)) == len(EXTRA_ORACLES)
