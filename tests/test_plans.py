@@ -374,9 +374,9 @@ def test_coverage_header_counts_match_registry():
     )
 
     head = open("/root/repo/COVERAGE.md").read().split("**Round-", 3)[1]
-    m = re.search(r"(\d+) driver-gated entries", "Round-" + head)
+    m = re.search(r"(\d+)\s+driver-gated entries", "Round-" + head)
     assert m and int(m.group(1)) == len(QUERIES) == len(ORACLES)
-    m = re.search(r"(\d+) driver=False extras \((\d+)", head)
+    m = re.search(r"(\d+)\s+driver=False extras \((\d+)", head)
     assert m, "header must state the extras counts"
     assert int(m.group(1)) == len(EXTRA_QUERIES)
     assert int(m.group(2)) == len(EXTRA_ORACLES)
