@@ -86,17 +86,21 @@ def winnow_fingerprints(
     kg = _kgram_hashes(df, id_col, text_col, k).localCheckpoint()
     wd = Window.partitionBy("id").orderBy("idx")
     frame = wd.rowsBetween(0, w - 1)
-    nk = F.count(F.lit(1)).over(Window.partitionBy("id"))
     sel = (
         kg.select(
             "id",
             "idx",
-            nk.alias("n_kg"),
+            # idx is a full-window start iff a (w-1)-ahead row exists;
+            # lead shares the struct-min's (id, idx) window spec, so BOTH
+            # evaluate in ONE WindowExec pass — the r11 form's unordered
+            # whole-partition COUNT window forced a second pass per doc
+            F.lead("idx", w - 1).over(wd).alias("__end"),
             F.min(F.struct(F.col("h"), F.col("idx"))).over(frame).alias("__m"),
         )
         # window starts: 1 .. max(n_kg - w + 1, 1); later starts would be
-        # truncated REPEATS of the final full window's suffix
-        .filter(F.col("idx") <= F.greatest(F.col("n_kg") - F.lit(w - 1), F.lit(1)))
+        # truncated REPEATS of the final full window's suffix (idx == 1
+        # keeps the ONE truncated window of docs with < w k-grams)
+        .filter(F.col("__end").isNotNull() | (F.col("idx") == 1))
         .select(
             F.col("id").alias("doc_id"),
             F.col("__m.idx").alias("pos"),
