@@ -930,3 +930,72 @@ def rate_cap_sql(
     FROM {table}
     QUALIFY in_window_rank <= {int(max_per_window)}
     """
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: str = "ares-v1",
+) -> DataFrame:
+    """Weighted reservoir sample WITHOUT replacement via A-Res
+    (Efraimidis & Spirakis, IPL 2006): each row draws key = u^(1/w) with
+    u uniform in (0, 1]; the sample is the ``n`` LARGEST keys.  The
+    *reservoir* framing is what the streaming face maintains incrementally
+    (streaming/reservoir.py): the key is computed once per item and the
+    top-``n`` set is a mergeable state, so batch and stream agree exactly.
+
+    Where :func:`priority_sample` (w/u priorities) buys the unbiased
+    subset-sum estimator, A-Res buys the inclusion law P(i first) =
+    wᵢ/Σw recursively — the standard choice when the sample must follow
+    the weight distribution (temperature-mixed corpus draws) rather than
+    estimate totals.
+
+    Determinism: u = (md5₆₀(seed:id) + 1) / 2⁶⁰ and the rank key is
+    ln(u)/w — the MONOTONE log form of u^(1/w) (w > 0), so selection
+    needs only ln agreement (pinned by the cross-engine ln battery) and
+    never pow.  Rows with weight <= 0 or NULL draw no key and are
+    excluded (u^(1/w) is undefined there; the paper assumes w > 0).
+
+    Plan (100 TB): keys are map-side expressions; the survivors come from
+    orderBy().limit(n) — TakeOrderedAndProject (per-partition heap +
+    driver merge of n rows per partition), never a global sort.
+
+    Returns (id, weight, res_key) with res_key = round(u^(1/w), 6)
+    (display form; ranking uses the unrounded log key).
+    """
+    u = (
+        md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) + F.lit(1)
+    ).cast("double") / F.lit(_H_SPACE)
+    lk = F.log(u) / F.col(weight_col).cast("double")
+    keyed = df.filter(F.col(weight_col) > 0).select(
+        F.col(id_col),
+        F.col(weight_col).alias("weight"),
+        lk.alias("__lk"),
+    )
+    return (
+        keyed.orderBy(F.col("__lk").desc(), F.col(id_col))
+        .limit(int(n))
+        .select(id_col, "weight", F.round(F.exp(F.col("__lk")), 6).alias("res_key"))
+    )
+
+
+def weighted_reservoir_sql(
+    table: str, id_col: str, weight_col: str, n: int, seed: str = "ares-v1"
+) -> str:
+    """DuckDB twin of :func:`weighted_reservoir` — same hash-uniform, same
+    ln(u)/w rank key, same tie-break, same rounded display key."""
+    h = md5_long_sql(f"'{seed}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+        SELECT {id_col}, {weight_col} AS weight,
+               ln(CAST(({h}) + 1 AS DOUBLE) / {_H_SPACE!r})
+                 / CAST({weight_col} AS DOUBLE) AS lk
+        FROM {table}
+        WHERE {weight_col} > 0)
+    SELECT {id_col}, weight, round(exp(lk), 6) AS res_key
+    FROM keyed
+    ORDER BY lk DESC, {id_col}
+    LIMIT {int(n)}
+    """

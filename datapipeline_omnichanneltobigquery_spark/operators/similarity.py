@@ -1236,3 +1236,208 @@ def semdedup_keep_sql(
     SELECT {id_col} FROM {table}
     WHERE {id_col} NOT IN (SELECT id FROM labeled WHERE id <> cluster_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's PQ half): codebooks, encoding, ADC top-k
+# ---------------------------------------------------------------------------
+
+
+def _sub_explode(m_sub: int, sd: int, vec: Column) -> Column:
+    """array<struct(m, sv)>: the ``m_sub`` contiguous subvectors of a
+    ``m_sub * sd``-dim vector (1-based slices, fixed order)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(mm).alias("m"),
+                F.slice(vec, (mm - 1) * sd + 1, sd).alias("sv"),
+            )
+            for mm in range(1, m_sub + 1)
+        ]
+    )
+
+
+def _d2(a: Column, b: Column, sd: int) -> Column:
+    """Ordered-fold squared L2 distance of two ``sd``-dim double arrays —
+    (x-y) is computed once per term and squared by multiplication (sub,
+    sub, mul: no a*b-c*d shape, so neither engine can FMA-contract)."""
+    terms = [
+        (F.element_at(a, i) - F.element_at(b, i))
+        * (F.element_at(a, i) - F.element_at(b, i))
+        for i in range(1, sd + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _d2_sql(a: str, b: str, sd: int) -> str:
+    """DuckDB twin of :func:`_d2` (same left-to-right term order)."""
+    return (
+        f"list_sum(list_transform(range(1, {sd + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def pq_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Product-quantization ADC batch top-k (Jégou, Douze & Schmid, TPAMI
+    2011 "Product quantization for nearest neighbor search"): encode every
+    corpus vector as ``m_sub`` sub-codebook indices, then answer each query
+    by ASYMMETRIC DISTANCE COMPUTATION — the query's exact subvectors dot
+    the assigned codewords through a per-query lookup table, so the scan
+    touches ``m_sub`` SMALL-INT CODES per vector instead of ``dim`` floats.
+
+    This is the memory-bounded path to 100 TB-scale vector search that
+    plain IVF postings can't reach: the code table is ``m_sub`` bytes-ish
+    per vector (~1-2% of the raw floats at dim=64), it never re-reads the
+    embedding column at query time, and the ADC scan is a broadcast-LUT
+    join + one partial-aggregated fold per (query, vector).  At deployment
+    the codes live beside the IVF cluster partitions (build_ivf_index) so
+    probes prune first and ADC-scan the survivors.
+
+    Determinism (what makes the ANN result hash-checkable, the
+    ivf_topk_sql discipline): codebooks are the subvector slices of the
+    first ``n_codes`` UNIT corpus vectors by id; assignment is argmin
+    ordered-fold squared-L2, ties to the smaller codeword index; the ADC
+    similarity folds the ``m_sub`` LUT contributions in subspace order
+    and rounds to 6; per-query ranking orders by (rounded sim DESC,
+    neighbor id).  kmeans_refine can replace the seed codebooks in
+    production where cross-engine reproducibility isn't required.
+
+    Returns (query_id, neighbor_id, adc_sim), ≤ k rows per query,
+    self-matches excluded.  ``adc_sim`` approximates the cosine (unit
+    corpus vectors; quantization error is what pq_recall measures).
+    """
+    if dim is None:
+        raise ValueError("pq_topk_join needs the static dimension")
+    if dim % m_sub != 0:
+        raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
+    sd = dim // m_sub
+    # unit feeds the codebook seeds AND the encoding stream (the query
+    # side re-normalizes its own tiny batch) — one corpus scan.
+    unit = _unit_df(corpus, id_col, vec_col, dim).localCheckpoint(eager=False)
+    seeds = (
+        unit.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col), F.col("__u"))
+        .withColumn(
+            "j", F.row_number().over(Window.orderBy(F.col(id_col)))
+        )
+    )
+    cb = (
+        seeds.select("j", F.explode(_sub_explode(m_sub, sd, F.col("__u"))).alias("s"))
+        .select(F.col("s.m").alias("m"), "j", F.col("s.sv").alias("cv"))
+        .localCheckpoint()  # consumed by the encoder AND every query LUT
+    )
+    sub = unit.select(
+        F.col(id_col), F.explode(_sub_explode(m_sub, sd, F.col("__u"))).alias("s")
+    ).select(F.col(id_col), F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    enc = (
+        sub.join(F.broadcast(cb), "m")
+        .select(
+            F.col(id_col),
+            "m",
+            "j",
+            _d2(F.col("sv"), F.col("cv"), sd).alias("d2"),
+        )
+        .groupBy(id_col, "m")
+        .agg(F.min_by("j", F.struct(F.col("d2"), F.col("j"))).alias("code"))
+    )
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"), norm_unit(F.col(vec_col), dim).alias("__qu")
+    ).select(
+        "query_id", F.explode(_sub_explode(m_sub, sd, F.col("__qu"))).alias("s")
+    ).select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("qv"))
+    # LUT: |queries| * m_sub * n_codes rows — bounded by the probe-batch
+    # contract (queries are a batch, not the corpus), broadcast like the
+    # query side of cosine_topk_join.
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "j", dot(F.col("qv"), F.col("cv"), sd).alias("contrib")
+    )
+    adc = (
+        enc.join(F.broadcast(lut), (enc.m == lut.m) & (enc.code == lut.j))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), lut.m, "contrib")
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("m", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["contrib"],
+                ),
+                6,
+            ).alias("adc_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pq_topk_join_sql(
+    table: str,
+    query_predicate: str,
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_topk_join` — the DEFINITIONAL form: every
+    (vector, subspace, codeword) squared-L2 scored, argmin by ROW_NUMBER,
+    ADC as an ordered SUM over subspace index; the hash gate proves the
+    broadcast-LUT decomposition exact."""
+    sd = dim // m_sub
+    norm = f"sqrt({_dot_sql('embedding', 'embedding', dim)})"
+    return f"""
+    WITH unit AS (
+        SELECT vec_id,
+               list_transform(range(1, {dim + 1}),
+                              i -> CAST(embedding[i] AS DOUBLE) / {norm}) AS u
+        FROM {table}
+    ),
+    mm AS (SELECT UNNEST(range(1, {m_sub + 1})) AS m),
+    seeds AS (SELECT vec_id, u, ROW_NUMBER() OVER (ORDER BY vec_id) AS j
+              FROM (SELECT * FROM unit ORDER BY vec_id LIMIT {n_codes})),
+    cb AS (SELECT m, j, u[(m - 1) * {sd} + 1 : m * {sd}] AS cv
+           FROM seeds CROSS JOIN mm),
+    sub AS (SELECT vec_id, m, u[(m - 1) * {sd} + 1 : m * {sd}] AS sv
+            FROM unit CROSS JOIN mm),
+    enc AS (SELECT vec_id, m, j AS code FROM (
+                SELECT s.vec_id, s.m, c.j,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                          ORDER BY {_d2_sql("s.sv", "c.cv", sd)}, c.j) AS rn
+                FROM sub s JOIN cb c ON c.m = s.m)
+            WHERE rn = 1),
+    qsub AS (SELECT vec_id AS query_id, m, sv AS qv
+             FROM sub WHERE {query_predicate}),
+    lut AS (SELECT q.query_id, c.m, c.j,
+                   list_sum(list_transform(range(1, {sd + 1}),
+                                           i -> q.qv[i] * c.cv[i])) AS contrib
+            FROM qsub q JOIN cb c ON c.m = q.m),
+    adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+                   round(SUM(l.contrib ORDER BY l.m), 6) AS adc_sim
+            FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.code
+            WHERE e.vec_id <> l.query_id
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_sim DESC, neighbor_id) AS rn
+        FROM adc)
+    WHERE rn <= {k}
+    """

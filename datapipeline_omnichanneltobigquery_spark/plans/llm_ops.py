@@ -376,6 +376,50 @@ def similarity_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ann_pq",
+    driver=False,  # new r12 family (product-quantization ADC search); full oracle
+    oracle=sim.pq_topk_join_sql(
+        "embeddings", "vec_id < 4", k=5, m_sub=8, n_codes=16, dim=EMB_DIM
+    ),
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC batch top-5 (8 subspaces × 16 codewords
+    over the 64-dim embeddings): corpus vectors reduce to 8 codeword ids,
+    queries scan a broadcast lookup table instead of the float column —
+    the memory-bounded complement of the IVF postings family
+    (operators/similarity.py::pq_topk_join; Jégou/Douze/Schmid 2011).
+    Deterministic seed codebooks + ordered folds make the approximate
+    result exactly reproducible, so the values hash-gate."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.pq_topk_join(
+        emb.filter(F.col("vec_id") < 4), emb, k=5, m_sub=8, n_codes=16, dim=EMB_DIM
+    )
+
+
+@query(
+    "similarity_pq_recall",
+    driver=False,  # new r12 family (PQ recall vs exact truth); full oracle
+    oracle=sim.ann_recall_sql(
+        sim.cosine_topk_join_sql("embeddings", "vec_id < 4", k=5, dim=EMB_DIM),
+        sim.pq_topk_join_sql(
+            "embeddings", "vec_id < 4", k=5, m_sub=8, n_codes=16, dim=EMB_DIM
+        ),
+    ),
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ-ADC ranking against exact brute-force cosine,
+    per query — the quantization-error dial (m_sub × n_codes trade bytes
+    per vector for recall), measured the same way the IVF family measures
+    n_probe ([[similarity_ann_recall]]).  Fully deterministic on both
+    sides, so the recall NUMBERS hash-gate, not just the plumbing."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = sim.cosine_topk_join(queries, emb, k=5)
+    approx = sim.pq_topk_join(queries, emb, k=5, m_sub=8, n_codes=16, dim=EMB_DIM)
+    return sim.ann_recall(exact, approx)
+
+
+@query(
     "similarity_quantize_digest",
     driver=False,  # rotated out r9 (green r4-r8 (5 green); family keeps a gated anchor)
     # rotated INTO the gate r4 (never driver-verified before)
@@ -1354,6 +1398,25 @@ def sampling_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit for bit (operators/sampling.py::priority_sample)."""
     return sa.priority_sample(
         read_table(spark, sf_dir, "documents"), "doc_id", "n_chars", k=50
+    )
+
+
+@query(
+    "sampling_weighted_reservoir",
+    driver=False,  # new r12 family (A-Res weighted reservoir); full oracle
+    oracle=sa.weighted_reservoir_sql("documents", "doc_id", "n_chars", n=50),
+)
+def sampling_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Res weighted reservoir (Efraimidis-Spirakis): 50 documents
+    sampled without replacement following the length-weight distribution
+    — md5-uniform u, rank key ln(u)/w (the monotone log form of u^(1/w),
+    no pow), TakeOrderedAndProject survivors.  The STREAMING face
+    maintains the same top-n per key across micro-batches in constant
+    GroupState (streaming/reservoir.py; replay ≡ batch pinned in
+    tests/test_streaming.py)
+    (operators/sampling.py::weighted_reservoir)."""
+    return sa.weighted_reservoir(
+        read_table(spark, sf_dir, "documents"), "doc_id", "n_chars", n=50
     )
 
 

@@ -2014,3 +2014,40 @@ def test_vocab_growth_manual_curve(spark):
     assert [out[i].new_types for i in range(1, 6)] == [3, 1, 0, 0, 1]
     assert [out[i].vocab_size for i in range(1, 6)] == [3, 4, 4, 4, 5]
     assert [out[i].cum_tokens for i in range(1, 6)] == [3, 6, 9, 9, 10]
+
+
+def test_pq_adc_perfect_on_codebook_corpus(spark):
+    """PQ sanity anchors (operators/similarity.py::pq_topk_join): when
+    the corpus is EXACTLY the 16 codebook seed vectors, every subvector
+    encodes to itself (d2 = 0), so ADC similarity equals the exact unit
+    dot and the PQ top-k IS the exact cosine top-k — recall 1.0 for
+    every query.  On the full corpus the quantized ranking degrades
+    gracefully: recall stays positive and bounded."""
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk_join,
+        pq_topk_join,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = cosine_topk_join(queries, seeds, k=5, dim=64)
+    approx = pq_topk_join(queries, seeds, k=5, m_sub=8, n_codes=16, dim=64)
+    rec = {r.query_id: r.recall for r in ann_recall(exact, approx).collect()}
+    assert set(rec) == {0, 1, 2, 3} and all(v == 1.0 for v in rec.values())
+    # ADC == exact cosine (rounded) on the codebook corpus, row by row
+    ex = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id): r.adc_sim for r in approx.collect()}
+    assert set(ap) == set(ex)
+    assert all(abs(ap[k] - round(ex[k], 6)) <= 1e-6 for k in ap)
+    # full-corpus recall: quantization degrades but stays useful
+    full_rec = [
+        r.recall
+        for r in ann_recall(
+            cosine_topk_join(queries, emb, k=5, dim=64),
+            pq_topk_join(queries, emb, k=5, m_sub=8, n_codes=16, dim=64),
+        ).collect()
+    ]
+    assert len(full_rec) == 4 and all(0.0 <= v <= 1.0 for v in full_rec)
+    assert sum(full_rec) > 0.0  # not degenerate

@@ -283,6 +283,13 @@ EXTRA_BROADCAST_REVIEW_ALLOWLIST = {
     # into ann_recall's localCheckpoint job in r8, leaving the candidate
     # probe's (rotated out of the gate r9)
     "similarity_ann_recall": 1,
+    # PQ ADC lookup table: |query batch| × m_sub × n_codes rows (4·8·16 =
+    # 512 here) — bounded by the probe-batch contract times two fixed
+    # constants; broadcasting the LUT IS the ADC plan shape (the code scan
+    # must not shuffle).  The codebook's own broadcast is mechanically
+    # bounded (localCheckpoint leaf) and not counted.
+    "similarity_ann_pq": 1,
+    "similarity_pq_recall": 1,
 }
 
 

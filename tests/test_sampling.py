@@ -372,3 +372,29 @@ def test_rate_cap_floors_pre_1970_buckets(spark, duck):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_weighted_reservoir_contract(spark):
+    """A-Res (Efraimidis-Spirakis) contract: exactly n survivors, keys in
+    (0, 1], non-positive/NULL weights excluded, deterministic under the
+    seed, and the inclusion law favors heavy items (a weight-10000 item
+    beats weight-1 items almost surely at this pool size)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    rows = [(i, 1) for i in range(200)] + [(1000, 10_000), (1001, 0), (1002, -5)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_reservoir(df, "doc_id", "w", n=20).collect()
+    assert len(got) == 20
+    ids = {r.doc_id for r in got}
+    assert 1001 not in ids and 1002 not in ids  # w <= 0 never sampled
+    assert 1000 in ids  # the heavy item wins a slot
+    assert all(0.0 < r.res_key <= 1.0 for r in got)
+    again = {r.doc_id for r in weighted_reservoir(df, "doc_id", "w", n=20).collect()}
+    assert again == ids  # deterministic under the seed
+    other = {
+        r.doc_id
+        for r in weighted_reservoir(df, "doc_id", "w", n=20, seed="ares-v2").collect()
+    }
+    assert other != ids  # the seed actually drives the draw

@@ -947,3 +947,86 @@ def test_streaming_sessionize_matches_batch_on_ordered_replay(spark, tmp_path):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert streamed == batch
     assert max(streamed.values()) > 1  # gap structure exercised, not one session
+
+
+def test_streaming_weighted_reservoir_matches_batch(spark, tmp_path):
+    """streaming/reservoir.py: the per-key A-Res reservoir maintained in
+    GroupState across maxFilesPerTrigger=1 micro-batches converges to
+    EXACTLY the batch weighted_reservoir sample of the full corpus per
+    key — including eviction of batch-1 residents by heavier batch-2
+    arrivals — with Arrow chunks forced tiny."""
+    from datapipeline_omnichanneltobigquery_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+    from datapipeline_omnichanneltobigquery_spark.streaming.reservoir import (
+        streaming_weighted_reservoir,
+    )
+
+    docs = (
+        read_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+    rows = docs.collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "res_src")
+    schema = docs.schema
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(f"{src}/b=0")
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(f"{src}/b=1")
+
+    full = spark.read.parquet(src)
+    sources = [r.source for r in full.select("source").distinct().collect()]
+    batch = {
+        s: [
+            str(r.doc_id)
+            for r in weighted_reservoir(
+                full.filter(F.col("source") == s), "doc_id", "n_chars", n=7
+            ).collect()
+        ]
+        for s in sources
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sdf = streaming_weighted_reservoir(
+            stream, n=7, key_col="source", id_col="doc_id", weight_col="n_chars"
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("t_reservoir")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_res"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = spark.table("t_reservoir").collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # the FINAL snapshot per key (max ver) is the converged reservoir
+    last_ver = {}
+    for r in out:
+        last_ver[r.key] = max(last_ver.get(r.key, 0), r.ver)
+    final = {
+        s: sorted(r.id for r in out if r.key == s and r.ver == last_ver[s])
+        for s in last_ver
+    }
+    assert final == {s: sorted(v) for s, v in batch.items()}
+    # snapshots were emitted per micro-batch (ver advanced past 1)
+    assert max(last_ver.values()) >= 2
+    # eviction across the batch boundary actually happened for some key:
+    # a ver-1 resident absent from the final snapshot
+    evicted = any(
+        {r.id for r in out if r.key == s and r.ver == 1} - set(final[s])
+        for s in last_ver
+        if last_ver[s] >= 2
+    )
+    assert evicted
