@@ -400,3 +400,109 @@ def label_propagation_sql(edges_sql: str, rounds: int = 4) -> str:
         "WITH " + ",\n".join(parts) + f"""
     SELECT node, lbl AS community FROM {prev}"""
     )
+
+
+def adamic_adar(edges: DataFrame, max_degree: int = 64) -> DataFrame:
+    """Adamic-Adar link-prediction scores over an UNDIRECTED graph given
+    as (src, dst) pairs: for every node pair (a, b) sharing at least one
+    common neighbor, score = Σ_w 1/ln(deg_w) over the common neighbors w
+    (Adamic & Adar, Social Networks 2003) — the classic "which links are
+    missing" signal that weighs RARE shared neighbors above hubs, the
+    recommendation/completion face of the graph family (triangles/k-core/
+    PageRank/LPA measure existing structure; this predicts absent edges).
+
+    Returns (node_a, node_b, n_common, score, linked) with node_a <
+    node_b; ``linked`` marks pairs that are ALREADY edges (scored too —
+    callers filter on it for pure link prediction or use it as a
+    strength signal).
+
+    Determinism: each neighbor's contribution is pre-rounded HALF-UP to
+    integer micro-units (floor(1e6/ln(deg) + 0.5) — ln agreement is
+    pinned by the cross-engine ln/exp battery), so the per-pair sum is an
+    exact bigint whatever the shuffle order; ONE final /1e6 division
+    (round 6) produces the float score.
+
+    Scale contract, made EXPLICIT like basket_edges' cap: the wedge join
+    through a common neighbor w emits C(deg_w, 2) pair rows, so hubs
+    explode the shuffle quadratically while contributing the LEAST per
+    pair (1/ln(deg) → 0).  Neighbors with deg_w > ``max_degree`` are
+    therefore EXCLUDED from scoring (a documented approximation, the
+    df-cap discipline of dedup/winnow postings): wedge volume is bounded
+    by Σ_{deg_w ≤ cap} deg_w² ≤ n·cap², and the dropped mass per pair is
+    < k_hubs/ln(cap).  Raise the cap deliberately, never implicitly.
+    Degree-1 nodes can never BE a common neighbor (a wedge needs two
+    neighbors), so they are filtered before the term expression — which
+    also keeps ln(deg) > 0 (ANSI mode would otherwise raise on
+    1e6/ln(1)).  Three shuffles: degree agg, wedge self-join on w, pair
+    agg."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()  # feeds adjacency AND the linked-flag join
+    )
+    adj = und.select(F.col("u").alias("w"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("w"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    scored_nbrs = (
+        deg.filter(
+            (F.col("deg") >= F.lit(2)) & (F.col("deg") <= F.lit(int(max_degree)))
+        )
+        .withColumn(
+            "term_micro",
+            F.expr("CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)"),
+        )
+        .join(adj, "w")
+    )
+    a = scored_nbrs.select("w", "term_micro", F.col("nbr").alias("node_a"))
+    b = scored_nbrs.select("w", F.col("nbr").alias("node_b"))
+    wedges = a.join(b, "w").filter(F.col("node_a") < F.col("node_b"))
+    pairs = wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("term_micro").cast("bigint").alias("score_micro"),
+    )
+    return pairs.join(
+        und.select(F.col("u").alias("node_a"), F.col("v").alias("node_b"), F.lit(True).alias("__e")),
+        ["node_a", "node_b"],
+        "left",
+    ).select(
+        "node_a",
+        "node_b",
+        "n_common",
+        F.round(F.col("score_micro").cast("double") / F.lit(1000000.0), 6).alias("score"),
+        F.coalesce(F.col("__e"), F.lit(False)).alias("linked"),
+    )
+
+
+def adamic_adar_sql(edges_sql: str, max_degree: int = 64) -> str:
+    """DuckDB twin of :func:`adamic_adar` — same canonicalization, degree
+    cap, half-up micro-unit rounding, and single final division."""
+    return f"""
+    WITH und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM ({edges_sql}) WHERE src <> dst),
+    adj AS MATERIALIZED (
+        SELECT u AS w, v AS nbr FROM und
+        UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w),
+    sn AS (
+        SELECT adj.w, adj.nbr,
+               CAST(floor(1000000.0 / ln(CAST(deg.deg AS DOUBLE)) + 0.5) AS BIGINT)
+                 AS term_micro
+        FROM adj JOIN deg ON deg.w = adj.w
+        WHERE deg.deg BETWEEN 2 AND {int(max_degree)}),
+    pairs AS (
+        SELECT a.nbr AS node_a, b.nbr AS node_b,
+               COUNT(*) AS n_common,
+               CAST(SUM(a.term_micro) AS BIGINT) AS score_micro
+        FROM sn a JOIN sn b ON a.w = b.w AND a.nbr < b.nbr
+        GROUP BY 1, 2)
+    SELECT p.node_a, p.node_b, p.n_common,
+           round(CAST(p.score_micro AS DOUBLE) / 1000000.0, 6) AS score,
+           COALESCE(e.u IS NOT NULL, FALSE) AS linked
+    FROM pairs p
+    LEFT JOIN und e ON e.u = p.node_a AND e.v = p.node_b
+    """

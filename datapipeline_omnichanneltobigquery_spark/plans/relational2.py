@@ -1747,6 +1747,67 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPEAT_COPURCHASE_EDGES_SQL = """
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+@query(
+    "graph_adamic_adar",
+    driver=False,  # NEW r12: link-prediction face of the graph family (r13 rotation queue)
+    oracle=f"""
+    WITH aa AS ({gr.adamic_adar_sql(_REPEAT_COPURCHASE_EDGES_SQL, max_degree=64)})
+    SELECT node_a AS part_a, node_b AS part_b, n_common, score, linked
+    FROM aa
+    ORDER BY score DESC, node_a, node_b
+    LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the REPEAT co-purchase graph
+    (part pairs sharing >= 2 baskets — the weight threshold is the
+    sparsifier: the raw co-purchase graph is near-regular at median
+    degree ~119 where a degree cap would discard arbitrary mass, while
+    single co-occurrence is noise in basket data): the 20 part pairs
+    with the strongest rare-shared-neighbor signal — which missing
+    basket links the structure most implies (Adamic & Adar 2003;
+    operators/graph.py::adamic_adar).  The deg-64 cap stays as the
+    explicit hub guard; integer micro-unit sums make the scores
+    hash-exact; deterministic (score desc, a, b) top-20 via
+    TakeOrderedAndProject."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= 2)
+        .select("src", "dst")
+    )
+    aa = gr.adamic_adar(edges, max_degree=64)
+    return (
+        aa.select(
+            F.col("node_a").alias("part_a"),
+            F.col("node_b").alias("part_b"),
+            "n_common",
+            "score",
+            "linked",
+        )
+        .orderBy(F.col("score").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 @query(
     "robust_winsorized_prices",
     driver=False,  # winsorization face of the gated window/agg robust-stats family (r7)

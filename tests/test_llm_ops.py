@@ -2051,3 +2051,53 @@ def test_pq_adc_perfect_on_codebook_corpus(spark):
     ]
     assert len(full_rec) == 4 and all(0.0 <= v <= 1.0 for v in full_rec)
     assert sum(full_rec) > 0.0  # not degenerate
+
+
+def test_adamic_adar_known_graph(spark):
+    """Path a—w—b plus hub h connected to everything: (a, b)'s common
+    neighbors are w (deg 3: a, b, h) and h (deg 4: a, b, w, x) —
+    score = 1/ln(3) + 1/ln(4), computed as the SAME half-up micro-unit
+    sum the engine uses; a—w is an existing edge and must carry
+    linked=True; degree-1 x never appears as a common neighbor."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 99), (2, 99), (10, 99), (99, 3)],
+        ["src", "dst"],
+    )  # a=1, b=2, w=10, h=99, x=3
+    rows = {(r.node_a, r.node_b): r for r in adamic_adar(edges).collect()}
+    expected = (
+        math.floor(1_000_000.0 / math.log(3.0) + 0.5)
+        + math.floor(1_000_000.0 / math.log(4.0) + 0.5)
+    ) / 1_000_000.0
+    ab = rows[(1, 2)]
+    assert ab.n_common == 2 and not ab.linked
+    assert ab.score == round(expected, 6)
+    aw = rows[(1, 10)]  # common neighbor h=99 only; existing edge
+    assert aw.linked and aw.n_common == 1
+    # degree-1 x=3 appears as a pair ENDPOINT (through common neighbor
+    # h) but never as a common neighbor: every pair involving 3 has h's
+    # single term, and no pair's score includes a 1/ln(1) contribution
+    x_pairs = {p: r for p, r in rows.items() if 3 in p}
+    assert set(x_pairs) == {(1, 3), (2, 3), (3, 10)}
+    assert all(r.n_common == 1 and not r.linked for r in x_pairs.values())
+
+
+def test_adamic_adar_hub_cap_drops_only_hub_terms(spark):
+    """max_degree excludes the hub AS A COMMON NEIGHBOR but keeps pairs
+    whose other common neighbors survive: with cap=3 the h term (deg 4)
+    vanishes, so (a, b) scores 1/ln(3) alone."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 99), (2, 99), (10, 99), (99, 3)],
+        ["src", "dst"],
+    )
+    rows = {(r.node_a, r.node_b): r for r in adamic_adar(edges, max_degree=3).collect()}
+    ab = rows[(1, 2)]
+    assert ab.n_common == 1
+    assert ab.score == round(math.floor(1_000_000.0 / math.log(3.0) + 0.5) / 1e6, 6)
