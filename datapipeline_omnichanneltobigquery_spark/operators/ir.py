@@ -593,3 +593,214 @@ def trigram_search_sql(table: str, id_col: str, text_col: str, pattern: str) -> 
     FROM {table}
     WHERE strpos(lower({text_col}), '{pat}') > 0
     """
+
+
+def _dcg_weights_micro(k: int) -> dict[int, int]:
+    """Position weights 1/log2(rank+1) for ranks 1..k, pre-rounded
+    HALF-UP to integer micro-units ON THE DRIVER (python floats) and
+    injected into BOTH engines as literals — k is a small constant, so
+    the whole discount table is compile-time data and the engines never
+    evaluate log2 at all (no cross-engine transcendental surface)."""
+    import math
+
+    return {r: math.floor(1_000_000.0 / math.log2(r + 1) + 0.5) for r in range(1, k + 1)}
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    rels: DataFrame,
+    k: int = 10,
+    rel_threshold: int = 1,
+) -> DataFrame:
+    """Ranking-quality metrics per query — the retrieval family's EVAL
+    gate, the measurement face beside the rankers (BM25/cosine/RRF), the
+    same discipline as dedup_lsh_eval / similarity_*_recall: a ranker
+    without a scored metric is not a deliverable.
+
+    Inputs: ``ranked`` = (query_id, id, rank) with rank 1..k per query
+    (bounded top-k lists from any ranker — never a corpus scan);
+    ``rels`` = (query_id, id, rel) graded integer relevance >= 1 (zero /
+    absent rows mean irrelevant).
+
+    Returns (query_id, n_rel, hits_at_k, dcg_micro, ndcg, mrr):
+    NDCG@k with gains 2^rel - 1 and the standard log2 position discount
+    (Järvelin & Kekäläinen, TOIS 2002), MRR over ranks whose rel >=
+    ``rel_threshold``, hit count in the top k, and the raw DCG numerator.
+
+    Determinism: gains are exact ints, position discounts come
+    pre-rounded to micro-units from :func:`_dcg_weights_micro`, so DCG
+    and ideal-DCG are exact BIGINT sums whatever the shuffle order;
+    ndcg = round(dcg/idcg, 6) and mrr = round(1/first_rank, 6) are the
+    only float divisions.  A query with no relevant docs anywhere has
+    idcg = 0 and reports NULL ndcg (undefined, surfaced — never 0
+    disguised as "bad").
+
+    Scale: all per-query frames are <= k rows after the ranked join;
+    the ideal ordering ranks only each query's TOP-k relevance rows via
+    one window over (rel desc, id) — per-query partitions, and the rels
+    stream is first cut to k rows per query by the same window, so no
+    reducer ever sorts more than one query's relevance list."""
+    from pyspark.sql import Window
+
+    w = _dcg_weights_micro(k)
+    wmap = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
+    gain = lambda c: (F.pow(F.lit(2.0), F.col(c).cast("double")).cast("bigint") - 1)  # noqa: E731
+
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .join(rels, ["query_id", "id"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+    )
+    dcg = hits.groupBy("query_id").agg(
+        F.sum(gain("rel") * wmap[F.col("rank")]).cast("bigint").alias("dcg_micro"),
+        F.sum((F.col("rel") >= rel_threshold).cast("int")).cast("bigint").alias("hits_at_k"),
+        F.min(F.when(F.col("rel") >= rel_threshold, F.col("rank"))).alias("__first"),
+    )
+    iw = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("id"))
+    ideal = (
+        rels.filter(F.col("rel") >= 1)
+        .withColumn("__ir", F.row_number().over(iw))
+        .filter(F.col("__ir") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(gain("rel") * wmap[F.col("__ir")]).cast("bigint").alias("idcg_micro"),
+        )
+    )
+    n_rel = rels.filter(F.col("rel") >= 1).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    return (
+        dcg.join(ideal, "query_id", "left")
+        .join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint").alias("n_rel"),
+            "hits_at_k",
+            "dcg_micro",
+            F.when(
+                F.col("idcg_micro").isNotNull() & (F.col("idcg_micro") > 0),
+                F.round(
+                    F.col("dcg_micro").cast("double") / F.col("idcg_micro").cast("double"), 6
+                ),
+            ).alias("ndcg"),
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("__first").cast("double"), 6), F.lit(0.0)
+            ).alias("mrr"),
+        )
+    )
+
+
+def ranking_metrics_sql(
+    ranked_sql: str, rels_sql: str, k: int = 10, rel_threshold: int = 1
+) -> str:
+    """DuckDB twin of :func:`ranking_metrics` — identical injected
+    micro-unit discount table, gains, windows, and final divisions."""
+    w = _dcg_weights_micro(k)
+    wcase = "CASE " + " ".join(f"WHEN {r} THEN CAST({m} AS BIGINT)" for r, m in w.items()) + " END"
+    return f"""
+    WITH ranked AS ({ranked_sql}),
+    rels AS ({rels_sql}),
+    hits AS (
+        SELECT r.query_id, r.id, r.rank, COALESCE(e.rel, 0) AS rel
+        FROM ranked r LEFT JOIN rels e
+          ON e.query_id = r.query_id AND e.id = r.id
+        WHERE r.rank <= {k}),
+    dcg AS (
+        SELECT query_id,
+               CAST(SUM((CAST(pow(2.0, CAST(rel AS DOUBLE)) AS BIGINT) - 1)
+                        * (CASE rank {wcase.replace('CASE ', '', 1)})) AS BIGINT)
+                 AS dcg_micro,
+               CAST(SUM(CASE WHEN rel >= {rel_threshold} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hits_at_k,
+               MIN(CASE WHEN rel >= {rel_threshold} THEN rank END) AS first_hit
+        FROM hits GROUP BY query_id),
+    ideal AS (
+        SELECT query_id,
+               CAST(SUM((CAST(pow(2.0, CAST(rel AS DOUBLE)) AS BIGINT) - 1)
+                        * (CASE ir {wcase.replace('CASE ', '', 1)})) AS BIGINT)
+                 AS idcg_micro
+        FROM (SELECT query_id, rel,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC, id) AS ir
+              FROM rels WHERE rel >= 1)
+        WHERE ir <= {k} GROUP BY query_id),
+    nrel AS (
+        SELECT query_id, COUNT(*) AS n_rel FROM rels WHERE rel >= 1 GROUP BY query_id)
+    SELECT d.query_id,
+           CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+           d.hits_at_k, d.dcg_micro,
+           CASE WHEN i.idcg_micro > 0
+                THEN round(CAST(d.dcg_micro AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE), 6)
+           END AS ndcg,
+           COALESCE(round(1.0 / CAST(d.first_hit AS DOUBLE), 6), 0.0) AS mrr
+    FROM dcg d LEFT JOIN ideal i ON i.query_id = d.query_id
+    LEFT JOIN nrel n ON n.query_id = d.query_id
+    """
+
+
+def bm25_scores_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, list[str]],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 for a BATCH of queries over ONE shared token stream —
+    (query_id, id, n_hits, score).  Per-term BM25 weights w(term, doc)
+    are query-independent (idf is the term's df; the kernel is tf/dl),
+    so the corpus-side work (tokenize, doc lengths, query-term postings,
+    document frequencies) runs ONCE for the union of all query terms and
+    each query just sums ITS terms' weights — q bm25_scores calls would
+    re-scan and re-tokenize the corpus q times for identical postings.
+    Scores are bit-identical to per-query :func:`bm25_scores` (same
+    ordered (term, w) fold).
+
+    Scale: the only corpus-sized frames are the shared scans; everything
+    keyed by (query_id, id) is bounded by matching postings × the number
+    of queries a term appears in (the query map broadcasts)."""
+    spark = df.sparkSession
+    tok = _tokens(df, id_col, text_col)
+    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    q = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    tf_q = (
+        tok.join(F.broadcast(q), "term")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    hits = tf_q.join(F.broadcast(dfreq), "term").join(dl, "id").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    kernel = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = hits.select("id", "term", (idf * kernel).alias("w"))
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in sorted(set(ts))],
+        "query_id string, term string",
+    )
+    return (
+        per_term.join(F.broadcast(qmap), "term")
+        .groupBy("query_id", "id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "w"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["w"],
+                ),
+                6,
+            ).alias("score"),
+        )
+    )

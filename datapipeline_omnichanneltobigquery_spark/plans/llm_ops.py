@@ -1060,6 +1060,86 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ir.rrf_fuse([bmr, csr], "id")
 
 
+_NDCG_QUERIES = {
+    "q_vec": ["vector", "stream"],
+    "q_join": ["join", "hash", "merge"],
+    "q_win": ["window", "sort"],
+}
+_NDCG_K = 10
+
+
+def _ndcg_ranked_sql() -> str:
+    per_q = []
+    for qid, terms in sorted(_NDCG_QUERIES.items()):
+        per_q.append(f"""
+        SELECT * FROM (
+            SELECT '{qid}' AS query_id, id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank
+            FROM ({ir.bm25_scores_sql("documents", "doc_id", "text", terms)})
+            ORDER BY score DESC, id LIMIT {_NDCG_K})""")
+    return " UNION ALL ".join(per_q)
+
+
+def _ndcg_rels_sql() -> str:
+    qrows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in sorted(_NDCG_QUERIES.items())
+        for t in sorted(terms)
+    )
+    return f"""
+    WITH {ir._tokens_sql("documents", "doc_id", "text")},
+    q(query_id, term) AS (VALUES {qrows})
+    SELECT q.query_id, tok.id, COUNT(DISTINCT tok.term) AS rel
+    FROM tok JOIN q ON q.term = tok.term
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "retrieval_ndcg",
+    driver=False,  # NEW r12: eval gate of the retrieval family (r13 rotation queue)
+    oracle=ir.ranking_metrics_sql(_ndcg_ranked_sql(), _ndcg_rels_sql(), k=_NDCG_K),
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 / MRR / hit-rate of the BM25 ranker over three fixed
+    term-bag queries, against graded relevance = number of distinct
+    query terms a document contains — the retrieval family's measurement
+    gate (Järvelin & Kekäläinen TOIS 2002; the dedup_lsh_eval /
+    pq_recall discipline: a ranker without a scored metric is not a
+    deliverable).  Gains and position discounts are exact integer
+    micro-units (the discount table is injected compile-time data), so
+    every metric hash-matches; per-query ranked lists are bounded top-10
+    (TakeOrderedAndProject), and relevance labels come from ONE
+    token-stream pass shared across all queries
+    (operators/ir.py::ranking_metrics)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    # ONE shared token/posting pass for all three queries (the oracle
+    # stays three definitional per-query BM25s — hash equality proves
+    # the shared-stream decomposition exact)
+    bm = ir.bm25_scores_multi(docs, "doc_id", "text", _NDCG_QUERIES)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id"))
+    ranked = (
+        bm.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NDCG_K)
+        .select("query_id", "id", "rank")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(_NDCG_QUERIES.items()) for t in sorted(terms)],
+        "query_id string, term string",
+    )
+    rels = (
+        ir._tokens(docs, "doc_id", "text")
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "id", "term")
+        .distinct()
+        .groupBy("query_id", "id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    return ir.ranking_metrics(ranked, rels, k=_NDCG_K)
+
+
 @query(
     "text_bm25_scores",
     driver=False,  # rotated out r9 (green r3-r8 (6 green); family keeps a gated anchor)

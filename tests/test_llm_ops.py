@@ -2101,3 +2101,33 @@ def test_adamic_adar_hub_cap_drops_only_hub_terms(spark):
     ab = rows[(1, 2)]
     assert ab.n_common == 1
     assert ab.score == round(math.floor(1_000_000.0 / math.log(3.0) + 0.5) / 1e6, 6)
+
+
+def test_ranking_metrics_hand_case(spark):
+    """Hand-computed NDCG@3/MRR: query A ranks an irrelevant doc first,
+    misses the best doc (rel 3, unranked) entirely; query B has NO
+    relevant docs anywhere and must report NULL ndcg (undefined), not 0."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ir import (
+        _dcg_weights_micro,
+        ranking_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [("A", "d1", 1), ("A", "d2", 2), ("A", "d3", 3), ("B", "d9", 1)],
+        "query_id string, id string, rank int",
+    )
+    rels = spark.createDataFrame(
+        [("A", "d2", 2), ("A", "d3", 1), ("A", "d4", 3)],
+        "query_id string, id string, rel int",
+    )
+    out = {r.query_id: r for r in ranking_metrics(ranked, rels, k=3).collect()}
+    w = _dcg_weights_micro(3)
+    dcg = 3 * w[2] + 1 * w[3]            # d2 (gain 3) at rank 2, d3 (gain 1) at rank 3
+    idcg = 7 * w[1] + 3 * w[2] + 1 * w[3]  # ideal: d4, d2, d3
+    a = out["A"]
+    assert (a.n_rel, a.hits_at_k, a.dcg_micro) == (3, 2, dcg)
+    assert abs(a.ndcg - dcg / idcg) < 1e-6
+    assert a.mrr == 0.5
+    b = out["B"]
+    assert (b.n_rel, b.hits_at_k, b.dcg_micro, b.mrr) == (0, 0, 0, 0.0)
+    assert b.ndcg is None
