@@ -156,3 +156,156 @@ def roc_auc_sql(table: str, group_col: str, label_sql: str, score_sql: str) -> s
            END AS auc
     FROM c GROUP BY 1
     """
+
+
+def conformal_intervals(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    y: Column,
+    alpha_bps: int = 1000,
+    seed: str = "conformal-v1",
+) -> DataFrame:
+    """Split-conformal prediction intervals per group (Vovk et al.;
+    Papadopoulos et al. ECML 2002; Lei et al. JASA 2018) — the
+    distribution-free uncertainty gate beside the point metrics
+    (roc_auc / lift / calibration): does "the interval covers with
+    probability >= 1-α" actually hold on held-out data?
+
+    Rows split calibration/test by md5(seed:id) parity (the engine's
+    deterministic-split contract — membership never changes as data
+    grows); the point predictor is the per-group CALIBRATION mean, the
+    nonconformity score |y - mean|, and q̂ the k-th smallest calibration
+    score with k = ⌈(n_cal+1)·(1-α)⌉ — computed in pure INTEGER basis
+    points ( ((n+1)·(10000-α_bps) + 9999) div 10000 ), because
+    ceil((n+1)*0.9) in floats straddles engines at exact multiples.
+
+    Exactness: ``y`` must be integer-valued (cents/micro-units).  All
+    nonconformity comparisons run n_cal-SCALED — |y·n_cal - sum_cal| —
+    so means never materialize as floats; y·n_cal must fit bigint
+    (|y| < 2^63 / n_cal, documented like roc_auc's span bound).  The two
+    output floats (qhat in y units, empirical coverage) are single
+    rounded divisions.
+
+    Scale: one partial+final agg per split; q̂ selection runs over the
+    DISTINCT (group, score) table (the roc_auc discipline — the window
+    prefix sees one row per distinct score, never a per-row sort of the
+    calibration split).  A group whose k exceeds n_cal (calibration too
+    small for the requested α) reports NULL qhat/coverage — surfaced,
+    never silently clamped."""
+    from pyspark.sql import Window
+
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).cast("string").alias("id"),
+        y.cast("bigint").alias("y"),
+    ).withColumn(
+        "is_cal",
+        md5_long(F.concat(F.lit(f"{seed}:"), F.col("id"))) % 10000 < 5000,
+    )
+    cal_stats = (
+        base.filter("is_cal")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+            F.sum("y").cast("bigint").alias("sum_cal"),
+        )
+    )
+    scored = base.join(F.broadcast(cal_stats), "grp").withColumn(
+        "r", F.abs(F.col("y") * F.col("n_cal") - F.col("sum_cal"))
+    )
+    k = F.expr(f"((n_cal + 1) * (10000 - {int(alpha_bps)}) + 9999) div 10000")
+    dist = (
+        scored.filter("is_cal")
+        .groupBy("grp", "n_cal", "r")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("grp").orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    qhat = (
+        dist.withColumn("cum", F.sum("c").over(wp))
+        .withColumn("__k", k)
+        .filter(F.col("cum") >= F.col("__k"))
+        .groupBy("grp")
+        .agg(F.min("r").alias("q_scaled"))
+    )
+    test = (
+        scored.filter(~F.col("is_cal"))
+        .join(F.broadcast(qhat), "grp", "left")
+        .groupBy("grp", "n_cal")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.max("q_scaled").alias("q_scaled"),  # constant per grp (NULL if k > n_cal)
+            F.sum(
+                F.when(
+                    F.col("q_scaled").isNotNull(),
+                    (F.col("r") <= F.col("q_scaled")).cast("int"),
+                )
+            ).cast("bigint").alias("covered"),
+        )
+    )
+    return test.select(
+        F.col("grp").alias(group_col),
+        "n_cal",
+        "n_test",
+        F.round(
+            F.col("q_scaled").cast("double") / F.col("n_cal").cast("double"), 6
+        ).alias("qhat"),
+        F.round(
+            F.col("covered").cast("double") / F.col("n_test").cast("double"), 6
+        ).alias("coverage"),
+    )
+
+def conformal_intervals_sql(
+    table: str,
+    group_col: str,
+    id_col: str,
+    y_sql: str,
+    alpha_bps: int = 1000,
+    seed: str = "conformal-v1",
+) -> str:
+    """DuckDB twin of :func:`conformal_intervals` — identical md5 split,
+    integer-bps k, scaled nonconformity, and final divisions."""
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long_sql
+
+    bucket = md5_long_sql(f"'{seed}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH base AS (
+        SELECT {group_col} AS grp,
+               CAST({y_sql} AS BIGINT) AS y,
+               ({bucket}) % 10000 < 5000 AS is_cal
+        FROM {table}),
+    cal AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cal,
+               CAST(SUM(y) AS BIGINT) AS sum_cal
+        FROM base WHERE is_cal GROUP BY grp),
+    scored AS (
+        SELECT b.grp, b.is_cal, c.n_cal,
+               abs(b.y * c.n_cal - c.sum_cal) AS r
+        FROM base b JOIN cal c ON c.grp = b.grp),
+    dist AS (
+        SELECT grp, n_cal, r, COUNT(*) AS c
+        FROM scored WHERE is_cal GROUP BY 1, 2, 3),
+    qh AS (
+        SELECT grp, MIN(r) AS q_scaled
+        FROM (SELECT grp, r,
+                     SUM(c) OVER (PARTITION BY grp ORDER BY r
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     ((n_cal + 1) * (10000 - {int(alpha_bps)}) + 9999) // 10000 AS k
+              FROM dist)
+        WHERE cum >= k GROUP BY grp),
+    test AS (
+        SELECT s.grp, s.n_cal,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               MAX(q.q_scaled) AS q_scaled,
+               CAST(SUM(CASE WHEN q.q_scaled IS NOT NULL
+                             THEN CASE WHEN s.r <= q.q_scaled THEN 1 ELSE 0 END
+                        END) AS BIGINT) AS covered
+        FROM scored s LEFT JOIN qh q ON q.grp = s.grp
+        WHERE NOT s.is_cal GROUP BY 1, 2)
+    SELECT grp AS {group_col}, n_cal, n_test,
+           round(CAST(q_scaled AS DOUBLE) / CAST(n_cal AS DOUBLE), 6) AS qhat,
+           round(CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
+    FROM test
+    """

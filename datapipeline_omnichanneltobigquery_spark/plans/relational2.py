@@ -3181,6 +3181,36 @@ def features_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "calibration_conformal_intervals",
+    driver=False,  # NEW r12: uncertainty face of the ML-eval family (r13 rotation queue)
+    oracle=me.conformal_intervals_sql(
+        "orders",
+        "o_orderpriority",
+        "o_orderkey",
+        "CAST(o_totalprice AS DECIMAL(18,2)) * 100",
+    ),
+)
+def calibration_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for order value per priority
+    class: md5-split calibration/test, per-class calibration-mean
+    predictor, q̂ = ⌈(n+1)(1-α)⌉-th smallest |y - mean| (integer basis
+    points — no float ceil), and the empirical held-out coverage the
+    1-α guarantee promises — the distribution-free uncertainty gate
+    beside roc_auc/lift/isotonic (Papadopoulos et al. ECML 2002, Lei et
+    al. JASA 2018; operators/ml_eval.py::conformal_intervals).  All
+    comparisons run n_cal-scaled in exact bigints; q̂ selection prefixes
+    the DISTINCT score table (the roc_auc discipline); two rounded
+    divisions at the end."""
+    orders = read_table(spark, sf_dir, "orders")
+    return me.conformal_intervals(
+        orders,
+        "o_orderpriority",
+        "o_orderkey",
+        (money(F.col("o_totalprice")) * 100).cast("bigint"),
+    )
+
+
 _FS_PAIRS_SQL = """
     WITH p AS (SELECT p_partkey AS pk, trim(lower(p_name)) AS name,
                       p_brand AS brand, p_type AS typ, p_size AS sz,

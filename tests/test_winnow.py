@@ -353,3 +353,59 @@ def test_shingles_df_schema_validated(spark):
         ).collect()
     }
     assert a == b
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-1000, 1000)),  # (group, y)
+        min_size=8,
+        max_size=60,
+    )
+)
+def test_conformal_matches_bruteforce(spark, rows):
+    """conformal_intervals equals a literal python re-derivation: same
+    md5 parity split, integer-bps k, k-th order statistic of the scaled
+    nonconformity, and held-out coverage — including the NULL-q̂ case
+    when k exceeds n_cal."""
+    import hashlib
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        conformal_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [(g, i, y) for i, (g, y) in enumerate(rows)], "grp int, id long, y long"
+    )
+    got = {
+        r.grp: (r.n_cal, r.n_test, r.qhat, r.coverage)
+        for r in conformal_intervals(df, "grp", "id", F.col("y")).collect()
+    }
+
+    def bucket(i):
+        h = hashlib.md5(f"conformal-v1:{i}".encode()).hexdigest()
+        return int(h[:15], 16) % 10000
+
+    for g in {g for g, _ in rows}:
+        pts = [(i, y) for i, (gg, y) in enumerate(rows) if gg == g]
+        cal = [y for i, y in pts if bucket(i) < 5000]
+        test = [y for i, y in pts if bucket(i) >= 5000]
+        if not cal:
+            assert g not in got  # no calibration stats -> group dropped
+            continue
+        if not test:
+            assert g not in got  # nothing held out -> no coverage row
+            continue
+        n, s = len(cal), sum(cal)
+        k = ((n + 1) * 9000 + 9999) // 10000
+        rs = sorted(abs(y * n - s) for y in cal)
+        n_cal, n_test, qhat, cov = got[g]
+        assert (n_cal, n_test) == (n, len(test))
+        if k > n:
+            assert qhat is None and cov is None
+        else:
+            q = rs[k - 1]
+            assert qhat is not None and abs(qhat - q / n) < 1e-6
+            covered = sum(1 for y in test if abs(y * n - s) <= q)
+            assert abs(cov - covered / len(test)) < 1e-6
