@@ -1252,3 +1252,161 @@ def km_survival_sql(subjects_sql: str) -> str:
                  END, 6) AS survival
     FROM base
     """
+
+
+def theilsen_mk(
+    df: DataFrame, group_col: str, t_col: str, y_col: str
+) -> DataFrame:
+    """Theil-Sen robust slope + Mann-Kendall trend test per group over a
+    pre-aggregated integer series — the OUTLIER-IMMUNE counterpart of
+    [[events_trend_ols]]'s least squares (one wild day moves an OLS
+    slope arbitrarily; the pairwise-slope median has a 29.3% breakdown
+    point — Theil 1950, Sen JASA 1968; the MK S-statistic with the
+    tie-corrected normal approximation — Mann 1945, Kendall 1975).
+
+    Input: (group, t, y) with INTEGER t (e.g. epoch days) and INTEGER y
+    (micro-unit daily aggregates), one row per (group, t).  Returns
+    (group, n_points, slope_ts, s_stat, var18, z_mk).
+
+    Determinism: every pairwise slope is ONE IEEE division of two
+    bigints (identical across engines); the median picks the
+    ⌈m/2⌉-th / (m div 2 + 1)-th order statistics by VALUE and averages
+    them (one fixed two-operand float op — equal values when m is odd).
+    S and the tie-corrected 18·Var(S) numerator are exact bigints; z is
+    one sqrt + one division, NULL when Var = 0 (a constant series has no
+    testable trend — surfaced, never 0 disguised as "no trend").
+
+    Scale contract: pairs are C(n_points, 2) per group — the operator
+    REQUIRES the caller to pre-aggregate to a bounded horizon (daily
+    sums over two years = ≤ 731 points → ≤ 267k pairs per group; raw
+    events would explode quadratically).  The pair join and both
+    windows shuffle on the group key only; the median window sorts
+    pair rows per group — bounded by the same contract."""
+    g, t, y = group_col, t_col, y_col
+    a = df.select(F.col(g).alias("__g"), F.col(t).alias("ti"), F.col(y).alias("yi"))
+    b = df.select(F.col(g).alias("__g"), F.col(t).alias("tj"), F.col(y).alias("yj"))
+    pairs = (
+        a.join(b, "__g")
+        .filter(F.col("ti") < F.col("tj"))
+        .select(
+            "__g",
+            "ti",
+            "tj",
+            (
+                (F.col("yj") - F.col("yi")).cast("double")
+                / (F.col("tj") - F.col("ti")).cast("double")
+            ).alias("slope"),
+            F.signum((F.col("yj") - F.col("yi")).cast("double")).cast("int").alias("sgn"),
+        )
+    )
+    stats = pairs.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+    )
+    w = Window.partitionBy("__g").orderBy("slope", "ti", "tj")
+    med = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(stats), "__g")
+        .filter(F.expr("rn = (m + 1) div 2 OR rn = m div 2 + 1"))
+        .groupBy("__g")
+        .agg(F.avg("slope").alias("__med"))
+    )
+    n_pts = df.groupBy(F.col(g).alias("__g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    ties = (
+        df.groupBy(F.col(g).alias("__g"), F.col(y).alias("__y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tcnt"))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.col("tcnt") * (F.col("tcnt") - 1) * (2 * F.col("tcnt") + 5)
+            ).cast("bigint").alias("tie18")
+        )
+    )
+    out = (
+        stats.join(med, "__g")
+        .join(F.broadcast(n_pts), "__g")
+        .join(F.broadcast(ties), "__g")
+        .withColumn(
+            "var18",
+            (
+                F.col("n_points") * (F.col("n_points") - 1) * (2 * F.col("n_points") + 5)
+                - F.col("tie18")
+            ).cast("bigint"),
+        )
+    )
+    z = F.when(
+        F.col("var18") > 0,
+        F.round(
+            F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+            .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+            .otherwise(F.lit(0))
+            .cast("double")
+            / F.sqrt(F.col("var18").cast("double") / F.lit(18.0)),
+            6,
+        ),
+    )
+    return out.select(
+        F.col("__g").alias(g),
+        "n_points",
+        F.round(F.col("__med"), 6).alias("slope_ts"),
+        "s_stat",
+        "var18",
+        z.alias("z_mk"),
+    )
+
+
+def theilsen_mk_sql(series_sql: str, group_col: str, t_col: str, y_col: str) -> str:
+    """DuckDB twin of :func:`theilsen_mk` — identical pair stream, order
+    statistics, tie correction, and final float expressions.  The series
+    subquery must produce (group, t, y) with one row per (group, t)."""
+    return f"""
+    WITH series AS ({series_sql}),
+    pairs AS (
+        SELECT a.{group_col} AS g, a.{t_col} AS ti, b.{t_col} AS tj,
+               CAST(b.{y_col} - a.{y_col} AS DOUBLE)
+                 / CAST(b.{t_col} - a.{t_col} AS DOUBLE) AS slope,
+               CAST(sign(b.{y_col} - a.{y_col}) AS INT) AS sgn
+        FROM series a JOIN series b
+          ON b.{group_col} = a.{group_col} AND a.{t_col} < b.{t_col}),
+    stats AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(sgn) AS BIGINT) AS s_stat
+        FROM pairs GROUP BY g),
+    med AS (
+        SELECT g, AVG(slope) AS med FROM (
+            SELECT p.g, p.slope,
+                   ROW_NUMBER() OVER (PARTITION BY p.g
+                                      ORDER BY p.slope, p.ti, p.tj) AS rn,
+                   s.m
+            FROM pairs p JOIN stats s ON s.g = p.g)
+        WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        GROUP BY g),
+    npts AS (
+        SELECT {group_col} AS g, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM series GROUP BY 1),
+    ties AS (
+        SELECT g, CAST(SUM(tcnt * (tcnt - 1) * (2 * tcnt + 5)) AS BIGINT) AS tie18
+        FROM (SELECT {group_col} AS g, {y_col} AS y,
+                     CAST(COUNT(*) AS BIGINT) AS tcnt
+              FROM series GROUP BY 1, 2)
+        GROUP BY g)
+    SELECT s.g AS {group_col}, n.n_points,
+           round(m.med, 6) AS slope_ts,
+           s.s_stat,
+           CAST(n.n_points * (n.n_points - 1) * (2 * n.n_points + 5) - t.tie18
+                AS BIGINT) AS var18,
+           CASE WHEN n.n_points * (n.n_points - 1) * (2 * n.n_points + 5) - t.tie18 > 0
+                THEN round(
+                  CAST(CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                            WHEN s.s_stat < 0 THEN s.s_stat + 1
+                            ELSE 0 END AS DOUBLE)
+                  / sqrt(CAST(n.n_points * (n.n_points - 1) * (2 * n.n_points + 5)
+                              - t.tie18 AS DOUBLE) / 18.0), 6)
+           END AS z_mk
+    FROM stats s
+    JOIN med m ON m.g = s.g
+    JOIN npts n ON n.g = s.g
+    JOIN ties t ON t.g = s.g
+    """

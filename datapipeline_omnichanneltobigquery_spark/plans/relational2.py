@@ -2701,6 +2701,41 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_THEILSEN_DAILY_SQL = """
+    SELECT event_type,
+           CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+                 % 86400000000)) // 86400000000 AS BIGINT) AS d,
+           CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "events_trend_theilsen",
+    driver=False,  # NEW r12: robust-trend face of the timeseries family (r13 rotation queue)
+    oracle=tsr.theilsen_mk_sql(_THEILSEN_DAILY_SQL, "event_type", "d", "y"),
+)
+def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope + tie-corrected Mann-Kendall trend test of
+    daily value totals per event type — the outlier-immune counterpart
+    of [[events_trend_ols]] (one wild day moves OLS arbitrarily; the
+    pairwise-slope median has a 29.3% breakdown point — Sen JASA 1968,
+    Mann 1945).  Daily pre-aggregation (UTC epoch-day pmod bucketing,
+    integer micro-unit sums) bounds the pair fan-out to C(horizon, 2)
+    per type; every slope is one bigint/bigint IEEE division; S and
+    18·Var(S) are exact integers (operators/timeseries.py::theilsen_mk)."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("d"),
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("vm"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("vm").cast("bigint").alias("y"))
+    return tsr.theilsen_mk(daily, "event_type", "d", "y")
+
+
 @query(
     "dq_benford_prices",
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)

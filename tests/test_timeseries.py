@@ -316,3 +316,45 @@ def test_km_survival_hand_computed_with_censoring(spark):
     assert out[3].n_at_risk == 6
     assert abs(out[3].survival - 0.4) < 1e-6
     assert out[5].n_at_risk == 2 and out[5].survival == 0.0  # d = n -> exact 0
+
+
+def test_theilsen_mk_matches_bruteforce(spark):
+    """theilsen_mk equals a literal python re-derivation on a series with
+    an outlier, ties, and an even pair count — median of pairwise slopes,
+    S, tie-corrected 18·Var, z — and a constant series reports NULL z."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import theilsen_mk
+
+    series = {
+        "up": [(0, 10), (1, 20), (2, 20), (3, 500), (4, 40)],  # outlier at t=3, tie 20
+        "flat": [(0, 7), (1, 7), (2, 7)],                       # Var = 0 -> NULL z
+    }
+    df = spark.createDataFrame(
+        [(g, t, y) for g, pts in series.items() for t, y in pts],
+        "grp string, t long, y long",
+    )
+    got = {r.grp: r for r in theilsen_mk(df, "grp", "t", "y").collect()}
+    for g, pts in series.items():
+        slopes, s = [], 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                (ti, yi), (tj, yj) = pts[i], pts[j]
+                slopes.append((yj - yi) / (tj - ti))
+                s += (yj > yi) - (yj < yi)
+        slopes.sort()
+        m = len(slopes)
+        med = (slopes[(m + 1) // 2 - 1] + slopes[m // 2]) / 2.0
+        n = len(pts)
+        from collections import Counter
+
+        tie18 = sum(c * (c - 1) * (2 * c + 5) for c in Counter(y for _, y in pts).values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        r = got[g]
+        assert (r.n_points, r.s_stat, r.var18) == (n, s, var18)
+        assert abs(r.slope_ts - med) < 1e-6
+        if var18 > 0:
+            zz = (s - 1 if s > 0 else s + 1 if s < 0 else 0) / math.sqrt(var18 / 18.0)
+            assert abs(r.z_mk - zz) < 1e-6
+        else:
+            assert r.z_mk is None
