@@ -1410,3 +1410,118 @@ def theilsen_mk_sql(series_sql: str, group_col: str, t_col: str, y_col: str) -> 
     JOIN npts n ON n.g = s.g
     JOIN ties t ON t.g = s.g
     """
+
+
+def snaive_eval(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    y_col: str,
+    season: int = 7,
+    horizon: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast accuracy per group — MASE and WAPE of the
+    ŷ(t) = y(t - season) forecaster over each group's last ``horizon``
+    points (Hyndman & Koehler, IJF 2006: MASE is THE scale-free forecast
+    metric — error relative to the in-sample seasonal-naive MAE, so
+    values > 1 mean "worse than the naive baseline").  The eval gate of
+    the forecasting face (resample/EWMA/seasonal/OLS produce forecasts;
+    this scores any of them — applied here to the naive baseline itself,
+    the number every other model must beat).
+
+    Input: (group, t, y) with INTEGER t and y, one row per (group, t).
+    Test = points with t > max(t) - horizon; train = the rest.  Lags
+    resolve by t VALUE (self-join on t - season), not row position, so
+    gaps drop terms identically on both engines; with horizon <= season
+    every test lag lands in train (true out-of-sample).
+
+    Exactness: both MAE ratios reduce to integer cross-products —
+    MASE = (Σ_test|e| · n_train) / (n_test · Σ_train|e|), WAPE =
+    Σ_test|e| / Σ_test|y| — each ONE rounded division (NULL when the
+    denominator is 0: a perfectly-seasonal train or an all-zero test
+    has no defined ratio).  Scale: two self-joins + one agg, all keyed
+    by (group, t) — no windows, no corpus sort."""
+    if horizon > season:
+        raise ValueError(
+            f"horizon ({horizon}) must be <= season ({season}): longer horizons "
+            "would forecast test points from other TEST points' actuals"
+        )
+    g, t, y = group_col, t_col, y_col
+    base = df.select(F.col(g).alias("__g"), F.col(t).alias("t"), F.col(y).alias("y"))
+    dmax = base.groupBy("__g").agg(F.max("t").alias("tmax"))
+    lag = base.select(
+        "__g", (F.col("t") + F.lit(int(season))).alias("t"), F.col("y").alias("y_lag")
+    )
+    joined = (
+        base.join(lag, ["__g", "t"])
+        .join(F.broadcast(dmax), "__g")
+        .withColumn("is_test", F.col("t") > F.col("tmax") - F.lit(int(horizon)))
+        .withColumn("ae", F.abs(F.col("y") - F.col("y_lag")).cast("bigint"))
+    )
+    agg = joined.groupBy("__g").agg(
+        F.sum(F.when(~F.col("is_test"), 1).otherwise(0)).cast("bigint").alias("n_train"),
+        F.sum(F.when(~F.col("is_test"), F.col("ae")).otherwise(0)).cast("bigint").alias("sae_train"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("is_test"), F.col("ae")).otherwise(0)).cast("bigint").alias("sae_test"),
+        F.sum(F.when(F.col("is_test"), F.abs(F.col("y"))).otherwise(0)).cast("bigint").alias("say_test"),
+    )
+    return agg.select(
+        F.col("__g").alias(g),
+        "n_train",
+        "n_test",
+        "sae_test",
+        F.when(
+            (F.col("sae_train") > 0) & (F.col("n_test") > 0),
+            F.round(
+                (F.col("sae_test") * F.col("n_train")).cast("double")
+                / (F.col("n_test") * F.col("sae_train")).cast("double"),
+                6,
+            ),
+        ).alias("mase"),
+        F.when(
+            F.col("say_test") > 0,
+            F.round(F.col("sae_test").cast("double") / F.col("say_test").cast("double"), 6),
+        ).alias("wape"),
+    )
+
+
+def snaive_eval_sql(
+    series_sql: str,
+    group_col: str,
+    t_col: str,
+    y_col: str,
+    season: int = 7,
+    horizon: int = 7,
+) -> str:
+    """DuckDB twin of :func:`snaive_eval` — identical value-keyed lag
+    join, test cutoff, integer cross-products, and NULL guards."""
+    return f"""
+    WITH series AS ({series_sql}),
+    dmax AS (SELECT {group_col} AS g, MAX({t_col}) AS tmax FROM series GROUP BY 1),
+    j AS (
+        SELECT b.{group_col} AS g, b.{t_col} AS t,
+               b.{t_col} > d.tmax - {int(horizon)} AS is_test,
+               CAST(abs(b.{y_col} - l.{y_col}) AS BIGINT) AS ae,
+               CAST(abs(b.{y_col}) AS BIGINT) AS ay
+        FROM series b
+        JOIN series l ON l.{group_col} = b.{group_col}
+                     AND l.{t_col} = b.{t_col} - {int(season)}
+        JOIN dmax d ON d.g = b.{group_col}),
+    agg AS (
+        SELECT g,
+               CAST(SUM(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN NOT is_test THEN ae ELSE 0 END) AS BIGINT) AS sae_train,
+               CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN is_test THEN ae ELSE 0 END) AS BIGINT) AS sae_test,
+               CAST(SUM(CASE WHEN is_test THEN ay ELSE 0 END) AS BIGINT) AS say_test
+        FROM j GROUP BY g)
+    SELECT g AS {group_col}, n_train, n_test, sae_test,
+           CASE WHEN sae_train > 0 AND n_test > 0 THEN
+             round(CAST(sae_test * n_train AS DOUBLE)
+                   / CAST(n_test * sae_train AS DOUBLE), 6)
+           END AS mase,
+           CASE WHEN say_test > 0 THEN
+             round(CAST(sae_test AS DOUBLE) / CAST(say_test AS DOUBLE), 6)
+           END AS wape
+    FROM agg
+    """

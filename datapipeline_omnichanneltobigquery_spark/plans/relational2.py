@@ -2736,6 +2736,39 @@ def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsr.theilsen_mk(daily, "event_type", "d", "y")
 
 
+_SNAIVE_DAILY_SQL = """
+    SELECT event_type,
+           CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+                 % 86400000000)) // 86400000000 AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "events_forecast_snaive",
+    driver=False,  # NEW r12: forecast-eval face of the timeseries family (r13 rotation queue)
+    oracle=tsr.snaive_eval_sql(_SNAIVE_DAILY_SQL, "event_type", "d", "y"),
+)
+def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE + WAPE of the seasonal-naive (season = 7 days) forecaster
+    over each event type's last week of daily counts — the scale-free
+    forecast-accuracy gate every model must beat (Hyndman & Koehler IJF
+    2006; MASE > 1 = worse than naive).  Lag-7 resolves by day VALUE
+    (gaps drop terms, not shift them); both ratios reduce to integer
+    cross-products with ONE rounded division each
+    (operators/timeseries.py::snaive_eval)."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("d"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    return tsr.snaive_eval(daily, "event_type", "d", "y")
+
+
 @query(
     "dq_benford_prices",
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)

@@ -358,3 +358,40 @@ def test_theilsen_mk_matches_bruteforce(spark):
             assert abs(r.z_mk - zz) < 1e-6
         else:
             assert r.z_mk is None
+
+
+def test_snaive_eval_hand_case(spark):
+    """30-point series with period-7 structure + noise: MASE/WAPE match a
+    python re-derivation; a perfectly seasonal series reports NULL MASE
+    (zero train error) but a real WAPE; horizon > season raises."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import snaive_eval
+
+    noisy = [(t, 100 + (t % 7) * 10 + (3 if t % 5 == 0 else 0)) for t in range(30)]
+    perfect = [(t, 50 + (t % 7)) for t in range(20)]
+    df = spark.createDataFrame(
+        [("noisy", t, y) for t, y in noisy] + [("perfect", t, y) for t, y in perfect],
+        "grp string, t long, y long",
+    )
+    got = {r.grp: r for r in snaive_eval(df, "grp", "t", "y").collect()}
+
+    for name, pts in (("noisy", noisy), ("perfect", perfect)):
+        d = dict(pts)
+        tmax = max(d)
+        terms = [(t, abs(y - d[t - 7])) for t, y in pts if t - 7 in d]
+        tr = [(t, e) for t, e in terms if t <= tmax - 7]
+        te = [(t, e) for t, e in terms if t > tmax - 7]
+        r = got[name]
+        assert (r.n_train, r.n_test) == (len(tr), len(te))
+        sae_te, sae_tr = sum(e for _, e in te), sum(e for _, e in tr)
+        assert r.sae_test == sae_te
+        if sae_tr > 0:
+            assert abs(r.mase - (sae_te * len(tr)) / (len(te) * sae_tr)) < 1e-6
+        else:
+            assert r.mase is None
+        say = sum(abs(d[t]) for t, _ in te)
+        assert abs(r.wape - sae_te / say) < 1e-6 if say else r.wape is None
+
+    with pytest.raises(ValueError):
+        snaive_eval(df, "grp", "t", "y", season=7, horizon=8)
