@@ -309,3 +309,133 @@ def conformal_intervals_sql(
            round(CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage
     FROM test
     """
+
+
+def jackknife_ratio(
+    df: DataFrame, slice_col: str, num: Column, den: Column, z_crit: float = 1.96
+) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of a ratio-of-totals
+    metric θ = Σnum / Σden (Quenouille 1956, Tukey 1958; the grouped
+    form is the estimator production A/B systems use for ratio metrics,
+    since leave-one-ROW-out is both intractable and wrong under
+    within-group correlation).  One summary row: (n_slices, theta,
+    se_jack, ci_lo, ci_hi).
+
+    For each slice i, θ₍ᵢ₎ = (Σnum − numᵢ)/(Σden − denᵢ); the jackknife
+    variance is (g−1)/g · Σ(θ₍ᵢ₎ − θ̄)².  Exactness discipline: slice
+    totals are exact bigints; each θ₍ᵢ₎ is ONE IEEE division, floored to
+    integer micro-units; the variance cross-product
+    M = g·Σθᵤ² − (Σθᵤ)² accumulates in DECIMAL(38,0) — the cancellation
+    Σ(θᵤ−θ̄ᵤ)² suffers when slices are near-equal (12+ digits here) is
+    EXACT in decimal where a double-side M would have engine-divergent
+    noise — and only the final sqrt/scale/round touch floats, in
+    identical expression order on both engines.
+
+    A slice holding the ENTIRE denominator (θ₍ᵢ₎ undefined) raises
+    loudly rather than skewing the variance.  Scale: one partial-agg
+    groupBy to g slice rows, then driver-sized arithmetic — the corpus
+    is touched once."""
+    per = df.groupBy(F.col(slice_col).alias("__s")).agg(
+        F.sum(num).cast("bigint").alias("r_i"),
+        F.sum(den).cast("bigint").alias("c_i"),
+    )
+    tot = per.agg(
+        F.sum("r_i").cast("bigint").alias("R"),
+        F.sum("c_i").cast("bigint").alias("C"),
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+    )
+    th = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "theta_u",
+            F.when(
+                F.col("C") > F.col("c_i"),
+                F.expr(
+                    "CAST(floor(CAST(R - r_i AS DOUBLE) / CAST(C - c_i AS DOUBLE)"
+                    " * 1000000.0) AS BIGINT)"
+                ),
+            ).otherwise(
+                F.expr(
+                    "CAST(raise_error('jackknife_ratio: a single slice holds the"
+                    " entire denominator; theta_(i) is undefined') AS BIGINT)"
+                )
+            ),
+        )
+    )
+    agg = th.groupBy("R", "C", "g").agg(
+        F.sum(F.col("theta_u").cast("decimal(19,0)")).cast("decimal(38,0)").alias("st"),
+        F.sum(
+            F.col("theta_u").cast("decimal(19,0)") * F.col("theta_u").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("st2"),
+    )
+    m = (
+        F.col("g").cast("decimal(19,0)") * F.col("st2") - F.col("st") * F.col("st")
+    ).cast("decimal(38,0)")
+    se = F.round(
+        F.sqrt(
+            (F.col("g") - 1).cast("double")
+            * m.cast("double")
+            / (F.col("g") * F.col("g")).cast("double")
+        )
+        / F.lit(1000000.0),
+        6,
+    )
+    theta = F.round(F.col("R").cast("double") / F.col("C").cast("double"), 6)
+    return agg.select(
+        F.col("g").alias("n_slices"),
+        theta.alias("theta"),
+        se.alias("se_jack"),
+        F.round(theta - F.lit(float(z_crit)) * se, 6).alias("ci_lo"),
+        F.round(theta + F.lit(float(z_crit)) * se, 6).alias("ci_hi"),
+    )
+
+
+def jackknife_ratio_sql(
+    rows_sql: str, slice_col: str, num_sql: str, den_sql: str, z_crit: float = 1.96
+) -> str:
+    """DuckDB twin of :func:`jackknife_ratio` — identical micro-unit
+    floors, DECIMAL(38,0) cross-product, and final float order."""
+    return f"""
+    WITH rows_in AS ({rows_sql}),
+    per AS (
+        SELECT {slice_col} AS s,
+               CAST(SUM({num_sql}) AS BIGINT) AS r_i,
+               CAST(SUM({den_sql}) AS BIGINT) AS c_i
+        FROM rows_in GROUP BY 1),
+    tot AS (
+        SELECT CAST(SUM(r_i) AS BIGINT) AS R, CAST(SUM(c_i) AS BIGINT) AS C,
+               CAST(COUNT(*) AS BIGINT) AS g
+        FROM per),
+    th AS (
+        SELECT t.R, t.C, t.g,
+               CASE WHEN t.C > p.c_i THEN
+                 CAST(floor(CAST(t.R - p.r_i AS DOUBLE) / CAST(t.C - p.c_i AS DOUBLE)
+                            * 1000000.0) AS BIGINT)
+               ELSE CAST(error('jackknife_ratio: a single slice holds the entire'
+                               ' denominator; theta_(i) is undefined') AS BIGINT)
+               END AS theta_u
+        FROM per p CROSS JOIN tot t),
+    agg AS (
+        SELECT R, C, g,
+               CAST(SUM(CAST(theta_u AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS st,
+               CAST(SUM(CAST(theta_u AS DECIMAL(19,0))
+                        * CAST(theta_u AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS st2
+        FROM th GROUP BY 1, 2, 3)
+    SELECT g AS n_slices,
+           round(CAST(R AS DOUBLE) / CAST(C AS DOUBLE), 6) AS theta,
+           round(sqrt(CAST(g - 1 AS DOUBLE)
+                      * CAST(CAST(CAST(g AS DECIMAL(19,0)) * st2 - st * st
+                                  AS DECIMAL(38,0)) AS DOUBLE)
+                      / CAST(g * g AS DOUBLE)) / 1000000.0, 6) AS se_jack,
+           round(round(CAST(R AS DOUBLE) / CAST(C AS DOUBLE), 6)
+                 - {float(z_crit)} * round(sqrt(CAST(g - 1 AS DOUBLE)
+                      * CAST(CAST(CAST(g AS DECIMAL(19,0)) * st2 - st * st
+                                  AS DECIMAL(38,0)) AS DOUBLE)
+                      / CAST(g * g AS DOUBLE)) / 1000000.0, 6), 6) AS ci_lo,
+           round(round(CAST(R AS DOUBLE) / CAST(C AS DOUBLE), 6)
+                 + {float(z_crit)} * round(sqrt(CAST(g - 1 AS DOUBLE)
+                      * CAST(CAST(CAST(g AS DECIMAL(19,0)) * st2 - st * st
+                                  AS DECIMAL(38,0)) AS DOUBLE)
+                      / CAST(g * g AS DOUBLE)) / 1000000.0, 6), 6) AS ci_hi
+    FROM agg
+    """

@@ -3279,6 +3279,43 @@ def calibration_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_JACKKNIFE_ROWS_SQL = """
+    SELECT s.s_nationkey AS nat,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS numv,
+           1 AS denv
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+"""
+
+
+@query(
+    "stats_jackknife_ratio",
+    driver=False,  # NEW r12: uncertainty-quantification face of the agg/eval family (r13 queue)
+    oracle=me.jackknife_ratio_sql(_JACKKNIFE_ROWS_SQL, "nat", "numv", "denv"),
+)
+def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-nation jackknife standard error of discounted revenue
+    per line item — the grouped-jackknife CI every ratio metric needs
+    before two pipeline runs are declared "different" (Quenouille 1956,
+    Tukey 1958; leave-one-ROW-out is wrong under within-group
+    correlation).  Revenue stays integer (cents × percent units:
+    ext·100 · (100 − disc·100)); each θ₍ᵢ₎ is one IEEE division floored
+    to micro-units; the variance cross-product is exact DECIMAL(38,0)
+    (operators/ml_eval.py::jackknife_ratio)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rows = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).select(
+        F.col("s_nationkey").alias("nat"),
+        (
+            (money(F.col("l_extendedprice")) * 100).cast("bigint")
+            * (F.lit(100) - (money(F.col("l_discount")) * 100).cast("bigint"))
+        ).alias("numv"),
+        F.lit(1).alias("denv"),
+    )
+    return me.jackknife_ratio(rows, "nat", F.col("numv"), F.col("denv"))
+
+
 _FS_PAIRS_SQL = """
     WITH p AS (SELECT p_partkey AS pk, trim(lower(p_name)) AS name,
                       p_brand AS brand, p_type AS typ, p_size AS sz,

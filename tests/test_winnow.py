@@ -409,3 +409,42 @@ def test_conformal_matches_bruteforce(spark, rows):
             assert qhat is not None and abs(qhat - q / n) < 1e-6
             covered = sum(1 for y in test if abs(y * n - s) <= q)
             assert abs(cov - covered / len(test)) < 1e-6
+
+
+def test_jackknife_ratio_matches_bruteforce(spark):
+    """jackknife_ratio equals a literal python re-derivation (micro-unit
+    floors included), and a single-slice input raises rather than
+    reporting a degenerate zero variance."""
+    import math
+
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import jackknife_ratio
+
+    data = [("a", 100, 1), ("a", 140, 2), ("b", 90, 1), ("c", 260, 2), ("c", 10, 1)]
+    df = spark.createDataFrame(data, "s string, n long, d long")
+    r = jackknife_ratio(df, "s", F.col("n"), F.col("d")).collect()[0]
+
+    per = {}
+    for s, n, d in data:
+        rn, rd = per.get(s, (0, 0))
+        per[s] = (rn + n, rd + d)
+    R = sum(n for n, _ in per.values())
+    C = sum(d for _, d in per.values())
+    g = len(per)
+    th_u = [math.floor((R - rn) / (C - rd) * 1e6) for rn, rd in per.values()]
+    mean = sum(th_u) / g
+    var = (g - 1) / g * sum((t - mean) ** 2 for t in th_u)
+    se = math.sqrt(var / g) / 1e6  # (g-1)/g * sum(dev^2) / g ... see below
+    # recompute exactly as the operator: se = sqrt((g-1) * M / g^2) / 1e6
+    M = g * sum(t * t for t in th_u) - sum(th_u) ** 2
+    se = math.sqrt((g - 1) * M / (g * g)) / 1e6
+    assert r.n_slices == g
+    assert abs(r.theta - R / C) < 1e-6
+    assert abs(r.se_jack - se) < 1e-6
+    assert abs(r.ci_lo - (round(R / C, 6) - 1.96 * round(se, 6))) < 1e-5
+    assert abs(r.ci_hi - (round(R / C, 6) + 1.96 * round(se, 6))) < 1e-5
+
+    one = spark.createDataFrame([("only", 5, 1)], "s string, n long, d long")
+    with pytest.raises(Exception, match="entire denominator"):
+        jackknife_ratio(one, "s", F.col("n"), F.col("d")).collect()
