@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipeline_omnichanneltobigquery_spark.functions.scalars import money
+from datapipeline_omnichanneltobigquery_spark.operators import attribution as attr
 from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import er
 from datapipeline_omnichanneltobigquery_spark.operators import graph as gr
@@ -1447,6 +1448,61 @@ def histogram_equidepth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pf.histogram_equidepth(
         read_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", 12
     )
+
+
+_SHAPLEY_CHANNELS = {"click": 1, "view": 2, "signup": 4, "error": 8}
+
+_SHAPLEY_JOURNEYS_SQL = """
+    WITH fp AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'purchase' GROUP BY 1),
+    pre AS (SELECT e.user_id,
+                   bit_or(CASE e.event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                          WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END) AS mask
+            FROM events e JOIN fp ON fp.user_id = e.user_id
+            WHERE e.ts < fp.t0 AND e.event_type <> 'purchase'
+            GROUP BY 1)
+    SELECT CAST(COALESCE(p.mask, 0) AS INT) AS mask
+    FROM fp LEFT JOIN pre p ON p.user_id = fp.user_id
+"""
+
+
+@query(
+    "events_attribution_shapley",
+    driver=False,  # NEW r12: game-theoretic face of the attribution family (r13 queue)
+    oracle=attr.shapley_attribution_sql(_SHAPLEY_JOURNEYS_SQL, "mask", _SHAPLEY_CHANNELS),
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution over converted journeys: each
+    user's pre-first-purchase touched-channel SET is the coalition, and
+    every channel is credited its exact Shapley value — the
+    order-production counterpart of the positional rules
+    ([[events_attribution_last_touch]] / linear), immune to their
+    position bias (Shapley 1953; Zhao et al. 2018).  φ·n! is an exact
+    bigint (compile-time coalition coefficients, one 16-row v(mask)
+    aggregate from ONE corpus pass); one rounded division per channel
+    (operators/attribution.py::shapley_attribution)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+    )
+    pre = (
+        ev.join(fp, "user_id")
+        .filter((F.col("ts") < F.col("t0")) & (F.col("event_type") != "purchase"))
+        .groupBy("user_id")
+        .agg(F.bit_or(bit).alias("mask"))
+    )
+    journeys = fp.join(pre, "user_id", "left").select(
+        F.coalesce(F.col("mask"), F.lit(0)).cast("int").alias("mask")
+    )
+    return attr.shapley_attribution(journeys, "mask", _SHAPLEY_CHANNELS)
 
 
 @query(

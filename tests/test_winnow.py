@@ -448,3 +448,44 @@ def test_jackknife_ratio_matches_bruteforce(spark):
     one = spark.createDataFrame([("only", 5, 1)], "s string, n long, d long")
     with pytest.raises(Exception, match="entire denominator"):
         jackknife_ratio(one, "s", F.col("n"), F.col("d")).collect()
+
+
+def test_shapley_attribution_hand_case(spark):
+    """2-channel hand case: v(∅)=1, v({a})=2, v({b})=1, v({a,b})=1 gives
+    φ_a = +0.5, φ_b = −0.5 (negative credit is REAL for a channel that
+    appears in weaker coalitions); Σφ = v(N) − v(∅) = 0 exactly, so
+    shares are NULL (zero total credit), not a division blow-up."""
+    from datapipeline_omnichanneltobigquery_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    j = spark.createDataFrame([(1,), (1,), (3,), (2,), (0,)], "mask int")
+    rows = {r.channel: r for r in shapley_attribution(j, "mask", {"a": 1, "b": 2}).collect()}
+    assert rows["a"].phi_scaled == 1 and rows["a"].phi == 0.5
+    assert rows["b"].phi_scaled == -1 and rows["b"].phi == -0.5
+    assert rows["a"].share is None and rows["b"].share is None
+
+
+def test_shapley_attribution_efficiency_and_validation(spark):
+    """Σ_c φ_c·n! = n!·(v(N) − v(∅)) holds exactly on a random-ish mask
+    table; >MAX_CHANNELS and non-power-of-two bit maps raise."""
+    import math
+
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    masks = [(i * 7 + 3) % 8 for i in range(40)]  # all 3-bit coalitions hit
+    j = spark.createDataFrame([(m,) for m in masks], "mask int")
+    ch = {"a": 1, "b": 2, "c": 4}
+    out = shapley_attribution(j, "mask", ch).collect()
+    v_full = sum(1 for m in masks if m == 7)
+    v_empty = sum(1 for m in masks if m == 0)
+    assert sum(r.phi_scaled for r in out) == math.factorial(3) * (v_full - v_empty)
+
+    with pytest.raises(ValueError, match="MAX_CHANNELS"):
+        shapley_attribution(j, "mask", {f"c{i}": 1 << i for i in range(17)})
+    with pytest.raises(ValueError, match="single bits"):
+        shapley_attribution(j, "mask", {"a": 1, "b": 3})
