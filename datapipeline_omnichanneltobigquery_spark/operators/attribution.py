@@ -71,9 +71,13 @@ def shapley_attribution(
     if bits != [1 << i for i in range(n)]:
         raise ValueError(f"channels must map names to distinct single bits 1,2,4,...: {channels}")
     spark = journeys.sparkSession
+    # v is <= 2^n rows but derives from the whole journey pipeline — it
+    # feeds TWO coalition lookups and the efficiency total, and without a
+    # materialized leaf Catalyst re-executes the corpus aggregate per
+    # consumer (the audit read 12x corpus scans before this checkpoint)
     v = journeys.groupBy(F.col(mask_col).alias("mask")).agg(
         F.count(F.lit(1)).cast("bigint").alias("v")
-    )
+    ).localCheckpoint()
     coal = spark.createDataFrame(
         _coalitions(n), "cbit int, smask int, coef long"
     )
@@ -96,6 +100,7 @@ def shapley_attribution(
                 * (F.coalesce(F.col("v_sc"), F.lit(0)) - F.coalesce(F.col("v_s"), F.lit(0)))
             ).cast("bigint").alias("phi_scaled")
         )
+        .localCheckpoint()  # n rows; feeds the total AND the final select
     )
     names = spark.createDataFrame(
         sorted(channels.items(), key=lambda kv: kv[1]), "channel string, cbit int"

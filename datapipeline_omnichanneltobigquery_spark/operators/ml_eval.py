@@ -212,6 +212,7 @@ def conformal_intervals(
             F.count(F.lit(1)).cast("bigint").alias("n_cal"),
             F.sum("y").cast("bigint").alias("sum_cal"),
         )
+        .localCheckpoint()  # per-group stats: broadcast twice-consumed leaf
     )
     scored = base.join(F.broadcast(cal_stats), "grp").withColumn(
         "r", F.abs(F.col("y") * F.col("n_cal") - F.col("sum_cal"))
@@ -229,6 +230,7 @@ def conformal_intervals(
         .filter(F.col("cum") >= F.col("__k"))
         .groupBy("grp")
         .agg(F.min("r").alias("q_scaled"))
+        .localCheckpoint()  # per-group quantile row, broadcast into the test scan
     )
     test = (
         scored.filter(~F.col("is_cal"))

@@ -1283,8 +1283,13 @@ def theilsen_mk(
     windows shuffle on the group key only; the median window sorts
     pair rows per group — bounded by the same contract."""
     g, t, y = group_col, t_col, y_col
-    a = df.select(F.col(g).alias("__g"), F.col(t).alias("ti"), F.col(y).alias("yi"))
-    b = df.select(F.col(g).alias("__g"), F.col(t).alias("tj"), F.col(y).alias("yj"))
+    # the series is horizon-bounded by contract and feeds FOUR consumers
+    # (both pair sides, n_points, ties); pairs feed two (stats, median) —
+    # localCheckpoint both or Catalyst re-runs the upstream aggregate per
+    # consumer (the audit read 8x corpus scans before these)
+    ser = df.localCheckpoint()
+    a = ser.select(F.col(g).alias("__g"), F.col(t).alias("ti"), F.col(y).alias("yi"))
+    b = ser.select(F.col(g).alias("__g"), F.col(t).alias("tj"), F.col(y).alias("yj"))
     pairs = (
         a.join(b, "__g")
         .filter(F.col("ti") < F.col("tj"))
@@ -1298,6 +1303,7 @@ def theilsen_mk(
             ).alias("slope"),
             F.signum((F.col("yj") - F.col("yi")).cast("double")).cast("int").alias("sgn"),
         )
+        .localCheckpoint()
     )
     stats = pairs.groupBy("__g").agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
@@ -1311,11 +1317,11 @@ def theilsen_mk(
         .groupBy("__g")
         .agg(F.avg("slope").alias("__med"))
     )
-    n_pts = df.groupBy(F.col(g).alias("__g")).agg(
+    n_pts = ser.groupBy(F.col(g).alias("__g")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points")
     )
     ties = (
-        df.groupBy(F.col(g).alias("__g"), F.col(y).alias("__y"))
+        ser.groupBy(F.col(g).alias("__g"), F.col(y).alias("__y"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("tcnt"))
         .groupBy("__g")
         .agg(
@@ -1447,7 +1453,12 @@ def snaive_eval(
             "would forecast test points from other TEST points' actuals"
         )
     g, t, y = group_col, t_col, y_col
-    base = df.select(F.col(g).alias("__g"), F.col(t).alias("t"), F.col(y).alias("y"))
+    # the horizon-bounded series feeds three consumers (base, lag, dmax) —
+    # localCheckpoint so the upstream aggregate runs once and the per-group
+    # dmax broadcast rides a mechanically-bounded LogicalRDD leaf
+    base = df.select(
+        F.col(g).alias("__g"), F.col(t).alias("t"), F.col(y).alias("y")
+    ).localCheckpoint()
     dmax = base.groupBy("__g").agg(F.max("t").alias("tmax"))
     lag = base.select(
         "__g", (F.col("t") + F.lit(int(season))).alias("t"), F.col("y").alias("y_lag")

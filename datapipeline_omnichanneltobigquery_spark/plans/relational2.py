@@ -3361,7 +3361,9 @@ def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ml_eval.py::jackknife_ratio)."""
     li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
     sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    rows = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).select(
+    # no broadcast hint on supplier: it SCALES with the data (10M rows at
+    # sf1000) — let Catalyst/AQE pick broadcast vs SMJ by measured size
+    rows = li.join(sup, li.l_suppkey == sup.s_suppkey).select(
         F.col("s_nationkey").alias("nat"),
         (
             (money(F.col("l_extendedprice")) * 100).cast("bigint")
