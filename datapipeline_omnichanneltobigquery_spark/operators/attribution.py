@@ -157,3 +157,221 @@ def shapley_attribution_sql(
            END AS share
     FROM scored s JOIN names n ON n.cbit = s.cbit CROSS JOIN tot t
     """
+
+
+#: micro-unit scale for Markov absorption probabilities
+MARKOV_SCALE = 1_000_000
+
+
+def markov_attribution(
+    transitions: DataFrame,
+    channels: dict[str, int],
+    start_state: int,
+    conv_state: int,
+    null_state: int,
+    iterations: int = 12,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """First-order Markov-chain attribution by removal effects (Anderl et
+    al., IJRM 2016) — the third face of the attribution family: positional
+    rules ignore structure, Shapley ignores ORDER (it sees touch SETS);
+    the Markov model credits each channel by how much the journey chain's
+    conversion probability drops when the channel is removed.
+
+    Input: ``transitions`` = (from_state, to_state, cnt) counts from
+    journey sequences (START → touches → CONV/NULL); ``channels`` maps
+    names to their state ids.  Returns (channel, p_conv_base,
+    p_conv_removed, removal_effect, share).
+
+    Removing channel c redirects every transition INTO c to NULL (row
+    denominators keep the redirected mass — the standard formulation);
+    P(conv | START) is recomputed per variant and
+    removal_effect = (P_base − P_removed)/P_base.
+
+    Exactness: transition probabilities floor to integer micro-units
+    once (p = cnt·S div row), and each fixed-point update floors again
+    (a = Σp·a div S) — products stay ≤ S² per term whatever the corpus
+    size, every intermediate is an exact bigint, and the DuckDB twin
+    unrolls the SAME ``iterations`` updates, so the approximate
+    absorption probabilities hash-match bit for bit.  The fixed point
+    converges geometrically from below; ``iterations`` bounds the
+    truncation (documented contract, the pagerank/kcore bounded-rounds
+    discipline).
+
+    Scale: ONE corpus-sized aggregate produces the ≤(n_states)² count
+    matrix; all ``iterations`` updates run on (variants × states) rows —
+    driver-trivial frames, localCheckpointed every ``checkpoint_every``
+    rounds to bound plan depth."""
+    t = (
+        transitions.groupBy(
+            F.col("from_state").alias("i"), F.col("to_state").alias("j")
+        )
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    spark = transitions.sparkSession
+    variants = spark.createDataFrame(
+        [(0,)] + [(v,) for v in sorted(channels.values())], "variant int"
+    )
+    tv = (
+        t.crossJoin(F.broadcast(variants))
+        .select(
+            "variant",
+            "i",
+            F.when(
+                (F.col("variant") != 0) & (F.col("j") == F.col("variant")),
+                F.lit(int(null_state)),
+            )
+            .otherwise(F.col("j"))
+            .alias("j"),
+            "cnt",
+        )
+        .groupBy("variant", "i", "j")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    rows = tv.groupBy("variant", "i").agg(F.sum("cnt").alias("row"))
+    p = (
+        tv.join(rows, ["variant", "i"])
+        .select(
+            "variant",
+            "i",
+            "j",
+            F.expr(f"(cnt * {MARKOV_SCALE}) div row").alias("p_micro"),
+        )
+        .filter(~F.col("i").isin(int(conv_state), int(null_state)))
+        .localCheckpoint()
+    )
+    absorbing = spark.createDataFrame(
+        [
+            (v, s, a)
+            for v in [0] + sorted(channels.values())
+            for s, a in ((int(conv_state), MARKOV_SCALE), (int(null_state), 0))
+        ],
+        "variant int, state int, a long",
+    )
+    a = absorbing
+    for it in range(iterations):
+        nxt = (
+            p.join(
+                a.select("variant", F.col("state").alias("j"), F.col("a").alias("aj")),
+                ["variant", "j"],
+                "left",
+            )
+            .groupBy("variant", "i")
+            .agg(
+                F.expr(
+                    f"CAST(sum(p_micro * coalesce(aj, 0)) div {MARKOV_SCALE} AS BIGINT)"
+                ).alias("a")
+            )
+            .select("variant", F.col("i").alias("state"), "a")
+        )
+        a = absorbing.unionByName(nxt)
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            a = a.localCheckpoint()
+    starts = a.filter(F.col("state") == int(start_state)).select("variant", "a")
+    base = starts.filter(F.col("variant") == 0).select(F.col("a").alias("a_base"))
+    names = spark.createDataFrame(
+        sorted(channels.items(), key=lambda kv: kv[1]), "channel string, variant int"
+    )
+    per = (
+        starts.filter(F.col("variant") != 0)
+        .join(F.broadcast(names), "variant")
+        .crossJoin(F.broadcast(base))
+        .withColumn("drop_u", F.col("a_base") - F.col("a"))
+        .localCheckpoint()  # feeds the share total AND the final select
+    )
+    tot = per.agg(F.sum("drop_u").cast("bigint").alias("__tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round(F.col("a_base").cast("double") / F.lit(float(MARKOV_SCALE)), 6).alias(
+            "p_conv_base"
+        ),
+        F.round(F.col("a").cast("double") / F.lit(float(MARKOV_SCALE)), 6).alias(
+            "p_conv_removed"
+        ),
+        F.when(
+            F.col("a_base") > 0,
+            F.round(F.col("drop_u").cast("double") / F.col("a_base").cast("double"), 6),
+        ).alias("removal_effect"),
+        F.when(
+            F.col("__tot") != 0,
+            F.round(F.col("drop_u").cast("double") / F.col("__tot").cast("double"), 6),
+        ).alias("share"),
+    )
+
+
+def markov_attribution_sql(
+    transitions_sql: str,
+    channels: dict[str, int],
+    start_state: int,
+    conv_state: int,
+    null_state: int,
+    iterations: int = 12,
+) -> str:
+    """DuckDB twin of :func:`markov_attribution` — identical micro-unit
+    floors and the same ``iterations`` updates unrolled as CTEs."""
+    S = MARKOV_SCALE
+    var_rows = ", ".join(f"({v})" for v in [0] + sorted(channels.values()))
+    name_rows = ", ".join(
+        f"('{nm}', {v})" for nm, v in sorted(channels.items(), key=lambda kv: kv[1])
+    )
+    abs_rows = ", ".join(
+        f"({v}, {int(conv_state)}, {S}), ({v}, {int(null_state)}, 0)"
+        for v in [0] + sorted(channels.values())
+    )
+    parts = [
+        f"""t AS MATERIALIZED (
+        SELECT from_state AS i, to_state AS j, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM ({transitions_sql}) GROUP BY 1, 2)""",
+        f"variants(variant) AS (VALUES {var_rows})",
+        f"names(channel, variant) AS (VALUES {name_rows})",
+        f"""tv AS MATERIALIZED (
+        SELECT v.variant, t.i,
+               CASE WHEN v.variant <> 0 AND t.j = v.variant
+                    THEN {int(null_state)} ELSE t.j END AS j,
+               SUM(t.cnt) AS cnt
+        FROM t CROSS JOIN variants v GROUP BY 1, 2, 3)""",
+        """rw AS (SELECT variant, i, SUM(cnt) AS row FROM tv GROUP BY 1, 2)""",
+        f"""p AS MATERIALIZED (
+        SELECT tv.variant, tv.i, tv.j, (tv.cnt * {S}) // rw.row AS p_micro
+        FROM tv JOIN rw ON rw.variant = tv.variant AND rw.i = tv.i
+        WHERE tv.i NOT IN ({int(conv_state)}, {int(null_state)}))""",
+        f"ab(variant, state, a) AS (VALUES {abs_rows})",
+        "a0 AS (SELECT * FROM ab)",
+    ]
+    prev = "a0"
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+        SELECT * FROM ab
+        UNION ALL
+        SELECT p.variant, p.i AS state,
+               CAST(SUM(p.p_micro * COALESCE(pr.a, 0)) // {S} AS BIGINT) AS a
+        FROM p LEFT JOIN {prev} pr
+          ON pr.variant = p.variant AND pr.state = p.j
+        GROUP BY 1, 2)"""
+        )
+        prev = f"a{k}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    starts AS (SELECT variant, a FROM {prev} WHERE state = {int(start_state)}),
+    base AS (SELECT a AS a_base FROM starts WHERE variant = 0),
+    per AS (
+        SELECT n.channel, s.a, b.a_base, b.a_base - s.a AS drop_u
+        FROM starts s JOIN names n ON n.variant = s.variant CROSS JOIN base b
+        WHERE s.variant <> 0),
+    tot AS (SELECT CAST(SUM(drop_u) AS BIGINT) AS t FROM per)
+    SELECT p.channel,
+           round(CAST(p.a_base AS DOUBLE) / {float(S)}, 6) AS p_conv_base,
+           round(CAST(p.a AS DOUBLE) / {float(S)}, 6) AS p_conv_removed,
+           CASE WHEN p.a_base > 0 THEN
+             round(CAST(p.drop_u AS DOUBLE) / CAST(p.a_base AS DOUBLE), 6)
+           END AS removal_effect,
+           CASE WHEN t.t <> 0 THEN
+             round(CAST(p.drop_u AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+           END AS share
+    FROM per p CROSS JOIN tot t
+    """
+    )

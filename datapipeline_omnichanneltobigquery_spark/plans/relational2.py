@@ -1505,6 +1505,110 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attr.shapley_attribution(journeys, "mask", _SHAPLEY_CHANNELS)
 
 
+_MARKOV_STATES = {"click": 1, "view": 2, "signup": 3, "error": 4}
+_MARKOV_START, _MARKOV_CONV, _MARKOV_NULL = 0, 5, 6
+
+_MARKOV_TRANSITIONS_SQL = """
+    WITH fp AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'purchase' GROUP BY 1),
+    tou AS (
+        SELECT e.user_id, e.ts, e.event_id,
+               CASE e.event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                    WHEN 'signup' THEN 3 WHEN 'error' THEN 4 END AS state,
+               fp.t0
+        FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+        WHERE e.event_type <> 'purchase' AND (fp.t0 IS NULL OR e.ts < fp.t0)),
+    seq AS (
+        SELECT user_id, state, t0,
+               COALESCE(LAG(state) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id), 0) AS prev,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM tou),
+    chain AS (SELECT prev AS from_state, state AS to_state FROM seq),
+    terms AS (
+        SELECT state AS from_state,
+               CASE WHEN t0 IS NOT NULL THEN 5 ELSE 6 END AS to_state
+        FROM seq WHERE rn_last = 1),
+    lonely AS (
+        SELECT 0 AS from_state, 5 AS to_state
+        FROM fp WHERE user_id NOT IN (SELECT DISTINCT user_id FROM tou)),
+    allt AS (SELECT * FROM chain UNION ALL SELECT * FROM terms
+             UNION ALL SELECT * FROM lonely)
+    SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM allt GROUP BY 1, 2
+"""
+
+
+@query(
+    "events_attribution_markov",
+    driver=False,  # NEW r12: order-aware face of the attribution family (r13 queue)
+    oracle=attr.markov_attribution_sql(
+        _MARKOV_TRANSITIONS_SQL, _MARKOV_STATES, _MARKOV_START, _MARKOV_CONV, _MARKOV_NULL
+    ),
+)
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over pre-purchase journey chains
+    (Anderl et al. IJRM 2016): START → ordered touches → CONV/NULL, and
+    each channel is credited by how much P(conversion) drops when its
+    state is redirected to NULL — the ORDER-aware face positional rules
+    and set-based Shapley both miss.  One corpus pass builds the
+    transition counts; 12 integer micro-unit fixed-point rounds per
+    removal variant, bit-matched by the unrolled oracle
+    (operators/attribution.py::markov_attribution)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .localCheckpoint()  # feeds the touch filter AND the lonely-journey anti-join
+    )
+    state = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "error", 4)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    seq = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .filter(F.col("t0").isNull() | (F.col("ts") < F.col("t0")))
+        .select("user_id", "ts", "event_id", state.alias("state"), "t0")
+        .withColumn("prev", F.coalesce(F.lag("state").over(w), F.lit(0)))
+        .withColumn("rn_last", F.row_number().over(wl))
+        .localCheckpoint()  # ONE window pass feeds chain links AND terminals
+    )
+    chain = seq.select(F.col("prev").alias("from_state"), F.col("state").alias("to_state"))
+    terms = seq.filter(F.col("rn_last") == 1).select(
+        F.col("state").alias("from_state"),
+        F.when(F.col("t0").isNotNull(), F.lit(_MARKOV_CONV))
+        .otherwise(F.lit(_MARKOV_NULL))
+        .alias("to_state"),
+    )
+    lonely = (
+        fp.join(seq.select("user_id").distinct(), "user_id", "left_anti")
+        .select(
+            F.lit(_MARKOV_START).alias("from_state"),
+            F.lit(_MARKOV_CONV).alias("to_state"),
+        )
+    )
+    trans = (
+        chain.unionByName(terms)
+        .unionByName(lonely)
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return attr.markov_attribution(
+        trans, _MARKOV_STATES, _MARKOV_START, _MARKOV_CONV, _MARKOV_NULL
+    )
+
+
 @query(
     "events_attribution_last_touch",
     driver=False,  # attribution face of the gated funnel/cohort analytics

@@ -489,3 +489,56 @@ def test_shapley_attribution_efficiency_and_validation(spark):
         shapley_attribution(j, "mask", {f"c{i}": 1 << i for i in range(17)})
     with pytest.raises(ValueError, match="single bits"):
         shapley_attribution(j, "mask", {"a": 1, "b": 3})
+
+
+def test_markov_attribution_matches_bruteforce(spark):
+    """markov_attribution equals a python mirror of the same micro-unit
+    floored fixed point (self-loops, an unreachable-after-removal branch,
+    and a dangling state included); the single-channel chain gives the
+    full removal effect exactly."""
+    from datapipeline_omnichanneltobigquery_spark.operators.attribution import (
+        MARKOV_SCALE as S,
+        markov_attribution,
+    )
+
+    START, CONV, NULL = 0, 5, 6
+    ch = {"a": 1, "b": 2}
+    trans = [
+        (START, 1, 6), (START, 2, 4),
+        (1, 1, 2), (1, 2, 3), (1, CONV, 4), (1, NULL, 1),
+        (2, CONV, 2), (2, NULL, 2), (2, 1, 1),
+    ]
+    df = spark.createDataFrame(trans, "from_state int, to_state int, cnt long")
+    got = {r.channel: r for r in markov_attribution(df, ch, START, CONV, NULL).collect()}
+
+    def absorb(removed):
+        t = {}
+        for i, j, c in trans:
+            jj = NULL if removed and j == removed else j
+            t[(i, jj)] = t.get((i, jj), 0) + c
+        rows = {}
+        for (i, _), c in t.items():
+            rows[i] = rows.get(i, 0) + c
+        p = {(i, j): c * S // rows[i] for (i, j), c in t.items() if i not in (CONV, NULL)}
+        a = {CONV: S, NULL: 0}
+        for _ in range(12):
+            nxt = {}
+            for (i, j), pm in p.items():
+                nxt[i] = nxt.get(i, 0) + pm * a.get(j, 0)
+            a = {CONV: S, NULL: 0} | {i: v // S for i, v in nxt.items()}
+        return a.get(START, 0)
+
+    a_base = absorb(None)
+    drops = {c: a_base - absorb(st) for c, st in ch.items()}
+    tot = sum(drops.values())
+    for c in ch:
+        r = got[c]
+        assert abs(r.p_conv_base - a_base / S) < 1e-9
+        assert abs(r.removal_effect - drops[c] / a_base) < 1e-6
+        assert abs(r.share - drops[c] / tot) < 1e-6
+
+    one = spark.createDataFrame(
+        [(START, 1, 2), (1, CONV, 1), (1, NULL, 1)], "from_state int, to_state int, cnt long"
+    )
+    ra = {r.channel: r for r in markov_attribution(one, {"a": 1}, START, CONV, NULL).collect()}
+    assert ra["a"].removal_effect == 1.0 and ra["a"].share == 1.0
