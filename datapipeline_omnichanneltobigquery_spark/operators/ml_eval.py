@@ -441,3 +441,114 @@ def jackknife_ratio_sql(
                       / CAST(g * g AS DOUBLE)) / 1000000.0, 6), 6) AS ci_hi
     FROM agg
     """
+
+
+#: Abramowitz & Stegun 26.2.17 (Zelen & Severo) normal survival-function
+#: coefficients — |error| < 7.5e-8, far inside the round-6 output grid.
+#: One python tuple feeds BOTH engines, so the polynomial is literal-
+#: identical (same doubles, same op order) and no engine evaluates erf.
+_AS_T = 0.2316419
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_SQRT_2PI = 2.5066282746310002
+
+
+def _normal_sf_formula(z: str) -> str:
+    """SQL-syntax expression for P(Z > z), z >= 0 — shared verbatim by
+    Spark (expr) and DuckDB (both accept this exact string)."""
+    k = f"(1.0 / (1.0 + {_AS_T} * ({z})))"
+    poly = ""
+    for b in reversed(_AS_B):
+        poly = f"({b} + {poly} * {k})" if poly else f"({b})"
+    return (
+        f"(exp(-(({z}) * ({z})) / 2.0) / {_SQRT_2PI})"
+        f" * ({poly} * {k})"
+    )
+
+
+def two_sided_p_expr(z_sql: str) -> str:
+    """SQL-syntax expression (valid in Spark ``F.expr`` AND DuckDB) for
+    the two-sided p-value 2·P(Z > |z|)."""
+    return f"CASE WHEN ({z_sql}) IS NULL THEN NULL ELSE 2.0 * {_normal_sf_formula(f'abs(CAST(({z_sql}) AS DOUBLE))')} END"
+
+
+def bh_fdr(
+    results: DataFrame, key_cols: list[str], p_col: str, alpha_bps: int = 500
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a battery of test
+    results (Benjamini & Hochberg, JRSS-B 1995) — the multiple-testing
+    gate the trend/AB/drift families need before anyone acts on "m tests,
+    k of them significant": at α with m hypotheses, ~α·m raw-threshold
+    tests reject by luck alone.
+
+    Input: one row per hypothesis with a two-sided p-value in ``p_col``
+    (NULL p = undefined test, EXCLUDED from m and reported unrejected).
+    Returns keys + (p, rank, m, rejected): rank is the ascending-p order
+    (ties broken by the key columns), and rejected marks ranks ≤ the
+    largest k with p₍ₖ₎ ≤ k·α/m — compared as p·m·10⁴ ≤ k·α_bps with m
+    and α exact integers, so the only float in the decision is p itself
+    (identical on both engines by construction of the upstream test).
+
+    Scale: the input is a RESULTS table — one row per hypothesis, bounded
+    by the grouping contract, so the single rank window is over m rows,
+    never the corpus."""
+    from pyspark.sql import Window
+
+    keys = [F.col(k) for k in key_cols]
+    valid = results.filter(F.col(p_col).isNotNull())
+    m = valid.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    w = Window.orderBy(F.col(p_col).asc(), *keys)
+    ranked = (
+        valid.crossJoin(F.broadcast(m))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "__pass",
+            F.col(p_col) * F.col("m").cast("double") * F.lit(10000.0)
+            <= F.col("rank").cast("double") * F.lit(float(alpha_bps)),
+        )
+        .localCheckpoint()  # feeds the kmax aggregate AND the final select
+    )
+    kmax = ranked.agg(
+        F.coalesce(F.max(F.when(F.col("__pass"), F.col("rank"))), F.lit(0)).alias("__kmax")
+    )
+    out = ranked.crossJoin(F.broadcast(kmax)).select(
+        *key_cols,
+        F.round(F.col(p_col), 6).alias("p"),
+        "rank",
+        "m",
+        (F.col("rank") <= F.col("__kmax")).alias("rejected"),
+    )
+    nulls = results.filter(F.col(p_col).isNull()).select(
+        *key_cols,
+        F.lit(None).cast("double").alias("p"),
+        F.lit(None).cast("bigint").alias("rank"),
+        F.lit(None).cast("bigint").alias("m"),
+        F.lit(False).alias("rejected"),
+    )
+    return out.unionByName(nulls)
+
+
+def bh_fdr_sql(
+    results_sql: str, key_cols: list[str], p_sql: str, alpha_bps: int = 500
+) -> str:
+    """DuckDB twin of :func:`bh_fdr` — identical rank order, integer-
+    scaled threshold compare, and NULL-p handling."""
+    keys = ", ".join(key_cols)
+    return f"""
+    WITH results AS ({results_sql}),
+    valid AS (SELECT *, ({p_sql}) AS __p FROM results WHERE ({p_sql}) IS NOT NULL),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM valid),
+    ranked AS (
+        SELECT v.*, mm.m,
+               CAST(ROW_NUMBER() OVER (ORDER BY v.__p ASC, {keys}) AS BIGINT) AS rank
+        FROM valid v CROSS JOIN mm),
+    km AS (
+        SELECT COALESCE(MAX(CASE WHEN __p * CAST(m AS DOUBLE) * 10000.0
+                                      <= CAST(rank AS DOUBLE) * {float(alpha_bps)}
+                                 THEN rank END), 0) AS kmax
+        FROM ranked)
+    SELECT {keys}, round(__p, 6) AS p, rank, m, rank <= km.kmax AS rejected
+    FROM ranked CROSS JOIN km
+    UNION ALL
+    SELECT {keys}, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE
+    FROM results WHERE ({p_sql}) IS NULL
+    """

@@ -3478,6 +3478,59 @@ def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return me.jackknife_ratio(rows, "nat", F.col("numv"), F.col("denv"))
 
 
+_BH_SERIES_SQL = """
+    SELECT event_type || ':' ||
+           CAST((CAST('0x' || substr(md5(CAST('bh:' || CAST(user_id AS VARCHAR)
+                 AS VARCHAR)), 1, 15) AS BIGINT)) % 8 AS VARCHAR) AS key,
+           CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+                 % 86400000000)) // 86400000000 AS BIGINT) AS d,
+           CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "stats_bh_fdr",
+    driver=False,  # NEW r12: multiple-testing face of the stats/eval family (r13 queue)
+    oracle=me.bh_fdr_sql(
+        f"SELECT key, z_mk FROM ({tsr.theilsen_mk_sql(_BH_SERIES_SQL, 'key', 'd', 'y')})",
+        ["key"],
+        me.two_sided_p_expr("z_mk"),
+    ),
+)
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a 40-hypothesis trend screen
+    (Mann-Kendall z per event_type × md5 user-bucket daily series): which
+    segment trends survive multiple-testing correction at FDR 5% — the
+    gate between "k of m tests look significant" and something a
+    pipeline may act on (Benjamini & Hochberg JRSS-B 1995).  p-values
+    come from the shared A&S 26.2.17 polynomial (one literal expression
+    string evaluated by BOTH engines — no erf anywhere); the step-up
+    compare is p·m·10⁴ ≤ k·α_bps with m, k, α exact integers
+    (operators/ml_eval.py::bh_fdr, two_sided_p_expr)."""
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long
+
+    e = read_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            (
+                md5_long(F.concat(F.lit("bh:"), F.col("user_id").cast("string"))) % 8
+            ).cast("string"),
+        ).alias("key"),
+        F.expr(
+            "CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("d"),
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("vm"),
+    )
+    daily = e.groupBy("key", "d").agg(F.sum("vm").cast("bigint").alias("y"))
+    mk = tsr.theilsen_mk(daily, "key", "d", "y").select(
+        "key", F.expr(me.two_sided_p_expr("z_mk")).alias("p")
+    )
+    return me.bh_fdr(mk, ["key"], "p", alpha_bps=500)
+
+
 _FS_PAIRS_SQL = """
     WITH p AS (SELECT p_partkey AS pk, trim(lower(p_name)) AS name,
                       p_brand AS brand, p_type AS typ, p_size AS sz,

@@ -542,3 +542,39 @@ def test_markov_attribution_matches_bruteforce(spark):
     )
     ra = {r.channel: r for r in markov_attribution(one, {"a": 1}, START, CONV, NULL).collect()}
     assert ra["a"].removal_effect == 1.0 and ra["a"].share == 1.0
+
+
+def test_bh_fdr_matches_bruteforce(spark):
+    """bh_fdr reproduces the textbook step-up on a crafted p battery
+    (one rank passes BELOW a failing rank — the step-up must still
+    reject everything up to the LARGEST passing k), NULL p rows are
+    excluded from m and reported unrejected, and the two-sided p
+    polynomial matches erf to <2e-7."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        bh_fdr,
+        two_sided_p_expr,
+    )
+
+    # m=6; alpha=0.05: thresholds k/m*alpha = .00833,.01667,.025,.0333,.04167,.05
+    ps = [0.001, 0.020, 0.024, 0.040, 0.045, 0.900]
+    # k=1 passes, k=2 fails (.020>.01667), k=3 passes (.024<=.025), k=4 fails,
+    # k=5 fails, k=6 fails -> kmax=3: ranks 1..3 rejected INCLUDING the k=2 row
+    rows = [(f"h{i}", p) for i, p in enumerate(ps)] + [("h_null", None)]
+    df = spark.createDataFrame(rows, "key string, p double")
+    got = {r.key: r for r in bh_fdr(df, ["key"], "p", alpha_bps=500).collect()}
+    assert got["h_null"].m is None and not got["h_null"].rejected
+    rejected = {k for k, r in got.items() if r.rejected}
+    assert rejected == {"h0", "h1", "h2"}
+    assert got["h0"].m == 6 and got["h5"].rank == 6
+
+    sf = spark.sql(
+        "SELECT " + ", ".join(
+            f"({two_sided_p_expr(str(z))}) AS p{i}"
+            for i, z in enumerate([0.5, 1.96, 3.0])
+        )
+    ).collect()[0]
+    for i, z in enumerate([0.5, 1.96, 3.0]):
+        ref = 2 * (1 - 0.5 * (1 + math.erf(z / math.sqrt(2))))
+        assert abs(sf[f"p{i}"] - ref) < 2e-7
