@@ -75,7 +75,19 @@ def shapley_attribution(
     # feeds TWO coalition lookups and the efficiency total, and without a
     # materialized leaf Catalyst re-executes the corpus aggregate per
     # consumer (the audit read 12x corpus scans before this checkpoint)
-    v = journeys.groupBy(F.col(mask_col).alias("mask")).agg(
+    # a mask outside [0, 2^n) would silently join NOTHING in the coalition
+    # lookups (credit quietly vanishes) — raise instead, the basket_edges
+    # guard discipline
+    guarded_mask = F.when(
+        (F.col(mask_col) >= 0) & (F.col(mask_col) < (1 << n)), F.col(mask_col)
+    ).otherwise(
+        F.expr(
+            f"CAST(raise_error(concat('shapley_attribution: journey mask ', "
+            f"CAST({mask_col} AS STRING), ' is outside [0, {1 << n}) for "
+            f"{n} channels')) AS INT)"
+        )
+    )
+    v = journeys.groupBy(guarded_mask.alias("mask")).agg(
         F.count(F.lit(1)).cast("bigint").alias("v")
     ).localCheckpoint()
     coal = spark.createDataFrame(

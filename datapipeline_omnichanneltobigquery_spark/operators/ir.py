@@ -644,7 +644,19 @@ def ranking_metrics(
 
     w = _dcg_weights_micro(k)
     wmap = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
-    gain = lambda c: (F.pow(F.lit(2.0), F.col(c).cast("double")).cast("bigint") - 1)  # noqa: E731
+    # rel outside [0, 62] raises loudly: 2^63 wraps bigint, and a NEGATIVE
+    # rel's fractional 2^rel casts differently across engines (trunc vs
+    # round-half-even) — the quiet-corruption class the guards exist for
+    gain = lambda c: (  # noqa: E731
+        F.when(
+            (F.col(c) < 0) | (F.col(c) > 62),
+            F.expr(
+                "CAST(raise_error('ranking_metrics: rel must be an integer in"
+                " [0, 62] — negative rels cast engine-divergently and 2^63"
+                " wraps bigint') AS BIGINT)"
+            ),
+        ).otherwise(F.pow(F.lit(2.0), F.col(c).cast("double")).cast("bigint") - 1)
+    )
 
     hits = (
         ranked.filter(F.col("rank") <= k)

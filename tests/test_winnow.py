@@ -578,3 +578,24 @@ def test_bh_fdr_matches_bruteforce(spark):
     for i, z in enumerate([0.5, 1.96, 3.0]):
         ref = 2 * (1 - 0.5 * (1 + math.erf(z / math.sqrt(2))))
         assert abs(sf[f"p{i}"] - ref) < 2e-7
+
+
+def test_ranking_metrics_and_shapley_guards_raise(spark):
+    """Out-of-range inputs fail LOUDLY: rel outside [0,62] (engine-
+    divergent casts / bigint wrap) and journey masks outside [0, 2^n)
+    (credit would silently vanish from the coalition lookups)."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.attribution import (
+        shapley_attribution,
+    )
+    from datapipeline_omnichanneltobigquery_spark.operators.ir import ranking_metrics
+
+    ranked = spark.createDataFrame([("A", "d1", 1)], "query_id string, id string, rank int")
+    bad_rels = spark.createDataFrame([("A", "d1", -1)], "query_id string, id string, rel int")
+    with pytest.raises(Exception, match="rel must be"):
+        ranking_metrics(ranked, bad_rels, k=3).collect()
+
+    bad_mask = spark.createDataFrame([(4,)], "mask int")  # 2 channels -> [0,4)
+    with pytest.raises(Exception, match="outside"):
+        shapley_attribution(bad_mask, "mask", {"a": 1, "b": 2}).collect()
