@@ -90,6 +90,19 @@ def shapley_attribution(
     v = journeys.groupBy(guarded_mask.alias("mask")).agg(
         F.count(F.lit(1)).cast("bigint").alias("v")
     ).localCheckpoint()
+    # magnitude guard (the roc_auc span-bound discipline): every |term| in
+    # the phi sum is <= coef * v <= (n-1)! * v_total and the coef weights
+    # sum to n! per channel, so 2 * n! * v_total bounds |phi_scaled|; past
+    # int64 it would WRAP silently in Spark while the oracle errors.  v is
+    # already a localCheckpointed <=2^n-row frame, so this is a bounded
+    # 1-row collect, not a corpus action.
+    v_total = v.agg(F.sum("v")).collect()[0][0] or 0
+    if 2 * math.factorial(n) * int(v_total) > (1 << 63) - 1:
+        raise ValueError(
+            f"shapley_attribution: {v_total} conversions with {n} channels "
+            "can overflow the exact n!-scaled credit sum (2*n!*v_total > "
+            "int64); reduce channels or pre-aggregate conversions"
+        )
     coal = spark.createDataFrame(
         _coalitions(n), "cbit int, smask int, coef long"
     )
@@ -213,7 +226,20 @@ def markov_attribution(
     Scale: ONE corpus-sized aggregate produces the ≤(n_states)² count
     matrix; all ``iterations`` updates run on (variants × states) rows —
     driver-trivial frames, localCheckpointed every ``checkpoint_every``
-    rounds to bound plan depth."""
+    rounds to bound plan depth.
+
+    Channel state ids must be distinct and disjoint from the reserved
+    ids (0 = the base variant marker, start/conv/null) — a channel
+    mapped to 0 would duplicate the base variant and silently corrupt
+    every removal effect, so the overlap raises instead."""
+    reserved = {0, int(start_state), int(conv_state), int(null_state)}
+    ids = list(channels.values())
+    if len(set(ids)) != len(ids) or set(ids) & reserved:
+        raise ValueError(
+            f"markov_attribution: channel state ids {sorted(ids)} must be "
+            f"distinct and disjoint from the reserved ids {sorted(reserved)} "
+            "(0 marks the base variant; start/conv/null are structural)"
+        )
     t = (
         transitions.groupBy(
             F.col("from_state").alias("i"), F.col("to_state").alias("j")

@@ -644,16 +644,20 @@ def ranking_metrics(
 
     w = _dcg_weights_micro(k)
     wmap = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
-    # rel outside [0, 62] raises loudly: 2^63 wraps bigint, and a NEGATIVE
-    # rel's fractional 2^rel casts differently across engines (trunc vs
-    # round-half-even) — the quiet-corruption class the guards exist for
+    # rel outside [0, 43] raises loudly: the summed term is
+    # (2^rel - 1) * w_micro with w_micro = 1e6 at rank 1, so rel = 44
+    # already exceeds int64 (2^44 * 1e6 > 2^63) and would WRAP silently in
+    # Spark while the oracle errors; a NEGATIVE rel's fractional 2^rel
+    # casts engine-divergently (trunc vs round-half-even) — both are the
+    # quiet-corruption class the guards exist for
     gain = lambda c: (  # noqa: E731
         F.when(
-            (F.col(c) < 0) | (F.col(c) > 62),
+            (F.col(c) < 0) | (F.col(c) > 43),
             F.expr(
                 "CAST(raise_error('ranking_metrics: rel must be an integer in"
-                " [0, 62] — negative rels cast engine-divergently and 2^63"
-                " wraps bigint') AS BIGINT)"
+                " [0, 43] — negative rels cast engine-divergently and the"
+                " micro-unit DCG term (2^rel * 1e6) wraps bigint past 43')"
+                " AS BIGINT)"
             ),
         ).otherwise(F.pow(F.lit(2.0), F.col(c).cast("double")).cast("bigint") - 1)
     )

@@ -71,8 +71,12 @@ def roc_auc(
             F.expr(
                 # span check in DOUBLE: a span past 2^63 WRAPS in bigint
                 # arithmetic, so the guard itself must not use (s-lo)
+                # >= with a 2^13-shaved bound: a span of EXACTLY 2^58
+                # passes a strict '>' yet (s-lo)*32 = 2^63 wraps, and the
+                # double subtraction (ulp <= 2^10 at these magnitudes) can
+                # round slightly-larger spans DOWN past the check
                 f"CASE WHEN CAST(__hi AS DOUBLE) - CAST(__lo AS DOUBLE)"
-                f" > {float(1 << 58)} THEN CAST(raise_error("
+                f" >= {float((1 << 58) - (1 << 13))} THEN CAST(raise_error("
                 "'roc_auc: score span exceeds 2^58 and would overflow the"
                 " bucket arithmetic; range-reduce scores first') AS BIGINT)"
                 f" ELSE ((s - __lo) * {AUC_BUCKETS}) div (__hi - __lo + 1) END"

@@ -380,7 +380,10 @@ def test_coverage_header_counts_match_registry():
         QUERIES,
     )
 
-    head = open("/root/repo/COVERAGE.md").read().split("**Round-", 3)[1]
+    import os
+
+    cov = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    head = open(cov).read().split("**Round-", 3)[1]
     m = re.search(r"(\d+)\s+driver-gated entries", "Round-" + head)
     assert m and int(m.group(1)) == len(QUERIES) == len(ORACLES)
     m = re.search(r"(\d+)\s+driver=False extras \((\d+)", head)

@@ -433,10 +433,7 @@ def test_jackknife_ratio_matches_bruteforce(spark):
     C = sum(d for _, d in per.values())
     g = len(per)
     th_u = [math.floor((R - rn) / (C - rd) * 1e6) for rn, rd in per.values()]
-    mean = sum(th_u) / g
-    var = (g - 1) / g * sum((t - mean) ** 2 for t in th_u)
-    se = math.sqrt(var / g) / 1e6  # (g-1)/g * sum(dev^2) / g ... see below
-    # recompute exactly as the operator: se = sqrt((g-1) * M / g^2) / 1e6
+    # exactly as the operator: se = sqrt((g-1) * M / g^2) / 1e6
     M = g * sum(t * t for t in th_u) - sum(th_u) ** 2
     se = math.sqrt((g - 1) * M / (g * g)) / 1e6
     assert r.n_slices == g

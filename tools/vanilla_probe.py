@@ -44,9 +44,9 @@ def main(argv: list[str]) -> int:
     # be silently rerouted as the dataset path; ADVICE r11: the older
     # leading-slash heuristic silently ate relative paths as names)
     def _is_dataset_dir(a: str) -> bool:
-        return os.path.isdir(a) and a not in all_q and not any(
-            part in all_q for part in a.split(",")
-        )
+        # a.split(",") yields [a] when comma-free, so the any() covers the
+        # whole-argument case too
+        return os.path.isdir(a) and not any(part in all_q for part in a.split(","))
 
     sf = next((a for a in args if _is_dataset_dir(a)), "/root/testdata/sf0.01")
     args = [a for a in args if a != sf]
