@@ -556,3 +556,131 @@ def bh_fdr_sql(
     SELECT {keys}, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), FALSE
     FROM results WHERE ({p_sql}) IS NULL
     """
+
+
+def qini_deciles(
+    df: DataFrame, id_col: str, treat: Column, outcome: Column, score: Column
+) -> DataFrame:
+    """Decile Qini table for uplift evaluation (Radcliffe, Direct
+    Marketing Analytics J. 2007) — the causal counterpart of the lift
+    table: rank units by the uplift model's score (descending), cut into
+    10 deciles with the exact two-level global rank, and report per
+    decile both the within-decile uplift and the CUMULATIVE Qini value
+    q(d) = cumConvT − cumConvC · cumNT / cumNC — how many extra
+    conversions targeting the top d deciles buys over not treating.
+
+    Inputs are integer-valued columns: treat ∈ {0,1}, outcome ∈ {0,1},
+    score integer (the roc_auc exactness contract — float scores scale
+    to micro-units first).  Returns (decile, n_t, n_c, conv_t, conv_c,
+    uplift, qini): uplift/qini are single rounded float expressions over
+    exact bigint sums; a decile with an empty treatment or control arm
+    reports NULL uplift, and NULL qini while the cumulative control arm
+    is empty — surfaced, never 0 disguised as "no effect".
+
+    Scale: the rank is segments._global_rank (range buckets + within-
+    bucket windows — no single-partition sort of the unit table); the
+    decile aggregate is one partial+final groupBy; the cumulative
+    window runs over 10 rows."""
+    from pyspark.sql import Window
+
+    from datapipeline_omnichanneltobigquery_spark.operators.segments import _global_rank
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        treat.cast("int").alias("t"),
+        outcome.cast("int").alias("o"),
+        (-score.cast("bigint")).alias("negs"),  # ascending rank of -score = score desc
+    )
+    n = base.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    ranked = _global_rank(base, "id", "negs", "rk").crossJoin(F.broadcast(n))
+    dec = (
+        ranked.withColumn("decile", F.expr("((rk - 1) * 10) div __n").cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.sum("t").cast("bigint").alias("n_t"),
+            F.sum(F.lit(1) - F.col("t")).cast("bigint").alias("n_c"),
+            F.sum(F.col("t") * F.col("o")).cast("bigint").alias("conv_t"),
+            F.sum((F.lit(1) - F.col("t")) * F.col("o")).cast("bigint").alias("conv_c"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        dec.withColumn("ct", F.sum("conv_t").over(w))
+        .withColumn("cc", F.sum("conv_c").over(w))
+        .withColumn("nt", F.sum("n_t").over(w))
+        .withColumn("nc", F.sum("n_c").over(w))
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0),
+            F.round(
+                F.col("conv_t").cast("double") / F.col("n_t").cast("double")
+                - F.col("conv_c").cast("double") / F.col("n_c").cast("double"),
+                6,
+            ),
+        ).alias("uplift"),
+        F.when(
+            F.col("nc") > 0,
+            F.round(
+                F.col("ct").cast("double")
+                - F.col("cc").cast("double") * F.col("nt").cast("double")
+                / F.col("nc").cast("double"),
+                6,
+            ),
+        ).alias("qini"),
+    )
+
+
+def qini_deciles_sql(
+    units_sql: str, id_col: str, treat_sql: str, outcome_sql: str, score_sql: str
+) -> str:
+    """DuckDB twin of :func:`qini_deciles` — the DEFINITIONAL global
+    row_number (the gate proves the two-level Spark rank), identical
+    decile cut, cumulative sums, and float expression order."""
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS id,
+               CAST({treat_sql} AS INT) AS t,
+               CAST({outcome_sql} AS INT) AS o,
+               -CAST({score_sql} AS BIGINT) AS negs
+        FROM ({units_sql})),
+    ranked AS (
+        SELECT t, o,
+               ROW_NUMBER() OVER (ORDER BY negs, id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM base),
+    dec AS (
+        SELECT CAST(((rk - 1) * 10) // n AS INT) AS decile,
+               CAST(SUM(t) AS BIGINT) AS n_t,
+               CAST(SUM(1 - t) AS BIGINT) AS n_c,
+               CAST(SUM(t * o) AS BIGINT) AS conv_t,
+               CAST(SUM((1 - t) * o) AS BIGINT) AS conv_c
+        FROM ranked GROUP BY 1),
+    cum AS (
+        SELECT *,
+               SUM(conv_t) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+               SUM(conv_c) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+               SUM(n_t) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt,
+               SUM(n_c) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nc
+        FROM dec)
+    SELECT decile, n_t, n_c, conv_t, conv_c,
+           CASE WHEN n_t > 0 AND n_c > 0 THEN
+             round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                   - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+           END AS uplift,
+           CASE WHEN nc > 0 THEN
+             round(CAST(ct AS DOUBLE)
+                   - CAST(cc AS DOUBLE) * CAST(nt AS DOUBLE)
+                     / CAST(nc AS DOUBLE), 6)
+           END AS qini
+    FROM cum
+    """

@@ -3531,6 +3531,60 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return me.bh_fdr(mk, ["key"], "p", alpha_bps=500)
 
 
+from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long_sql as _md5_sql
+
+_QINI_UNITS_SQL = f"""
+    WITH pc AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS score
+        FROM events GROUP BY 1),
+    tot AS (SELECT CAST(SUM(np) AS BIGINT) AS tp, CAST(COUNT(*) AS BIGINT) AS nu FROM pc)
+    SELECT p.user_id,
+           ({_md5_sql("'qini:' || CAST(p.user_id AS VARCHAR)")}) % 2 AS treat,
+           CASE WHEN p.np * t.nu > t.tp THEN 1 ELSE 0 END AS outcome,
+           p.score
+    FROM pc p CROSS JOIN tot t
+"""
+
+
+@query(
+    "features_uplift_qini",
+    driver=False,  # NEW r12: causal-eval face of the ML-eval family (r13 queue)
+    oracle=me.qini_deciles_sql(_QINI_UNITS_SQL, "user_id", "treat", "outcome", "score"),
+)
+def features_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile Qini table — uplift-model evaluation (Radcliffe 2007), the
+    causal counterpart of [[features_lift_table]]: users md5-split into
+    treatment/control, outcome = above-average purchaser (the exact
+    integer compare np·N > Σnp — no float rate), score = click-count
+    engagement proxy ranked descending by the two-level global rank; the
+    cumulative q(d) says how many extra conversions targeting the top d
+    deciles buys (operators/ml_eval.py::qini_deciles).  Empty arms
+    report NULL, never 0."""
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    pc = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).cast("bigint").alias("np"),
+        F.sum((F.col("event_type") == "click").cast("int")).cast("bigint").alias("score"),
+    )
+    tot = pc.agg(
+        F.sum("np").cast("bigint").alias("tp"), F.count(F.lit(1)).cast("bigint").alias("nu")
+    )
+    units = pc.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        (md5_long(F.concat(F.lit("qini:"), F.col("user_id").cast("string"))) % 2).alias(
+            "treat"
+        ),
+        (F.col("np") * F.col("nu") > F.col("tp")).cast("int").alias("outcome"),
+        "score",
+    )
+    return me.qini_deciles(
+        units, "user_id", F.col("treat"), F.col("outcome"), F.col("score")
+    )
+
+
 _FS_PAIRS_SQL = """
     WITH p AS (SELECT p_partkey AS pk, trim(lower(p_name)) AS name,
                       p_brand AS brand, p_type AS typ, p_size AS sz,

@@ -596,3 +596,48 @@ def test_ranking_metrics_and_shapley_guards_raise(spark):
     bad_mask = spark.createDataFrame([(4,)], "mask int")  # 2 channels -> [0,4)
     with pytest.raises(Exception, match="outside"):
         shapley_attribution(bad_mask, "mask", {"a": 1, "b": 2}).collect()
+
+
+def test_qini_deciles_matches_bruteforce(spark):
+    """qini_deciles equals a python re-derivation on a 40-unit synthetic
+    with a real uplift signal (treated high-score units convert more),
+    including the empty-arm NULL in a decile that is all-treatment."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import qini_deciles
+
+    units = []
+    for i in range(40):
+        t = i % 2
+        score = 40 - i
+        o = 1 if (t == 1 and score > 25) or (score > 35) else 0
+        units.append((i, t, o, score))
+    # force an all-treatment decile: units 36-39 (lowest scores) all treated
+    units = [(i, 1 if i >= 36 else t, o, s) for (i, t, o, s) in units]
+    df = spark.createDataFrame(units, "id long, t int, o int, s long")
+    got = {
+        r.decile: r
+        for r in qini_deciles(df, "id", F.col("t"), F.col("o"), F.col("s")).collect()
+    }
+
+    ordered = sorted(units, key=lambda u: (-u[3], u[0]))
+    n = len(ordered)
+    cum = {"ct": 0, "cc": 0, "nt": 0, "nc": 0}
+    per = {}
+    for rk, (i, t, o, s) in enumerate(ordered, 1):
+        d = (rk - 1) * 10 // n
+        row = per.setdefault(d, {"n_t": 0, "n_c": 0, "conv_t": 0, "conv_c": 0})
+        row["n_t"] += t
+        row["n_c"] += 1 - t
+        row["conv_t"] += t * o
+        row["conv_c"] += (1 - t) * o
+    for d in sorted(per):
+        row, r = per[d], got[d]
+        assert (r.n_t, r.n_c, r.conv_t, r.conv_c) == (
+            row["n_t"], row["n_c"], row["conv_t"], row["conv_c"]
+        )
+        cum["ct"] += row["conv_t"]; cum["cc"] += row["conv_c"]
+        cum["nt"] += row["n_t"]; cum["nc"] += row["n_c"]
+        if row["n_t"] > 0 and row["n_c"] > 0:
+            assert abs(r.uplift - (row["conv_t"] / row["n_t"] - row["conv_c"] / row["n_c"])) < 1e-6
+        else:
+            assert r.uplift is None
+        assert abs(r.qini - (cum["ct"] - cum["cc"] * cum["nt"] / cum["nc"])) < 1e-6
