@@ -1441,3 +1441,179 @@ def pq_topk_join_sql(
         FROM adc)
     WHERE rn <= {k}
     """
+
+
+#: micro-unit scale for the power-iteration eigenvector state
+PCA_SCALE = 1_000_000
+
+
+def pca_power(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    iterations: int = 12,
+) -> DataFrame:
+    """Top principal direction of an embedding corpus by power iteration
+    (von Mises & Pollaczek-Geiringer 1929; the Gram-matrix/uncentered
+    form — for approximately-centered embedding spaces this is the
+    standard whitening direction; center upstream if the mean is
+    material).  Returns one row per dimension: (pos, loading, rayleigh)
+    with ``loading`` the unit-L2 eigenvector coordinate and ``rayleigh``
+    the eigenvalue estimate v'X'Xv / (v'v · n), identical on every row.
+
+    Exactness discipline: coordinates quantize ONCE to integer
+    micro-units (floor(x·1e6), the quantize_int8 contract); each
+    iteration computes s_r = Σᵢ xqᵢ·vᵢ as an exact bigint per row
+    (|s| ≤ dim·|x|·1e12 — fine for unit-scale embeddings), accumulates
+    tᵢ = Σ_r xqᵢ·s_r in DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0)
+    (exact at ANY corpus size — the roc_auc/jackknife idiom), and
+    renormalizes v to ∞-norm 1e6 through ONE double division floored
+    back to micro-units.  Sign convention: the dimension with the
+    largest |t| (ties → lowest pos) is made POSITIVE, so the eigenvector
+    sign — undefined in exact arithmetic — is pinned deterministically.
+    The DuckDB twin unrolls the SAME ``iterations``, so the approximate
+    eigenvector hash-matches bit for bit.
+
+    Scale: the slim (id, pos, xq) exploded projection localCheckpoints
+    once (dim × n rows — the only corpus-sized frame); each iteration is
+    two aggregates over it with a broadcast 64-row v; plan depth stays
+    flat because v re-checkpoints every iteration (driver-trivial)."""
+    spark = emb.sparkSession
+    x = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "xv"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.expr("CAST(floor(xv * 1000000.0) AS BIGINT)").alias("xq"),
+        )
+        .localCheckpoint()
+    )
+    n = x.select("id").distinct().count()  # scalar: rayleigh denominator
+    if n == 0:
+        return spark.createDataFrame([], "pos int, loading double, rayleigh double")
+    v = spark.createDataFrame(
+        [(p, PCA_SCALE) for p in range(dim)], "pos int, vu long"
+    )
+    t = None
+    for _ in range(iterations):
+        s = (
+            x.join(F.broadcast(v), "pos")
+            .groupBy("id")
+            .agg(F.sum(F.col("xq") * F.col("vu")).cast("bigint").alias("s"))
+        )
+        t = (
+            x.join(s, "id")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.col("xq").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+                ).cast("decimal(38,0)").alias("t")
+            )
+            .localCheckpoint()
+        )
+        m = t.agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("t")).alias("a"),
+                    (-F.col("pos")).alias("np"),
+                    F.col("t").alias("t"),
+                )
+            )["t"].alias("m")
+        )
+        v = t.crossJoin(F.broadcast(m)).select(
+            "pos",
+            F.expr(
+                f"CAST(floor(CAST(t AS DOUBLE) / CAST(m AS DOUBLE) * {PCA_SCALE}.0)"
+                " AS BIGINT)"
+            ).alias("vu"),
+        )
+    norm2 = v.agg(
+        F.sum(F.col("vu") * F.col("vu")).cast("bigint").alias("vv")
+    )
+    vt = (
+        v.join(t, "pos")
+        .agg(
+            F.sum(
+                F.col("vu").cast("decimal(19,0)") * F.col("t")
+            ).cast("decimal(38,0)").alias("vt")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(norm2))
+        .crossJoin(F.broadcast(vt))
+        .select(
+            "pos",
+            F.round(
+                F.col("vu").cast("double") / F.sqrt(F.col("vv").cast("double")), 6
+            ).alias("loading"),
+            F.round(
+                F.col("vt").cast("double")
+                / (F.col("vv").cast("double") * F.lit(float(n)) * F.lit(1e12)),
+                6,
+            ).alias("rayleigh"),
+        )
+    )
+
+
+def pca_power_sql(
+    table: str, id_col: str, vec_col: str, dim: int, iterations: int = 12
+) -> str:
+    """DuckDB twin of :func:`pca_power` — identical quantization, the
+    same ``iterations`` unrolled as CTEs, the same sign convention and
+    final normalizations."""
+    S = PCA_SCALE
+    parts = [
+        f"""x AS MATERIALIZED (
+        SELECT {id_col} AS id, r.range AS pos,
+               -- CAST to DOUBLE first: DuckDB evaluates FLOAT * decimal-literal
+               -- in SINGLE precision (the _dot_sql lesson), flipping floor()
+               -- at representation boundaries vs Spark's double promotion
+               CAST(floor(CAST({vec_col}[r.range + 1] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS xq
+        FROM {table} CROSS JOIN range({dim}) r)""",
+        f"nn AS (SELECT COUNT(DISTINCT id) AS n FROM x)",
+        f"v0 AS (SELECT range AS pos, CAST({S} AS BIGINT) AS vu FROM range({dim}))",
+    ]
+    prev = "v0"
+    last_t = None
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""s{k} AS (SELECT x.id, CAST(SUM(x.xq * p.vu) AS BIGINT) AS s
+        FROM x JOIN {prev} p ON p.pos = x.pos GROUP BY x.id)"""
+        )
+        parts.append(
+            f"""t{k} AS MATERIALIZED (
+        SELECT x.pos,
+               CAST(SUM(CAST(x.xq AS DECIMAL(19,0)) * CAST(s{k}.s AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS t
+        FROM x JOIN s{k} ON s{k}.id = x.id GROUP BY x.pos)"""
+        )
+        parts.append(
+            f"""m{k} AS (SELECT (MAX(struct_pack(a := abs(t), np := -pos, t := t))).t AS m
+        FROM t{k})"""
+        )
+        parts.append(
+            f"""v{k} AS (SELECT t{k}.pos,
+               CAST(floor(CAST(t AS DOUBLE) / CAST(m AS DOUBLE) * {S}.0) AS BIGINT) AS vu
+        FROM t{k} CROSS JOIN m{k})"""
+        )
+        prev = f"v{k}"
+        last_t = f"t{k}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    n2 AS (SELECT CAST(SUM(vu * vu) AS BIGINT) AS vv FROM {prev}),
+    vt AS (SELECT CAST(SUM(CAST(p.vu AS DECIMAL(19,0)) * t.t) AS DECIMAL(38,0)) AS vt
+           FROM {prev} p JOIN {last_t} t ON t.pos = p.pos)
+    SELECT p.pos,
+           round(CAST(p.vu AS DOUBLE) / sqrt(CAST(n2.vv AS DOUBLE)), 6) AS loading,
+           round(CAST(vt.vt AS DOUBLE)
+                 / (CAST(n2.vv AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1e12), 6) AS rayleigh
+    FROM {prev} p CROSS JOIN n2 CROSS JOIN vt CROSS JOIN nn
+    """
+    )

@@ -1060,6 +1060,25 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ir.rrf_fuse([bmr, csr], "id")
 
 
+@query(
+    "embeddings_pca_power",
+    driver=False,  # NEW r12: embedding-preprocessing face of the similarity family (r13 queue)
+    oracle=sim.pca_power_sql("embeddings", "vec_id", "embedding", EMB_DIM),
+)
+def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by 12 power-
+    iteration rounds — the whitening/debiasing direction every
+    embedding-heavy pipeline wants before ANN or SemDeDup (dominant
+    directions carry corpus-level bias; von Mises 1929, uncentered Gram
+    form).  Coordinates quantize once to micro-units; per-row projections
+    are exact bigints, per-dim accumulations exact DECIMAL(38,0), the
+    eigenvector renormalizes through one double division per round with
+    a deterministic sign pin — the unrolled oracle matches bit for bit
+    (operators/similarity.py::pca_power)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.pca_power(emb, "vec_id", "embedding", EMB_DIM)
+
+
 _NDCG_QUERIES = {
     "q_vec": ["vector", "stream"],
     "q_join": ["join", "hash", "merge"],

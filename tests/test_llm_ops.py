@@ -2131,3 +2131,49 @@ def test_ranking_metrics_hand_case(spark):
     b = out["B"]
     assert (b.n_rel, b.hits_at_k, b.dcg_micro, b.mrr) == (0, 0, 0, 0.0)
     assert b.ndcg is None
+
+
+def test_pca_power_matches_bruteforce_and_finds_direction(spark):
+    """pca_power equals an integer-for-integer python mirror of the
+    floored micro-unit power iteration, AND on a cloud stretched along a
+    known axis the unit loading recovers that axis (sign pinned by the
+    dominant-|t| convention)."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        PCA_SCALE as S,
+        pca_power,
+    )
+
+    dim, n = 6, 20
+    u = [3.0, -1.0, 0.5, 0.0, 2.0, -0.25]  # dominant direction (unnormalized)
+    vecs = []
+    for r in range(n):
+        a = (r % 5) - 2  # includes negative multiples
+        vecs.append([a * u[i] + 0.01 * ((r * 7 + i * 3) % 5 - 2) for i in range(dim)])
+    df = spark.createDataFrame(
+        [(r, [float(x) for x in v]) for r, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.pos: (r.loading, r.rayleigh) for r in pca_power(df, "vec_id", "embedding", dim).collect()}
+
+    # python mirror (floats stored as float32 first, like the array<float> column)
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    xq = [[math.floor(f32(x) * 1e6) for x in v] for v in vecs]
+    v_state = [S] * dim
+    for _ in range(12):
+        srow = [sum(xq[r][i] * v_state[i] for i in range(dim)) for r in range(n)]
+        t = [sum(xq[r][i] * srow[r] for r in range(n)) for i in range(dim)]
+        m = sorted(range(dim), key=lambda i: (-abs(t[i]), i))[0]
+        v_state = [math.floor(t[i] / t[m] * S) for i in range(dim)]
+    vv = sum(x * x for x in v_state)
+    vt = sum(v_state[i] * t[i] for i in range(dim))
+    for i in range(dim):
+        assert abs(got[i][0] - round(v_state[i] / math.sqrt(vv), 6)) < 1e-9, i
+        assert abs(got[i][1] - round(vt / (vv * n * 1e12), 6)) < 1e-9
+    # direction recovery: |cos(loading, u)| ~ 1
+    lu = sum(got[i][0] * u[i] for i in range(dim))
+    nu = math.sqrt(sum(x * x for x in u))
+    assert abs(abs(lu / nu) - 1.0) < 0.01
