@@ -1351,3 +1351,122 @@ def hll_overlap_sql(
            true_overlap
     FROM wide CROSS JOIN tru
     """
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (Pearson 1900) + Cramér's V effect size — the DQ screen for
+    "are these two dimensions actually related" beside Benford
+    (fabrication), FD violations (determinism), and mutual information
+    (association in bits; V is the bounded [0,1] effect size reviewers
+    expect).  One summary row: (n, r, c, dof, chi2, cramers_v).
+
+    Exactness: cell/marginal counts are exact bigints; each cell's
+    (n_ab·N − ra·cb) residual is an exact DECIMAL(38,0) BEFORE its one
+    cast to double, so the per-cell term (res² / (N·ra·cb)) is the same
+    two IEEE ops on both engines; terms sum in (a, b) ORDER (the bm25
+    ordered-fold discipline) over the FULL r×c grid — absent
+    combinations contribute their expected mass, not zero.
+
+    Scale: one groupBy to the cell table, two marginal aggregates, and
+    an r×c grid join — all bounded by the categorical-cardinality
+    contract (this is a test for CATEGORICALS; high-cardinality keys
+    belong in mutual information / correlation, and a grid past ~100k
+    cells is a misuse this raises on)."""
+    cells = (
+        df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .localCheckpoint()  # feeds both marginals AND the grid join
+    )
+    n_cells = cells.count()  # bounded by contract; the guard below is loud
+    if n_cells > 100_000:
+        raise ValueError(
+            f"chi2_independence: {n_cells} observed cells — this is a test for "
+            "bounded categoricals; use mutual information for high-cardinality keys"
+        )
+    ra = cells.groupBy("a").agg(F.sum("n_ab").cast("bigint").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("n_ab").cast("bigint").alias("cb"))
+    tot = cells.agg(
+        F.sum("n_ab").cast("bigint").alias("N"),
+        F.count_distinct("a").cast("bigint").alias("r"),
+        F.count_distinct("b").cast("bigint").alias("c"),
+    )
+    grid = (
+        ra.crossJoin(cb)
+        .join(cells, ["a", "b"], "left")
+        .withColumn("n_ab", F.coalesce(F.col("n_ab"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "res",
+            (
+                F.col("n_ab").cast("decimal(19,0)") * F.col("N").cast("decimal(19,0)")
+                - F.col("ra").cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)")
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "term",
+            (F.col("res").cast("double") * F.col("res").cast("double"))
+            / (
+                F.col("N").cast("double")
+                * F.col("ra").cast("double")
+                * F.col("cb").cast("double")
+            ),
+        )
+    )
+    agg = grid.groupBy("N", "r", "c").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("a", "b", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2_raw")
+    )
+    return agg.select(
+        F.col("N").alias("n"),
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.round(F.col("chi2_raw"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (F.col("N").cast("double") * (F.least("r", "c") - 1).cast("double"))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def chi2_independence_sql(table: str, col_a: str, col_b: str) -> str:
+    """DuckDB twin of :func:`chi2_independence` — identical decimal
+    residuals, per-cell float ops, and (a, b)-ordered summation."""
+    return f"""
+    WITH cells AS MATERIALIZED (
+        SELECT {col_a} AS a, {col_b} AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM {table} GROUP BY 1, 2),
+    ram AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS ra FROM cells GROUP BY 1),
+    cbm AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS cb FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS N,
+                   CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+            FROM cells),
+    grid AS (
+        SELECT ram.a, cbm.b, COALESCE(cells.n_ab, 0) AS n_ab, ram.ra, cbm.cb,
+               tot.N, tot.r, tot.c
+        FROM ram CROSS JOIN cbm
+        LEFT JOIN cells ON cells.a = ram.a AND cells.b = cbm.b
+        CROSS JOIN tot),
+    terms AS (
+        SELECT a, b, N, r, c,
+               CAST(CAST(CAST(n_ab AS DECIMAL(19,0)) * CAST(N AS DECIMAL(19,0))
+                         - CAST(ra AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))
+                    AS DECIMAL(38,0)) AS DOUBLE) AS res,
+               CAST(N AS DOUBLE) * CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) AS den
+        FROM grid)
+    SELECT N AS n, r, c,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(SUM(res * res / den ORDER BY a, b), 6) AS chi2,
+           round(sqrt(SUM(res * res / den ORDER BY a, b)
+                      / (CAST(N AS DOUBLE) * CAST(LEAST(r, c) - 1 AS DOUBLE))), 6)
+             AS cramers_v
+    FROM terms GROUP BY N, r, c
+    """

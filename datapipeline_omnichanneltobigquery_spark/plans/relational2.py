@@ -3585,6 +3585,24 @@ def features_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stats_chi2_independence",
+    driver=False,  # NEW r12: categorical-association face of the DQ/stats family (r13 queue)
+    oracle=pf.chi2_independence_sql("orders", "o_orderpriority", "o_orderstatus"),
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test + Cramér's V between order
+    priority and status — is fulfilment actually independent of priority
+    class, with a bounded [0,1] effect size (Pearson 1900; beside
+    [[feature_mutual_info]]'s bits and dq_benford's fabrication screen).
+    Exact bigint marginals, DECIMAL(38,0) residuals cast once to double,
+    (a,b)-ordered term summation over the FULL r×c grid including absent
+    combinations (operators/profile.py::chi2_independence)."""
+    return pf.chi2_independence(
+        read_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
 _FS_PAIRS_SQL = """
     WITH p AS (SELECT p_partkey AS pk, trim(lower(p_name)) AS name,
                       p_brand AS brand, p_type AS typ, p_size AS sz,

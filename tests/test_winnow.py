@@ -641,3 +641,42 @@ def test_qini_deciles_matches_bruteforce(spark):
         else:
             assert r.uplift is None
         assert abs(r.qini - (cum["ct"] - cum["cc"] * cum["nt"] / cum["nc"])) < 1e-6
+
+
+def test_chi2_independence_matches_bruteforce(spark):
+    """chi2_independence equals scipy-free python math on a table with a
+    real association AND an absent cell (the zero-cell must contribute
+    its expected mass); a perfectly independent 2x2 gives chi2 = 0; a
+    guard rejects high-cardinality misuse."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        chi2_independence,
+    )
+
+    rows = (
+        [("x", "p")] * 8 + [("x", "q")] * 2 + [("y", "p")] * 3 + [("y", "q")] * 7
+        + [("z", "p")] * 5  # (z, q) is an ABSENT cell
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    from collections import Counter
+
+    cnt = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    N = len(rows)
+    chi2 = sum(
+        (cnt.get((a, b), 0) * N - ra[a] * cb[b]) ** 2 / (N * ra[a] * cb[b])
+        for a in ra
+        for b in cb
+    )
+    assert (r.n, r.r, r.c, r.dof) == (N, 3, 2, 2)
+    assert abs(r.chi2 - chi2) < 1e-5
+    assert abs(r.cramers_v - math.sqrt(chi2 / (N * 1))) < 1e-5
+
+    indep = spark.createDataFrame(
+        [("x", "p")] * 4 + [("x", "q")] * 4 + [("y", "p")] * 2 + [("y", "q")] * 2,
+        "a string, b string",
+    )
+    assert chi2_independence(indep, "a", "b").collect()[0].chi2 == 0.0
