@@ -589,8 +589,19 @@ def qini_deciles(
         F.col(id_col).alias("id"),
         treat.cast("int").alias("t"),
         outcome.cast("int").alias("o"),
-        (-score.cast("bigint")).alias("negs"),  # ascending rank of -score = score desc
-    )
+        # NULL score would silently vanish from Spark's bucketed rank while
+        # the definitional oracle ranks it NULLS LAST — raise instead
+        F.when(
+            score.isNull(),
+            F.expr(
+                "CAST(raise_error('qini_deciles: NULL score — impute or filter"
+                " before ranking; a NULL would silently drop from the deciles')"
+                " AS BIGINT)"
+            ),
+        )
+        .otherwise(-score.cast("bigint"))
+        .alias("negs"),  # ascending rank of -score = score desc
+    ).localCheckpoint()  # feeds the count, the rank stats agg, and the bucketing
     n = base.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     ranked = _global_rank(base, "id", "negs", "rk").crossJoin(F.broadcast(n))
     dec = (

@@ -1368,13 +1368,24 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     ordered-fold discipline) over the FULL r×c grid — absent
     combinations contribute their expected mass, not zero.
 
+    NULL categories: rows where either column is NULL are EXCLUDED
+    (complete-case analysis — a NULL key would silently miss the
+    null-unsafe grid join and corrupt chi2 while escaping r/c) and the
+    excluded count is SURFACED as ``n_excluded``.  A constant column
+    (r = 1 or c = 1) has dof = 0 — chi2 and V are reported NULL
+    (undefined test), never a fabricated 0.
+
     Scale: one groupBy to the cell table, two marginal aggregates, and
     an r×c grid join — all bounded by the categorical-cardinality
     contract (this is a test for CATEGORICALS; high-cardinality keys
     belong in mutual information / correlation, and a grid past ~100k
     cells is a misuse this raises on)."""
+    n_excluded = df.filter(
+        F.col(col_a).isNull() | F.col(col_b).isNull()
+    ).count()  # bounded 1-row action; surfaced in the output
     cells = (
-        df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .localCheckpoint()  # feeds both marginals AND the grid join
     )
@@ -1420,18 +1431,23 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             lambda acc, x: acc + x["term"],
         ).alias("chi2_raw")
     )
+    defined = (F.col("r") > 1) & (F.col("c") > 1)
     return agg.select(
         F.col("N").alias("n"),
+        F.lit(int(n_excluded)).cast("bigint").alias("n_excluded"),
         "r",
         "c",
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
-        F.round(F.col("chi2_raw"), 6).alias("chi2"),
-        F.round(
-            F.sqrt(
-                F.col("chi2_raw")
-                / (F.col("N").cast("double") * (F.least("r", "c") - 1).cast("double"))
+        F.when(defined, F.round(F.col("chi2_raw"), 6)).alias("chi2"),
+        F.when(
+            defined,
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (F.col("N").cast("double") * (F.least("r", "c") - 1).cast("double"))
+                ),
+                6,
             ),
-            6,
         ).alias("cramers_v"),
     )
 
@@ -1440,9 +1456,13 @@ def chi2_independence_sql(table: str, col_a: str, col_b: str) -> str:
     """DuckDB twin of :func:`chi2_independence` — identical decimal
     residuals, per-cell float ops, and (a, b)-ordered summation."""
     return f"""
-    WITH cells AS MATERIALIZED (
+    WITH excl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded FROM {table}
+                  WHERE {col_a} IS NULL OR {col_b} IS NULL),
+    cells AS MATERIALIZED (
         SELECT {col_a} AS a, {col_b} AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
-        FROM {table} GROUP BY 1, 2),
+        FROM {table}
+        WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+        GROUP BY 1, 2),
     ram AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS ra FROM cells GROUP BY 1),
     cbm AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS cb FROM cells GROUP BY 1),
     tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS N,
@@ -1462,11 +1482,13 @@ def chi2_independence_sql(table: str, col_a: str, col_b: str) -> str:
                     AS DECIMAL(38,0)) AS DOUBLE) AS res,
                CAST(N AS DOUBLE) * CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) AS den
         FROM grid)
-    SELECT N AS n, r, c,
+    SELECT N AS n, excl.n_excluded, r, c,
            CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
-           round(SUM(res * res / den ORDER BY a, b), 6) AS chi2,
-           round(sqrt(SUM(res * res / den ORDER BY a, b)
+           CASE WHEN r > 1 AND c > 1
+                THEN round(SUM(res * res / den ORDER BY a, b), 6) END AS chi2,
+           CASE WHEN r > 1 AND c > 1
+                THEN round(sqrt(SUM(res * res / den ORDER BY a, b)
                       / (CAST(N AS DOUBLE) * CAST(LEAST(r, c) - 1 AS DOUBLE))), 6)
-             AS cramers_v
-    FROM terms GROUP BY N, r, c
+           END AS cramers_v
+    FROM terms CROSS JOIN excl GROUP BY N, excl.n_excluded, r, c
     """

@@ -1475,10 +1475,18 @@ def pca_power(
     The DuckDB twin unrolls the SAME ``iterations``, so the approximate
     eigenvector hash-matches bit for bit.
 
+    Degenerate corpora (every coordinate quantizing to 0 → an all-zero
+    spectrum) RAISE on both engines rather than dividing by the zero
+    normalizer; ``iterations`` must be >= 1.  The rayleigh numerator
+    v·t folds in (pos)-ORDER as doubles (64 fixed-order terms — the
+    bm25 fold discipline), so it carries no decimal-overflow cliff.
+
     Scale: the slim (id, pos, xq) exploded projection localCheckpoints
     once (dim × n rows — the only corpus-sized frame); each iteration is
     two aggregates over it with a broadcast 64-row v; plan depth stays
     flat because v re-checkpoints every iteration (driver-trivial)."""
+    if iterations < 1:
+        raise ValueError(f"pca_power: iterations must be >= 1, got {iterations}")
     spark = emb.sparkSession
     x = (
         emb.select(
@@ -1527,8 +1535,11 @@ def pca_power(
         v = t.crossJoin(F.broadcast(m)).select(
             "pos",
             F.expr(
-                f"CAST(floor(CAST(t AS DOUBLE) / CAST(m AS DOUBLE) * {PCA_SCALE}.0)"
-                " AS BIGINT)"
+                f"CASE WHEN m = 0 THEN CAST(raise_error('pca_power: all-zero"
+                f" spectrum — every coordinate quantized to 0; the corpus has"
+                f" no principal direction at micro-unit resolution') AS BIGINT)"
+                f" ELSE CAST(floor(CAST(t AS DOUBLE) / CAST(m AS DOUBLE)"
+                f" * {PCA_SCALE}.0) AS BIGINT) END"
             ).alias("vu"),
         )
     norm2 = v.agg(
@@ -1537,9 +1548,20 @@ def pca_power(
     vt = (
         v.join(t, "pos")
         .agg(
-            F.sum(
-                F.col("vu").cast("decimal(19,0)") * F.col("t")
-            ).cast("decimal(38,0)").alias("vt")
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            (
+                                F.col("vu").cast("double") * F.col("t").cast("double")
+                            ).alias("p"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, xx: acc + xx["p"],
+            ).alias("vt")
         )
     )
     return (
@@ -1551,7 +1573,7 @@ def pca_power(
                 F.col("vu").cast("double") / F.sqrt(F.col("vv").cast("double")), 6
             ).alias("loading"),
             F.round(
-                F.col("vt").cast("double")
+                F.col("vt")
                 / (F.col("vv").cast("double") * F.lit(float(n)) * F.lit(1e12)),
                 6,
             ).alias("rayleigh"),
@@ -1565,6 +1587,8 @@ def pca_power_sql(
     """DuckDB twin of :func:`pca_power` — identical quantization, the
     same ``iterations`` unrolled as CTEs, the same sign convention and
     final normalizations."""
+    if iterations < 1:
+        raise ValueError(f"pca_power_sql: iterations must be >= 1, got {iterations}")
     S = PCA_SCALE
     parts = [
         f"""x AS MATERIALIZED (
@@ -1598,7 +1622,10 @@ def pca_power_sql(
         )
         parts.append(
             f"""v{k} AS (SELECT t{k}.pos,
-               CAST(floor(CAST(t AS DOUBLE) / CAST(m AS DOUBLE) * {S}.0) AS BIGINT) AS vu
+               CASE WHEN m = 0 THEN CAST(error('pca_power: all-zero spectrum —'
+                    ' every coordinate quantized to 0') AS BIGINT)
+               ELSE CAST(floor(CAST(t AS DOUBLE) / CAST(m AS DOUBLE) * {S}.0) AS BIGINT)
+               END AS vu
         FROM t{k} CROSS JOIN m{k})"""
         )
         prev = f"v{k}"
@@ -1608,11 +1635,11 @@ def pca_power_sql(
         + ",\n".join(parts)
         + f""",
     n2 AS (SELECT CAST(SUM(vu * vu) AS BIGINT) AS vv FROM {prev}),
-    vt AS (SELECT CAST(SUM(CAST(p.vu AS DECIMAL(19,0)) * t.t) AS DECIMAL(38,0)) AS vt
+    vt AS (SELECT SUM(CAST(p.vu AS DOUBLE) * CAST(t.t AS DOUBLE) ORDER BY p.pos) AS vt
            FROM {prev} p JOIN {last_t} t ON t.pos = p.pos)
     SELECT p.pos,
            round(CAST(p.vu AS DOUBLE) / sqrt(CAST(n2.vv AS DOUBLE)), 6) AS loading,
-           round(CAST(vt.vt AS DOUBLE)
+           round(vt.vt
                  / (CAST(n2.vv AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1e12), 6) AS rayleigh
     FROM {prev} p CROSS JOIN n2 CROSS JOIN vt CROSS JOIN nn
     """

@@ -3568,7 +3568,7 @@ def features_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = ev.groupBy("user_id").agg(
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("bigint").alias("np"),
         F.sum((F.col("event_type") == "click").cast("int")).cast("bigint").alias("score"),
-    )
+    ).localCheckpoint()  # feeds the totals agg AND the unit projection
     tot = pc.agg(
         F.sum("np").cast("bigint").alias("tp"), F.count(F.lit(1)).cast("bigint").alias("nu")
     )

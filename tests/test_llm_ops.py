@@ -2169,7 +2169,9 @@ def test_pca_power_matches_bruteforce_and_finds_direction(spark):
         m = sorted(range(dim), key=lambda i: (-abs(t[i]), i))[0]
         v_state = [math.floor(t[i] / t[m] * S) for i in range(dim)]
     vv = sum(x * x for x in v_state)
-    vt = sum(v_state[i] * t[i] for i in range(dim))
+    vt = 0.0  # pos-ordered double fold, exactly like both engines
+    for i in range(dim):
+        vt += float(v_state[i]) * float(t[i])
     for i in range(dim):
         assert abs(got[i][0] - round(v_state[i] / math.sqrt(vv), 6)) < 1e-9, i
         assert abs(got[i][1] - round(vt / (vv * n * 1e12), 6)) < 1e-9

@@ -642,6 +642,12 @@ def test_qini_deciles_matches_bruteforce(spark):
             assert r.uplift is None
         assert abs(r.qini - (cum["ct"] - cum["cc"] * cum["nt"] / cum["nc"])) < 1e-6
 
+    import pytest
+
+    bad = spark.createDataFrame([(1, 1, 1, None)], "id long, t int, o int, s long")
+    with pytest.raises(Exception, match="NULL score"):
+        qini_deciles(bad, "id", F.col("t"), F.col("o"), F.col("s")).collect()
+
 
 def test_chi2_independence_matches_bruteforce(spark):
     """chi2_independence equals scipy-free python math on a table with a
@@ -658,8 +664,10 @@ def test_chi2_independence_matches_bruteforce(spark):
         [("x", "p")] * 8 + [("x", "q")] * 2 + [("y", "p")] * 3 + [("y", "q")] * 7
         + [("z", "p")] * 5  # (z, q) is an ABSENT cell
     )
-    df = spark.createDataFrame(rows, "a string, b string")
+    with_nulls = rows + [(None, "p"), ("x", None)]  # excluded, surfaced
+    df = spark.createDataFrame(with_nulls, "a string, b string")
     r = chi2_independence(df, "a", "b").collect()[0]
+    assert r.n_excluded == 2
     from collections import Counter
 
     cnt = Counter(rows)
@@ -680,3 +688,13 @@ def test_chi2_independence_matches_bruteforce(spark):
         "a string, b string",
     )
     assert chi2_independence(indep, "a", "b").collect()[0].chi2 == 0.0
+
+    const = spark.createDataFrame([("x", "p"), ("y", "p")], "a string, b string")
+    rc = chi2_independence(const, "a", "b").collect()[0]
+    assert rc.dof == 0 and rc.chi2 is None and rc.cramers_v is None
+
+    import pytest
+
+    wide = spark.range(110_000).selectExpr("CAST(id AS STRING) AS a", "'q' AS b")
+    with pytest.raises(ValueError, match="cells"):
+        chi2_independence(wide, "a", "b")
