@@ -1605,3 +1605,117 @@ def js_divergence_sql(
                 ELSE round(SUM({term_sql} ORDER BY bterm), 6) END AS jsd
     FROM wide CROSS JOIN scal
     """
+
+
+def zipf_fit(
+    df: DataFrame, group_col: str, text_col: str, top_n: int = 100
+) -> DataFrame:
+    """Zipf power-law fit of the term-frequency distribution per group —
+    OLS slope of ln(freq) on ln(rank) over each group's ``top_n`` most
+    frequent terms (Zipf 1949: natural language sits near slope −1;
+    corpora drifting far from it are template spam, code, or synthetic
+    junk — the distributional-health screen beside [[text_vocab_growth]]'s
+    Heaps curve and the per-document quality scores).
+
+    Returns (group, n_terms, zipf_slope, r2).  Determinism: term counts
+    are exact bigints; the top-n cut orders by (freq DESC, term) — a
+    total order; the four OLS sums fold over the ≤ top_n (rank-ordered)
+    rows as fixed-order doubles (the bm25 fold discipline), and the
+    slope/r² are fixed-order final expressions rounded to 6.  A group
+    with < 3 distinct terms reports NULL slope/r² (a 2-point fit is not
+    a law).
+
+    Scale: one (group, term) partial-agg count; the per-group rank
+    window sorts each group's DISTINCT vocabulary (bounded by language,
+    ~1e6 terms — a contract, documented like the hypothesis-table bound
+    of bh_fdr); everything after is ≤ top_n rows per group."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(_ws_tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = tok.groupBy("g", "term").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    w = Window.partitionBy("g").orderBy(F.col("f").desc(), F.col("term"))
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select(
+            "g",
+            "rk",
+            F.log(F.col("rk").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    folded = top.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rk", "x", "y"))),
+            F.struct(
+                F.lit(0.0).alias("sx"),
+                F.lit(0.0).alias("sy"),
+                F.lit(0.0).alias("sxy"),
+                F.lit(0.0).alias("sxx"),
+                F.lit(0.0).alias("syy"),
+            ),
+            lambda acc, r: F.struct(
+                (acc["sx"] + r["x"]).alias("sx"),
+                (acc["sy"] + r["y"]).alias("sy"),
+                (acc["sxy"] + r["x"] * r["y"]).alias("sxy"),
+                (acc["sxx"] + r["x"] * r["x"]).alias("sxx"),
+                (acc["syy"] + r["y"] * r["y"]).alias("syy"),
+            ),
+        ).alias("s"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx, sy = F.col("s.sx"), F.col("s.sy")
+    sxy, sxx, syy = F.col("s.sxy"), F.col("s.sxx"), F.col("s.syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    ok = F.col("n_terms") >= 3
+    return folded.select(
+        F.col("g").alias(group_col),
+        "n_terms",
+        F.when(ok, F.round(cov / varx, 6)).alias("zipf_slope"),
+        F.when(
+            ok & (vary > 0), F.round((cov * cov) / (varx * vary), 6)
+        ).alias("r2"),
+    )
+
+
+def zipf_fit_sql(table: str, group_col: str, text_col: str, top_n: int = 100) -> str:
+    """DuckDB twin of :func:`zipf_fit` — identical tokenizer, top-n cut,
+    rank-ordered folds, and final expression order."""
+    return f"""
+    WITH toks AS (
+        SELECT {group_col} AS g,
+               UNNEST(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS term
+        FROM {table}),
+    counts AS (
+        SELECT g, term, CAST(COUNT(*) AS BIGINT) AS f
+        FROM toks WHERE term <> '' GROUP BY 1, 2),
+    top AS (
+        SELECT g, rk, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+        FROM (SELECT g, f, term,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY f DESC, term) AS rk
+              FROM counts)
+        WHERE rk <= {int(top_n)}),
+    folded AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               SUM(x ORDER BY rk) AS sx, SUM(y ORDER BY rk) AS sy,
+               SUM(x * y ORDER BY rk) AS sxy,
+               SUM(x * x ORDER BY rk) AS sxx,
+               SUM(y * y ORDER BY rk) AS syy
+        FROM top GROUP BY g)
+    SELECT g AS {group_col}, n_terms,
+           CASE WHEN n_terms >= 3 THEN
+             round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+           END AS zipf_slope,
+           CASE WHEN n_terms >= 3
+                 AND n_terms * syy - sy * sy > 0 THEN
+             round(((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy))
+                   / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
+           END AS r2
+    FROM folded
+    """

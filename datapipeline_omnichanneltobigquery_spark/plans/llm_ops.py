@@ -1061,6 +1061,22 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_zipf_fit",
+    driver=False,  # NEW r12: distributional-health face of the text-quality family (r13 queue)
+    oracle=ts.zipf_fit_sql("documents", "source", "text"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law exponent of each source's term-frequency
+    distribution (OLS of ln f on ln rank over the top-100 terms) —
+    natural text sits near slope −1; sources drifting far off are
+    template spam, code, or synthetic junk (Zipf 1949; the corpus-level
+    screen beside [[text_vocab_growth]]'s Heaps curve).  Exact bigint
+    counts, total-order top-n cut, rank-ordered double folds, fixed-
+    order slope/r² rounded once (operators/textstats.py::zipf_fit)."""
+    return ts.zipf_fit(read_table(spark, sf_dir, "documents"), "source", "text")
+
+
+@query(
     "embeddings_pca_power",
     driver=False,  # NEW r12: embedding-preprocessing face of the similarity family (r13 queue)
     oracle=sim.pca_power_sql("embeddings", "vec_id", "embedding", EMB_DIM),

@@ -2179,3 +2179,23 @@ def test_pca_power_matches_bruteforce_and_finds_direction(spark):
     lu = sum(got[i][0] * u[i] for i in range(dim))
     nu = math.sqrt(sum(x * x for x in u))
     assert abs(abs(lu / nu) - 1.0) < 0.01
+
+
+def test_zipf_fit_known_distribution(spark):
+    """A synthetic corpus built with EXACT Zipf counts f(r) = 600/r gives
+    slope ≈ −1 with r² ≈ 1; a uniform corpus (every term equally
+    frequent) gives slope 0; a 2-term group reports NULL (not a law)."""
+    zipfy = " ".join(
+        f"w{r}" for r in range(1, 31) for _ in range(600 // r)
+    )
+    uniform = " ".join(f"u{r}" for r in range(1, 31) for _ in range(10))
+    tiny = "a a b"
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import zipf_fit
+
+    df = spark.createDataFrame(
+        [("z", zipfy), ("u", uniform), ("t", tiny)], "source string, text string"
+    )
+    got = {r.source: r for r in zipf_fit(df, "source", "text").collect()}
+    assert abs(got["z"].zipf_slope + 1.0) < 0.02 and got["z"].r2 > 0.999
+    assert got["u"].zipf_slope == 0.0
+    assert got["t"].n_terms == 2 and got["t"].zipf_slope is None and got["t"].r2 is None
