@@ -1719,3 +1719,146 @@ def zipf_fit_sql(table: str, group_col: str, text_col: str, top_n: int = 100) ->
            END AS r2
     FROM folded
     """
+
+
+#: public English stopword list for RAKE phrase boundaries (Rose et al.
+#: 2010 use a stoplist as the delimiter set; this is the standard small
+#: function-word inventory, shared verbatim with the SQL twin)
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
+    "has", "have", "he", "in", "is", "it", "its", "of", "on", "or", "that",
+    "the", "this", "to", "was", "were", "will", "with", "not", "they",
+)
+
+#: RAKE candidate phrases longer than this are boilerplate runs, not
+#: keyphrases — the standard cap
+RAKE_MAX_PHRASE = 4
+
+
+def rake_keywords(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 20
+) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus (Rose, Engel, Cramer &
+    Cowley 2010): candidate phrases are maximal stopword-free token
+    runs (≤ RAKE_MAX_PHRASE words), each word scores degree/frequency
+    over ALL candidate occurrences (degree = Σ length of phrases
+    containing it — co-occurrence weight that plain TF-IDF keywords
+    lack), and a phrase scores the sum of its word scores.  Returns the
+    corpus top-``top_k`` distinct phrases: (phrase, n_words, score).
+
+    Determinism: word degree/frequency are exact bigints; a phrase's
+    score folds its ≤ RAKE_MAX_PHRASE word ratios in POSITION order
+    (fixed-order doubles); identical phrase texts collapse BEFORE the
+    top-k (same words ⇒ same corpus-level score, so distinct is
+    loss-free); the cut orders by (score desc, phrase) —
+    TakeOrderedAndProject.
+
+    Scale: one token-stream pass; the phrase segmentation window
+    partitions by document (per-doc sort); word stats are one
+    partial-agg groupBy over candidate words; the word-stats join
+    broadcasts nothing corpus-sized (stats keyed by term ride the same
+    hash exchange as the words)."""
+    from pyspark.sql import Window
+
+    stop_arr = F.array(*[F.lit(w) for w in RAKE_STOPWORDS])
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_ws_tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .withColumn("is_stop", F.array_contains(stop_arr, F.col("term")).cast("int"))
+    )
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    words = (
+        tok.withColumn("ph", F.sum("is_stop").over(w))
+        .filter(F.col("is_stop") == 0)
+        .select("id", "ph", "pos", "term")
+        .localCheckpoint()  # feeds sizes, word stats, and the phrase fold
+    )
+    sizes = (
+        words.groupBy("id", "ph")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+        .filter(F.col("len") <= RAKE_MAX_PHRASE)
+    )
+    kept = words.join(sizes, ["id", "ph"])
+    stats = kept.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("len").cast("bigint").alias("degree"),
+    )
+    scored_words = kept.join(stats, "term").select(
+        "id",
+        "ph",
+        "pos",
+        "term",
+        (F.col("degree").cast("double") / F.col("freq").cast("double")).alias("ws"),
+    )
+    phrases = scored_words.groupBy("id", "ph").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda x: x["term"],
+            ),
+        ).alias("phrase"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "ws"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["ws"],
+            ),
+            6,
+        ).alias("score"),
+    )
+    return (
+        phrases.select("phrase", "n_words", "score")
+        .distinct()
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(top_k)
+    )
+
+
+def rake_keywords_sql(table: str, id_col: str, text_col: str, top_k: int = 20) -> str:
+    """DuckDB twin of :func:`rake_keywords` — identical stoplist,
+    segmentation, corpus word stats, position-ordered folds, and cut."""
+    stops = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"""
+    WITH ex AS (
+        SELECT {id_col} AS id,
+               UNNEST(list_transform(
+                   regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                   (x, i) -> struct_pack(pos := i, term := x))) AS s
+        FROM {table}),
+    tok AS (
+        SELECT id, s.pos AS pos, s.term AS term,
+               CASE WHEN s.term IN ({stops}) THEN 1 ELSE 0 END AS is_stop
+        FROM ex WHERE s.term <> ''),
+    words AS MATERIALIZED (
+        SELECT id, pos, term,
+               SUM(is_stop) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+        FROM tok QUALIFY is_stop = 0),
+    sizes AS (
+        SELECT id, ph, CAST(COUNT(*) AS BIGINT) AS len
+        FROM words GROUP BY 1, 2 HAVING COUNT(*) <= {RAKE_MAX_PHRASE}),
+    kept AS (SELECT w.* , s.len FROM words w JOIN sizes s
+             ON s.id = w.id AND s.ph = w.ph),
+    stats AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(len) AS BIGINT) AS degree
+        FROM kept GROUP BY 1),
+    phrases AS (
+        SELECT k.id, k.ph,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               string_agg(k.term, ' ' ORDER BY k.pos) AS phrase,
+               round(SUM(CAST(st.degree AS DOUBLE) / CAST(st.freq AS DOUBLE)
+                         ORDER BY k.pos), 6) AS score
+        FROM kept k JOIN stats st ON st.term = k.term
+        GROUP BY 1, 2)
+    SELECT phrase, n_words, score
+    FROM (SELECT DISTINCT phrase, n_words, score FROM phrases)
+    ORDER BY score DESC, phrase LIMIT {int(top_k)}
+    """

@@ -1061,6 +1061,21 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_rake_keywords",
+    driver=False,  # NEW r12: co-occurrence keyword face of the text family (r13 queue)
+    oracle=ts.rake_keywords_sql("documents", "doc_id", "text"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: the corpus top-20 stopword-delimited
+    phrases by summed word degree/frequency — the co-occurrence keyword
+    signal [[text_keywords_tfidf]]'s pure frequency weighting lacks
+    (Rose et al. 2010).  Exact bigint degree/freq, position-ordered
+    score folds, loss-free distinct before the TakeOrderedAndProject cut
+    (operators/textstats.py::rake_keywords)."""
+    return ts.rake_keywords(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
     "text_zipf_fit",
     driver=False,  # NEW r12: distributional-health face of the text-quality family (r13 queue)
     oracle=ts.zipf_fit_sql("documents", "source", "text"),

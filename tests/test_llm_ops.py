@@ -2199,3 +2199,30 @@ def test_zipf_fit_known_distribution(spark):
     assert abs(got["z"].zipf_slope + 1.0) < 0.02 and got["z"].r2 > 0.999
     assert got["u"].zipf_slope == 0.0
     assert got["t"].n_terms == 2 and got["t"].zipf_slope is None and got["t"].r2 is None
+
+
+def test_rake_keywords_hand_case(spark):
+    """RAKE on a two-doc corpus matches hand math: phrases split at
+    stopwords, degree counts phrase lengths across ALL occurrences, a
+    5-word stopword-free run is dropped by the phrase cap, and identical
+    phrases in different docs collapse to one row."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import (
+        rake_keywords,
+    )
+
+    d1 = "deep learning of deep learning"  # "of" splits two identical phrases
+    d2 = "deep learning and gradient descent"
+    d3 = "alpha beta gamma delta epsilon"  # 5-word run -> dropped by cap
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = {r.phrase: r for r in rake_keywords(df, "doc_id", "text").collect()}
+    assert "alpha beta gamma delta epsilon" not in got
+    # corpus stats over kept phrases: deep x3 (len-2 phrases), learning x3,
+    # gradient/descent x1 (one len-2 phrase)
+    # ws(deep) = ws(learning) = 6/3 = 2.0 ; ws(gradient) = ws(descent) = 2.0
+    dl = got["deep learning"]
+    assert dl.n_words == 2 and dl.score == 4.0
+    gd = got["gradient descent"]
+    assert gd.n_words == 2 and gd.score == 4.0
+    assert len([p for p in got if p == "deep learning"]) == 1  # collapsed
