@@ -1536,3 +1536,210 @@ def snaive_eval_sql(
            END AS wape
     FROM agg
     """
+
+
+def _holt_weights(train: int, alpha_bps: int, beta_bps: int) -> list[tuple[int, int, int]]:
+    """(t, wl_micro, wb_micro) rows: Holt's linear-trend state after
+    ``train`` dense points is LINEAR in the observations, so the final
+    level/trend are fixed weight vectors over y_1..y_train — computed
+    once in python (floats), rounded HALF-UP to micro-units, and injected
+    into BOTH engines (the _dcg_weights_micro discipline: no recursion
+    executes in either engine)."""
+    import math
+
+    a, b = alpha_bps / 10000.0, beta_bps / 10000.0
+    wl = [[0.0] * train for _ in range(2)]  # wl[0] = level, wl[1] = trend weights
+    lvl = [0.0] * train
+    trd = [0.0] * train
+    lvl[0] = 1.0  # l_1 = y_1
+    trd[0], trd[1] = -1.0, 1.0  # b_1 = y_2 - y_1
+    for t in range(1, train):
+        prev_l, prev_t = lvl[:], trd[:]
+        for i in range(train):
+            lvl[i] = (1 - a) * (prev_l[i] + prev_t[i])
+            trd[i] = (1 - b) * prev_t[i]
+        lvl[t] += a
+        for i in range(train):
+            trd[i] += b * (lvl[i] - prev_l[i])
+    return [
+        (t + 1, math.floor(lvl[t] * 1e6 + 0.5), math.floor(trd[t] * 1e6 + 0.5))
+        for t in range(train)
+    ]
+
+
+def holt_eval(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    y_col: str,
+    train_days: int = 23,
+    horizon: int = 7,
+    alpha_bps: int = 3000,
+    beta_bps: int = 1000,
+) -> DataFrame:
+    """Holt's linear-trend forecaster (Holt 1957) evaluated HEAD-TO-HEAD
+    against the seasonal-naive baseline over each group's last
+    ``horizon`` points — the model-comparison face of the forecast
+    family ([[events_forecast_snaive]] scores the baseline; this answers
+    "does a trend model actually beat it?").
+
+    Input: (group, t, y) integer series, DENSE over exactly
+    train_days + horizon consecutive t per group (Holt's recursion is
+    undefined over gaps — violations RAISE with the offending group).
+
+    Exactness: the trained level/trend are linear in the observations,
+    so both are exact bigint dot products with compile-time micro-unit
+    weight vectors (:func:`_holt_weights` — no recursion executes in
+    either engine); forecasts ℓ+h·b stay in micro-units; both error
+    sums Σ|y·10⁶ − ŷ_micro| are exact bigints; rel_mae (holt error /
+    naive error) is ONE rounded division, NULL when the naive error is
+    0.  Returns (group, err_holt_micro, err_naive_micro, rel_mae,
+    holt_better).
+
+    Scale: one value-keyed anchor join + two bounded-weight joins; no
+    windows; the weight table is train_days rows, broadcast."""
+    if horizon > 7:
+        raise ValueError(
+            "horizon must be <= 7: the naive baseline is lag-7, so a longer "
+            "horizon would compare against test-period actuals"
+        )
+    spark = df.sparkSession
+    W = train_days + horizon
+    g, t, y = group_col, t_col, y_col
+    base = df.select(
+        F.col(g).alias("__g"), F.col(t).alias("t"), F.col(y).alias("y")
+    ).localCheckpoint()  # feeds the anchor agg, the density check, and three joins
+    anchor = base.groupBy("__g").agg(
+        F.max("t").alias("tmax"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("t").alias("nd"),
+        F.min("t").alias("tmin"),
+    )
+    # the guarded expression IS tmax — a separate unused check column
+    # would be PRUNED by the optimizer and the raise would never fire
+    checked = anchor.select(
+        "__g",
+        F.when(
+            (F.col("n") == W) & (F.col("nd") == W) & (F.col("tmax") - F.col("tmin") == W - 1),
+            F.col("tmax"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("holt_eval: group "),
+                    F.col("__g").cast("string"),
+                    F.lit(
+                        f" is not a dense {W}-point series (train_days={train_days}"
+                        f" + horizon={horizon}); Holt's recursion is undefined over gaps"
+                    ),
+                )
+            )
+        ).alias("tmax"),
+    )
+    idx = base.join(F.broadcast(checked), "__g").withColumn(
+        "ti", (F.col("t") - F.col("tmax") + F.lit(W)).cast("int")
+    )
+    wdf = spark.createDataFrame(
+        _holt_weights(train_days, alpha_bps, beta_bps), "ti int, wl long, wb long"
+    )
+    state = (
+        idx.join(F.broadcast(wdf), "ti")
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("y") * F.col("wl")).cast("bigint").alias("lu"),
+            F.sum(F.col("y") * F.col("wb")).cast("bigint").alias("bu"),
+        )
+    )
+    test = idx.filter(F.col("ti") > train_days)
+    lagged = idx.select(
+        "__g", (F.col("ti") + 7).alias("ti"), F.col("y").alias("y_lag7")
+    )
+    scored = (
+        test.join(F.broadcast(state), "__g")
+        .join(lagged, ["__g", "ti"])
+        .select(
+            "__g",
+            F.abs(
+                F.col("y") * F.lit(1_000_000)
+                - (F.col("lu") + (F.col("ti") - train_days) * F.col("bu"))
+            ).cast("bigint").alias("eh"),
+            (F.abs(F.col("y") - F.col("y_lag7")) * F.lit(1_000_000))
+            .cast("bigint")
+            .alias("en"),
+        )
+    )
+    agg = scored.groupBy("__g").agg(
+        F.sum("eh").cast("bigint").alias("err_holt_micro"),
+        F.sum("en").cast("bigint").alias("err_naive_micro"),
+    )
+    return agg.select(
+        F.col("__g").alias(g),
+        "err_holt_micro",
+        "err_naive_micro",
+        F.when(
+            F.col("err_naive_micro") > 0,
+            F.round(
+                F.col("err_holt_micro").cast("double")
+                / F.col("err_naive_micro").cast("double"),
+                6,
+            ),
+        ).alias("rel_mae"),
+        (F.col("err_holt_micro") < F.col("err_naive_micro")).alias("holt_better"),
+    )
+
+
+def holt_eval_sql(
+    series_sql: str,
+    group_col: str,
+    t_col: str,
+    y_col: str,
+    train_days: int = 23,
+    horizon: int = 7,
+    alpha_bps: int = 3000,
+    beta_bps: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`holt_eval` — identical injected weight
+    table, density check, micro-unit errors, and final division."""
+    W = train_days + horizon
+    wrows = ", ".join(
+        f"({t}, {wl}, {wb})" for t, wl, wb in _holt_weights(train_days, alpha_bps, beta_bps)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT {group_col} AS g, {t_col} AS t, {y_col} AS y FROM ({series_sql})),
+    anchor AS (
+        -- the guarded CASE IS tmax: an unused check column would be pruned
+        SELECT g,
+               CASE WHEN COUNT(*) = {W} AND COUNT(DISTINCT t) = {W}
+                     AND MAX(t) - MIN(t) = {W - 1} THEN MAX(t)
+               ELSE CAST(error('holt_eval: group ' || CAST(g AS VARCHAR)
+                     || ' is not a dense {W}-point series') AS BIGINT)
+               END AS tmax
+        FROM base GROUP BY g),
+    idx AS (
+        SELECT b.g, CAST(b.t - a.tmax + {W} AS INT) AS ti, b.y
+        FROM base b JOIN anchor a ON a.g = b.g),
+    w(ti, wl, wb) AS (VALUES {wrows}),
+    state AS (
+        SELECT g, CAST(SUM(y * wl) AS BIGINT) AS lu,
+               CAST(SUM(y * wb) AS BIGINT) AS bu
+        FROM idx JOIN w USING (ti) GROUP BY g),
+    scored AS (
+        SELECT i.g,
+               CAST(abs(i.y * 1000000 - (s.lu + (i.ti - {train_days}) * s.bu))
+                    AS BIGINT) AS eh,
+               CAST(abs(i.y - l.y) * 1000000 AS BIGINT) AS en
+        FROM idx i
+        JOIN state s ON s.g = i.g
+        JOIN idx l ON l.g = i.g AND l.ti = i.ti - 7
+        WHERE i.ti > {train_days}),
+    agg AS (
+        SELECT g, CAST(SUM(eh) AS BIGINT) AS err_holt_micro,
+               CAST(SUM(en) AS BIGINT) AS err_naive_micro
+        FROM scored GROUP BY g)
+    SELECT g AS {group_col}, err_holt_micro, err_naive_micro,
+           CASE WHEN err_naive_micro > 0 THEN
+             round(CAST(err_holt_micro AS DOUBLE) / CAST(err_naive_micro AS DOUBLE), 6)
+           END AS rel_mae,
+           err_holt_micro < err_naive_micro AS holt_better
+    FROM agg
+    """

@@ -2906,6 +2906,32 @@ _SNAIVE_DAILY_SQL = """
 
 
 @query(
+    "events_forecast_holt",
+    driver=False,  # NEW r12: model-vs-baseline face of the forecast family (r13 queue)
+    oracle=tsr.holt_eval_sql(_SNAIVE_DAILY_SQL, "event_type", "d", "y"),
+)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend forecaster head-to-head against the
+    seasonal-naive baseline on each event type's last week of daily
+    counts (Holt 1957) — does a trend model actually beat the number
+    [[events_forecast_snaive]] says every model must beat?  The trained
+    level/trend are exact bigint dot products with COMPILE-TIME
+    micro-unit weight vectors (the recursion is linear in the
+    observations, so no recursion executes in either engine); both error
+    sums are exact micro-unit bigints; one rounded division
+    (operators/timeseries.py::holt_eval)."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("d"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    return tsr.holt_eval(daily, "event_type", "d", "y")
+
+
+@query(
     "events_forecast_snaive",
     driver=False,  # NEW r12: forecast-eval face of the timeseries family (r13 rotation queue)
     oracle=tsr.snaive_eval_sql(_SNAIVE_DAILY_SQL, "event_type", "d", "y"),

@@ -395,3 +395,57 @@ def test_snaive_eval_hand_case(spark):
 
     with pytest.raises(ValueError):
         snaive_eval(df, "grp", "t", "y", season=7, horizon=8)
+
+
+def test_holt_eval_matches_recursion_and_guards(spark):
+    """holt_eval's compile-time weight vectors reproduce the literal Holt
+    recursion run in python (the linearity claim, end to end through the
+    micro-unit error sums); a perfectly linear series gives near-zero
+    Holt error and beats seasonal-naive; a gappy series raises."""
+    import math
+
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import holt_eval
+
+    a, b = 0.3, 0.1
+    series = {
+        "lin": [100 + 5 * t for t in range(30)],
+        "noisy": [200 + 3 * t + ((t * 7) % 11 - 5) for t in range(30)],
+    }
+    df = spark.createDataFrame(
+        [(g, t, y) for g, ys in series.items() for t, y in enumerate(ys)],
+        "grp string, t long, y long",
+    )
+    got = {r.grp: r for r in holt_eval(df, "grp", "t", "y").collect()}
+
+    for g, ys in series.items():
+        train, test = ys[:23], ys[23:]
+        l, bb = float(train[0]), float(train[1] - train[0])
+        for t in range(1, 23):
+            l_new = a * train[t] + (1 - a) * (l + bb)
+            bb = b * (l_new - l) + (1 - b) * bb
+            l = l_new
+        # the engine uses half-up micro weights, so compare via the same
+        # quantized dot products
+        from datapipeline_omnichanneltobigquery_spark.operators.timeseries import (
+            _holt_weights,
+        )
+
+        w = _holt_weights(23, 3000, 1000)
+        lu = sum(train[t - 1] * wl for t, wl, _ in w)
+        bu = sum(train[t - 1] * wb for t, _, wb in w)
+        assert abs(lu / 1e6 - l) < 1e-3 and abs(bu / 1e6 - bb) < 1e-3  # linearity
+        eh = sum(abs(y * 1_000_000 - (lu + h * bu)) for h, y in enumerate(test, 1))
+        en = sum(abs(test[h - 1] - ys[15 + h]) * 1_000_000 for h in range(1, 8))
+        r = got[g]
+        assert (r.err_holt_micro, r.err_naive_micro) == (eh, en)
+        if en > 0:
+            assert abs(r.rel_mae - eh / en) < 1e-6
+    assert got["lin"].holt_better  # a trend model must beat lag-7 on a line
+
+    gappy = spark.createDataFrame(
+        [("g", t, 1) for t in range(29)] + [("g", 40, 1)], "grp string, t long, y long"
+    )
+    with pytest.raises(Exception, match="dense"):
+        holt_eval(gappy, "grp", "t", "y").collect()
