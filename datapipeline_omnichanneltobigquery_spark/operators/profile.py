@@ -1492,3 +1492,123 @@ def chi2_independence_sql(table: str, col_a: str, col_b: str) -> str:
            END AS cramers_v
     FROM terms CROSS JOIN excl GROUP BY N, excl.n_excluded, r, c
     """
+
+
+def quantile_ci(
+    df: DataFrame,
+    group_col: str,
+    value: "Column",
+    q_bps: int = 5000,
+    z_micro: int = 1_959_964,
+) -> DataFrame:
+    """Distribution-free confidence interval for a quantile per group by
+    ORDER STATISTICS (Conover, Practical Nonparametric Statistics §3.2;
+    Thompson 1936): the interval (x₍ₗ₎, x₍ᵤ₎) with
+    l = ⌊nq − z√(nq(1−q))⌋ and u = ⌈nq + z√(nq(1−q))⌉ covers the true
+    quantile at ~1−α REGARDLESS of the distribution — the UQ companion
+    to [[stats_jackknife_ratio]] (that one does ratio METRICS; this does
+    quantiles, where the jackknife is inconsistent).
+
+    ``value`` must be integer-valued (cents/micro-units).  Returns
+    (group, n, k_lo, k_point, k_hi, q_point, ci_lo, ci_hi) with the
+    three order statistics as exact bigints.
+
+    Determinism: n and the ranks are integers; the only floats are
+    nq ± z√(nq(1−q)) — fixed-order expressions of (n, q, z) literals,
+    identical across engines, floored/ceiled once; ranks clamp to
+    [1, n] (a tiny-group CI honestly widens to the min/max).  The point
+    rank is ⌈(n+1)·q⌉ in integer basis points (no float ceil — the
+    conformal discipline).
+
+    Scale: one groupBy to per-(group, value) counts, one per-group
+    prefix window over DISTINCT values (the roc_auc/conformal
+    discipline), one broadcast of the per-group rank targets."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(group_col).alias("__g"), value.cast("bigint").alias("v"))
+    dist = (
+        base.groupBy("__g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # feeds the n-agg AND the prefix selection
+    )
+    q = q_bps / 10000.0
+    zq = z_micro / 1e6
+    ks = dist.groupBy("__g").agg(F.sum("c").cast("bigint").alias("n")).select(
+        "__g",
+        "n",
+        F.greatest(
+            F.lit(1),
+            F.least(
+                F.col("n"),
+                F.expr(f"CAST(floor(n * {q} - {zq} * sqrt(n * {q} * {1.0 - q})) AS BIGINT)"),
+            ),
+        ).alias("k_lo"),
+        F.greatest(
+            F.lit(1),
+            F.least(F.col("n"), F.expr(f"((n + 1) * {int(q_bps)} + 9999) div 10000")),
+        ).alias("k_point"),
+        F.greatest(
+            F.lit(1),
+            F.least(
+                F.col("n"),
+                F.expr(f"CAST(ceil(n * {q} + {zq} * sqrt(n * {q} * {1.0 - q})) AS BIGINT)"),
+            ),
+        ).alias("k_hi"),
+    )
+    w = Window.partitionBy("__g").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.withColumn("cum", F.sum("c").over(w)).join(F.broadcast(ks), "__g")
+    sel = cum.groupBy("__g", "n", "k_lo", "k_point", "k_hi").agg(
+        F.min(F.when(F.col("cum") >= F.col("k_lo"), F.col("v"))).alias("ci_lo"),
+        F.min(F.when(F.col("cum") >= F.col("k_point"), F.col("v"))).alias("q_point"),
+        F.min(F.when(F.col("cum") >= F.col("k_hi"), F.col("v"))).alias("ci_hi"),
+    )
+    return sel.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "k_lo",
+        "k_point",
+        "k_hi",
+        "q_point",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def quantile_ci_sql(
+    table: str,
+    group_col: str,
+    value_sql: str,
+    q_bps: int = 5000,
+    z_micro: int = 1_959_964,
+) -> str:
+    """DuckDB twin of :func:`quantile_ci` — identical rank formulas,
+    clamps, and distinct-value prefix selection."""
+    q = q_bps / 10000.0
+    zq = z_micro / 1e6
+    return f"""
+    WITH dist AS MATERIALIZED (
+        SELECT {group_col} AS g, CAST({value_sql} AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2),
+    ks AS (
+        SELECT g, n,
+               GREATEST(1, LEAST(n,
+                 CAST(floor(n * {q} - {zq} * sqrt(n * {q} * {1.0 - q})) AS BIGINT)))
+                 AS k_lo,
+               GREATEST(1, LEAST(n, ((n + 1) * {int(q_bps)} + 9999) // 10000)) AS k_point,
+               GREATEST(1, LEAST(n,
+                 CAST(ceil(n * {q} + {zq} * sqrt(n * {q} * {1.0 - q})) AS BIGINT)))
+                 AS k_hi
+        FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM dist GROUP BY g)),
+    cum AS (
+        SELECT d.g, d.v,
+               SUM(d.c) OVER (PARTITION BY d.g ORDER BY d.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               k.n, k.k_lo, k.k_point, k.k_hi
+        FROM dist d JOIN ks k ON k.g = d.g)
+    SELECT g AS {group_col}, n, k_lo, k_point, k_hi,
+           MIN(CASE WHEN cum >= k_point THEN v END) AS q_point,
+           MIN(CASE WHEN cum >= k_lo THEN v END) AS ci_lo,
+           MIN(CASE WHEN cum >= k_hi THEN v END) AS ci_hi
+    FROM cum GROUP BY g, n, k_lo, k_point, k_hi
+    """

@@ -3612,6 +3612,27 @@ def features_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_quantile_ci",
+    driver=False,  # NEW r12: quantile-UQ face of the stats family (r13 queue)
+    oracle=pf.quantile_ci_sql(
+        "orders", "o_orderpriority", "CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+    ),
+)
+def stats_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% CI for the median order value per priority
+    class by order statistics (Thompson 1936; Conover §3.2) — valid for
+    ANY value distribution, where [[stats_jackknife_ratio]]'s jackknife
+    is inconsistent for quantiles.  Exact bigint counts and order
+    statistics; the only floats are the two rank formulas (fixed-order,
+    floored/ceiled once); ranks clamp honestly to the min/max
+    (operators/profile.py::quantile_ci)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return pf.quantile_ci(
+        orders, "o_orderpriority", (money(F.col("o_totalprice")) * 100).cast("bigint")
+    )
+
+
+@query(
     "stats_chi2_independence",
     driver=False,  # NEW r12: categorical-association face of the DQ/stats family (r13 queue)
     oracle=pf.chi2_independence_sql("orders", "o_orderpriority", "o_orderstatus"),

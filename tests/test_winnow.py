@@ -698,3 +698,33 @@ def test_chi2_independence_matches_bruteforce(spark):
     wide = spark.range(110_000).selectExpr("CAST(id AS STRING) AS a", "'q' AS b")
     with pytest.raises(ValueError, match="cells"):
         chi2_independence(wide, "a", "b")
+
+
+def test_quantile_ci_matches_bruteforce(spark):
+    """quantile_ci equals a python re-derivation (rank formulas, clamps,
+    order-statistic selection with duplicate values), and a tiny group's
+    CI honestly widens to the min/max via the clamp."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import quantile_ci
+
+    data = {
+        "big": [((i * 13) % 97) * 10 for i in range(80)] + [50] * 20,  # dups
+        "tiny": [7, 3, 9],
+    }
+    df = spark.createDataFrame(
+        [(g, v) for g, vs in data.items() for v in vs], "grp string, v long"
+    )
+    got = {r.grp: r for r in quantile_ci(df, "grp", F.col("v")).collect()}
+    q, z = 0.5, 1.959964
+    for g, vs in data.items():
+        n = len(vs)
+        s = math.sqrt(n * q * (1 - q))
+        k_lo = max(1, min(n, math.floor(n * q - z * s)))
+        k_hi = max(1, min(n, math.ceil(n * q + z * s)))
+        k_pt = max(1, min(n, ((n + 1) * 5000 + 9999) // 10000))
+        xs = sorted(vs)
+        r = got[g]
+        assert (r.n, r.k_lo, r.k_point, r.k_hi) == (n, k_lo, k_pt, k_hi)
+        assert (r.ci_lo, r.q_point, r.ci_hi) == (xs[k_lo - 1], xs[k_pt - 1], xs[k_hi - 1])
+    assert (got["tiny"].ci_lo, got["tiny"].ci_hi) == (3, 9)  # clamped to extremes
