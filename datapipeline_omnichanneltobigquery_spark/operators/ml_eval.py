@@ -695,3 +695,171 @@ def qini_deciles_sql(
            END AS qini
     FROM cum
     """
+
+
+#: cumulative Poisson(1) CDF thresholds in micro-units — one python
+#: derivation feeds both engines (floor(cum·1e6 + 0.5)); a row's bootstrap
+#: weight is the count of thresholds BELOW its md5-uniform micro draw,
+#: capped at len(thresholds) (P(K > 8) ≈ 1e-6 — inside the round-6 grid)
+_POISSON1_CUM_MICRO = (
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    y: Column,
+    n_reps: int = 200,
+    alpha_bps: int = 500,
+    seed: str = "boot-v1",
+) -> DataFrame:
+    """Poisson-bootstrap percentile CI for a group mean (Efron 1979;
+    the Poisson(1)-weight streaming form of Chamandy et al., Google
+    2012 — the resampling face of the UQ trio: [[stats_jackknife_ratio]]
+    does ratio metrics analytically, [[stats_quantile_ci]] does
+    quantiles by order statistics, the bootstrap handles ANY smooth
+    statistic).  Returns (group, n, n_reps, mean_hat, ci_lo, ci_hi).
+
+    Determinism: each (row, replicate) weight is the count of
+    compile-time integer thresholds below md5(seed:b:id)%10⁶ — exact
+    Poisson(1) inverse-CDF in pure integer compares; replicate sums are
+    exact bigints; each replicate mean is ONE IEEE division; the
+    percentile cut selects order statistics of the replicate means
+    (integer-bps ranks, clamped to [1, B]).  A replicate whose weights
+    all drew 0 (P ≈ e^{-n}, real only for tiny groups) has no mean; the
+    rank math counts only MATERIALIZED means and the effective count is
+    surfaced as ``n_reps``.
+
+    Scale: the corpus fans out ×n_reps via ONE exploded literal range
+    (one md5 per fanned row, map-side), collapses in ONE partial-agg
+    groupBy to (group × n_reps) rows; the percentile window sorts
+    n_reps rows per group.  ``y`` must be integer-valued; |y|·max_w·n
+    must fit bigint (w ≤ 9)."""
+    from pyspark.sql import Window
+
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(int(n_reps) - 1))).alias("b")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).cast("string").alias("id"),
+        y.cast("bigint").alias("y"),
+    )
+    draws = base.select("__g", "id", "y", reps).withColumn(
+        "u",
+        md5_long(
+            F.concat(F.lit(f"{seed}:"), F.col("b").cast("string"), F.lit(":"), F.col("id"))
+        )
+        % 1_000_000,
+    )
+    wexpr = sum(
+        (F.col("u") >= F.lit(t)).cast("int") for t in _POISSON1_CUM_MICRO
+    )
+    rep_means = (
+        draws.withColumn("w", wexpr)
+        .groupBy("__g", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("y")).cast("bigint").alias("swy"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "__g",
+            "b",
+            (F.col("swy").cast("double") / F.col("sw").cast("double")).alias("m"),
+        )
+    )
+    stats = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    beff = rep_means.groupBy("__g").agg(F.count(F.lit(1)).cast("bigint").alias("beff"))
+    lo_rank = F.expr(f"GREATEST(1, ((beff + 1) * {int(alpha_bps)} div 2) div 10000)")
+    hi_rank = F.expr(
+        f"LEAST(beff, ((beff + 1) * (10000 - {int(alpha_bps)} div 2) + 9999) div 10000)"
+    )
+    w = Window.partitionBy("__g").orderBy("m", "b")
+    ranked = (
+        rep_means.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(beff), "__g")
+        .withColumn("__lo", lo_rank)
+        .withColumn("__hi", hi_rank)
+    )
+    ci = ranked.groupBy("__g", "beff").agg(
+        F.min(F.when(F.col("rk") == F.col("__lo"), F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == F.col("__hi"), F.col("m"))).alias("ci_hi"),
+    )
+    return (
+        ci.join(F.broadcast(stats), "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            F.col("beff").alias("n_reps"),
+            F.round(F.col("sy").cast("double") / F.col("n").cast("double"), 6).alias(
+                "mean_hat"
+            ),
+            F.round(F.col("ci_lo"), 6).alias("ci_lo"),
+            F.round(F.col("ci_hi"), 6).alias("ci_hi"),
+        )
+    )
+
+
+def bootstrap_mean_ci_sql(
+    table: str,
+    group_col: str,
+    id_col: str,
+    y_sql: str,
+    n_reps: int = 200,
+    alpha_bps: int = 500,
+    seed: str = "boot-v1",
+) -> str:
+    """DuckDB twin of :func:`bootstrap_mean_ci` — identical threshold
+    table, md5 draws, rank formulas, and selection."""
+    from datapipeline_omnichanneltobigquery_spark.functions.hashing import md5_long_sql
+
+    u = md5_long_sql(
+        f"'{seed}:' || CAST(b.range AS VARCHAR) || ':' || CAST({id_col} AS VARCHAR)"
+    )
+    wterms = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POISSON1_CUM_MICRO
+    )
+    a2 = int(alpha_bps)
+    return f"""
+    WITH draws AS (
+        SELECT {group_col} AS g, b.range AS b,
+               CAST({y_sql} AS BIGINT) AS y,
+               ({u}) % 1000000 AS u
+        FROM {table} CROSS JOIN range({int(n_reps)}) b),
+    rep AS (
+        SELECT g, b,
+               CAST(SUM(({wterms}) * y) AS BIGINT) AS swy,
+               CAST(SUM({wterms}) AS BIGINT) AS sw
+        FROM draws GROUP BY 1, 2),
+    means AS (
+        SELECT g, b, CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+        FROM rep WHERE sw > 0),
+    beff AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS beff FROM means GROUP BY g),
+    ranked AS (
+        SELECT m.g, m.m, e.beff,
+               ROW_NUMBER() OVER (PARTITION BY m.g ORDER BY m.m, m.b) AS rk,
+               GREATEST(1, ((e.beff + 1) * ({a2} // 2)) // 10000) AS lo,
+               LEAST(e.beff,
+                     ((e.beff + 1) * (10000 - {a2} // 2) + 9999) // 10000) AS hi
+        FROM means m JOIN beff e ON e.g = m.g),
+    ci AS (
+        SELECT g, beff,
+               MIN(CASE WHEN rk = lo THEN m END) AS ci_lo,
+               MIN(CASE WHEN rk = hi THEN m END) AS ci_hi
+        FROM ranked GROUP BY 1, 2),
+    stats AS (
+        SELECT {group_col} AS g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({y_sql} AS BIGINT)) AS BIGINT) AS sy
+        FROM {table} GROUP BY 1)
+    SELECT c.g AS {group_col}, s.n, c.beff AS n_reps,
+           round(CAST(s.sy AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS mean_hat,
+           round(c.ci_lo, 6) AS ci_lo,
+           round(c.ci_hi, 6) AS ci_hi
+    FROM ci c JOIN stats s ON s.g = c.g
+    """

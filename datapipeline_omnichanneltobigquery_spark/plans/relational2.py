@@ -3612,6 +3612,33 @@ def features_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_bootstrap_mean",
+    driver=False,  # NEW r12: resampling face of the UQ trio (r13 queue)
+    oracle=me.bootstrap_mean_ci_sql(
+        "orders", "o_orderpriority", "o_orderkey",
+        "CAST(o_totalprice AS DECIMAL(18,2)) * 100",
+    ),
+)
+def stats_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% percentile CI for mean order value per
+    priority class (Efron 1979; Chamandy et al. 2012's streaming
+    Poisson(1) weights) — the resampling face of the UQ trio beside the
+    analytic [[stats_jackknife_ratio]] and the order-statistic
+    [[stats_quantile_ci]].  Weights are exact integer inverse-CDF draws
+    from compile-time thresholds (one md5 per fanned row, map-side);
+    replicate sums exact bigints; one IEEE division per replicate; the
+    percentile cut is integer-bps order statistics over 200 replicate
+    means (operators/ml_eval.py::bootstrap_mean_ci)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return me.bootstrap_mean_ci(
+        orders,
+        "o_orderpriority",
+        "o_orderkey",
+        (money(F.col("o_totalprice")) * 100).cast("bigint"),
+    )
+
+
+@query(
     "stats_quantile_ci",
     driver=False,  # NEW r12: quantile-UQ face of the stats family (r13 queue)
     oracle=pf.quantile_ci_sql(

@@ -728,3 +728,42 @@ def test_quantile_ci_matches_bruteforce(spark):
         assert (r.n, r.k_lo, r.k_point, r.k_hi) == (n, k_lo, k_pt, k_hi)
         assert (r.ci_lo, r.q_point, r.ci_hi) == (xs[k_lo - 1], xs[k_pt - 1], xs[k_hi - 1])
     assert (got["tiny"].ci_lo, got["tiny"].ci_hi) == (3, 9)  # clamped to extremes
+
+
+def test_bootstrap_mean_ci_matches_bruteforce(spark):
+    """bootstrap_mean_ci equals a python mirror of the md5 Poisson draws,
+    replicate means, and integer-bps percentile ranks; the CI brackets
+    the point estimate on a well-behaved group."""
+    import hashlib
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        _POISSON1_CUM_MICRO,
+        bootstrap_mean_ci,
+    )
+
+    vals = [(i, 100 + (i * 37) % 50) for i in range(40)]
+    df = spark.createDataFrame([("g", i, v) for i, v in vals], "grp string, id long, y long")
+    r = bootstrap_mean_ci(df, "grp", "id", F.col("y"), n_reps=50).collect()[0]
+
+    def u(b, i):
+        h = hashlib.md5(f"boot-v1:{b}:{i}".encode()).hexdigest()
+        return int(h[:15], 16) % 1_000_000
+
+    means = []
+    for b in range(50):
+        swy = sw = 0
+        for i, v in vals:
+            w = sum(1 for t in _POISSON1_CUM_MICRO if u(b, i) >= t)
+            swy += w * v
+            sw += w
+        if sw > 0:
+            means.append(swy / sw)
+    means.sort()
+    beff = len(means)
+    lo = max(1, (beff + 1) * (500 // 2) // 10000)
+    hi = min(beff, ((beff + 1) * (10000 - 500 // 2) + 9999) // 10000)
+    assert r.n == 40 and r.n_reps == beff
+    assert abs(r.mean_hat - sum(v for _, v in vals) / 40) < 1e-6
+    assert abs(r.ci_lo - round(means[lo - 1], 6)) < 1e-9
+    assert abs(r.ci_hi - round(means[hi - 1], 6)) < 1e-9
+    assert r.ci_lo <= r.mean_hat <= r.ci_hi
