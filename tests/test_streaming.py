@@ -1030,3 +1030,78 @@ def test_streaming_weighted_reservoir_matches_batch(spark, tmp_path):
         if last_ver[s] >= 2
     )
     assert evicted
+
+
+def test_streaming_transitions_match_batch_on_ordered_replay(spark, tmp_path):
+    """streaming/transitions.py: summing the per-batch transition deltas
+    over an event-time-ordered two-file replay equals the batch journey
+    transition table's chain links + CONV terminals (python rederivation
+    of plans/relational2.py::events_attribution_markov's builder),
+    including journeys whose purchase lands in the SECOND micro-batch
+    (state carry) and the lonely START→CONV journey; Arrow chunks forced
+    tiny so hot users exercise the concat-then-sort discipline."""
+    from datapipeline_omnichanneltobigquery_spark.streaming.transitions import (
+        streaming_transitions,
+    )
+
+    state_of = {"click": 1, "view": 2, "signup": 3, "error": 4, "purchase": 5}
+    START, CONV = 0, 5
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "trans_src")
+    schema = ev.schema
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(f"{src}/b=0")
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(f"{src}/b=1")
+
+    expected: dict[tuple[int, int], int] = {}
+    by_user: dict[str, list] = {}
+    for r in rows:  # already (ts, event_id) ordered
+        by_user.setdefault(str(r.user_id), []).append(r.event_type)
+    crossed = 0
+    for u, types in by_user.items():
+        cur, purchased = START, False
+        for i, et in enumerate(types):
+            if et == "purchase":
+                expected[(cur, CONV)] = expected.get((cur, CONV), 0) + 1
+                purchased = True
+                if i >= len([r for r in rows[:half] if str(r.user_id) == u]):
+                    crossed += 1
+                break
+            nxt = state_of[et]
+            expected[(cur, nxt)] = expected.get((cur, nxt), 0) + 1
+            cur = nxt
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sdf = streaming_transitions(stream, state_of, start_state=START, conv_state=CONV)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("t_transitions")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got: dict[tuple[int, int], int] = {}
+        for r in spark.table("t_transitions").collect():
+            k = (r.from_state, r.to_state)
+            got[k] = got.get(k, 0) + r.cnt
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == expected
+    assert sum(v for (f, t), v in got.items() if t == CONV) > 0  # conversions seen
