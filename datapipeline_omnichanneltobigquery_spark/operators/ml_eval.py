@@ -770,11 +770,12 @@ def bootstrap_mean_ci(
             "b",
             (F.col("swy").cast("double") / F.col("sw").cast("double")).alias("m"),
         )
+        .localCheckpoint()  # (group x B) rows; feeds beff, the window, and the cut
     )
     stats = base.groupBy("__g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("sy"),
-    )
+    ).localCheckpoint()  # per-group totals: broadcast rides a bounded leaf
     beff = rep_means.groupBy("__g").agg(F.count(F.lit(1)).cast("bigint").alias("beff"))
     lo_rank = F.expr(f"GREATEST(1, ((beff + 1) * {int(alpha_bps)} div 2) div 10000)")
     hi_rank = F.expr(
