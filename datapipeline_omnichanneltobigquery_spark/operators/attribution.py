@@ -1,4 +1,4 @@
-"""Multi-touch attribution beyond positional rules — the Shapley-value
+r"""Multi-touch attribution beyond positional rules — the Shapley-value
 channel credit the omnichannel analytics surface rounds out with
 (reference scope: omnichannel_to_bq.py moves channel events to BigQuery
 for exactly this kind of marketing analysis; positional rules live in
@@ -28,6 +28,12 @@ import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+
+def _sql_str(name: str) -> str:
+    """Escape a channel name for interpolation into a VALUES literal —
+    a quote in the name would otherwise produce broken oracle SQL."""
+    return name.replace("'", "''")
 
 #: hard bound: n·2^(n-1) coalition rows stay driver-trivial through 16
 MAX_CHANNELS = 16
@@ -157,7 +163,7 @@ def shapley_attribution_sql(
     n = len(channels)
     coal_rows = ", ".join(f"({c}, {s}, {w})" for c, s, w in _coalitions(n))
     name_rows = ", ".join(
-        f"('{nm}', {b})" for nm, b in sorted(channels.items(), key=lambda kv: kv[1])
+        f"('{_sql_str(nm)}', {b})" for nm, b in sorted(channels.items(), key=lambda kv: kv[1])
     )
     fact = float(math.factorial(n))
     return f"""
@@ -351,7 +357,7 @@ def markov_attribution_sql(
     S = MARKOV_SCALE
     var_rows = ", ".join(f"({v})" for v in [0] + sorted(channels.values()))
     name_rows = ", ".join(
-        f"('{nm}', {v})" for nm, v in sorted(channels.items(), key=lambda kv: kv[1])
+        f"('{_sql_str(nm)}', {v})" for nm, v in sorted(channels.items(), key=lambda kv: kv[1])
     )
     abs_rows = ", ".join(
         f"({v}, {int(conv_state)}, {S}), ({v}, {int(null_state)}, 0)"

@@ -777,10 +777,13 @@ def bootstrap_mean_ci(
         F.sum("y").cast("bigint").alias("sy"),
     ).localCheckpoint()  # per-group totals: broadcast rides a bounded leaf
     beff = rep_means.groupBy("__g").agg(F.count(F.lit(1)).cast("bigint").alias("beff"))
-    lo_rank = F.expr(f"GREATEST(1, ((beff + 1) * {int(alpha_bps)} div 2) div 10000)")
-    hi_rank = F.expr(
-        f"LEAST(beff, ((beff + 1) * (10000 - {int(alpha_bps)} div 2) + 9999) div 10000)"
-    )
+    # Pre-floor alpha/2 in python so BOTH engines evaluate the literal
+    # ((beff+1) * floor(alpha/2)) // 10000 — Spark's left-assoc
+    # ((beff+1)*alpha div 2) div 10000 diverges from the DuckDB twin for odd
+    # alpha_bps (e.g. alpha=101, beff=397: 2 vs 1).
+    a2h = int(alpha_bps) // 2
+    lo_rank = F.expr(f"GREATEST(1, ((beff + 1) * {a2h}) div 10000)")
+    hi_rank = F.expr(f"LEAST(beff, ((beff + 1) * (10000 - {a2h}) + 9999) div 10000)")
     w = Window.partitionBy("__g").orderBy("m", "b")
     ranked = (
         rep_means.withColumn("rk", F.row_number().over(w))
@@ -826,7 +829,7 @@ def bootstrap_mean_ci_sql(
     wterms = " + ".join(
         f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POISSON1_CUM_MICRO
     )
-    a2 = int(alpha_bps)
+    a2h = int(alpha_bps) // 2  # pre-floored alpha/2 — identical literal in Spark
     return f"""
     WITH draws AS (
         SELECT {group_col} AS g, b.range AS b,
@@ -845,9 +848,9 @@ def bootstrap_mean_ci_sql(
     ranked AS (
         SELECT m.g, m.m, e.beff,
                ROW_NUMBER() OVER (PARTITION BY m.g ORDER BY m.m, m.b) AS rk,
-               GREATEST(1, ((e.beff + 1) * ({a2} // 2)) // 10000) AS lo,
+               GREATEST(1, ((e.beff + 1) * {a2h}) // 10000) AS lo,
                LEAST(e.beff,
-                     ((e.beff + 1) * (10000 - {a2} // 2) + 9999) // 10000) AS hi
+                     ((e.beff + 1) * (10000 - {a2h}) + 9999) // 10000) AS hi
         FROM means m JOIN beff e ON e.g = m.g),
     ci AS (
         SELECT g, beff,

@@ -1603,6 +1603,14 @@ def holt_eval(
             "horizon must be <= 7: the naive baseline is lag-7, so a longer "
             "horizon would compare against test-period actuals"
         )
+    if train_days < 2:
+        raise ValueError(
+            f"train_days must be >= 2 (got {train_days}): Holt's initial trend "
+            "b_1 = y_2 - y_1 needs two training points"
+        )
+    for nm, bps in (("alpha_bps", alpha_bps), ("beta_bps", beta_bps)):
+        if not 0 <= int(bps) <= 10000:
+            raise ValueError(f"{nm} must be in [0, 10000], got {bps}")
     spark = df.sparkSession
     W = train_days + horizon
     g, t, y = group_col, t_col, y_col
@@ -1699,6 +1707,14 @@ def holt_eval_sql(
 ) -> str:
     """DuckDB twin of :func:`holt_eval` — identical injected weight
     table, density check, micro-unit errors, and final division."""
+    if train_days < 2:
+        raise ValueError(
+            f"train_days must be >= 2 (got {train_days}): Holt's initial trend "
+            "b_1 = y_2 - y_1 needs two training points"
+        )
+    for nm, bps in (("alpha_bps", alpha_bps), ("beta_bps", beta_bps)):
+        if not 0 <= int(bps) <= 10000:
+            raise ValueError(f"{nm} must be in [0, 10000], got {bps}")
     W = train_days + horizon
     wrows = ", ".join(
         f"({t}, {wl}, {wb})" for t, wl, wb in _holt_weights(train_days, alpha_bps, beta_bps)

@@ -222,6 +222,10 @@ def http_api():
         srv.shutdown()
         t.join(timeout=5)
         srv.server_close()
+        try:  # don't accumulate per-run scratch files on disk
+            os.remove(pf)
+        except OSError:
+            pass
 
 
 def test_http_sequential_fetch_retries_then_short_page_stops(http_api):

@@ -449,3 +449,17 @@ def test_holt_eval_matches_recursion_and_guards(spark):
     )
     with pytest.raises(Exception, match="dense"):
         holt_eval(gappy, "grp", "t", "y").collect()
+
+    # loud-guard discipline (r12 ADVICE): train_days < 2 would hit the
+    # trd[1] seed out of range; bps outside [0,10000] is a unit mistake.
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import holt_eval_sql
+
+    tiny = spark.createDataFrame([("g", 0, 1)], "grp string, t long, y long")
+    with pytest.raises(ValueError, match="train_days must be >= 2"):
+        holt_eval(tiny, "grp", "t", "y", train_days=1)
+    with pytest.raises(ValueError, match="train_days must be >= 2"):
+        holt_eval_sql("SELECT 1", "grp", "t", "y", train_days=0)
+    with pytest.raises(ValueError, match="alpha_bps"):
+        holt_eval(tiny, "grp", "t", "y", alpha_bps=10001)
+    with pytest.raises(ValueError, match="beta_bps"):
+        holt_eval_sql("SELECT 1", "grp", "t", "y", beta_bps=-1)

@@ -578,8 +578,8 @@ def test_bh_fdr_matches_bruteforce(spark):
 
 
 def test_ranking_metrics_and_shapley_guards_raise(spark):
-    """Out-of-range inputs fail LOUDLY: rel outside [0,62] (engine-
-    divergent casts / bigint wrap) and journey masks outside [0, 2^n)
+    """Out-of-range inputs fail LOUDLY: rel outside [0,43] (the int64
+    bound for 2^rel * 1e6) and journey masks outside [0, 2^n)
     (credit would silently vanish from the coalition lookups)."""
     import pytest
 
@@ -767,3 +767,48 @@ def test_bootstrap_mean_ci_matches_bruteforce(spark):
     assert abs(r.ci_lo - round(means[lo - 1], 6)) < 1e-9
     assert abs(r.ci_hi - round(means[hi - 1], 6)) < 1e-9
     assert r.ci_lo <= r.mean_hat <= r.ci_hi
+
+
+def test_bootstrap_mean_ci_odd_alpha_matches_duckdb(spark, duck):
+    """r12 ADVICE regression: for ODD alpha_bps the Spark lo-rank used
+    ((beff+1)*alpha div 2) div 10000 while the DuckDB twin pre-floored
+    alpha — both now emit ((beff+1)*floor(alpha/2)) // 10000 and must
+    hash-match end to end (alpha=101, the advisor's counterexample)."""
+    from tests.helpers import compare_spark_duckdb
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        bootstrap_mean_ci,
+        bootstrap_mean_ci_sql,
+    )
+
+    rows = [("g", i, 100 + (i * 37) % 50) for i in range(40)]
+    df = spark.createDataFrame(rows, "grp string, id long, y long")
+    got = bootstrap_mean_ci(df, "grp", "id", F.col("y"), n_reps=400, alpha_bps=101)
+
+    duck.execute("CREATE OR REPLACE TABLE boot_t AS SELECT * FROM (VALUES " +
+                 ", ".join(f"('g', {i}, {y})" for _, i, y in rows) +
+                 ") v(grp, id, y)")
+    sql = bootstrap_mean_ci_sql("boot_t", "grp", "id", "y", n_reps=400, alpha_bps=101)
+    compare_spark_duckdb(got, duck, sql)
+
+
+def test_shapley_markov_sql_escapes_quoted_channel_names(duck):
+    """r12 ADVICE regression: a channel name containing a single quote
+    must produce RUNNABLE oracle SQL (escaped '' in the VALUES literal),
+    not a syntax error."""
+    from datapipeline_omnichanneltobigquery_spark.operators.attribution import (
+        markov_attribution_sql,
+        shapley_attribution_sql,
+    )
+
+    ch = {"o'brien": 1, "email": 2}
+    sql = shapley_attribution_sql("SELECT 3 AS mask", "mask", ch)
+    names = {r[0] for r in duck.execute(sql).fetchall()}
+    assert names == {"o'brien", "email"}
+
+    msql = markov_attribution_sql(
+        "SELECT * FROM (VALUES (0, 1, 5), (1, 3, 3), (1, 4, 2)) t(from_state, to_state, cnt)",
+        ch, start_state=0, conv_state=3, null_state=4,
+    )
+    mnames = {r[0] for r in duck.execute(msql).fetchall()}
+    assert mnames == {"o'brien", "email"}
