@@ -1443,6 +1443,311 @@ def pq_topk_join_sql(
     """
 
 
+# ---------------------------------------------------------------------------
+# IVF × PQ — the composed memory-bounded partition-pruned ANN index
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Persist the composed IVF × PQ index — the deployment shape
+    :func:`pq_topk_join`'s docstring promises: the PQ codes live BESIDE
+    the IVF cluster partitions, so probes prune cluster directories
+    first and ADC-scan only the survivors' codes.  Neither piece reaches
+    the genuinely memory-bounded 100 TB path alone: plain IVF re-reads
+    raw floats inside probed clusters; plain PQ scans every code row.
+
+    Layout under ``path``:
+      - ``centroids``: (cid, cv) — the IVF routing table (n_centroids rows)
+      - ``codebook``:  (m, j, cv) — the PQ sub-codebooks (m_sub × n_codes rows)
+      - ``codes``:     (id, codes array<int>) hive-partitioned by ``cluster``
+        — ``m_sub`` small ints per vector (~1-2%% of the raw floats at
+        dim=64), the ONLY per-vector state a probe ever reads.
+
+    Same deterministic constructions as :func:`build_ivf_index` and
+    :func:`pq_topk_join` (first-n centroid/codebook seeds by id, argmax/
+    argmin with id tie-breaks, ordered folds), so the composed search
+    hash-matches its definitional oracle (:func:`ivf_pq_topk_join_sql`).
+    One corpus scan feeds centroids, assignment, codebook seeds, and
+    encoding (the unit frame is localCheckpointed — 4 consumers)."""
+    if dim is None:
+        raise ValueError("build_ivf_pq_index needs the static dimension")
+    if dim % m_sub != 0:
+        raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
+    sd = dim // m_sub
+    spark = embeddings.sparkSession
+    unit = _unit_df(embeddings, id_col, vec_col, dim).localCheckpoint()
+    assign = _assign_from_unit(unit, n_centroids, id_col, dim)
+    cent = unit.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("__u").alias("cv")
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    seeds = (
+        unit.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col), F.col("__u"))
+        .withColumn("j", F.row_number().over(Window.orderBy(F.col(id_col))))
+    )
+    cb = (
+        seeds.select("j", F.explode(_sub_explode(m_sub, sd, F.col("__u"))).alias("s"))
+        .select(F.col("s.m").alias("m"), "j", F.col("s.sv").alias("cv"))
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    cb_frozen = F.broadcast(spark.read.parquet(f"{path}/codebook"))
+    sub = unit.select(
+        F.col(id_col), F.explode(_sub_explode(m_sub, sd, F.col("__u"))).alias("s")
+    ).select(F.col(id_col), F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    enc = (
+        sub.join(cb_frozen, "m")
+        .select(F.col(id_col), "m", "j", _d2(F.col("sv"), F.col("cv"), sd).alias("d2"))
+        .groupBy(id_col, "m")
+        .agg(F.min_by("j", F.struct(F.col("d2"), F.col("j"))).alias("code"))
+    )
+    codes = enc.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+    indexed = codes.join(assign.select(id_col, "cluster"), id_col)
+    indexed.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/codes")
+
+
+def append_to_ivf_pq_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Append a vector batch to a persisted IVF×PQ index without
+    rebuilding — the nightly-ingest shape (:func:`append_to_ivf_index`
+    discipline, extended to the codes): assign against the FROZEN
+    centroid table, encode against the FROZEN codebook, land as an
+    APPEND into the hive-partitioned codes.  Assignment and encoding
+    depend only on the vector and the frozen tables, so incremental
+    build ≡ full build over the union corpus, bit for bit — which is
+    exactly what the gated oracle checks (seeds must live in the base
+    split, the caller's contract)."""
+    if dim is None:
+        raise ValueError("append_to_ivf_pq_index needs the static dimension")
+    if dim % m_sub != 0:
+        raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
+    sd = dim // m_sub
+    unit = _unit_df(batch, id_col, vec_col, dim).localCheckpoint()
+    cent = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    scored = unit.crossJoin(cent).select(
+        id_col, "__u", "cid", dot(F.col("__u"), F.col("cv"), dim).alias("sim")
+    )
+    assign = scored.groupBy(id_col).agg(
+        F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("tb"))).alias("cluster"),
+    )
+    cb = F.broadcast(spark.read.parquet(f"{path}/codebook"))
+    sub = unit.select(
+        F.col(id_col), F.explode(_sub_explode(m_sub, sd, F.col("__u"))).alias("s")
+    ).select(F.col(id_col), F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    enc = (
+        sub.join(cb, "m")
+        .select(F.col(id_col), "m", "j", _d2(F.col("sv"), F.col("cv"), sd).alias("d2"))
+        .groupBy(id_col, "m")
+        .agg(F.min_by("j", F.struct(F.col("d2"), F.col("j"))).alias("code"))
+    )
+    codes = enc.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+    codes.join(assign, id_col).write.mode("append").partitionBy("cluster").parquet(
+        f"{path}/codes"
+    )
+
+
+def ivf_pq_topk_join_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Batch ANN against the persisted IVF×PQ index: per-query probe
+    selection prunes to ``n_probe`` cluster DIRECTORIES (the
+    :func:`ivf_topk_join_from_index` dynamic-partition-pruning shape),
+    then the survivors are ADC-scanned through the broadcast per-query
+    lookup table (the :func:`pq_topk_join` shape) — NO raw embedding is
+    read at query time; the scan touches ``m_sub`` small-int codes per
+    surviving vector, n_probe/n_centroids of the corpus.
+
+    Plan: query batch normalizes once (localCheckpointed — feeds probes
+    AND the LUT); probes = broadcast-centroids crossJoin + per-query
+    window (no driver collect); the (query, cluster) probe list
+    broadcast-joins the hive-partitioned codes (directory pruning);
+    candidate codes posexplode map-side and join the broadcast LUT
+    (|queries| × m_sub × n_codes rows — bounded by the probe-batch
+    contract times two fixed constants); ADC folds contributions in
+    subspace order (round 6) and a per-query window takes top-k.
+
+    Returns (query_id, neighbor_id, adc_sim), self-matches excluded —
+    hash-checkable against :func:`ivf_pq_topk_join_sql`."""
+    if dim is None:
+        raise ValueError("ivf_pq_topk_join_from_index needs the static dimension")
+    if dim % m_sub != 0:
+        raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
+    sd = dim // m_sub
+    qu = queries.select(
+        F.col(id_col).alias("query_id"), norm_unit(F.col(vec_col), dim).alias("__qu")
+    ).localCheckpoint()  # feeds probe selection AND the ADC lookup table
+    cent = spark.read.parquet(f"{path}/centroids")
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    probes = (
+        qu.crossJoin(F.broadcast(cent))
+        .select("query_id", "cid", dot(F.col("cv"), F.col("__qu"), dim).alias("sim"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", F.col("cid").alias("cluster"))
+    )
+    cb = spark.read.parquet(f"{path}/codebook")
+    qsub = qu.select(
+        "query_id", F.explode(_sub_explode(m_sub, sd, F.col("__qu"))).alias("s")
+    ).select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("qv"))
+    # distinct key names on the LUT side: both frames descend from qu, so
+    # a qualified self-comparison would be ambiguous lineage-wise
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        F.col("query_id").alias("__lq"),
+        F.col("m").alias("__lm"),
+        "j",
+        dot(F.col("qv"), F.col("cv"), sd).alias("contrib"),
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    cand = (
+        codes.join(F.broadcast(probes), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "codes")
+    )
+    exploded = cand.select(
+        "query_id", "neighbor_id", F.posexplode("codes").alias("pos", "code")
+    ).select("query_id", "neighbor_id", (F.col("pos") + 1).alias("m"), "code")
+    adc = (
+        exploded.join(
+            F.broadcast(lut),
+            (F.col("query_id") == F.col("__lq"))
+            & (F.col("m") == F.col("__lm"))
+            & (F.col("code") == F.col("j")),
+        )
+        .select("query_id", "neighbor_id", "m", "contrib")
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("m", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["contrib"],
+                ),
+                6,
+            ).alias("adc_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ivf_pq_topk_join_sql(
+    table: str,
+    query_predicate: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`build_ivf_pq_index` +
+    :func:`ivf_pq_topk_join_from_index` — the DEFINITIONAL composition:
+    IVF probe selection exactly as :func:`ivf_topk_join_sql`, PQ encode /
+    ADC exactly as :func:`pq_topk_join_sql`, candidates restricted to
+    vectors ASSIGNED to each query's probed clusters.  The hash gate
+    proves the persisted-index decomposition (directory pruning +
+    broadcast LUT) exact."""
+    sd = dim // m_sub
+    norm = f"sqrt({_dot_sql('embedding', 'embedding', dim)})"
+    return f"""
+    WITH unit AS (
+        SELECT vec_id,
+               list_transform(range(1, {dim + 1}),
+                              i -> CAST(embedding[i] AS DOUBLE) / {norm}) AS u
+        FROM {table}
+    ),
+    mm AS (SELECT UNNEST(range(1, {m_sub + 1})) AS m),
+    cent AS (SELECT vec_id AS cid, u AS cv FROM unit ORDER BY vec_id LIMIT {n_centroids}),
+    scored AS (SELECT u.vec_id, c.cid, {_dot_sql("u.u", "c.cv", dim, cast=False)} AS sim
+               FROM unit u CROSS JOIN cent c),
+    assign AS (SELECT vec_id, cid AS cluster FROM (
+                   SELECT vec_id, cid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY sim DESC, cid) AS rn
+                   FROM scored)
+               WHERE rn = 1),
+    seeds AS (SELECT vec_id, u, ROW_NUMBER() OVER (ORDER BY vec_id) AS j
+              FROM (SELECT * FROM unit ORDER BY vec_id LIMIT {n_codes})),
+    cb AS (SELECT m, j, u[(m - 1) * {sd} + 1 : m * {sd}] AS cv
+           FROM seeds CROSS JOIN mm),
+    sub AS (SELECT vec_id, m, u[(m - 1) * {sd} + 1 : m * {sd}] AS sv
+            FROM unit CROSS JOIN mm),
+    enc AS (SELECT vec_id, m, j AS code FROM (
+                SELECT s.vec_id, s.m, c.j,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                          ORDER BY {_d2_sql("s.sv", "c.cv", sd)}, c.j) AS rn
+                FROM sub s JOIN cb c ON c.m = s.m)
+            WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, u AS qu FROM unit WHERE {query_predicate}),
+    probes AS (SELECT query_id, cid AS cluster FROM (
+                   SELECT q.query_id, c.cid,
+                          ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                             ORDER BY {_dot_sql("c.cv", "q.qu", dim, cast=False)} DESC,
+                                                      c.cid) AS rn
+                   FROM q CROSS JOIN cent c)
+               WHERE rn <= {n_probe}),
+    qsub AS (SELECT query_id, m, qu[(m - 1) * {sd} + 1 : m * {sd}] AS qv
+             FROM q CROSS JOIN mm),
+    lut AS (SELECT s.query_id, c.m, c.j,
+                   list_sum(list_transform(range(1, {sd + 1}),
+                                           i -> s.qv[i] * c.cv[i])) AS contrib
+            FROM qsub s JOIN cb c ON c.m = s.m),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN assign a ON a.cluster = p.cluster
+             WHERE a.vec_id <> p.query_id),
+    adc AS (SELECT d.query_id, d.neighbor_id,
+                   round(SUM(l.contrib ORDER BY l.m), 6) AS adc_sim
+            FROM cand d
+            JOIN enc e ON e.vec_id = d.neighbor_id
+            JOIN lut l ON l.query_id = d.query_id AND l.m = e.m AND l.j = e.code
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_sim DESC, neighbor_id) AS rn
+        FROM adc)
+    WHERE rn <= {k}
+    """
+
+
 #: micro-unit scale for the power-iteration eigenvector state
 PCA_SCALE = 1_000_000
 

@@ -278,6 +278,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bigram_logprob",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r9 (never driver-verified)
     oracle=ts.bigram_logprob_sql("documents", "doc_id", "text"),
 )
@@ -377,7 +378,7 @@ def similarity_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ann_pq",
-    driver=False,  # new r12 family (product-quantization ADC search); full oracle
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=sim.pq_topk_join_sql(
         "embeddings", "vec_id < 4", k=5, m_sub=8, n_codes=16, dim=EMB_DIM
     ),
@@ -398,7 +399,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_pq_recall",
-    driver=False,  # new r12 family (PQ recall vs exact truth); full oracle
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=sim.ann_recall_sql(
         sim.cosine_topk_join_sql("embeddings", "vec_id < 4", k=5, dim=EMB_DIM),
         sim.pq_topk_join_sql(
@@ -417,6 +418,100 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim.cosine_topk_join(queries, emb, k=5)
     approx = sim.pq_topk_join(queries, emb, k=5, m_sub=8, n_codes=16, dim=EMB_DIM)
     return sim.ann_recall(exact, approx)
+
+
+@query(
+    "similarity_ivf_pq",
+    driver=False,  # NEW r13: composed IVF x PQ index (r14 rotation queue); full oracle
+    oracle=sim.ivf_pq_topk_join_sql(
+        "embeddings", "vec_id < 4", k=5, n_centroids=16, n_probe=4,
+        m_sub=8, n_codes=16, dim=EMB_DIM,
+    ),
+)
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED memory-bounded 100 TB ANN path pq_topk_join's
+    docstring promises: PQ codes persisted BESIDE the IVF cluster
+    partitions (operators/similarity.py::build_ivf_pq_index), probes
+    prune to n_probe cluster DIRECTORIES, and the survivors are
+    ADC-scanned through the broadcast per-query LUT — no raw embedding
+    read at query time, n_probe/n_centroids of the corpus's code bytes
+    touched per query.  Deterministic seeds + ordered folds → the
+    composed top-5 hash-matches the definitional oracle (exact ADC over
+    the same probed clusters and codebook assignments)."""
+    from datapipeline_omnichanneltobigquery_spark.plans.persistence import SCRATCH
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"{SCRATCH}/ivf_pq_index_{sf_tag}"
+    sim.build_ivf_pq_index(emb, path, n_centroids=16, m_sub=8, n_codes=16, dim=EMB_DIM)
+    return sim.ivf_pq_topk_join_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 4), k=5, n_probe=4, m_sub=8, dim=EMB_DIM
+    )
+
+
+@query(
+    "similarity_ivf_pq_recall",
+    driver=False,  # NEW r13: recall dial of the composed index (r14 rotation queue)
+    oracle=sim.ann_recall_sql(
+        sim.cosine_topk_join_sql("embeddings", "vec_id < 4", k=5, dim=EMB_DIM),
+        sim.ivf_pq_topk_join_sql(
+            "embeddings", "vec_id < 4", k=5, n_centroids=16, n_probe=4,
+            m_sub=8, n_codes=16, dim=EMB_DIM,
+        ),
+    ),
+)
+def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVF×PQ search against exact brute-force
+    cosine — the combined dial: n_probe trades directory reads AND
+    m_sub × n_codes trades bytes-per-vector for recall; this row measures
+    what the composition actually costs vs either piece alone
+    ([[similarity_ann_recall]], [[similarity_pq_recall]]).  Deterministic
+    on both sides, so the recall NUMBERS hash-gate."""
+    from datapipeline_omnichanneltobigquery_spark.plans.persistence import SCRATCH
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"{SCRATCH}/ivf_pq_index_{sf_tag}"
+    sim.build_ivf_pq_index(emb, path, n_centroids=16, m_sub=8, n_codes=16, dim=EMB_DIM)
+    exact = sim.cosine_topk_join(queries, emb, k=5)
+    approx = sim.ivf_pq_topk_join_from_index(
+        spark, path, queries, k=5, n_probe=4, m_sub=8, dim=EMB_DIM
+    )
+    return sim.ann_recall(exact, approx)
+
+
+@query(
+    "similarity_ivf_pq_incremental",
+    driver=False,  # NEW r13: append face against FROZEN centroids + codebook
+    oracle=sim.ivf_pq_topk_join_sql(
+        "embeddings", "vec_id < 4", k=5, n_centroids=16, n_probe=4,
+        m_sub=8, n_codes=16, dim=EMB_DIM,
+    ),
+)
+def similarity_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF×PQ maintenance: build from the base corpus, APPEND
+    the new batch against the FROZEN centroids AND codebook (new code
+    files inside existing cluster directories — no rebuild, work linear
+    in the batch), then probe the union.  Assignment and encoding depend
+    only on the vector and the frozen tables, so the oracle is the
+    FULL-BUILD search over the whole table — the hash match proves
+    append ≡ rebuild, bit for bit (the centroid/codebook seeds, vec_id
+    0..15, all live in the base split — the append_to_ivf_index
+    discipline)."""
+    from datapipeline_omnichanneltobigquery_spark.plans.persistence import SCRATCH
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_batch = (F.col("vec_id") >= 16) & (F.col("vec_id") % 7 == 3)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"{SCRATCH}/ivf_pq_index_incr_{sf_tag}"
+    sim.build_ivf_pq_index(
+        emb.filter(~is_batch), path, n_centroids=16, m_sub=8, n_codes=16, dim=EMB_DIM
+    )
+    sim.append_to_ivf_pq_index(spark, path, emb.filter(is_batch), m_sub=8, dim=EMB_DIM)
+    return sim.ivf_pq_topk_join_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 4), k=5, n_probe=4, m_sub=8, dim=EMB_DIM
+    )
 
 
 @query(
@@ -1062,7 +1157,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_rake_keywords",
-    driver=False,  # NEW r12: co-occurrence keyword face of the text family (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=ts.rake_keywords_sql("documents", "doc_id", "text"),
 )
 def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,7 +1172,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_zipf_fit",
-    driver=False,  # NEW r12: distributional-health face of the text-quality family (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=ts.zipf_fit_sql("documents", "source", "text"),
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,7 +1188,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embeddings_pca_power",
-    driver=False,  # NEW r12: embedding-preprocessing face of the similarity family (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=sim.pca_power_sql("embeddings", "vec_id", "embedding", EMB_DIM),
 )
 def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,7 +1242,7 @@ def _ndcg_rels_sql() -> str:
 
 @query(
     "retrieval_ndcg",
-    driver=False,  # NEW r12: eval gate of the retrieval family (r13 rotation queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=ir.ranking_metrics_sql(_ndcg_ranked_sql(), _ndcg_rels_sql(), k=_NDCG_K),
 )
 def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1533,7 +1628,7 @@ def sampling_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_weighted_reservoir",
-    driver=False,  # new r12 family (A-Res weighted reservoir); full oracle
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=sa.weighted_reservoir_sql("documents", "doc_id", "n_chars", n=50),
 )
 def sampling_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,6 +1688,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "shard_rebalance_stability",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r9 (never driver-verified)
     oracle=(
         "SELECT doc_id, "
@@ -1794,6 +1890,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_keep_best",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=dd.dedup_keep_best_sql("documents", "text", "doc_id", ts.quality_score_sql("text")),
 )
@@ -1812,6 +1909,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_self_dedup",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=ts.self_dedup_sql("documents", "doc_id", "text", seg_len=5),
 )
@@ -1827,6 +1925,7 @@ def text_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sampling_dsir_weights",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=dsir.dsir_logweights_sql(
         "documents", "doc_id", "text", "source = 'src0'", n_buckets=256
@@ -1848,6 +1947,7 @@ def sampling_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_semdedup_keep",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r10 (never-driver-verified r9 family)
     # threshold 0.35 (not the 0.8 doc-dedup default): the synthetic
     # embeddings' max pairwise cosine is 0.479, so a 0.8 gate would be a
@@ -1871,6 +1971,7 @@ def similarity_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_vocab_growth",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=ts.vocab_growth_sql("documents", "doc_id", "text"),
 )
@@ -1887,6 +1988,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_image_neardup",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""
     WITH px AS (

@@ -1022,6 +1022,7 @@ def events_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_snm_part_names",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r8 (r7 flagship; fuzzy_part_names rotated out, keeps local parity)
     oracle="""
     WITH cand AS (
@@ -1468,7 +1469,7 @@ _SHAPLEY_JOURNEYS_SQL = """
 
 @query(
     "events_attribution_shapley",
-    driver=False,  # NEW r12: game-theoretic face of the attribution family (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=attr.shapley_attribution_sql(_SHAPLEY_JOURNEYS_SQL, "mask", _SHAPLEY_CHANNELS),
 )
 def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,7 +1543,7 @@ _MARKOV_TRANSITIONS_SQL = """
 
 @query(
     "events_attribution_markov",
-    driver=False,  # NEW r12: order-aware face of the attribution family (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=attr.markov_attribution_sql(
         _MARKOV_TRANSITIONS_SQL, _MARKOV_STATES, _MARKOV_START, _MARKOV_CONV, _MARKOV_NULL
     ),
@@ -1918,7 +1919,7 @@ _REPEAT_COPURCHASE_EDGES_SQL = """
 
 @query(
     "graph_adamic_adar",
-    driver=False,  # NEW r12: link-prediction face of the graph family (r13 rotation queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=f"""
     WITH aa AS ({gr.adamic_adar_sql(_REPEAT_COPURCHASE_EDGES_SQL, max_degree=64)})
     SELECT node_a AS part_a, node_b AS part_b, n_common, score, linked
@@ -2520,6 +2521,7 @@ _ISO_CURVE_SQL = "), (".join(
 
 @query(
     "calibration_isotonic_apply",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=f"""
     WITH curve(event_type, score_lo, p_cal) AS (VALUES ({_ISO_CURVE_SQL}))
@@ -2575,6 +2577,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "feature_correlations",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle="""
     WITH per_order AS (
@@ -2706,6 +2709,7 @@ def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_seasonal_residuals",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=tsr.seasonal_residuals_sql(
         "events", "event_type", "ts", "value", "event_id", z_threshold=2.0, min_n=10
@@ -2832,6 +2836,7 @@ def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rfm_customer_segments",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=sg.rfm_scores_sql("orders", "o_custkey", "o_orderdate", "o_totalprice"),
 )
@@ -2872,7 +2877,7 @@ _THEILSEN_DAILY_SQL = """
 
 @query(
     "events_trend_theilsen",
-    driver=False,  # NEW r12: robust-trend face of the timeseries family (r13 rotation queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=tsr.theilsen_mk_sql(_THEILSEN_DAILY_SQL, "event_type", "d", "y"),
 )
 def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2907,7 +2912,7 @@ _SNAIVE_DAILY_SQL = """
 
 @query(
     "events_forecast_holt",
-    driver=False,  # NEW r12: model-vs-baseline face of the forecast family (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=tsr.holt_eval_sql(_SNAIVE_DAILY_SQL, "event_type", "d", "y"),
 )
 def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2933,7 +2938,7 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_forecast_snaive",
-    driver=False,  # NEW r12: forecast-eval face of the timeseries family (r13 rotation queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=tsr.snaive_eval_sql(_SNAIVE_DAILY_SQL, "event_type", "d", "y"),
 )
 def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2971,6 +2976,7 @@ def dq_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_trend_ols",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""
     WITH e AS (
@@ -3209,6 +3215,7 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_type_unpivot",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=f"""
     WITH wide AS (
@@ -3249,6 +3256,7 @@ def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_id_islands",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""
     WITH ids AS (
@@ -3309,6 +3317,7 @@ def dq_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cms_join_size",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=pf.cms_join_size_sql("events", "user_id", "orders", "o_custkey", width=4096),
 )
@@ -3327,6 +3336,7 @@ def agg_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_twap_hourly",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=tsr.twap_bars_sql("events", "event_type", "ts", "value", "event_id", 3600),
 )
@@ -3342,6 +3352,7 @@ def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_cusum_fixed_ref",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=tsr.cusum_fixed_ref_sql(
         "events", "event_type", "ts", "value", "event_id",
@@ -3363,6 +3374,7 @@ def events_cusum_fixed_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_quantile_normalize",
+    driver=False,  # rotated out r13 (>=2 green driver rounds; full local hash parity continues)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""
     WITH base AS (
@@ -3437,7 +3449,7 @@ def features_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "calibration_conformal_intervals",
-    driver=False,  # NEW r12: uncertainty face of the ML-eval family (r13 rotation queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=me.conformal_intervals_sql(
         "orders",
         "o_orderpriority",
@@ -3477,7 +3489,7 @@ _JACKKNIFE_ROWS_SQL = """
 
 @query(
     "stats_jackknife_ratio",
-    driver=False,  # NEW r12: uncertainty-quantification face of the agg/eval family (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=me.jackknife_ratio_sql(_JACKKNIFE_ROWS_SQL, "nat", "numv", "denv"),
 )
 def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3517,7 +3529,7 @@ _BH_SERIES_SQL = """
 
 @query(
     "stats_bh_fdr",
-    driver=False,  # NEW r12: multiple-testing face of the stats/eval family (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=me.bh_fdr_sql(
         f"SELECT key, z_mk FROM ({tsr.theilsen_mk_sql(_BH_SERIES_SQL, 'key', 'd', 'y')})",
         ["key"],
@@ -3576,7 +3588,7 @@ _QINI_UNITS_SQL = f"""
 
 @query(
     "features_uplift_qini",
-    driver=False,  # NEW r12: causal-eval face of the ML-eval family (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=me.qini_deciles_sql(_QINI_UNITS_SQL, "user_id", "treat", "outcome", "score"),
 )
 def features_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3613,7 +3625,7 @@ def features_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_bootstrap_mean",
-    driver=False,  # NEW r12: resampling face of the UQ trio (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=me.bootstrap_mean_ci_sql(
         "orders", "o_orderpriority", "o_orderkey",
         "CAST(o_totalprice AS DECIMAL(18,2)) * 100",
@@ -3640,7 +3652,7 @@ def stats_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_quantile_ci",
-    driver=False,  # NEW r12: quantile-UQ face of the stats family (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=pf.quantile_ci_sql(
         "orders", "o_orderpriority", "CAST(o_totalprice AS DECIMAL(18,2)) * 100"
     ),
@@ -3661,7 +3673,7 @@ def stats_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_chi2_independence",
-    driver=False,  # NEW r12: categorical-association face of the DQ/stats family (r13 queue)
+    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
     oracle=pf.chi2_independence_sql("orders", "o_orderpriority", "o_orderstatus"),
 )
 def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2226,3 +2226,118 @@ def test_rake_keywords_hand_case(spark):
     gd = got["gradient descent"]
     assert gd.n_words == 2 and gd.score == 4.0
     assert len([p for p in got if p == "deep learning"]) == 1  # collapsed
+
+
+def test_ivf_pq_composition_prunes_and_matches_full_probe_pq(spark, tmp_path):
+    """The composed IVF×PQ index (operators/similarity.py::
+    build_ivf_pq_index): (a) the probe list reaches the persisted codes
+    scan as a DYNAMIC partition-pruning filter; (b) the query-time plan
+    never scans the corpus embedding column — the only embeddings.parquet
+    read is the query batch itself, with its predicate pushed; (c) with
+    n_probe = n_centroids (probe everything) the composed ADC ranking
+    equals plain pq_topk_join over the same corpus, row for row — the
+    compositional-correctness anchor; (d) append against FROZEN tables ≡
+    rebuild (via the incremental gate's oracle, re-checked here at
+    sf0.001 structurally: appended codes land in existing cluster dirs)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_join_from_index,
+        pq_topk_join,
+    )
+    from datapipeline_omnichanneltobigquery_spark.plans.audit import plan_string
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(emb, path, n_centroids=16, m_sub=8, n_codes=16, dim=64)
+
+    batch = ivf_pq_topk_join_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 4), k=5, n_probe=4, m_sub=8, dim=64
+    )
+    plan = plan_string(batch)
+    assert "dynamicpruning" in plan.lower(), plan
+    # no raw-embedding read AT ALL at query time: the query batch is
+    # materialized behind the localCheckpoint barrier, and the corpus side
+    # reads only the persisted codes/codebook/centroids — zero
+    # embeddings.parquet scans in the whole query plan
+    assert "embeddings.parquet" not in plan.lower(), plan
+    assert "/codes" in plan, plan
+
+    # probe EVERY cluster -> candidates = whole corpus -> composed == plain PQ
+    full = ivf_pq_topk_join_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 4), k=5, n_probe=16, m_sub=8, dim=64
+    )
+    got = sorted((r.query_id, r.neighbor_id, r.adc_sim) for r in full.collect())
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.adc_sim)
+        for r in pq_topk_join(
+            emb.filter(F.col("vec_id") < 4), emb, k=5, m_sub=8, n_codes=16, dim=64
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ivf_pq_append_lands_in_existing_cluster_dirs(spark, tmp_path):
+    """append_to_ivf_pq_index writes new files INSIDE existing cluster
+    directories (no rebuild of prior codes), and the appended union
+    answers queries identically to a full rebuild over the union."""
+    import os
+
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_topk_join_from_index,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    is_batch = (F.col("vec_id") >= 16) & (F.col("vec_id") % 7 == 3)
+
+    incr = str(tmp_path / "incr")
+    build_ivf_pq_index(emb.filter(~is_batch), incr, n_centroids=16, m_sub=8, n_codes=16, dim=64)
+    before = {
+        d: len(os.listdir(f"{incr}/codes/{d}"))
+        for d in os.listdir(f"{incr}/codes")
+        if d.startswith("cluster=")
+    }
+    append_to_ivf_pq_index(spark, incr, emb.filter(is_batch), m_sub=8, dim=64)
+    after = {
+        d: len(os.listdir(f"{incr}/codes/{d}"))
+        for d in os.listdir(f"{incr}/codes")
+        if d.startswith("cluster=")
+    }
+    assert set(after) >= set(before)  # no prior directory vanished
+    assert any(after[d] > before.get(d, 0) for d in after)  # files appended
+
+    full = str(tmp_path / "full")
+    # seeds (vec_id 0..15) all live in the base split, so rebuild == append
+    build_ivf_pq_index(emb, full, n_centroids=16, m_sub=8, n_codes=16, dim=64)
+    q = emb.filter(F.col("vec_id") < 4)
+    a = sorted(
+        (r.query_id, r.neighbor_id, r.adc_sim)
+        for r in ivf_pq_topk_join_from_index(spark, incr, q, k=5, n_probe=4, m_sub=8, dim=64).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.adc_sim)
+        for r in ivf_pq_topk_join_from_index(spark, full, q, k=5, n_probe=4, m_sub=8, dim=64).collect()
+    )
+    assert a == b
+
+
+def test_ivf_pq_guards_raise(spark):
+    """Loud guards: missing static dim and non-divisible m_sub raise."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_topk_join_from_index,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="static dimension"):
+        build_ivf_pq_index(emb, "/tmp/never")
+    with pytest.raises(ValueError, match="not divisible"):
+        build_ivf_pq_index(emb, "/tmp/never", m_sub=7, dim=64)
+    with pytest.raises(ValueError, match="static dimension"):
+        ivf_pq_topk_join_from_index(spark, "/tmp/never", emb)
+    with pytest.raises(ValueError, match="not divisible"):
+        append_to_ivf_pq_index(spark, "/tmp/never", emb, m_sub=7, dim=64)

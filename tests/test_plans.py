@@ -230,6 +230,12 @@ BROADCAST_REVIEW_ALLOWLIST = {
     # table is materialized into a literal array, pure map-side probe)
     # (r8: bm25's per-query-term dfreq broadcast now rides on the
     # localCheckpointed tf_q frame — mechanically bounded, off this list)
+    # PQ ADC lookup table (rotated INTO the gate r13): |query batch| ×
+    # m_sub × n_codes rows (4·8·16 = 512 here) — bounded by the
+    # probe-batch contract times two fixed constants; broadcasting the LUT
+    # IS the ADC plan shape (the code scan must not shuffle).
+    "similarity_ann_pq": 1,
+    "similarity_pq_recall": 1,
 }
 
 
@@ -283,13 +289,18 @@ EXTRA_BROADCAST_REVIEW_ALLOWLIST = {
     # into ann_recall's localCheckpoint job in r8, leaving the candidate
     # probe's (rotated out of the gate r9)
     "similarity_ann_recall": 1,
-    # PQ ADC lookup table: |query batch| × m_sub × n_codes rows (4·8·16 =
-    # 512 here) — bounded by the probe-batch contract times two fixed
-    # constants; broadcasting the LUT IS the ADC plan shape (the code scan
-    # must not shuffle).  The codebook's own broadcast is mechanically
-    # bounded (localCheckpoint leaf) and not counted.
-    "similarity_ann_pq": 1,
-    "similarity_pq_recall": 1,
+    # (r13: similarity_ann_pq / similarity_pq_recall rotated INTO the
+    # gate — their LUT-broadcast justifications moved to the gated list)
+    # composed IVF×PQ (r13): 2 flagged each = the (query, cluster) probe
+    # list (|queries| × n_probe rows — probe-batch contract × a fixed
+    # constant; broadcasting it IS the dynamic-partition-pruning plan
+    # shape, ivf_topk_join_from_index discipline) + the per-query ADC LUT
+    # (|queries| × m_sub × n_codes = 512 rows here — same justification as
+    # the gated similarity_ann_pq).  The centroid/codebook broadcasts ride
+    # on bounded leaves and are not counted.
+    "similarity_ivf_pq": 2,
+    "similarity_ivf_pq_recall": 2,
+    "similarity_ivf_pq_incremental": 2,
 }
 
 
