@@ -19,6 +19,7 @@ from datapipeline_omnichanneltobigquery_spark.operators import ir
 from datapipeline_omnichanneltobigquery_spark.operators import membership as mb
 from datapipeline_omnichanneltobigquery_spark.operators import multimodal as mm
 from datapipeline_omnichanneltobigquery_spark.operators import dsir
+from datapipeline_omnichanneltobigquery_spark.operators import langid as lid
 from datapipeline_omnichanneltobigquery_spark.operators import pii
 from datapipeline_omnichanneltobigquery_spark.operators import sampling as sa
 from datapipeline_omnichanneltobigquery_spark.operators import similarity as sim
@@ -1184,6 +1185,39 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, total-order top-n cut, rank-ordered double folds, fixed-
     order slope/r² rounded once (operators/textstats.py::zipf_fit)."""
     return ts.zipf_fit(read_table(spark, sf_dir, "documents"), "source", "text")
+
+
+@query(
+    "text_langid",
+    driver=False,  # NEW r13: Cavnar-Trenkle language ID (r14 rotation queue); full oracle
+    oracle=lid.langid_predict_sql("documents", "doc_id", "text"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free language ID (Cavnar & Trenkle 1994): each document's
+    top-40 character 1-3-gram ranks against compile-time literal
+    profiles for the corpus's language mix (en/es/de/fr/zh), argmin
+    out-of-place distance — the routing/filter primitive per-language
+    dedup and quality thresholds need (operators/langid.py).  Exact
+    integer ranks and distances, deterministic tie-breaks → the full
+    prediction surface hash-gates."""
+    return lid.langid_predict(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_langid_accuracy",
+    driver=False,  # NEW r13: accuracy of langid vs the labeled lang column
+    oracle=lid.langid_accuracy_sql("documents", "doc_id", "text", "lang"),
+)
+def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label accuracy of [[text_langid]] against documents.lang —
+    the measurement gate: exact per-language n / n_correct plus ONE
+    rounded division.  The testdata's text is synthetic English-token
+    noise for every label, so this row honestly reads ~majority-class
+    there (documented in operators/langid.py); real multilingual
+    discrimination is pinned by the genuine-snippet unit test."""
+    return lid.langid_accuracy(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    )
 
 
 @query(

@@ -2341,3 +2341,68 @@ def test_ivf_pq_guards_raise(spark):
         ivf_pq_topk_join_from_index(spark, "/tmp/never", emb)
     with pytest.raises(ValueError, match="not divisible"):
         append_to_ivf_pq_index(spark, "/tmp/never", emb, m_sub=7, dim=64)
+
+
+def test_langid_identifies_genuine_multilingual_snippets(spark):
+    """The Cavnar-Trenkle operator on REAL text in the five profile
+    languages: every snippet classifies correctly (the testdata's
+    synthetic English-noise text can't show this — documented in
+    operators/langid.py).  Also pins the no-token contract (empty text
+    produces no row) and the argmin tie-break determinism."""
+    from datapipeline_omnichanneltobigquery_spark.operators.langid import (
+        langid_predict,
+    )
+
+    snippets = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the old house", "en"),
+        (2, "el gato negro de la casa que está en la calle es de mi hermana y que no", "es"),
+        (3, "der schnelle braune fuchs springt über den faulen hund und die katze ist schön", "de"),
+        (4, "le chat noir de la maison est dans le jardin avec les enfants qui jouent", "fr"),
+        (5, "我们在中国的大学学习了一年中文他说这是一个很好的地方我也要去那里", "zh"),
+        (6, "   ", None),  # no tokens -> no row
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in snippets], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.lang_pred for r in langid_predict(df, "doc_id", "text").collect()}
+    for i, _, want in snippets:
+        if want is None:
+            assert i not in got
+        else:
+            assert got[i] == want, (i, got.get(i), want)
+
+
+def test_langid_out_of_place_matches_bruteforce(spark):
+    """langid's integer out-of-place distance equals a literal python
+    mirror of the paper's math (doc top-40 by count desc / gram asc;
+    missing grams cost PROFILE_LEN; argmin ties to the smaller code)."""
+    from collections import Counter
+
+    from datapipeline_omnichanneltobigquery_spark.operators.langid import (
+        LANG_PROFILES,
+        MAX_N,
+        PROFILE_LEN,
+        langid_predict,
+    )
+
+    text = "the cat and the dog in the garden"
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    r = langid_predict(df, "doc_id", "text").collect()[0]
+
+    cnt = Counter()
+    for w0 in text.strip().lower().split():
+        w = f"_{w0}_"
+        for n in range(1, MAX_N + 1):
+            for i in range(len(w) - n + 1):
+                cnt[w[i : i + n]] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:PROFILE_LEN]
+    doc_rk = {g: i + 1 for i, (g, _) in enumerate(ranked)}
+    dists = {}
+    for lang, prof in LANG_PROFILES.items():
+        lrk = {g: i + 1 for i, g in enumerate(prof)}
+        dists[lang] = sum(
+            abs(rk - lrk[g]) if g in lrk else PROFILE_LEN for g, rk in doc_rk.items()
+        )
+    want_lang = min(sorted(dists), key=lambda l: (dists[l], l))
+    assert (r.lang_pred, r.dist) == (want_lang, dists[want_lang])
+    assert r.lang_pred == "en"
