@@ -11,7 +11,12 @@ from datapipeline_omnichanneltobigquery_spark.functions.scalars import money
 from datapipeline_omnichanneltobigquery_spark.operators import attribution as attr
 from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
 from datapipeline_omnichanneltobigquery_spark.operators import er
+from datapipeline_omnichanneltobigquery_spark.functions.hashing import (
+    md5_long as _md5_long,
+    md5_long_sql as _md5_long_sql,
+)
 from datapipeline_omnichanneltobigquery_spark.operators import graph as gr
+from datapipeline_omnichanneltobigquery_spark.operators import lateness as late
 from datapipeline_omnichanneltobigquery_spark.operators import ml_eval as me
 from datapipeline_omnichanneltobigquery_spark.operators import profile as pf
 from datapipeline_omnichanneltobigquery_spark.operators import sampling as sa
@@ -3080,6 +3085,68 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT/DECIMAL sufficient statistics, one fixed-order double B
     (operators/timeseries.py::burstiness)."""
     return tsr.burstiness(read_table(spark, sf_dir, "events"), "user_id", "ts", "event_id")
+
+
+#: simulated ingestion order for the lateness gates: md5 jitter WITHIN
+#: 10-minute event-time blocks (the testdata's event_id is perfectly
+#: time-ordered, so raw arrival would make the audit trivially
+#: all-zeros).  Zero-padded composite string = a total arrival order
+#: identical in both engines: (block, md5(event_id), event_id).
+_LATE_ARRIVAL_SQL = (
+    "SELECT *, lpad(CAST(epoch_us(ts) // 600000000 AS VARCHAR), 12, '0')"
+    " || lpad(CAST(" + _md5_long_sql("'late-v1:' || CAST(event_id AS VARCHAR)")
+    + " AS VARCHAR), 20, '0')"
+    " || lpad(CAST(event_id AS VARCHAR), 12, '0') AS arrival FROM events"
+)
+
+
+def _late_arrival(events: DataFrame) -> DataFrame:
+    h = _md5_long(F.concat(F.lit("late-v1:"), F.col("event_id").cast("string")))
+    return events.withColumn(
+        "arrival",
+        F.concat(
+            F.lpad(F.expr("unix_micros(ts) div 600000000").cast("string"), 12, "0"),
+            F.lpad(h.cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
+    )
+
+
+@query(
+    "events_lateness_audit",
+    driver=False,  # NEW r13: watermark-lag/late-data audit (r14 rotation queue)
+    oracle=late.lateness_audit_sql(_LATE_ARRIVAL_SQL, "event_type", "arrival", "ts", 120),
+)
+def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key watermark-lag report over a simulated out-of-order
+    ingestion (md5 jitter within 10-minute event-time blocks — the
+    documented scenario constant; the testdata's raw arrival is
+    perfectly time-ordered): per event_type, how many rows arrive
+    beyond a 120 s allowed delay behind the key's running event-time
+    maximum, and the worst lag — the number that SIZES the watermark
+    every stateful operator downstream depends on
+    (operators/lateness.py::lateness_audit; streaming face
+    streaming/lateness.py, replay ≡ batch pinned)."""
+    ev = _late_arrival(read_table(spark, sf_dir, "events"))
+    return late.lateness_audit(ev, "event_type", "arrival", "ts", 120)
+
+
+@query(
+    "events_late_window_drops",
+    driver=False,  # NEW r13: per-window drop accounting of the same scenario
+    oracle=late.late_window_drops_sql(
+        _LATE_ARRIVAL_SQL, "event_type", "arrival", "ts", 120, 3600
+    ),
+)
+def events_late_window_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (key, hourly window) DROP accounting under the same simulated
+    ingestion: rows whose window had already closed (window end ≤ the
+    key's watermark at arrival) are the ones a watermarked streaming
+    aggregate silently discards — this row makes that loss VISIBLE per
+    window, zero-drop windows included
+    (operators/lateness.py::late_window_drops)."""
+    ev = _late_arrival(read_table(spark, sf_dir, "events"))
+    return late.late_window_drops(ev, "event_type", "arrival", "ts", 120, 3600)
 
 
 @query(

@@ -1105,3 +1105,68 @@ def test_streaming_transitions_match_batch_on_ordered_replay(spark, tmp_path):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert got == expected
     assert sum(v for (f, t), v in got.items() if t == CONV) > 0  # conversions seen
+
+
+def test_streaming_lateness_matches_batch_on_ordered_replay(spark, tmp_path):
+    """streaming/lateness.py: summing per-batch (n_rows, n_late) deltas
+    and maxing max_lag_us over an ARRIVAL-ordered two-file replay equals
+    the batch lateness_audit on the same jittered scenario the registry
+    gates — the watermark prefix carries across the batch boundary
+    through two bigints of GroupState; Arrow chunks forced tiny so hot
+    keys exercise the concat-then-sort discipline."""
+    from datapipeline_omnichanneltobigquery_spark.operators.lateness import (
+        lateness_audit,
+    )
+    from datapipeline_omnichanneltobigquery_spark.plans.relational2 import (
+        _late_arrival,
+    )
+    from datapipeline_omnichanneltobigquery_spark.streaming.lateness import (
+        streaming_lateness,
+    )
+
+    ev = _late_arrival(read_table(spark, SF_DIR, "events")).select(
+        "event_type", "arrival", "ts"
+    )
+    want = {
+        r.event_type: (r.n_rows, r.n_late, r.max_lag_us)
+        for r in lateness_audit(ev, "event_type", "arrival", "ts", 120).collect()
+    }
+
+    rows = ev.orderBy("arrival").collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "late_src")
+    schema = ev.schema
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(f"{src}/b=0")
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(f"{src}/b=1")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sdf = streaming_lateness(stream, 120, key_col="event_type")
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("t_lateness")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got: dict[str, list[int]] = {}
+        for r in spark.table("t_lateness").collect():
+            acc = got.setdefault(r.key, [0, 0, 0])
+            acc[0] += r.n_rows
+            acc[1] += r.n_late
+            acc[2] = max(acc[2], r.max_lag_us)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert {k: tuple(v) for k, v in got.items()} == want
+    assert sum(v[1] for v in got.values()) > 0  # the scenario produces late rows

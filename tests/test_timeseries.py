@@ -463,3 +463,60 @@ def test_holt_eval_matches_recursion_and_guards(spark):
         holt_eval(tiny, "grp", "t", "y", alpha_bps=10001)
     with pytest.raises(ValueError, match="beta_bps"):
         holt_eval_sql("SELECT 1", "grp", "t", "y", beta_bps=-1)
+
+
+def test_lateness_audit_hand_case(spark):
+    """Hand-checked lateness semantics (operators/lateness.py): first
+    arrival per key never late; strict inequality at exactly the delay;
+    lag measured against the PREFIX max (not the global max); window
+    drops fire only when the window END has passed the watermark."""
+    import datetime as dt
+
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.lateness import (
+        late_window_drops,
+        lateness_audit,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # key A arrivals (arrival, event_time_s):
+    #  a1 -> 1000 (first: never late)
+    #  a2 -> 880  (lag vs wm=1000-120=880: 0, NOT late — strict)
+    #  a3 -> 879  (late by 1 s)
+    #  a4 -> 2000 (advances the max)
+    #  a5 -> 100  (late by 2000-120-100 = 1780 s)
+    rows = [
+        ("A", "a1", at(1000)), ("A", "a2", at(880)), ("A", "a3", at(879)),
+        ("A", "a4", at(2000)), ("A", "a5", at(100)),
+        ("B", "b1", at(50)),  # singleton key: n_late 0
+    ]
+    df = spark.createDataFrame(rows, "k string, arrival string, ts timestamp")
+    got = {r.k: r for r in lateness_audit(df, "k", "arrival", "ts", 120).collect()}
+    assert (got["A"].n_rows, got["A"].n_late) == (5, 2)
+    assert got["A"].max_lag_us == 1780 * 1_000_000
+    assert abs(got["A"].late_share - round(2 / 5, 6)) < 1e-9
+    assert (got["B"].n_rows, got["B"].n_late, got["B"].max_lag_us) == (1, 0, 0)
+
+    # window drops (600 s windows): a5 (t=100, window [0,600) ends 600)
+    # vs wm at arrival 2000-120=1880 -> dropped; a3 (t=879, window ends
+    # 1200) vs wm 880 -> kept (1200 > 880) even though the ROW is late.
+    drops = {
+        (r.k, r.window_start_us): (r.n_rows, r.n_dropped)
+        for r in late_window_drops(df, "k", "arrival", "ts", 120, 600).collect()
+    }
+    base = 1704067200 * 1_000_000  # 2024-01-01T00:00:00Z epoch micros
+    s = 1_000_000
+    assert drops[("A", base + 0)] == (1, 1)        # a5: closed window, dropped
+    assert drops[("A", base + 600 * s)] == (3, 0)  # a1-a3: late row a3 still KEPT
+    assert drops[("A", base + 1800 * s)] == (1, 0)
+    assert drops[("B", base + 0)] == (1, 0)
+    assert len(drops) == 4
+    with pytest.raises(ValueError, match="delay_seconds"):
+        lateness_audit(df, "k", "arrival", "ts", -1)
+    with pytest.raises(ValueError, match="window_seconds"):
+        late_window_drops(df, "k", "arrival", "ts", 120, 0)
