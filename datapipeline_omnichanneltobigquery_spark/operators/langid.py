@@ -212,25 +212,33 @@ def langid_accuracy(
     df: DataFrame, id_col: str, text_col: str, label_col: str
 ) -> DataFrame:
     """Per-label accuracy of :func:`langid_predict` against a labeled
-    column: (lang, n, n_correct, accuracy) — the measurement gate the
-    survey commissions.  Exact integer counts; accuracy is ONE rounded
-    division."""
+    column: (lang, n, n_correct, n_unclassified, accuracy) — the
+    measurement gate the survey commissions.  ``n`` counts EVERY labeled
+    document (LEFT join: a no-token document with no prediction stays in
+    the denominator and is surfaced in ``n_unclassified``, never silently
+    dropped — an inner join would overstate accuracy and could make an
+    all-empty label vanish from the report).  Exact integer counts;
+    accuracy is ONE rounded division."""
     pred = langid_predict(df, id_col, text_col)
     joined = df.select(
         F.col(id_col), F.col(label_col).alias("lang")
-    ).join(pred, id_col)
+    ).join(pred, id_col, "left")
     return (
         joined.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(
-                (F.col("lang_pred") == F.col("lang")).cast("bigint")
+                F.coalesce(
+                    (F.col("lang_pred") == F.col("lang")).cast("bigint"), F.lit(0)
+                )
             ).alias("n_correct"),
+            F.sum(F.col("lang_pred").isNull().cast("bigint")).alias("n_unclassified"),
         )
         .select(
             "lang",
             "n",
             "n_correct",
+            "n_unclassified",
             F.round(
                 F.col("n_correct").cast("double") / F.col("n").cast("double"), 6
             ).alias("accuracy"),
@@ -241,16 +249,19 @@ def langid_accuracy(
 def langid_accuracy_sql(
     table: str, id_col: str, text_col: str, label_col: str
 ) -> str:
-    """DuckDB twin of :func:`langid_accuracy`."""
+    """DuckDB twin of :func:`langid_accuracy` — same LEFT join so
+    unclassified documents stay in the denominator."""
     pred = langid_predict_sql(table, id_col, text_col)
     return f"""
     WITH pred AS ({pred}),
     joined AS (
         SELECT t.{label_col} AS lang, p.lang_pred
-        FROM {table} t JOIN pred p ON p.{id_col} = t.{id_col})
+        FROM {table} t LEFT JOIN pred p ON p.{id_col} = t.{id_col})
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
              AS n_correct,
+           CAST(SUM(CASE WHEN lang_pred IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unclassified,
            round(CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
     FROM joined GROUP BY 1

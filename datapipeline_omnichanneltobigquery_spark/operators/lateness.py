@@ -105,6 +105,8 @@ def lateness_audit_sql(
 ) -> str:
     """DuckDB twin of :func:`lateness_audit` — identical prefix-max
     frame, integer-micro lags, and final division."""
+    if delay_seconds < 0:
+        raise ValueError(f"delay_seconds must be >= 0, got {delay_seconds}")
     delay_us = int(delay_seconds) * 1_000_000
     return f"""
     WITH base AS (
@@ -161,17 +163,17 @@ def late_window_drops(
         F.col(arrival_col).alias("__a"),
         F.unix_micros(F.col(ts_col)).alias("__m"),
     )
-    # integer div throughout (never float floor(m / w) — the truncating-div
-    # battery's lesson: double division can straddle window boundaries)
+    # window start via TRUE floor (m − mathematical mod), not `div`:
+    # both engines' integer division truncates toward zero, which would
+    # collapse the windows on either side of epoch 0 for pre-1970 event
+    # times — ((m % w) + w) % w is the branch-free non-negative remainder.
+    wstart = F.expr(f"__m - (((__m % {win_us}) + {win_us}) % {win_us})")
     scored = base.withColumn("__pmax", F.max("__m").over(w)).select(
         "__k",
-        F.expr(f"(__m div {win_us}) * {win_us}").cast("bigint").alias("window_start_us"),
+        wstart.cast("bigint").alias("window_start_us"),
         F.when(
             F.col("__pmax").isNotNull()
-            & (
-                F.expr(f"((__m div {win_us}) + 1) * {win_us}")
-                <= F.col("__pmax") - F.lit(delay_us)
-            ),
+            & (wstart + F.lit(win_us) <= F.col("__pmax") - F.lit(delay_us)),
             F.lit(1),
         )
         .otherwise(F.lit(0))
@@ -195,6 +197,11 @@ def late_window_drops_sql(
     window_seconds: int,
 ) -> str:
     """DuckDB twin of :func:`late_window_drops`."""
+    if delay_seconds < 0 or window_seconds <= 0:
+        raise ValueError(
+            f"need delay_seconds >= 0 and window_seconds > 0, got "
+            f"({delay_seconds}, {window_seconds})"
+        )
     delay_us = int(delay_seconds) * 1_000_000
     win_us = int(window_seconds) * 1_000_000
     return f"""
@@ -209,10 +216,11 @@ def late_window_drops_sql(
         FROM base),
     scored AS (
         SELECT k,
-               CAST((m // {win_us}) * {win_us} AS BIGINT) AS window_start_us,
+               CAST(m - (((m % {win_us}) + {win_us}) % {win_us}) AS BIGINT)
+                 AS window_start_us,
                CAST(CASE WHEN pmax IS NOT NULL
-                          AND ((m // {win_us}) + 1) * {win_us}
-                              <= pmax - {delay_us}
+                          AND m - (((m % {win_us}) + {win_us}) % {win_us})
+                              + {win_us} <= pmax - {delay_us}
                     THEN 1 ELSE 0 END AS BIGINT) AS drp
         FROM wm)
     SELECT k AS {key_col}, window_start_us,

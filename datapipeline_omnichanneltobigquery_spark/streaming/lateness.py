@@ -38,20 +38,27 @@ def _auditor(delay_us: int):
             return
         whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         whole = whole.sort_values("arrival", ignore_index=True)
-        m = whole["m"].to_numpy(dtype=np.int64)
-        run = np.maximum.accumulate(m)
-        if has:
-            pmax = np.concatenate(([np.int64(max_ts)], np.maximum(run[:-1], max_ts)))
-            valid = np.ones(len(m), dtype=bool)
-        else:
-            pmax = np.concatenate(([np.int64(0)], run[:-1]))
-            valid = np.arange(len(m)) > 0
-        lag = np.where(valid, np.maximum(pmax - delay_us - m, 0), 0)
-        state.update((1, int(max(run[-1], max_ts)) if has else int(run[-1])))
+        # float64 path: a NULL event time arrives as NaN (nullable Arrow
+        # column) — the batch face scores such a row lag 0 and its m never
+        # advances the prefix max (Spark/DuckDB MAX and GREATEST skip
+        # NULLs), so mirror that here instead of crashing on the int cast.
+        # Epoch micros (~1.7e15) are far below 2^53, so the float math is
+        # integer-exact.
+        raw = whole["m"].to_numpy(dtype=np.float64)
+        isnull = ~np.isfinite(raw)
+        mfill = np.where(isnull, -np.inf, raw)
+        run = np.maximum.accumulate(mfill)
+        seed = np.float64(max_ts) if has else -np.inf
+        pmax = np.concatenate(([seed], np.maximum(run[:-1], seed)))
+        valid = np.isfinite(pmax) & ~isnull
+        lag = np.where(valid, np.maximum(pmax - delay_us - raw, 0), 0.0)
+        new_max = max(run[-1], seed)
+        if np.isfinite(new_max):
+            state.update((1, int(new_max)))
         yield pd.DataFrame(
             {
                 "key": [str(key[0])],
-                "n_rows": [int(len(m))],
+                "n_rows": [int(len(raw))],
                 "n_late": [int((lag > 0).sum())],
                 "max_lag_us": [int(lag.max())],
             }

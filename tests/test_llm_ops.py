@@ -2406,3 +2406,24 @@ def test_langid_out_of_place_matches_bruteforce(spark):
     want_lang = min(sorted(dists), key=lambda l: (dists[l], l))
     assert (r.lang_pred, r.dist) == (want_lang, dists[want_lang])
     assert r.lang_pred == "en"
+
+
+def test_langid_accuracy_counts_unclassified_in_denominator(spark):
+    """r13 review regression: a labeled document that produces no
+    prediction (no tokens) stays in the label's n, shows up in
+    n_unclassified, and an all-empty label still appears in the report
+    — the inner-join form silently inflated accuracy."""
+    from datapipeline_omnichanneltobigquery_spark.operators.langid import (
+        langid_accuracy,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs home", "en"),
+        (2, "   ", "en"),      # no tokens: unclassified, still counted
+        (3, "\t", "xx"),       # all-empty label must not vanish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.lang: r for r in langid_accuracy(df, "doc_id", "text", "lang").collect()}
+    assert (got["en"].n, got["en"].n_correct, got["en"].n_unclassified) == (2, 1, 1)
+    assert abs(got["en"].accuracy - 0.5) < 1e-9
+    assert (got["xx"].n, got["xx"].n_correct, got["xx"].n_unclassified) == (1, 0, 1)

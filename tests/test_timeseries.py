@@ -520,3 +520,104 @@ def test_lateness_audit_hand_case(spark):
         lateness_audit(df, "k", "arrival", "ts", -1)
     with pytest.raises(ValueError, match="window_seconds"):
         late_window_drops(df, "k", "arrival", "ts", 120, 0)
+
+
+def test_late_window_drops_pre_epoch_floor(spark):
+    """r13 review regression: window starts use TRUE floor, not
+    truncate-toward-zero — a pre-1970 event time lands in ITS OWN
+    window [-3600, 0), not in [0, 3600); and its drop test compares
+    against the real window end."""
+    import datetime as dt
+
+    from datapipeline_omnichanneltobigquery_spark.operators.lateness import (
+        late_window_drops,
+    )
+
+    rows = [
+        ("A", "a1", dt.datetime(1970, 1, 1, 2, 0, 0)),    # advances max to +2h
+        ("A", "a2", dt.datetime(1969, 12, 31, 23, 59, 0)),  # m = -60e6 us
+    ]
+    df = spark.createDataFrame(rows, "k string, arrival string, ts timestamp")
+    drops = {
+        r.window_start_us: (r.n_rows, r.n_dropped)
+        for r in late_window_drops(df, "k", "arrival", "ts", 120, 3600).collect()
+    }
+    # the 1969 row's window is [-3600s, 0) and it IS dropped (end 0 <=
+    # wm = 7200-120 s); truncation toward zero would misfile it at 0
+    assert drops[-3600 * 1_000_000] == (1, 1)
+    assert drops[7200 * 1_000_000] == (1, 0)
+    assert len(drops) == 2
+
+
+def test_lateness_sql_twins_guard_like_dataframe_faces(spark):
+    """r13 review regression: the SQL builders validate like their
+    DataFrame twins (the holt_eval_sql loud-guard discipline)."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.lateness import (
+        late_window_drops_sql,
+        lateness_audit_sql,
+    )
+
+    with pytest.raises(ValueError, match="delay_seconds"):
+        lateness_audit_sql("events", "k", "a", "ts", -1)
+    with pytest.raises(ValueError, match="window_seconds"):
+        late_window_drops_sql("events", "k", "a", "ts", 120, 0)
+
+
+def test_streaming_lateness_null_ts_matches_batch(spark):
+    """r13 review regression: a NULL event time must not crash the
+    streaming auditor — like the batch face it scores lag 0, counts in
+    n_rows, and never advances the running max (MAX/GREATEST skip
+    NULLs in both engines)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from datapipeline_omnichanneltobigquery_spark.operators.lateness import (
+        lateness_audit,
+    )
+    from datapipeline_omnichanneltobigquery_spark.streaming.lateness import _auditor
+
+    class _FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = 1_000_000
+
+    def m(s):
+        return int((t0 + dt.timedelta(seconds=s)).timestamp()) * us
+
+    # arrival order: t=1000, NULL, t=100 (late by 1000-120-100=780 s)
+    pdf = pd.DataFrame(
+        {"arrival": ["a1", "a2", "a3"], "m": pd.array([m(1000), None, m(100)], dtype="Int64")}
+    )
+    st = _FakeState()
+    out = list(_auditor(120 * us)(("A",), iter([pdf]), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row.n_rows, row.n_late, row.max_lag_us) == (3, 1, 780 * us)
+    assert st.get == (1, m(1000))  # NULL never advanced the max
+
+    # and the batch face agrees on the same rows
+    rows = [("A", "a1", t0 + dt.timedelta(seconds=1000)),
+            ("A", "a2", None),
+            ("A", "a3", t0 + dt.timedelta(seconds=100))]
+    df = spark.createDataFrame(rows, "k string, arrival string, ts timestamp")
+    b = lateness_audit(df, "k", "arrival", "ts", 120).collect()[0]
+    assert (b.n_rows, b.n_late, b.max_lag_us) == (3, 1, 780 * us)
+
+    # all-null batch: state never materializes, emitted lags all 0
+    st2 = _FakeState()
+    pdf2 = pd.DataFrame({"arrival": ["x"], "m": pd.array([None], dtype="Int64")})
+    out2 = list(_auditor(120 * us)(("B",), iter([pdf2]), st2))
+    assert out2[0].iloc[0].n_late == 0 and not st2.exists
