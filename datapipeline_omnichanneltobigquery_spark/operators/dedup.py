@@ -1749,3 +1749,125 @@ def dedup_keep_best_sql(table: str, text_col: str, id_col: str, score_sql: str) 
     )
     SELECT fp, id AS {id_col}, s AS score FROM ranked WHERE rn = 1
     """
+
+
+def minhash_estimate_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash CALIBRATION gate — the dedup family's analogue of the ANN
+    recall rows (similarity_pq_recall): for every LSH candidate pair,
+    the signature-agreement Jaccard ESTIMATE (E[n_agree/K] = J, Broder
+    1997) side by side with the exact Jaccard and the absolute error —
+    measuring what ``num_hashes`` actually buys, per pair, instead of
+    assuming the textbook variance J(1-J)/K.
+
+    Returns (id_a, id_b, n_agree, est_jaccard, jaccard, abs_err) over
+    the LSH candidates (the pairs a production run would actually
+    verify).  A banded collision with zero true overlap scores exact
+    jaccard 0 (LEFT join, surfaced not dropped — those are precisely
+    the estimator's worst misses).
+
+    Exactness: n_agree is an exact integer; est/exact/err are the same
+    three IEEE expressions in both engines.  Plan: ONE shingle stream
+    feeds the signature aggregate AND the exact verify (the module's
+    shared-stream discipline); the agreement join touches |cand| rows
+    of K-column signatures."""
+    sh = shingles(df, id_col, text_col, n)
+    cand = minhash_candidate_pairs(
+        df, id_col, text_col, n, num_hashes, rows_per_band, seed, shingles_df=sh
+    )
+    sig = _signatures_from_shingles(sh, num_hashes, seed)
+    agree = None
+    for i in range(num_hashes):
+        t = (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("bigint")
+        agree = t if agree is None else agree + t
+    est = (
+        cand.join(sig.alias("a"), F.col("a.id") == F.col("id_a"))
+        .join(sig.alias("b"), F.col("b.id") == F.col("id_b"))
+        .select("id_a", "id_b", agree.alias("n_agree"))
+    )
+    exact = verify_jaccard_pairs(sh, cand, threshold=0.0)
+    ej = F.col("n_agree").cast("double") / F.lit(float(num_hashes))
+    jx = F.coalesce(F.col("jaccard"), F.lit(0.0))
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            ej.alias("est_jaccard"),
+            jx.alias("jaccard"),
+            F.abs(ej - jx).alias("abs_err"),
+        )
+    )
+
+
+def minhash_estimate_eval_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`minhash_estimate_eval` — same hash
+    constants, band keys, agreement count, and IEEE expressions."""
+    num_bands = num_hashes // rows_per_band
+    params = _minhash_params(num_hashes, seed)
+    mh_exprs = ",\n             ".join(
+        f"MIN(((h60 % {MERSENNE_P}) * {a} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n        UNION ALL\n".join(
+        "        SELECT id, {band} AS band, concat_ws(',', {cols}) AS key FROM sig".format(
+            band=i,
+            cols=", ".join(
+                f"CAST(mh_{i * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
+        )
+        for i in range(num_bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_shingles_sql(table, id_col, text_col, n)},
+    hashed AS (SELECT id, {md5_long_sql("shingle")} AS h60 FROM sh),
+    sig AS (SELECT id,
+             {mh_exprs}
+            FROM hashed GROUP BY id),
+    keyed AS (
+{band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM keyed a JOIN keyed b
+               ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2),
+    est AS (SELECT c.id_a, c.id_b,
+                   CAST({agree} AS BIGINT) AS n_agree
+            FROM cand c JOIN sig sa ON sa.id = c.id_a
+                        JOIN sig sb ON sb.id = c.id_b),
+    exact AS (SELECT c.id_a, c.id_b,
+                     CAST(i.ic AS DOUBLE)
+                       / CAST(sa.sz + sb.sz - i.ic AS DOUBLE) AS jaccard
+              FROM cand c
+              JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+              JOIN sizes sa ON sa.id = c.id_a
+              JOIN sizes sb ON sb.id = c.id_b)
+    SELECT e.id_a, e.id_b, e.n_agree,
+           CAST(e.n_agree AS DOUBLE) / {float(num_hashes)} AS est_jaccard,
+           COALESCE(x.jaccard, 0.0) AS jaccard,
+           abs(CAST(e.n_agree AS DOUBLE) / {float(num_hashes)}
+               - COALESCE(x.jaccard, 0.0)) AS abs_err
+    FROM est e LEFT JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+    """

@@ -867,3 +867,94 @@ def bootstrap_mean_ci_sql(
            round(c.ci_hi, 6) AS ci_hi
     FROM ci c JOIN stats s ON s.g = c.g
     """
+
+
+def target_encoding(
+    df: DataFrame,
+    id_col: str,
+    cat_col: str,
+    target_col,
+    m: int = 20,
+) -> DataFrame:
+    """Leave-one-out target encoding with m-estimate smoothing
+    (Micci-Barreca, SIGKDD Explorations 2001) — the standard
+    high-cardinality categorical feature for downstream models: each
+    row's category is replaced by the target mean of the OTHER rows in
+    the category, shrunk toward the global prior by pseudo-count ``m``
+    (LOO prevents the row's own label leaking into its feature; the
+    shrinkage keeps rare categories from memorizing).
+
+        te = ((sum_cat − y) + m·prior) / (n_cat − 1 + m)
+           = ((sum_cat − y)·N + m·S) / ((n_cat − 1 + m)·N)
+
+    with S, N the global target sum/count — the second form is ONE
+    exact-bigint ratio (prior never materializes as a float), rounded
+    once to 6.  NULL when the denominator is 0 (singleton category with
+    m = 0), surfaced not defaulted.
+
+    Returns (id, cat, te).  Plan: one partial-aggregated groupBy on the
+    category + one scalar aggregate (1-row crossJoin broadcast) + one
+    map-side join back — linear, no windows, the 100 TB shape.
+    ``target_col`` is a 0/1-integer Column expression."""
+    if m < 0:
+        raise ValueError(f"m must be >= 0, got {m}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cat_col).alias("cat"),
+        target_col.cast("bigint").alias("y"),
+    ).localCheckpoint()  # feeds the category agg, the global agg, and the join
+    per_cat = base.groupBy("cat").agg(
+        F.sum("y").cast("bigint").alias("sum_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+    )
+    tot = base.agg(
+        F.sum("y").cast("bigint").alias("S"),
+        F.count(F.lit(1)).cast("bigint").alias("N"),
+    )
+    return (
+        base.join(per_cat, "cat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cat").alias(cat_col),
+            F.when(
+                (F.col("n_c") - 1 + F.lit(int(m))) * F.col("N") > 0,
+                F.round(
+                    (
+                        (F.col("sum_c") - F.col("y")) * F.col("N")
+                        + F.lit(int(m)) * F.col("S")
+                    ).cast("double")
+                    / ((F.col("n_c") - 1 + F.lit(int(m))) * F.col("N")).cast("double"),
+                    6,
+                ),
+            ).alias("te"),
+        )
+    )
+
+
+def target_encoding_sql(
+    table: str, id_col: str, cat_col: str, target_sql: str, m: int = 20
+) -> str:
+    """DuckDB twin of :func:`target_encoding` — identical exact-bigint
+    ratio and single rounding."""
+    if m < 0:
+        raise ValueError(f"m must be >= 0, got {m}")
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS id, {cat_col} AS cat,
+               CAST({target_sql} AS BIGINT) AS y
+        FROM {table}),
+    per_cat AS (
+        SELECT cat, CAST(SUM(y) AS BIGINT) AS sum_c,
+               CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM base GROUP BY 1),
+    tot AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base)
+    SELECT b.id AS {id_col}, b.cat AS {cat_col},
+           CASE WHEN (p.n_c - 1 + {int(m)}) * t.n > 0 THEN
+             round(CAST((p.sum_c - b.y) * t.n + {int(m)} * t.s AS DOUBLE)
+                   / CAST((p.n_c - 1 + {int(m)}) * t.n AS DOUBLE), 6)
+           END AS te
+    FROM base b JOIN per_cat p ON p.cat = b.cat CROSS JOIN tot t
+    """

@@ -1612,3 +1612,109 @@ def quantile_ci_sql(
            MIN(CASE WHEN cum >= k_hi THEN v END) AS ci_hi
     FROM cum GROUP BY g, n, k_lo, k_point, k_hi
     """
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value: "Column",
+    lo_bps: int = 100,
+    hi_bps: int = 9900,
+) -> DataFrame:
+    """Per-group winsorization at EXACT order statistics (Tukey; Dixon
+    1960): clip each value to [x₍ₖˡᵒ₎, x₍ₖʰⁱ₎] where the cut ranks are
+    k = ⌈(n+1)·p⌉ in integer basis points — the heavy-tail taming step
+    feature pipelines run before scaling (clipping beats dropping:
+    the row survives, only its leverage is bounded).
+
+    ``value`` must be integer-valued (cents/micro-units — the module
+    contract).  Returns one row per input row: (group, id, v, v_wins),
+    both exact bigints.
+
+    Determinism: ranks are pure integer arithmetic (the conformal/
+    quantile_ci discipline — no float ceil); cut selection is the
+    distinct-value prefix min; clipping is LEAST/GREATEST on bigints.
+    Scale: one groupBy to per-(group, value) counts, one per-group
+    prefix window over DISTINCT values, then a per-group cut table
+    (n_groups rows) joined back map-side — the corpus never sorts."""
+    from pyspark.sql import Window
+
+    for nm, bps in (("lo_bps", lo_bps), ("hi_bps", hi_bps)):
+        if not 0 <= int(bps) <= 10000:
+            raise ValueError(f"{nm} must be in [0, 10000], got {bps}")
+    if lo_bps >= hi_bps:
+        raise ValueError(f"need lo_bps < hi_bps, got ({lo_bps}, {hi_bps})")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        value.cast("bigint").alias("v"),
+    ).localCheckpoint()  # feeds the distinct-value counts AND the clip join
+    dist = base.groupBy("__g", "v").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    ks = dist.groupBy("__g").agg(F.sum("c").cast("bigint").alias("n")).select(
+        "__g",
+        F.greatest(
+            F.lit(1),
+            F.least(F.col("n"), F.expr(f"((n + 1) * {int(lo_bps)} + 9999) div 10000")),
+        ).alias("k_lo"),
+        F.greatest(
+            F.lit(1),
+            F.least(F.col("n"), F.expr(f"((n + 1) * {int(hi_bps)} + 9999) div 10000")),
+        ).alias("k_hi"),
+    )
+    w = Window.partitionBy("__g").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.withColumn("cum", F.sum("c").over(w)).join(F.broadcast(ks), "__g")
+    cuts = cum.groupBy("__g").agg(
+        F.min(F.when(F.col("cum") >= F.col("k_lo"), F.col("v"))).alias("lo_cut"),
+        F.min(F.when(F.col("cum") >= F.col("k_hi"), F.col("v"))).alias("hi_cut"),
+    )
+    return base.join(cuts, "__g").select(
+        F.col("__g").alias(group_col),
+        F.col("__id").alias(id_col),
+        "v",
+        F.least(F.greatest(F.col("v"), F.col("lo_cut")), F.col("hi_cut")).alias("v_wins"),
+    )
+
+
+def winsorize_sql(
+    table: str,
+    group_col: str,
+    id_col: str,
+    value_sql: str,
+    lo_bps: int = 100,
+    hi_bps: int = 9900,
+) -> str:
+    """DuckDB twin of :func:`winsorize` — identical integer rank
+    formulas, prefix selection, and clamps."""
+    for nm, bps in (("lo_bps", lo_bps), ("hi_bps", hi_bps)):
+        if not 0 <= int(bps) <= 10000:
+            raise ValueError(f"{nm} must be in [0, 10000], got {bps}")
+    if lo_bps >= hi_bps:
+        raise ValueError(f"need lo_bps < hi_bps, got ({lo_bps}, {hi_bps})")
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT {group_col} AS g, {id_col} AS id,
+               CAST({value_sql} AS BIGINT) AS v
+        FROM {table}),
+    dist AS MATERIALIZED (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+    ks AS (
+        SELECT g,
+               GREATEST(1, LEAST(n, ((n + 1) * {int(lo_bps)} + 9999) // 10000)) AS k_lo,
+               GREATEST(1, LEAST(n, ((n + 1) * {int(hi_bps)} + 9999) // 10000)) AS k_hi
+        FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM dist GROUP BY g)),
+    cum AS (
+        SELECT d.g, d.v,
+               SUM(d.c) OVER (PARTITION BY d.g ORDER BY d.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               k.k_lo, k.k_hi
+        FROM dist d JOIN ks k ON k.g = d.g),
+    cuts AS (
+        SELECT g,
+               MIN(CASE WHEN cum >= k_lo THEN v END) AS lo_cut,
+               MIN(CASE WHEN cum >= k_hi THEN v END) AS hi_cut
+        FROM cum GROUP BY g)
+    SELECT b.g AS {group_col}, b.id AS {id_col}, b.v,
+           LEAST(GREATEST(b.v, c.lo_cut), c.hi_cut) AS v_wins
+    FROM base b JOIN cuts c ON c.g = b.g
+    """

@@ -2066,6 +2066,26 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_estimate",
+    driver=False,  # NEW r13: per-pair MinHash estimate calibration (r14 rotation queue)
+    oracle=dd.minhash_estimate_eval_sql("documents", "doc_id", "text", 3, 16, 2),
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair MinHash calibration (Broder 1997): over the LSH
+    candidates, the signature-agreement estimate n_agree/16 beside the
+    exact Jaccard and its absolute error — the dedup family's recall/
+    precision dial made PER-PAIR (dedup_lsh_eval scores the candidate
+    SET; this scores the ESTIMATOR), mirroring how similarity_pq_recall
+    calibrates PQ against brute force.  Banded collisions with zero
+    true overlap surface with jaccard 0, not silently dropped
+    (operators/dedup.py::minhash_estimate_eval; one shared shingle
+    stream feeds signatures and verify)."""
+    return dd.minhash_estimate_eval(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text", 3, 16, 2
+    )
+
+
+@query(
     "dedup_lsh_eval",
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=f"""

@@ -3150,6 +3150,95 @@ def events_late_window_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "features_winsorize",
+    driver=False,  # NEW r13: order-statistic winsorization (r14 rotation queue)
+    oracle=pf.winsorize_sql(
+        "events", "event_type", "event_id",
+        "CAST(floor(value * 1000000.0) AS BIGINT)", lo_bps=100, hi_bps=9900,
+    ),
+)
+def features_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of event values at the exact p1/p99 order
+    statistics — the heavy-tail taming step before scaling/aggregation
+    (clip, don't drop: the row survives with bounded leverage).  Values
+    quantize to micro-units once; cut ranks are pure integer basis-point
+    arithmetic (the conformal discipline); clipping is LEAST/GREATEST on
+    exact bigints (operators/profile.py::winsorize)."""
+    ev = read_table(spark, sf_dir, "events")
+    return pf.winsorize(
+        ev, "event_type", "event_id",
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)"),
+        lo_bps=100, hi_bps=9900,
+    )
+
+
+@query(
+    "agg_rollup_revenue",
+    driver=False,  # NEW r13: ROLLUP/grouping-sets surface (r14 rotation queue)
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mth,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(CAST(year(o_orderdate) AS INT),
+                         CAST(month(o_orderdate) AS INT)) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP(1, 2)
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical revenue rollup — the OLAP GROUPING SETS surface:
+    (year, month) subtotals, per-year totals, and the grand total in
+    ONE pass via Spark's native ROLLUP (one Expand + one aggregate, no
+    union of re-scans), with grouping_id() disambiguating a real NULL
+    key from a subtotal placeholder (verified bit-identical to DuckDB's
+    GROUPING()).  Revenue is decimal-exact (the flagship discipline).
+    At 100 TB the Expand multiplies rows 3x BEFORE the partial agg —
+    still one shuffle; prefer it over 3 separate jobs that re-scan the
+    fact table."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mth"),
+            money(F.col("o_totalprice")).alias("__p"),
+        )
+        .rollup("yr", "mth")
+        .agg(
+            F.sum("__p").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+@query(
+    "features_te_user_conversion",
+    driver=False,  # NEW r13: exact-bigint LOO m-estimate encoding of a HIGH-CARD key
+    # (distinct from features_target_encoding: that r9 row encodes the 5-value
+    # event_type with float alpha-smoothing; this one encodes user_id — true
+    # high cardinality — with the integer-exact m-estimate ratio)
+    oracle=me.target_encoding_sql(
+        "events", "event_id", "user_id",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END", m=20,
+    ),
+)
+def features_te_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of user_id by purchase conversion
+    with m-estimate shrinkage (Micci-Barreca 2001) — the standard
+    high-cardinality categorical feature: each event's user is replaced
+    by the OTHER events' conversion rate for that user, shrunk toward
+    the global prior by 20 pseudo-counts (LOO kills label leakage,
+    shrinkage kills rare-category memorization).  ONE exact-bigint
+    ratio per row — the prior never floats — rounded once
+    (operators/ml_eval.py::target_encoding)."""
+    ev = read_table(spark, sf_dir, "events")
+    return me.target_encoding(
+        ev, "event_id", "user_id", (F.col("event_type") == "purchase"), m=20
+    )
+
+
+@query(
     "features_lift_table",
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""

@@ -2427,3 +2427,56 @@ def test_langid_accuracy_counts_unclassified_in_denominator(spark):
     assert (got["en"].n, got["en"].n_correct, got["en"].n_unclassified) == (2, 1, 1)
     assert abs(got["en"].accuracy - 0.5) < 1e-9
     assert (got["xx"].n, got["xx"].n_correct, got["xx"].n_unclassified) == (1, 0, 1)
+
+
+def test_winsorize_hand_case_and_guards(spark):
+    """Winsorize clips to the exact ⌈(n+1)p⌉ order statistics: n=10
+    values 1..10 with lo=1000bps/hi=9000bps -> k_lo=⌈11·0.1⌉=2,
+    k_hi=⌈11·0.9⌉=10 -> clip to [2, 10]; out-of-range bps and
+    lo >= hi raise."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import winsorize
+
+    rows = [("g", i, i) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "grp string, id long, x long")
+    got = {
+        r.id: (r.v, r.v_wins)
+        for r in winsorize(df, "grp", "id", F.col("x"), lo_bps=1000, hi_bps=9000).collect()
+    }
+    for i in range(1, 11):
+        assert got[i] == (i, max(2, min(i, 10)))
+    with pytest.raises(ValueError, match="lo_bps"):
+        winsorize(df, "grp", "id", F.col("x"), lo_bps=-1)
+    with pytest.raises(ValueError, match="lo_bps < hi_bps"):
+        winsorize(df, "grp", "id", F.col("x"), lo_bps=5000, hi_bps=5000)
+
+
+def test_minhash_estimate_is_unbiasedish_and_complete(spark):
+    """The estimate gate's contract on a small corpus: identical docs
+    agree on ALL hashes (est 1.0, exact 1.0, err 0); every LSH candidate
+    pair appears exactly once; est and exact live in [0, 1]."""
+    from datapipeline_omnichanneltobigquery_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_estimate_eval,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, text),
+        (2, text),  # exact dup of 1
+        (3, text + " with a small tail difference at the end here"),
+        (4, "completely different content about spark shuffles and parquet files"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r for r in minhash_estimate_eval(df, "doc_id", "text").collect()}
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(df, "doc_id", "text").collect()
+    }
+    assert set(out) == cand and (1, 2) in out
+    r12 = out[(1, 2)]
+    assert (r12.n_agree, r12.est_jaccard, r12.jaccard, r12.abs_err) == (16, 1.0, 1.0, 0.0)
+    for r in out.values():
+        assert 0.0 <= r.est_jaccard <= 1.0 and 0.0 <= r.jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) < 1e-12

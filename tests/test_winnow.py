@@ -812,3 +812,34 @@ def test_shapley_markov_sql_escapes_quoted_channel_names(duck):
     )
     mnames = {r[0] for r in duck.execute(msql).fetchall()}
     assert mnames == {"o'brien", "email"}
+
+
+def test_target_encoding_matches_bruteforce_and_guards(spark):
+    """target_encoding equals the literal LOO m-estimate formula on a
+    hand case; singleton category with m=0 surfaces NULL; m<0 raises."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        target_encoding,
+        target_encoding_sql,
+    )
+
+    # cats: a -> ys [1, 0, 1]; b -> [0]; global S=2, N=4
+    rows = [(1, "a", 1), (2, "a", 0), (3, "a", 1), (4, "b", 0)]
+    df = spark.createDataFrame(rows, "id long, cat string, y int")
+    got = {r.id: r.te for r in target_encoding(df, "id", "cat", F.col("y"), m=2).collect()}
+    S, N, m = 2, 4, 2
+    for i, c, y in rows:
+        n_c = 3 if c == "a" else 1
+        sum_c = 2 if c == "a" else 0
+        want = round(((sum_c - y) * N + m * S) / ((n_c - 1 + m) * N), 6)
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+    got0 = {r.id: r.te for r in target_encoding(df, "id", "cat", F.col("y"), m=0).collect()}
+    assert got0[4] is None  # singleton + m=0: undefined, surfaced as NULL
+    assert got0[1] is not None
+
+    with pytest.raises(ValueError, match="m must be"):
+        target_encoding(df, "id", "cat", F.col("y"), m=-1)
+    with pytest.raises(ValueError, match="m must be"):
+        target_encoding_sql("t", "id", "cat", "y", m=-1)
