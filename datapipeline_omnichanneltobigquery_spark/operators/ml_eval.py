@@ -958,3 +958,108 @@ def target_encoding_sql(
            END AS te
     FROM base b JOIN per_cat p ON p.cat = b.cat CROSS JOIN tot t
     """
+
+
+def cohen_kappa(
+    df: DataFrame,
+    group_col: str,
+    rater_a,
+    rater_b,
+) -> DataFrame:
+    """Cohen's kappa per group (Cohen 1960) — chance-corrected agreement
+    between two categorical raters: the measurement every LLM-judge /
+    human-label pipeline needs before trusting either rater (raw
+    agreement rewards majority-class collusion; kappa subtracts the
+    agreement two independent raters with these marginals would reach
+    by chance).
+
+    Exactness: with integer counts, κ = (p_o − p_e)/(1 − p_e) collapses
+    to ONE exact-bigint ratio
+
+        κ = (n·Σ_k agree_k  −  Σ_k n_ak·n_bk) / (n²  −  Σ_k n_ak·n_bk)
+
+    rounded once to 6; NULL when the denominator is 0 (both raters
+    constant — chance agreement is already 1, κ undefined; surfaced,
+    never defaulted to 0).
+
+    Returns (group, n, n_agree, kappa).  Plan: one pair-count aggregate
+    on (group, a, b) — the contingency table, ≤ |labels|² rows per
+    group — then marginal products fold group-side; the corpus crosses
+    ONE exchange (the 100 TB shape).  ``rater_a`` / ``rater_b`` are
+    string Column expressions."""
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        rater_a.cast("string").alias("a"),
+        rater_b.cast("string").alias("b"),
+    )
+    cells = base.groupBy("__g", "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()  # contingency cells feed n/agree AND both marginals
+    tot = cells.groupBy("__g").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    ma = cells.groupBy("__g", "a").agg(F.sum("c").cast("bigint").alias("n_a"))
+    mb = cells.groupBy("__g", "b").agg(F.sum("c").cast("bigint").alias("n_b"))
+    pe = (
+        ma.join(mb, (ma["__g"] == mb["__g"]) & (ma["a"] == mb["b"]))
+        .select(ma["__g"], (F.col("n_a") * F.col("n_b")).alias("p"))
+        .groupBy("__g")
+        .agg(F.sum("p").cast("bigint").alias("pe_num"))
+    )
+    return (
+        tot.join(pe, "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            "n_agree",
+            F.when(
+                F.col("n") * F.col("n") - F.coalesce(F.col("pe_num"), F.lit(0)) > 0,
+                F.round(
+                    (
+                        F.col("n") * F.col("n_agree")
+                        - F.coalesce(F.col("pe_num"), F.lit(0))
+                    ).cast("double")
+                    / (
+                        F.col("n") * F.col("n")
+                        - F.coalesce(F.col("pe_num"), F.lit(0))
+                    ).cast("double"),
+                    6,
+                ),
+            ).alias("kappa"),
+        )
+    )
+
+
+def cohen_kappa_sql(
+    table_sql: str, group_col: str, a_sql: str, b_sql: str
+) -> str:
+    """DuckDB twin of :func:`cohen_kappa` — identical contingency
+    cells, marginal products, bigint ratio, and NULL contract."""
+    return f"""
+    WITH base AS (
+        SELECT {group_col} AS g,
+               CAST({a_sql} AS VARCHAR) AS a,
+               CAST({b_sql} AS VARCHAR) AS b
+        FROM ({table_sql})),
+    cells AS MATERIALIZED (
+        SELECT g, a, b, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2, 3),
+    tot AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+        FROM cells GROUP BY 1),
+    ma AS (SELECT g, a, CAST(SUM(c) AS BIGINT) AS n_a FROM cells GROUP BY 1, 2),
+    mb AS (SELECT g, b, CAST(SUM(c) AS BIGINT) AS n_b FROM cells GROUP BY 1, 2),
+    pe AS (
+        SELECT ma.g, CAST(SUM(ma.n_a * mb.n_b) AS BIGINT) AS pe_num
+        FROM ma JOIN mb ON mb.g = ma.g AND mb.b = ma.a
+        GROUP BY 1)
+    SELECT t.g AS {group_col}, t.n, t.n_agree,
+           CASE WHEN t.n * t.n - COALESCE(p.pe_num, 0) > 0 THEN
+             round(CAST(t.n * t.n_agree - COALESCE(p.pe_num, 0) AS DOUBLE)
+                   / CAST(t.n * t.n - COALESCE(p.pe_num, 0) AS DOUBLE), 6)
+           END AS kappa
+    FROM tot t LEFT JOIN pe p ON p.g = t.g
+    """

@@ -3149,6 +3149,47 @@ def events_late_window_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.late_window_drops(ev, "event_type", "arrival", "ts", 120, 3600)
 
 
+#: the two deterministic "judges" for the kappa gate: a value-threshold
+#: rule and the SAME rule over an md5-jittered value — correlated but
+#: not identical, so kappa lands strictly inside (0, 1) and the gate
+#: exercises the chance-correction arithmetic, not a degenerate corner.
+_KAPPA_A_SQL = "CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END"
+_KAPPA_B_SQL = (
+    "CASE WHEN CAST(floor(value * 1000000.0) AS BIGINT) + ("
+    + _md5_long_sql("'kappa-v1:' || CAST(event_id AS VARCHAR)")
+    + " % 40000000) - 20000000 >= 50000000 THEN 'hi' ELSE 'lo' END"
+)
+
+
+@query(
+    "stats_cohen_kappa",
+    driver=False,  # NEW r13: chance-corrected inter-rater agreement (r14 queue)
+    oracle=me.cohen_kappa_sql("SELECT * FROM events", "event_type", _KAPPA_A_SQL, _KAPPA_B_SQL),
+)
+def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic judges of event value
+    (a threshold rule vs the same rule under md5 jitter — the documented
+    scenario pair) per event_type — the chance-corrected agreement
+    measure every LLM-judge / human-label pipeline needs before trusting
+    a rater (raw agreement rewards majority-class collusion).  One
+    exact-bigint ratio: κ = (n·agree − Σ n_ak·n_bk)/(n² − Σ n_ak·n_bk),
+    NULL when both raters are constant
+    (operators/ml_eval.py::cohen_kappa; Cohen 1960)."""
+    ev = read_table(spark, sf_dir, "events")
+    a = F.when(F.col("value") >= 50.0, F.lit("hi")).otherwise(F.lit("lo"))
+    jitter = _md5_long(
+        F.concat(F.lit("kappa-v1:"), F.col("event_id").cast("string"))
+    ) % F.lit(40_000_000)
+    b = F.when(
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)")
+        + jitter
+        - F.lit(20_000_000)
+        >= F.lit(50_000_000),
+        F.lit("hi"),
+    ).otherwise(F.lit("lo"))
+    return me.cohen_kappa(ev, "event_type", a, b)
+
+
 @query(
     "features_winsorize",
     driver=False,  # NEW r13: order-statistic winsorization (r14 rotation queue)

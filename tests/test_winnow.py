@@ -843,3 +843,28 @@ def test_target_encoding_matches_bruteforce_and_guards(spark):
         target_encoding(df, "id", "cat", F.col("y"), m=-1)
     with pytest.raises(ValueError, match="m must be"):
         target_encoding_sql("t", "id", "cat", "y", m=-1)
+
+
+def test_cohen_kappa_matches_bruteforce_and_null_contract(spark):
+    """cohen_kappa equals the textbook definition on a hand contingency
+    table; perfect agreement gives 1; constant raters (pe = 1) surface
+    NULL, not 0."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import cohen_kappa
+
+    # g1: classic 2x2 table — a/b cells: (y,y)=20, (y,n)=5, (n,y)=10, (n,n)=15
+    rows = (
+        [("g1", "y", "y")] * 20 + [("g1", "y", "n")] * 5
+        + [("g1", "n", "y")] * 10 + [("g1", "n", "n")] * 15
+        + [("g2", "x", "x")] * 7                      # perfect, single label -> pe=1 -> NULL
+        + [("g3", "a", "a")] * 4 + [("g3", "b", "b")] * 4  # perfect, two labels -> 1.0
+    )
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    got = {r.g: r for r in cohen_kappa(df, "g", F.col("a"), F.col("b")).collect()}
+
+    n, agree = 50, 35
+    pe_num = 25 * 30 + 25 * 20  # n_a(y)*n_b(y) + n_a(n)*n_b(n)
+    want = round((n * agree - pe_num) / (n * n - pe_num), 6)
+    assert (got["g1"].n, got["g1"].n_agree) == (50, 35)
+    assert abs(got["g1"].kappa - want) < 1e-9
+    assert got["g2"].kappa is None  # both raters constant: chance is already 1
+    assert got["g3"].kappa == 1.0
