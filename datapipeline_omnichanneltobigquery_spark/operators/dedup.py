@@ -552,20 +552,22 @@ def verify_jaccard_pairs(sh: DataFrame, cand: DataFrame, threshold: float) -> Da
     )
 
 
-def minhash_candidates_sql(
+def _sig_band_cand_sql(
     table: str,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    num_hashes: int = 16,
-    rows_per_band: int = 2,
-    seed: int = 42,
+    n: int,
+    num_hashes: int,
+    rows_per_band: int,
+    seed: int,
 ) -> str:
-    """DuckDB twin of :func:`minhash_candidate_pairs` alone — the distinct
-    LSH bucket-mate (id_a, id_b) pairs, for oracles that intersect an
-    existing exact-similarity table with the candidate set instead of
-    re-running the full verify pipeline (the plan the merged driver entry
-    uses)."""
+    """The shared shingle->signature->band->candidate CTE scaffolding all
+    three MinHash oracle builders compose — ONE definition so the hash
+    formula, band-key separator, and id tie-break can never desynchronize
+    between builders (a fix landed in only one would silently split the
+    oracles from the Spark faces they verify).  Returns CTE text ending
+    with ``cand`` (distinct bucket-mate id pairs); callers append their
+    own CTEs/SELECT."""
     num_bands = num_hashes // rows_per_band
     params = _minhash_params(num_hashes, seed)
     mh_exprs = ",\n             ".join(
@@ -581,18 +583,36 @@ def minhash_candidates_sql(
         )
         for i in range(num_bands)
     )
-    return f"""
-    WITH {_shingles_sql(table, id_col, text_col, n)},
+    return f"""{_shingles_sql(table, id_col, text_col, n)},
     hashed AS (SELECT id, {md5_long_sql("shingle")} AS h60 FROM sh),
     sig AS (SELECT id,
              {mh_exprs}
             FROM hashed GROUP BY id),
     keyed AS (
 {band_rows}
-    )
-    SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM keyed a JOIN keyed b
-      ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM keyed a JOIN keyed b
+               ON a.band = b.band AND a.key = b.key AND a.id < b.id)"""
+
+
+def minhash_candidates_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`minhash_candidate_pairs` alone — the distinct
+    LSH bucket-mate (id_a, id_b) pairs, for oracles that intersect an
+    existing exact-similarity table with the candidate set instead of
+    re-running the full verify pipeline (the plan the merged driver entry
+    uses)."""
+    return f"""
+    WITH {_sig_band_cand_sql(table, id_col, text_col, n, num_hashes, rows_per_band, seed)}
+    SELECT id_a, id_b FROM cand
     """
 
 
@@ -608,33 +628,8 @@ def minhash_near_dup_pairs_sql(
 ) -> str:
     """DuckDB twin of :func:`minhash_near_dup_pairs`, generated from the same
     hash constants (HUGEINT stands in for decimal(38,0))."""
-    num_bands = num_hashes // rows_per_band
-    params = _minhash_params(num_hashes, seed)
-    mh_exprs = ",\n             ".join(
-        f"MIN(((h60 % {MERSENNE_P}) * {a} + {b}) % {MERSENNE_P}) AS mh_{i}"
-        for i, (a, b) in enumerate(params)
-    )
-    band_rows = "\n        UNION ALL\n".join(
-        "        SELECT id, {band} AS band, concat_ws(',', {cols}) AS key FROM sig".format(
-            band=i,
-            cols=", ".join(
-                f"CAST(mh_{i * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
-            ),
-        )
-        for i in range(num_bands)
-    )
     return f"""
-    WITH {_shingles_sql(table, id_col, text_col, n)},
-    hashed AS (SELECT id, {md5_long_sql("shingle")} AS h60 FROM sh),
-    sig AS (SELECT id,
-             {mh_exprs}
-            FROM hashed GROUP BY id),
-    keyed AS (
-{band_rows}
-    ),
-    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM keyed a JOIN keyed b
-               ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+    WITH {_sig_band_cand_sql(table, id_col, text_col, n, num_hashes, rows_per_band, seed)},
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
     inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
@@ -1776,9 +1771,12 @@ def minhash_estimate_eval(
     Exactness: n_agree is an exact integer; est/exact/err are the same
     three IEEE expressions in both engines.  Plan: ONE shingle stream
     feeds the signature aggregate AND the exact verify (the module's
-    shared-stream discipline); the agreement join touches |cand| rows
+    shared-stream discipline — localCheckpointed here because FOUR
+    consumers re-derive it otherwise: the cand pipeline, the agreement
+    signatures, and verify's size/intersection joins; unmaterialized it
+    re-scanned the corpus 6x); the agreement join touches |cand| rows
     of K-column signatures."""
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).localCheckpoint()
     cand = minhash_candidate_pairs(
         df, id_col, text_col, n, num_hashes, rows_per_band, seed, shingles_df=sh
     )
@@ -1818,37 +1816,14 @@ def minhash_estimate_eval_sql(
     seed: int = 42,
 ) -> str:
     """DuckDB twin of :func:`minhash_estimate_eval` — same hash
-    constants, band keys, agreement count, and IEEE expressions."""
-    num_bands = num_hashes // rows_per_band
-    params = _minhash_params(num_hashes, seed)
-    mh_exprs = ",\n             ".join(
-        f"MIN(((h60 % {MERSENNE_P}) * {a} + {b}) % {MERSENNE_P}) AS mh_{i}"
-        for i, (a, b) in enumerate(params)
-    )
-    band_rows = "\n        UNION ALL\n".join(
-        "        SELECT id, {band} AS band, concat_ws(',', {cols}) AS key FROM sig".format(
-            band=i,
-            cols=", ".join(
-                f"CAST(mh_{i * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
-            ),
-        )
-        for i in range(num_bands)
-    )
+    constants, band keys, agreement count, and IEEE expressions (the
+    scaffolding comes from :func:`_sig_band_cand_sql`, shared with the
+    other two builders)."""
     agree = " + ".join(
         f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
     )
     return f"""
-    WITH {_shingles_sql(table, id_col, text_col, n)},
-    hashed AS (SELECT id, {md5_long_sql("shingle")} AS h60 FROM sh),
-    sig AS (SELECT id,
-             {mh_exprs}
-            FROM hashed GROUP BY id),
-    keyed AS (
-{band_rows}
-    ),
-    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM keyed a JOIN keyed b
-               ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+    WITH {_sig_band_cand_sql(table, id_col, text_col, n, num_hashes, rows_per_band, seed)},
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
     inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ic
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id

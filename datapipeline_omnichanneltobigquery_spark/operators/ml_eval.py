@@ -911,6 +911,16 @@ def target_encoding(
         F.sum("y").cast("bigint").alias("S"),
         F.count(F.lit(1)).cast("bigint").alias("N"),
     )
+    # products in DECIMAL(38,0) (the roc_auc discipline): (n_c-1+m)*N and
+    # (sum_c-y)*N exceed int64 once N passes ~3e9 — a 100 TB corpus —
+    # where non-ANSI Spark would silently wrap to a negative denominator
+    # while DuckDB raises (engine-divergent AND wrong)
+    d38 = "decimal(38,0)"
+    num = (
+        (F.col("sum_c") - F.col("y")).cast(d38) * F.col("N").cast(d38)
+        + F.lit(int(m)).cast(d38) * F.col("S").cast(d38)
+    )
+    den = (F.col("n_c") - 1 + F.lit(int(m))).cast(d38) * F.col("N").cast(d38)
     return (
         base.join(per_cat, "cat")
         .crossJoin(F.broadcast(tot))
@@ -918,15 +928,8 @@ def target_encoding(
             F.col("id").alias(id_col),
             F.col("cat").alias(cat_col),
             F.when(
-                (F.col("n_c") - 1 + F.lit(int(m))) * F.col("N") > 0,
-                F.round(
-                    (
-                        (F.col("sum_c") - F.col("y")) * F.col("N")
-                        + F.lit(int(m)) * F.col("S")
-                    ).cast("double")
-                    / ((F.col("n_c") - 1 + F.lit(int(m))) * F.col("N")).cast("double"),
-                    6,
-                ),
+                den > F.lit(0).cast(d38),
+                F.round(num.cast("double") / den.cast("double"), 6),
             ).alias("te"),
         )
     )
@@ -952,9 +955,14 @@ def target_encoding_sql(
         SELECT CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
         FROM base)
     SELECT b.id AS {id_col}, b.cat AS {cat_col},
-           CASE WHEN (p.n_c - 1 + {int(m)}) * t.n > 0 THEN
-             round(CAST((p.sum_c - b.y) * t.n + {int(m)} * t.s AS DOUBLE)
-                   / CAST((p.n_c - 1 + {int(m)}) * t.n AS DOUBLE), 6)
+           CASE WHEN CAST(p.n_c - 1 + {int(m)} AS DECIMAL(38,0))
+                     * CAST(t.n AS DECIMAL(38,0)) > 0 THEN
+             round(CAST(CAST(p.sum_c - b.y AS DECIMAL(38,0))
+                          * CAST(t.n AS DECIMAL(38,0))
+                        + CAST({int(m)} AS DECIMAL(38,0))
+                          * CAST(t.s AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(CAST(p.n_c - 1 + {int(m)} AS DECIMAL(38,0))
+                          * CAST(t.n AS DECIMAL(38,0)) AS DOUBLE), 6)
            END AS te
     FROM base b JOIN per_cat p ON p.cat = b.cat CROSS JOIN tot t
     """
@@ -1003,12 +1011,20 @@ def cohen_kappa(
     )
     ma = cells.groupBy("__g", "a").agg(F.sum("c").cast("bigint").alias("n_a"))
     mb = cells.groupBy("__g", "b").agg(F.sum("c").cast("bigint").alias("n_b"))
+    # products in DECIMAL(38,0): n², n·agree, and Σ n_ak·n_bk exceed
+    # int64 once n passes ~3e9 — non-ANSI Spark would wrap silently
+    # while DuckDB raises (the roc_auc discipline)
+    d38 = "decimal(38,0)"
     pe = (
         ma.join(mb, (ma["__g"] == mb["__g"]) & (ma["a"] == mb["b"]))
-        .select(ma["__g"], (F.col("n_a") * F.col("n_b")).alias("p"))
+        .select(ma["__g"], (F.col("n_a").cast(d38) * F.col("n_b").cast(d38)).alias("p"))
         .groupBy("__g")
-        .agg(F.sum("p").cast("bigint").alias("pe_num"))
+        .agg(F.sum("p").cast(d38).alias("pe_num"))
     )
+    zero = F.lit(0).cast(d38)
+    pe_n = F.coalesce(F.col("pe_num"), zero)
+    num = F.col("n").cast(d38) * F.col("n_agree").cast(d38) - pe_n
+    den = F.col("n").cast(d38) * F.col("n").cast(d38) - pe_n
     return (
         tot.join(pe, "__g", "left")
         .select(
@@ -1016,18 +1032,8 @@ def cohen_kappa(
             "n",
             "n_agree",
             F.when(
-                F.col("n") * F.col("n") - F.coalesce(F.col("pe_num"), F.lit(0)) > 0,
-                F.round(
-                    (
-                        F.col("n") * F.col("n_agree")
-                        - F.coalesce(F.col("pe_num"), F.lit(0))
-                    ).cast("double")
-                    / (
-                        F.col("n") * F.col("n")
-                        - F.coalesce(F.col("pe_num"), F.lit(0))
-                    ).cast("double"),
-                    6,
-                ),
+                den > zero,
+                F.round(num.cast("double") / den.cast("double"), 6),
             ).alias("kappa"),
         )
     )
@@ -1053,13 +1059,18 @@ def cohen_kappa_sql(
     ma AS (SELECT g, a, CAST(SUM(c) AS BIGINT) AS n_a FROM cells GROUP BY 1, 2),
     mb AS (SELECT g, b, CAST(SUM(c) AS BIGINT) AS n_b FROM cells GROUP BY 1, 2),
     pe AS (
-        SELECT ma.g, CAST(SUM(ma.n_a * mb.n_b) AS BIGINT) AS pe_num
+        SELECT ma.g,
+               CAST(SUM(CAST(ma.n_a AS DECIMAL(38,0))
+                        * CAST(mb.n_b AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS pe_num
         FROM ma JOIN mb ON mb.g = ma.g AND mb.b = ma.a
         GROUP BY 1)
     SELECT t.g AS {group_col}, t.n, t.n_agree,
-           CASE WHEN t.n * t.n - COALESCE(p.pe_num, 0) > 0 THEN
-             round(CAST(t.n * t.n_agree - COALESCE(p.pe_num, 0) AS DOUBLE)
-                   / CAST(t.n * t.n - COALESCE(p.pe_num, 0) AS DOUBLE), 6)
+           CASE WHEN CAST(t.n AS DECIMAL(38,0)) * CAST(t.n AS DECIMAL(38,0))
+                     - COALESCE(p.pe_num, 0) > 0 THEN
+             round(CAST(CAST(t.n AS DECIMAL(38,0)) * CAST(t.n_agree AS DECIMAL(38,0))
+                        - COALESCE(p.pe_num, 0) AS DOUBLE)
+                   / CAST(CAST(t.n AS DECIMAL(38,0)) * CAST(t.n AS DECIMAL(38,0))
+                          - COALESCE(p.pe_num, 0) AS DOUBLE), 6)
            END AS kappa
     FROM tot t LEFT JOIN pe p ON p.g = t.g
     """

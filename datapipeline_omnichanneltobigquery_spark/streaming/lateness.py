@@ -38,23 +38,26 @@ def _auditor(delay_us: int):
             return
         whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         whole = whole.sort_values("arrival", ignore_index=True)
-        # float64 path: a NULL event time arrives as NaN (nullable Arrow
-        # column) — the batch face scores such a row lag 0 and its m never
-        # advances the prefix max (Spark/DuckDB MAX and GREATEST skip
-        # NULLs), so mirror that here instead of crashing on the int cast.
-        # Epoch micros (~1.7e15) are far below 2^53, so the float math is
-        # integer-exact.
-        raw = whole["m"].to_numpy(dtype=np.float64)
-        isnull = ~np.isfinite(raw)
-        mfill = np.where(isnull, -np.inf, raw)
-        run = np.maximum.accumulate(mfill)
-        seed = np.float64(max_ts) if has else -np.inf
+        # Pure int64 path with an INT64_MIN sentinel for NULL event times
+        # (a nullable Arrow column): the batch face scores a NULL row lag 0
+        # and its m never advances the prefix max (Spark/DuckDB MAX and
+        # GREATEST skip NULLs) — the sentinel never wins a max, and lags
+        # compute ONLY on the valid mask, so the full bigint domain stays
+        # exact (a float64 detour would round micros >= 2^53 and break
+        # replay ≡ batch for large synthetic timestamps).
+        sentinel = np.iinfo(np.int64).min
+        s = whole["m"]
+        isnull = s.isna().to_numpy()
+        raw = s.fillna(sentinel).astype("int64").to_numpy()
+        run = np.maximum.accumulate(raw)
+        seed = np.int64(max_ts) if has else np.int64(sentinel)
         pmax = np.concatenate(([seed], np.maximum(run[:-1], seed)))
-        valid = np.isfinite(pmax) & ~isnull
-        lag = np.where(valid, np.maximum(pmax - delay_us - raw, 0), 0.0)
-        new_max = max(run[-1], seed)
-        if np.isfinite(new_max):
-            state.update((1, int(new_max)))
+        valid = (pmax != sentinel) & ~isnull
+        lag = np.zeros(len(raw), dtype=np.int64)
+        lag[valid] = np.maximum(pmax[valid] - delay_us - raw[valid], 0)
+        new_max = max(int(run[-1]), int(seed))
+        if new_max != sentinel:
+            state.update((1, new_max))
         yield pd.DataFrame(
             {
                 "key": [str(key[0])],
