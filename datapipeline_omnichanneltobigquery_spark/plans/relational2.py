@@ -3092,8 +3092,14 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: time-ordered, so raw arrival would make the audit trivially
 #: all-zeros).  Zero-padded composite string = a total arrival order
 #: identical in both engines: (block, md5(event_id), event_id).
+#: block index via the floor-consistent (a - pmod(a, w)) / w idiom — the
+#: subtraction makes the division exact, so Spark's truncating `div` and
+#: DuckDB's flooring `//` agree even for pre-1970 epochs (the registry
+#: truncating-div lint's required form); the zero-padded key additionally
+#: assumes non-negative blocks (post-1970 data — the testdata contract).
 _LATE_ARRIVAL_SQL = (
-    "SELECT *, lpad(CAST(epoch_us(ts) // 600000000 AS VARCHAR), 12, '0')"
+    "SELECT *, lpad(CAST((epoch_us(ts) - ((epoch_us(ts) % 600000000 + 600000000)"
+    " % 600000000)) // 600000000 AS VARCHAR), 12, '0')"
     " || lpad(CAST(" + _md5_long_sql("'late-v1:' || CAST(event_id AS VARCHAR)")
     + " AS VARCHAR), 20, '0')"
     " || lpad(CAST(event_id AS VARCHAR), 12, '0') AS arrival FROM events"
@@ -3102,10 +3108,13 @@ _LATE_ARRIVAL_SQL = (
 
 def _late_arrival(events: DataFrame) -> DataFrame:
     h = _md5_long(F.concat(F.lit("late-v1:"), F.col("event_id").cast("string")))
+    block = F.expr(
+        "(unix_micros(ts) - pmod(unix_micros(ts), 600000000)) div 600000000"
+    )
     return events.withColumn(
         "arrival",
         F.concat(
-            F.lpad(F.expr("unix_micros(ts) div 600000000").cast("string"), 12, "0"),
+            F.lpad(block.cast("string"), 12, "0"),
             F.lpad(h.cast("string"), 20, "0"),
             F.lpad(F.col("event_id").cast("string"), 12, "0"),
         ),
