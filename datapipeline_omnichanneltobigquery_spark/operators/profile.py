@@ -1718,3 +1718,210 @@ def winsorize_sql(
            LEAST(GREATEST(b.v, c.lo_cut), c.hi_cut) AS v_wins
     FROM base b JOIN cuts c ON c.g = b.g
     """
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value: "Column",
+) -> DataFrame:
+    """Gini concentration coefficient per group (Gini 1912, via the
+    ordered-sum identity G = Σᵢ(2i − n − 1)·x₍ᵢ₎ / (n·Σx)) — the
+    standard inequality/concentration measure: how concentrated is spend
+    across customers, traffic across users, tokens across documents.
+
+    ``value`` must be NON-NEGATIVE integer units (cents/micro-units —
+    negative values make G meaningless; they still compute identically
+    in both engines but the caller owns that interpretation).  Returns
+    (group, n, total, gini) with gini ∈ [0, 1); NULL when n·Σx = 0 (an
+    all-zero or empty group has no concentration to measure — surfaced,
+    never defaulted).
+
+    Determinism: the rank weight Σ(2i−n−1)x₍ᵢ₎ is invariant to order
+    within ties (equal x share the tie block's weight sum), and the
+    ordering is pinned to (v, id) anyway; products accumulate in
+    DECIMAL(38,0) (i ≲ n can pass 3e9 at corpus scale — the roc_auc
+    discipline); ONE rounded division.
+
+    Scale: one per-group window (row_number over the group's rows —
+    a single shuffle on the key) + one partial-aggregated rollup."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        value.cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("__g").orderBy("v", "__id")
+    ranked = base.withColumn("i", F.row_number().over(w).cast("bigint"))
+    agg = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("total"),
+        F.sum(
+            (F.lit(2).cast(d38) * F.col("i").cast(d38)).alias("t")
+            * F.col("v").cast(d38)
+        ).cast(d38).alias("s2iv"),
+    )
+    num = F.col("s2iv") - (F.col("n").cast(d38) + F.lit(1).cast(d38)) * F.col(
+        "total"
+    ).cast(d38)
+    den = F.col("n").cast(d38) * F.col("total").cast(d38)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "total",
+        F.when(
+            den > F.lit(0).cast(d38),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("gini"),
+    )
+
+
+def gini_coefficient_sql(
+    table_sql: str, group_col: str, id_col: str, value_sql: str
+) -> str:
+    """DuckDB twin of :func:`gini_coefficient` — identical (v, id)
+    ranking, DECIMAL(38,0) products, and single rounded division."""
+    return f"""
+    WITH base AS (
+        SELECT {group_col} AS g, {id_col} AS id,
+               CAST({value_sql} AS BIGINT) AS v
+        FROM ({table_sql})),
+    ranked AS (
+        SELECT g, v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id)
+                    AS BIGINT) AS i
+        FROM base),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS total,
+               CAST(SUM(CAST(2 AS DECIMAL(38,0)) * CAST(i AS DECIMAL(38,0))
+                        * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2iv
+        FROM ranked GROUP BY 1)
+    SELECT g AS {group_col}, n, total,
+           CASE WHEN CAST(n AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0)) > 0
+           THEN round(
+             CAST(s2iv - (CAST(n AS DECIMAL(38,0)) + 1)
+                         * CAST(total AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0))
+                    * CAST(total AS DECIMAL(38,0)) AS DOUBLE), 6)
+           END AS gini
+    FROM agg
+    """
+
+
+#: 3 x 1.4826 (the normal-consistency constant for MAD) in 1e4 units —
+#: one integer literal shared by both engines, so the robust-z outlier
+#: test |v - med| * 10000 > 44478 * mad never evaluates a float.
+ROBUST_Z3_E4 = 44478
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value: "Column",
+) -> DataFrame:
+    """Robust outlier flags per group via median/MAD (Hampel; the
+    standard robust alternative to mean/std z-scores, whose 50%
+    breakdown point means a few extreme rows can't mask themselves by
+    inflating the std): flag rows with
+    |v − med| > 3·1.4826·MAD, evaluated as the INTEGER test
+    |v − med|·10000 > 44478·MAD — no float ever computed.
+
+    ``value`` must be integer units.  Both medians are the LOWER median
+    (rank (n+1) div 2 — pure integer arithmetic, deterministic for even
+    n).  Returns one row per input row: (group, id, v, med, mad,
+    is_outlier).  A zero-MAD group (majority-constant values) flags
+    EVERY deviating row — the documented MAD degeneracy; callers
+    wanting laxer behavior should pre-filter constants.
+
+    Scale: two distinct-value prefix windows (values, then absolute
+    deviations — the quantile_ci machinery) + two map-side joins of
+    n_groups-row cut tables; the corpus never sorts."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        value.cast("bigint").alias("v"),
+    ).localCheckpoint()  # feeds the value dist, the deviation dist, and the output
+
+    def _lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        dist = (
+            frame.groupBy("__g", col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()  # feeds the n-agg AND the prefix selection
+        )
+        ks = dist.groupBy("__g").agg(F.sum("c").cast("bigint").alias("n")).select(
+            "__g", F.expr("(n + 1) div 2").alias("k")
+        )
+        w = Window.partitionBy("__g").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = dist.withColumn("cum", F.sum("c").over(w)).join(F.broadcast(ks), "__g")
+        return cum.groupBy("__g").agg(
+            F.min(F.when(F.col("cum") >= F.col("k"), F.col(col))).alias(out)
+        )
+
+    med = _lower_median(base, "v", "med")
+    dev = base.join(med, "__g").select(
+        "__g", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = _lower_median(dev, "d", "mad")
+    return (
+        base.join(med, "__g")
+        .join(mad, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__id").alias(id_col),
+            "v",
+            "med",
+            "mad",
+            (
+                F.abs(F.col("v") - F.col("med")) * F.lit(10000)
+                > F.lit(ROBUST_Z3_E4) * F.col("mad")
+            ).alias("is_outlier"),
+        )
+    )
+
+
+def mad_outliers_sql(
+    table_sql: str, group_col: str, id_col: str, value_sql: str
+) -> str:
+    """DuckDB twin of :func:`mad_outliers` — identical lower-median
+    ranks, prefix selections, and integer outlier test."""
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT {group_col} AS g, {id_col} AS id,
+               CAST({value_sql} AS BIGINT) AS v
+        FROM ({table_sql})),
+    dist1 AS MATERIALIZED (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+    k1 AS (SELECT g, (CAST(SUM(c) AS BIGINT) + 1) // 2 AS k FROM dist1 GROUP BY g),
+    med AS (
+        SELECT d.g, MIN(CASE WHEN cum >= k.k THEN d.v END) AS med
+        FROM (SELECT g, v,
+                     SUM(c) OVER (PARTITION BY g ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM dist1) d
+        JOIN k1 k ON k.g = d.g GROUP BY d.g),
+    dev AS MATERIALIZED (
+        SELECT b.g, abs(b.v - m.med) AS d
+        FROM base b JOIN med m ON m.g = b.g),
+    dist2 AS MATERIALIZED (
+        SELECT g, d, CAST(COUNT(*) AS BIGINT) AS c FROM dev GROUP BY 1, 2),
+    k2 AS (SELECT g, (CAST(SUM(c) AS BIGINT) + 1) // 2 AS k FROM dist2 GROUP BY g),
+    mad AS (
+        SELECT d.g, MIN(CASE WHEN cum >= k.k THEN d.d END) AS mad
+        FROM (SELECT g, d,
+                     SUM(c) OVER (PARTITION BY g ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM dist2) d
+        JOIN k2 k ON k.g = d.g GROUP BY d.g)
+    SELECT b.g AS {group_col}, b.id AS {id_col}, b.v, m.med, a.mad,
+           abs(b.v - m.med) * 10000 > {ROBUST_Z3_E4} * a.mad AS is_outlier
+    FROM base b JOIN med m ON m.g = b.g JOIN mad a ON a.g = b.g
+    """

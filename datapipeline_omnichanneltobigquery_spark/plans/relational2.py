@@ -3158,6 +3158,58 @@ def events_late_window_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.late_window_drops(ev, "event_type", "arrival", "ts", 120, 3600)
 
 
+@query(
+    "events_mad_outliers",
+    driver=False,  # NEW r13: median/MAD robust outlier flags (r14 queue)
+    oracle=pf.mad_outliers_sql(
+        "SELECT * FROM events", "event_type", "event_id",
+        "CAST(floor(value * 1000000.0) AS BIGINT)",
+    ),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flags via median/MAD — the 50%-breakdown
+    alternative to the mean/std z-score family ([[events_rolling_zscore]]):
+    extreme rows can't mask themselves by inflating the std.  Values
+    quantize to micro-units once; both medians are integer-rank lower
+    medians and the 3σ-equivalent test is pure integer arithmetic
+    (|v−med|·10000 > 44478·MAD) — nothing floats
+    (operators/profile.py::mad_outliers; Hampel 1974)."""
+    ev = read_table(spark, sf_dir, "events")
+    return pf.mad_outliers(
+        ev, "event_type", "event_id",
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)"),
+    )
+
+
+@query(
+    "stats_gini_spend",
+    driver=False,  # NEW r13: Gini concentration of customer spend (r14 queue)
+    oracle=pf.gini_coefficient_sql(
+        """SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+                  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT) AS cents
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY 1, 2""",
+        "nation", "cust", "cents",
+    ),
+)
+def stats_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-customer spend within each nation — the
+    whale-dependence dial of the omnichannel analytics surface (a nation
+    at G ~ 0.8 lives off a few customers; at 0.2 revenue is broad).
+    Spend folds decimal-exact to integer cents; the ordered-sum identity
+    runs in DECIMAL(38,0); one rounded division
+    (operators/profile.py::gini_coefficient; Gini 1912)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"), F.col("o_custkey").alias("cust"))
+        .agg((F.sum(money(F.col("o_totalprice"))) * 100).cast("bigint").alias("cents"))
+    )
+    return pf.gini_coefficient(spend, "nation", "cust", F.col("cents"))
+
+
 #: the two deterministic "judges" for the kappa gate: a value-threshold
 #: rule and the SAME rule over an md5-jittered value — correlated but
 #: not identical, so kappa lands strictly inside (0, 1) and the gate

@@ -2480,3 +2480,48 @@ def test_minhash_estimate_is_unbiasedish_and_complete(spark):
     for r in out.values():
         assert 0.0 <= r.est_jaccard <= 1.0 and 0.0 <= r.jaccard <= 1.0
         assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) < 1e-12
+
+
+def test_gini_known_distributions(spark):
+    """Gini sanity anchors: equal values -> 0; full concentration on one
+    of n holders -> (n-1)/n; the ordered-sum identity on a hand case
+    matches the textbook pairwise definition; all-zero group -> NULL."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    rows = (
+        [("eq", i, 50) for i in range(4)]
+        + [("one", 0, 100)] + [("one", i, 0) for i in range(1, 5)]
+        + [("hand", 0, 1), ("hand", 1, 2), ("hand", 2, 7)]
+        + [("zero", i, 0) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {r.g: r for r in gini_coefficient(df, "g", "id", F.col("v")).collect()}
+    assert got["eq"].gini == 0.0
+    assert abs(got["one"].gini - (5 - 1) / 5) < 1e-9  # max concentration
+    # pairwise definition: G = sum |xi - xj| / (2 n^2 mean)
+    xs = [1, 2, 7]
+    pair = sum(abs(a - b) for a in xs for b in xs) / (2 * len(xs) ** 2 * (sum(xs) / len(xs)))
+    assert abs(got["hand"].gini - round(pair, 6)) < 1e-9
+    assert got["zero"].gini is None
+
+
+def test_mad_outliers_hand_case(spark):
+    """MAD flags the single extreme row and nothing else; the zero-MAD
+    degeneracy flags every deviating row (documented)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import mad_outliers
+
+    rows = [("a", i, v) for i, v in enumerate([10, 12, 11, 13, 9, 1000])] + [
+        ("c", i, 5) for i in range(4)
+    ] + [("c", 9, 6)]  # majority-constant: MAD 0, the 6 deviates
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {(r.g, r.id): r for r in mad_outliers(df, "g", "id", F.col("v")).collect()}
+    # group a: n=6 values sorted [9,10,11,12,13,1000], lower median rank
+    # (6+1)//2=3 -> med=11; |dev| sorted [0,1,1,2,2,989] -> mad=1
+    a = got[("a", 5)]
+    assert (a.med, a.mad, a.is_outlier) == (11, 1, True)  # 989*10000 > 44478*1
+    assert all(not got[("a", i)].is_outlier for i in range(5))
+    c = got[("c", 9)]
+    assert (c.med, c.mad, c.is_outlier) == (5, 0, True)  # zero-MAD degeneracy
+    assert all(not got[("c", i)].is_outlier for i in range(4))
