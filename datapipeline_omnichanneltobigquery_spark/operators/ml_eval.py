@@ -1074,3 +1074,126 @@ def cohen_kappa_sql(
            END AS kappa
     FROM tot t LEFT JOIN pe p ON p.g = t.g
     """
+
+
+#: shared z expression for the Mann-Whitney normal approximation —
+#: ONE string evaluated verbatim by Spark expr AND DuckDB over the
+#: identically-named columns (n1, n2, nn bigint; num2, n1n2, tt
+#: DECIMAL(38,0)), so the float op order cannot diverge.
+_MW_VAR = (
+    "((CAST(n1n2 AS DOUBLE) / 12.0)"
+    " * ((CAST(nn AS DOUBLE) + 1.0)"
+    " - CAST(tt AS DOUBLE) / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))"
+)
+MW_Z_SQL = (
+    f"CASE WHEN n1 > 0 AND n2 > 0 AND nn > 1 AND {_MW_VAR} > 0.0 THEN "
+    f"(CAST(num2 AS DOUBLE) - CAST(n1n2 AS DOUBLE)) / (2.0 * sqrt({_MW_VAR})) END"
+)
+
+
+def mann_whitney_z(
+    df: DataFrame, group_col: str, label: Column, score: Column
+) -> DataFrame:
+    """Mann-Whitney U test per group (Mann & Whitney 1947; the
+    tie-corrected normal approximation) — the NONPARAMETRIC two-sample
+    face of the testing family: ab_ztest compares proportions,
+    chi2 compares categoricals, this compares whole DISTRIBUTIONS of an
+    integer metric between the label's two sides without assuming
+    normality (heavy-tailed spend/latency is exactly where the t-test
+    lies).
+
+    Exactness: 2U is roc_auc's exact numerator
+    Σ pos·(2·cum_neg_before + neg) in DECIMAL(38,0); the tie term
+    Σ(t³−t) also accumulates in DECIMAL(38,0) (t³ wraps int64 past
+    t ≈ 2e6); z and the two-sided p evaluate ONE shared expression
+    string verbatim in both engines (the _normal_sf discipline), each
+    rounded once.  NULL z/p when either side is empty, n < 2, or the
+    variance degenerates (all values tied) — surfaced, never 0.
+
+    Returns (grp, n_pos, n_neg, z, p_value).  Scale: one distinct
+    (group, score) sufficient-statistic aggregate crosses the corpus;
+    the prefix runs per group over DISTINCT scores (the quantile_ci
+    window discipline)."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        score.cast("bigint").alias("s"),
+        label.cast("int").alias("y"),
+    )
+    d = base.groupBy("grp", "s").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    w = Window.partitionBy("grp").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = d.withColumn("cnb", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    t = (F.col("pos") + F.col("neg")).cast(d38)
+    agg = c.groupBy("grp").agg(
+        F.sum("pos").cast("bigint").alias("n1"),
+        F.sum("neg").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("pos").cast(d38)
+            * (F.lit(2).cast(d38) * F.col("cnb").cast(d38) + F.col("neg").cast(d38))
+        ).cast(d38).alias("num2"),
+        F.sum(t * t * t - t).cast(d38).alias("tt"),
+    )
+    staged = agg.select(
+        "grp",
+        "n1",
+        "n2",
+        "num2",
+        "tt",
+        (F.col("n1") + F.col("n2")).cast("bigint").alias("nn"),
+        (F.col("n1").cast(d38) * F.col("n2").cast(d38)).alias("n1n2"),
+    )
+    return staged.select(
+        F.col("grp").alias(group_col),
+        F.col("n1").alias("n_pos"),
+        F.col("n2").alias("n_neg"),
+        F.round(F.expr(MW_Z_SQL), 6).alias("z"),
+        F.round(F.expr(two_sided_p_expr(MW_Z_SQL)), 6).alias("p_value"),
+    )
+
+
+def mann_whitney_z_sql(
+    table: str, group_col: str, label_sql: str, score_sql: str
+) -> str:
+    """DuckDB twin of :func:`mann_whitney_z` — identical sufficient
+    statistics and the SAME shared z/p expression strings."""
+    return f"""
+    WITH base AS (SELECT {group_col} AS grp,
+                         CAST({score_sql} AS BIGINT) AS s,
+                         CAST({label_sql} AS INT) AS y
+                  FROM {table}),
+    d AS (SELECT grp, s,
+                 CAST(SUM(y) AS BIGINT) AS pos,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+          FROM base GROUP BY 1, 2),
+    c AS (SELECT grp, pos, neg,
+                 COALESCE(CAST(SUM(neg) OVER (PARTITION BY grp ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                      0) AS cnb
+          FROM d),
+    agg AS (
+        SELECT grp,
+               CAST(SUM(pos) AS BIGINT) AS n1,
+               CAST(SUM(neg) AS BIGINT) AS n2,
+               CAST(SUM(CAST(pos AS DECIMAL(38,0))
+                        * (CAST(2 AS DECIMAL(38,0)) * CAST(cnb AS DECIMAL(38,0))
+                           + CAST(neg AS DECIMAL(38,0)))) AS DECIMAL(38,0)) AS num2,
+               CAST(SUM(CAST(pos + neg AS DECIMAL(38,0))
+                        * CAST(pos + neg AS DECIMAL(38,0))
+                        * CAST(pos + neg AS DECIMAL(38,0))
+                        - CAST(pos + neg AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tt
+        FROM c GROUP BY 1),
+    staged AS (
+        SELECT grp, n1, n2, num2, tt,
+               CAST(n1 + n2 AS BIGINT) AS nn,
+               CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)) AS n1n2
+        FROM agg)
+    SELECT grp AS {group_col}, n1 AS n_pos, n2 AS n_neg,
+           round({MW_Z_SQL}, 6) AS z,
+           round({two_sided_p_expr(MW_Z_SQL)}, 6) AS p_value
+    FROM staged
+    """

@@ -3159,6 +3159,34 @@ def events_late_window_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_mann_whitney",
+    driver=False,  # NEW r13: nonparametric two-sample test (r14 queue)
+    oracle=me.mann_whitney_z_sql(
+        "events", "event_type",
+        "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END",
+        "CAST(floor(value * 1000000.0) AS BIGINT)",
+    ),
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U per event_type between the even/odd user cohorts
+    (the deterministic A/B assignment the split family uses) — the
+    NONPARAMETRIC two-sample face of the testing battery: ab_ztest
+    compares proportions, chi2 categoricals, this compares whole value
+    DISTRIBUTIONS without normality (heavy-tailed spend is where the
+    t-test lies).  2U is the exact roc_auc numerator; the tie term
+    Σ(t³−t) rides DECIMAL(38,0); z and p evaluate ONE shared expression
+    string in both engines (operators/ml_eval.py::mann_whitney_z;
+    Mann & Whitney 1947).  Expect null-ish z: the cohorts are a random
+    split of the same distribution — the gate pins the MACHINERY."""
+    ev = read_table(spark, sf_dir, "events")
+    return me.mann_whitney_z(
+        ev, "event_type",
+        (F.col("user_id") % 2 == 0),
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)"),
+    )
+
+
+@query(
     "events_mad_outliers",
     driver=False,  # NEW r13: median/MAD robust outlier flags (r14 queue)
     oracle=pf.mad_outliers_sql(

@@ -868,3 +868,42 @@ def test_cohen_kappa_matches_bruteforce_and_null_contract(spark):
     assert abs(got["g1"].kappa - want) < 1e-9
     assert got["g2"].kappa is None  # both raters constant: chance is already 1
     assert got["g3"].kappa == 1.0
+
+
+def test_mann_whitney_matches_scipy_free_bruteforce(spark):
+    """mann_whitney_z equals a literal python implementation of the
+    tie-corrected normal approximation (U from pairwise comparisons, the
+    same variance formula); degenerate groups (one-sided, all-tied)
+    surface NULL."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        mann_whitney_z,
+    )
+
+    rows = (
+        [("g", 1, s) for s in [3, 5, 5, 9, 12]]          # treatment
+        + [("g", 0, s) for s in [1, 2, 5, 6, 7, 7]]      # control
+        + [("solo", 1, 4)]                               # no negatives -> NULL
+        + [("tied", i % 2, 5) for i in range(8)]         # variance 0 -> NULL
+    )
+    df = spark.createDataFrame(rows, "grp string, y int, s long")
+    got = {r.grp: r for r in mann_whitney_z(df, "grp", F.col("y") == 1, F.col("s")).collect()}
+
+    pos = [3, 5, 5, 9, 12]
+    neg = [1, 2, 5, 6, 7, 7]
+    u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    n1, n2 = len(pos), len(neg)
+    n = n1 + n2
+    from collections import Counter
+
+    ties = Counter(pos + neg)
+    tt = sum(t**3 - t for t in ties.values())
+    var = (n1 * n2 / 12.0) * ((n + 1.0) - tt / (n * (n - 1.0)))
+    z = (u2 - n1 * n2) / (2.0 * math.sqrt(var))
+    assert (got["g"].n_pos, got["g"].n_neg) == (5, 6)
+    assert abs(got["g"].z - round(z, 6)) < 1e-9
+    p = 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2))))
+    assert abs(got["g"].p_value - p) < 2e-6  # A&S poly error << round6 grid
+    assert got["solo"].z is None and got["solo"].p_value is None
+    assert got["tied"].z is None  # all-tied: variance degenerates
