@@ -990,6 +990,16 @@ def cohen_kappa(
     constant — chance agreement is already 1, κ undefined; surfaced,
     never defaulted to 0).
 
+    NULL contract: a NULL rater label is COALESCED to the explicit
+    sentinel category ``__NULL__`` on BOTH engines (rater abstention is
+    a category, not a silent vote): without it a NULL-labeled row would
+    count in n and n² yet never in n_agree or the marginal products
+    (NULL equality fails in both engines) — guaranteed disagreement
+    with zero chance-correction mass, silently shifting κ.  As a
+    sentinel it agrees with the other rater's NULLs and carries its own
+    marginal mass.  Callers with a genuine ``__NULL__`` label must
+    rename it first.
+
     Returns (group, n, n_agree, kappa).  Plan: one pair-count aggregate
     on (group, a, b) — the contingency table, ≤ |labels|² rows per
     group — then marginal products fold group-side; the corpus crosses
@@ -997,8 +1007,8 @@ def cohen_kappa(
     string Column expressions."""
     base = df.select(
         F.col(group_col).alias("__g"),
-        rater_a.cast("string").alias("a"),
-        rater_b.cast("string").alias("b"),
+        F.coalesce(rater_a.cast("string"), F.lit("__NULL__")).alias("a"),
+        F.coalesce(rater_b.cast("string"), F.lit("__NULL__")).alias("b"),
     )
     cells = base.groupBy("__g", "a", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
@@ -1047,8 +1057,8 @@ def cohen_kappa_sql(
     return f"""
     WITH base AS (
         SELECT {group_col} AS g,
-               CAST({a_sql} AS VARCHAR) AS a,
-               CAST({b_sql} AS VARCHAR) AS b
+               COALESCE(CAST({a_sql} AS VARCHAR), '__NULL__') AS a,
+               COALESCE(CAST({b_sql} AS VARCHAR), '__NULL__') AS b
         FROM ({table_sql})),
     cells AS MATERIALIZED (
         SELECT g, a, b, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2, 3),
@@ -1110,6 +1120,12 @@ def mann_whitney_z(
     rounded once.  NULL z/p when either side is empty, n < 2, or the
     variance degenerates (all values tied) — surfaced, never 0.
 
+    NULL contract: rows whose label or score casts to NULL are DROPPED
+    (standard NA omission) on BOTH engines — without the filter a NULL
+    label would silently join the control cohort (COUNT(*) − SUM(y))
+    and a NULL score would diverge between engines in the prefix window
+    (Spark orders NULLS FIRST by default, DuckDB NULLS LAST).
+
     Returns (grp, n_pos, n_neg, z, p_value).  Scale: one distinct
     (group, score) sufficient-statistic aggregate crosses the corpus;
     the prefix runs per group over DISTINCT scores (the quantile_ci
@@ -1119,7 +1135,7 @@ def mann_whitney_z(
         F.col(group_col).alias("grp"),
         score.cast("bigint").alias("s"),
         label.cast("int").alias("y"),
-    )
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
     d = base.groupBy("grp", "s").agg(
         F.sum("y").cast("bigint").alias("pos"),
         (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg"),
@@ -1162,10 +1178,12 @@ def mann_whitney_z_sql(
     """DuckDB twin of :func:`mann_whitney_z` — identical sufficient
     statistics and the SAME shared z/p expression strings."""
     return f"""
-    WITH base AS (SELECT {group_col} AS grp,
-                         CAST({score_sql} AS BIGINT) AS s,
-                         CAST({label_sql} AS INT) AS y
-                  FROM {table}),
+    WITH base AS (SELECT * FROM (
+                    SELECT {group_col} AS grp,
+                           CAST({score_sql} AS BIGINT) AS s,
+                           CAST({label_sql} AS INT) AS y
+                    FROM {table})
+                  WHERE s IS NOT NULL AND y IS NOT NULL),
     d AS (SELECT grp, s,
                  CAST(SUM(y) AS BIGINT) AS pos,
                  CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg

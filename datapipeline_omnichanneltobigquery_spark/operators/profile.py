@@ -1881,8 +1881,14 @@ def mad_outliers(
             "med",
             "mad",
             (
-                F.abs(F.col("v") - F.col("med")) * F.lit(10000)
-                > F.lit(ROBUST_Z3_E4) * F.col("mad")
+                # DECIMAL(38,0) products — same discipline as the sibling
+                # gini/target-encoding/kappa operators: raw BIGINT×literal
+                # would wrap silently in non-ANSI Spark for |v−med| beyond
+                # ~9.2e14 micro-units while DuckDB raises (engine-divergent).
+                F.abs(F.col("v") - F.col("med")).cast("decimal(38,0)")
+                * F.lit(10000).cast("decimal(38,0)")
+                > F.lit(ROBUST_Z3_E4).cast("decimal(38,0)")
+                * F.col("mad").cast("decimal(38,0)")
             ).alias("is_outlier"),
         )
     )
@@ -1922,6 +1928,8 @@ def mad_outliers_sql(
               FROM dist2) d
         JOIN k2 k ON k.g = d.g GROUP BY d.g)
     SELECT b.g AS {group_col}, b.id AS {id_col}, b.v, m.med, a.mad,
-           abs(b.v - m.med) * 10000 > {ROBUST_Z3_E4} * a.mad AS is_outlier
+           CAST(abs(b.v - m.med) AS DECIMAL(38,0)) * CAST(10000 AS DECIMAL(38,0))
+             > CAST({ROBUST_Z3_E4} AS DECIMAL(38,0)) * CAST(a.mad AS DECIMAL(38,0))
+             AS is_outlier
     FROM base b JOIN med m ON m.g = b.g JOIN mad a ON a.g = b.g
     """

@@ -423,7 +423,7 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ivf_pq",
-    driver=False,  # NEW r13: composed IVF x PQ index (r14 rotation queue); full oracle
+    # rotated IN r14: composed IVF x PQ index, first driver contact (vanilla pre-cleared r13)
     oracle=sim.ivf_pq_topk_join_sql(
         "embeddings", "vec_id < 4", k=5, n_centroids=16, n_probe=4,
         m_sub=8, n_codes=16, dim=EMB_DIM,
@@ -452,7 +452,7 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ivf_pq_recall",
-    driver=False,  # NEW r13: recall dial of the composed index (r14 rotation queue)
+    # rotated IN r14: recall dial of the composed index, first driver contact
     oracle=sim.ann_recall_sql(
         sim.cosine_topk_join_sql("embeddings", "vec_id < 4", k=5, dim=EMB_DIM),
         sim.ivf_pq_topk_join_sql(
@@ -484,7 +484,7 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ivf_pq_incremental",
-    driver=False,  # NEW r13: append face against FROZEN centroids + codebook
+    # rotated IN r14: append face against FROZEN centroids + codebook, first driver contact
     oracle=sim.ivf_pq_topk_join_sql(
         "embeddings", "vec_id < 4", k=5, n_centroids=16, n_probe=4,
         m_sub=8, n_codes=16, dim=EMB_DIM,
@@ -1105,6 +1105,7 @@ _BM25_TERMS = ["vector", "stream", "shuffle"]
 
 @query(
     "retrieval_rrf_hybrid",
+    driver=False,  # rotated out r14 (green r8-r13; retrieval_ndcg anchors retrieval)
     # rotated INTO the gate r8 (r7 flagship, never driver-verified)
     oracle=f"""
     WITH bm AS ({ir.bm25_scores_sql("documents", "doc_id", "text", _BM25_TERMS)}),
@@ -1189,7 +1190,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_langid",
-    driver=False,  # NEW r13: Cavnar-Trenkle language ID (r14 rotation queue); full oracle
+    # rotated IN r14: Cavnar-Trenkle language ID, first driver contact
     oracle=lid.langid_predict_sql("documents", "doc_id", "text"),
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,7 +1206,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_langid_accuracy",
-    driver=False,  # NEW r13: accuracy of langid vs the labeled lang column
+    # rotated IN r14: accuracy of langid vs the labeled lang column, first driver contact
     oracle=lid.langid_accuracy_sql("documents", "doc_id", "text", "lang"),
 )
 def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1826,6 +1827,7 @@ def text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_pii_scrub",
+    driver=False,  # rotated out r14 (green r10-r13; rake/zipf/langid anchor text)
     # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=pii.pii_scrub_sql("documents", "doc_id", "text"),
 )
@@ -1851,6 +1853,7 @@ def text_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_trigram_search",
+    driver=False,  # rotated out r14 (green r10-r13; rake/zipf/langid anchor text)
     # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=ir.trigram_search_sql("documents", "doc_id", "text", "fast merge"),
 )
@@ -2067,7 +2070,7 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_estimate",
-    driver=False,  # NEW r13: per-pair MinHash estimate calibration (r14 rotation queue)
+    # rotated IN r14: per-pair MinHash estimate calibration, first driver contact
     oracle=dd.minhash_estimate_eval_sql("documents", "doc_id", "text", 3, 16, 2),
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2087,6 +2090,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_lsh_eval",
+    driver=False,  # rotated out r14 (green r11-r13, floor provenance in BASELINE.md; winnow_overlap + minhash_estimate anchor dedup)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=f"""
     WITH truth AS ({dd.jaccard_pairs_sql("documents", "doc_id", "text", 3, 0.5)}),
@@ -2153,6 +2157,7 @@ from datapipeline_omnichanneltobigquery_spark.operators import winnow as wn  # n
 
 @query(
     "text_pmi_collocations",
+    driver=False,  # rotated out r14 (green r12+r13; rake/zipf/langid anchor text)
     # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=ts.pmi_collocations_sql("documents", "doc_id", "text", min_count=5, k=50),
 )
@@ -2167,6 +2172,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_winnow_fingerprints",
+    driver=False,  # rotated out r14 (green r12+r13; dedup_winnow_overlap stays the winnowing anchor)
     # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=wn.winnow_fingerprints_sql("documents", "doc_id", "text", k=3, w=4),
 )
@@ -2199,6 +2205,7 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_readability",
+    driver=False,  # rotated out r14 (green r12+r13; rake/zipf/langid anchor text)
     # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=ts.readability_sql("documents", "doc_id", "text"),
 )
@@ -2213,6 +2220,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_js_divergence",
+    driver=False,  # rotated out r14 (green r12+r13; rake/zipf/langid anchor text)
     # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=ts.js_divergence_sql(
         "documents", "doc_id", "text", "source", "src0", "src1", top_k=256

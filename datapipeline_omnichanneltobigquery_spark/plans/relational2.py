@@ -1861,6 +1861,7 @@ _COPURCHASE_EDGES_SQL = """
 
 @query(
     "graph_triangle_counts",
+    driver=False,  # rotated out r14 (green r8-r13; graph_adamic_adar anchors graph)
     # rotated INTO the gate r8 (never driver-verified)
     oracle=gr.triangle_counts_sql(_COPURCHASE_EDGES_SQL),
 )
@@ -2820,6 +2821,7 @@ def events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_fd_violations",
+    driver=False,  # rotated out r14 (green r10-r13; dq_benford_prices anchors dq)
     # rotated INTO the gate r10 (never-driver-verified r9 family)
     oracle=pf.fd_violations_sql("lineitem", ["l_orderkey"], "l_linestatus"),
 )
@@ -3055,6 +3057,7 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_cusum_changes",
+    driver=False,  # rotated out r14 (green r11-r13; ohlc/theilsen/holt/snaive + lateness anchor events)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=tsr.cusum_changepoints_sql(
         "events", "event_type", "ts", "value", "event_id", slack=20.0, threshold=150.0
@@ -3075,6 +3078,7 @@ def events_cusum_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_burstiness",
+    driver=False,  # rotated out r14 (green r11-r13; events keeps 8 gated anchors)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=tsr.burstiness_sql("events", "user_id", "ts", "event_id"),
 )
@@ -3123,7 +3127,7 @@ def _late_arrival(events: DataFrame) -> DataFrame:
 
 @query(
     "events_lateness_audit",
-    driver=False,  # NEW r13: watermark-lag/late-data audit (r14 rotation queue)
+    # rotated IN r14: watermark-lag/late-data audit, first driver contact
     oracle=late.lateness_audit_sql(_LATE_ARRIVAL_SQL, "event_type", "arrival", "ts", 120),
 )
 def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3142,7 +3146,7 @@ def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_late_window_drops",
-    driver=False,  # NEW r13: per-window drop accounting of the same scenario
+    # rotated IN r14: per-window drop accounting, first driver contact
     oracle=late.late_window_drops_sql(
         _LATE_ARRIVAL_SQL, "event_type", "arrival", "ts", 120, 3600
     ),
@@ -3160,7 +3164,7 @@ def events_late_window_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_mann_whitney",
-    driver=False,  # NEW r13: nonparametric two-sample test (r14 queue)
+    # rotated IN r14: nonparametric two-sample test, first driver contact
     oracle=me.mann_whitney_z_sql(
         "events", "event_type",
         "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END",
@@ -3188,7 +3192,7 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_mad_outliers",
-    driver=False,  # NEW r13: median/MAD robust outlier flags (r14 queue)
+    # rotated IN r14: median/MAD robust outlier flags, first driver contact
     oracle=pf.mad_outliers_sql(
         "SELECT * FROM events", "event_type", "event_id",
         "CAST(floor(value * 1000000.0) AS BIGINT)",
@@ -3211,7 +3215,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_gini_spend",
-    driver=False,  # NEW r13: Gini concentration of customer spend (r14 queue)
+    # rotated IN r14: Gini concentration of customer spend, first driver contact
     oracle=pf.gini_coefficient_sql(
         """SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
@@ -3252,7 +3256,7 @@ _KAPPA_B_SQL = (
 
 @query(
     "stats_cohen_kappa",
-    driver=False,  # NEW r13: chance-corrected inter-rater agreement (r14 queue)
+    # rotated IN r14: chance-corrected inter-rater agreement, first driver contact
     oracle=me.cohen_kappa_sql("SELECT * FROM events", "event_type", _KAPPA_A_SQL, _KAPPA_B_SQL),
 )
 def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3281,7 +3285,7 @@ def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_winsorize",
-    driver=False,  # NEW r13: order-statistic winsorization (r14 rotation queue)
+    # rotated IN r14: order-statistic winsorization, first driver contact
     oracle=pf.winsorize_sql(
         "events", "event_type", "event_id",
         "CAST(floor(value * 1000000.0) AS BIGINT)", lo_bps=100, hi_bps=9900,
@@ -3304,7 +3308,7 @@ def features_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_rollup_revenue",
-    driver=False,  # NEW r13: ROLLUP/grouping-sets surface (r14 rotation queue)
+    # rotated IN r14: ROLLUP/grouping-sets surface, first driver contact
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS yr,
            CAST(month(o_orderdate) AS INT) AS mth,
@@ -3344,7 +3348,7 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_te_user_conversion",
-    driver=False,  # NEW r13: exact-bigint LOO m-estimate encoding of a HIGH-CARD key
+    # rotated IN r14: exact-bigint LOO m-estimate encoding, first driver contact
     # (distinct from features_target_encoding: that r9 row encodes the 5-value
     # event_type with float alpha-smoothing; this one encodes user_id — true
     # high cardinality — with the integer-exact m-estimate ratio)
@@ -3370,6 +3374,7 @@ def features_te_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "features_lift_table",
+    driver=False,  # rotated out r14 (green r11-r13; roc_auc/qini/winsorize/te anchor features)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle="""
     WITH base AS (
@@ -3468,6 +3473,7 @@ _PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 @query(
     "events_type_pivot",
+    driver=False,  # rotated out r14 (green r11-r13; events keeps 8 gated anchors)
     # rotated INTO the gate r11 (never driver-verified; vanilla pre-cleared r10)
     oracle=f"""
     SELECT user_id,
@@ -4080,6 +4086,7 @@ _KM_SUBJECTS_SQL = """
 
 @query(
     "events_survival_km",
+    driver=False,  # rotated out r14 (green r12+r13; events keeps 8 gated anchors)
     # rotated INTO the gate r12 (never driver-verified; vanilla pre-cleared r11)
     oracle=tsr.km_survival_sql(_KM_SUBJECTS_SQL),
 )

@@ -2525,3 +2525,17 @@ def test_mad_outliers_hand_case(spark):
     c = got[("c", 9)]
     assert (c.med, c.mad, c.is_outlier) == (5, 0, True)  # zero-MAD degeneracy
     assert all(not got[("c", i)].is_outlier for i in range(4))
+
+
+def test_mad_outliers_decimal_products_survive_bigint_wrap(spark):
+    """r14 ADVICE regression: the outlier test runs in DECIMAL(38,0) —
+    a deviation of 2e15 micro-units times 10000 (2e19 > 2^63) would wrap
+    negative in raw BIGINT and silently un-flag the most extreme row."""
+    from datapipeline_omnichanneltobigquery_spark.operators.profile import mad_outliers
+
+    rows = [("g", 0, 0), ("g", 1, 0), ("g", 2, 0), ("g", 3, 2_000_000_000_000_000)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {r.id: r for r in mad_outliers(df, "g", "id", F.col("v")).collect()}
+    assert (got[3].med, got[3].mad) == (0, 0)
+    assert got[3].is_outlier  # 2e15 * 10000 = 2e19: wraps in bigint, exact in decimal
+    assert all(not got[i].is_outlier for i in range(3))

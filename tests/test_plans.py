@@ -236,6 +236,15 @@ BROADCAST_REVIEW_ALLOWLIST = {
     # IS the ADC plan shape (the code scan must not shuffle).
     "similarity_ann_pq": 1,
     "similarity_pq_recall": 1,
+    # composed IVF×PQ trio (rotated INTO the gate r14): 2 flagged each =
+    # the (query, cluster) probe list (|queries| × n_probe rows —
+    # probe-batch contract × a fixed constant; broadcasting it IS the
+    # dynamic-partition-pruning plan shape) + the per-query ADC LUT
+    # (|queries| × m_sub × n_codes = 512 rows here).  Justifications
+    # moved verbatim from the EXTRA list where they sat in r13.
+    "similarity_ivf_pq": 2,
+    "similarity_ivf_pq_recall": 2,
+    "similarity_ivf_pq_incremental": 2,
 }
 
 
@@ -291,16 +300,9 @@ EXTRA_BROADCAST_REVIEW_ALLOWLIST = {
     "similarity_ann_recall": 1,
     # (r13: similarity_ann_pq / similarity_pq_recall rotated INTO the
     # gate — their LUT-broadcast justifications moved to the gated list)
-    # composed IVF×PQ (r13): 2 flagged each = the (query, cluster) probe
-    # list (|queries| × n_probe rows — probe-batch contract × a fixed
-    # constant; broadcasting it IS the dynamic-partition-pruning plan
-    # shape, ivf_topk_join_from_index discipline) + the per-query ADC LUT
-    # (|queries| × m_sub × n_codes = 512 rows here — same justification as
-    # the gated similarity_ann_pq).  The centroid/codebook broadcasts ride
-    # on bounded leaves and are not counted.
-    "similarity_ivf_pq": 2,
-    "similarity_ivf_pq_recall": 2,
-    "similarity_ivf_pq_incremental": 2,
+    # (r14: similarity_ivf_pq / _recall / _incremental rotated INTO the
+    # gate — their probe-list + LUT justifications moved to the gated
+    # list above.)
 }
 
 

@@ -907,3 +907,46 @@ def test_mann_whitney_matches_scipy_free_bruteforce(spark):
     assert abs(got["g"].p_value - p) < 2e-6  # A&S poly error << round6 grid
     assert got["solo"].z is None and got["solo"].p_value is None
     assert got["tied"].z is None  # all-tied: variance degenerates
+
+
+def test_cohen_kappa_null_labels_become_sentinel_category(spark):
+    """r14 ADVICE regression: NULL rater labels coalesce to the explicit
+    '__NULL__' category — they agree with the OTHER rater's NULLs and
+    carry marginal mass, instead of acting as guaranteed disagreement
+    with zero chance-correction mass."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import cohen_kappa
+
+    rows = (
+        [("g", "y", "y")] * 10
+        + [("g", None, None)] * 5      # both abstain: AGREEMENT under the contract
+        + [("g", "y", None)] * 3       # one-sided abstention: disagreement
+    )
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    got = cohen_kappa(df, "g", F.col("a"), F.col("b")).collect()[0]
+    assert got.n == 18
+    assert got.n_agree == 15  # 10 y/y + 5 NULL/NULL
+    # python mirror with the sentinel category
+    n = 18
+    n_a = {"y": 13, "__NULL__": 5}
+    n_b = {"y": 10, "__NULL__": 8}
+    pe_num = sum(n_a[k] * n_b.get(k, 0) for k in n_a)
+    want = round((n * 15 - pe_num) / (n * n - pe_num), 6)
+    assert abs(got.kappa - want) < 1e-9
+
+
+def test_mann_whitney_drops_null_label_and_score_rows(spark):
+    """r14 ADVICE regression: rows whose label or score is NULL are
+    dropped (NA omission), never silently bucketed into the control
+    cohort; the surviving statistics match the NULL-free frame."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        mann_whitney_z,
+    )
+
+    clean = [("g", 1, s) for s in [3, 5, 9]] + [("g", 0, s) for s in [1, 2, 6, 7]]
+    dirty = clean + [("g", None, 100), ("g", 1, None), ("g", None, None)]
+    mk = lambda rows: spark.createDataFrame(rows, "grp string, y int, s long")
+    got_clean = mann_whitney_z(mk(clean), "grp", F.col("y") == 1, F.col("s")).collect()[0]
+    got_dirty = mann_whitney_z(mk(dirty), "grp", F.col("y") == 1, F.col("s")).collect()[0]
+    assert (got_dirty.n_pos, got_dirty.n_neg) == (got_clean.n_pos, got_clean.n_neg) == (3, 4)
+    assert got_dirty.z == got_clean.z
+    assert got_dirty.p_value == got_clean.p_value
