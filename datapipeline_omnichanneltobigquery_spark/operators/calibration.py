@@ -66,7 +66,7 @@ def isotonic_fit(
         "p_cal double, n_obs long"
     )
 
-    def fit(key, pdf):
+    def fit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         agg = (
             pdf.groupby(score_col, sort=True)[label_col]
             .agg(["sum", "count"])

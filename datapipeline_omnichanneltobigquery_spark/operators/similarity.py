@@ -178,7 +178,7 @@ def _cosine_pairs_blocked(
         F.broadcast(tiles), (vecs.blk == tiles.bi) | (vecs.blk == tiles.bj)
     )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key
         a_pdf = pdf[pdf["blk"] == bi]
         b_pdf = pdf[pdf["blk"] == bj]
