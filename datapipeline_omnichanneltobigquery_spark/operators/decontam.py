@@ -165,3 +165,152 @@ def decontaminate_sql(
     SELECT {select_cols} FROM {train_expr} tr
     WHERE NOT EXISTS (SELECT 1 FROM ({pairs}) p WHERE p.train_id = tr.{train_id})
     """
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination — the screen n-gram shingles
+# cannot provide: a PARAPHRASED eval item shares no 8-gram with its train
+# twin yet sits at high cosine in embedding space (Yang et al. 2023,
+# "Rethinking Benchmark and Contamination for Language Models with
+# Rephrased Samples": rephrased test samples evade n-gram/MinHash decontam
+# but are caught by embedding similarity search).  Same contract class as
+# the shingle path above: the EVAL side is small by construction, so it
+# broadcasts; the corpus is screened map-side in one pass.
+# ---------------------------------------------------------------------------
+
+
+def semantic_contamination_pairs(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.30,
+    dim: int | None = None,
+) -> DataFrame:
+    """(corpus_id, eval_id, cos_sim) for every corpus embedding whose
+    cosine against an eval-set embedding reaches ``threshold`` — the
+    embedding-space contamination report beside the n-gram
+    :func:`contamination_pairs`.
+
+    Exactness: both sides L2-normalize once (``norm_unit``), so the score
+    is ONE ordered-fold dot product in double — bitwise-equal to the
+    DuckDB twin's ``list_sum(list_transform(...))`` construction (the
+    engine-wide dot-product discipline), making the ``>= threshold``
+    comparison deterministic across engines.
+
+    Scale (100 TB): eval suites are 10^3-10^5 rows by construction, so the
+    normalized eval side BROADCASTS and scoring is a map-side crossJoin
+    over one corpus scan — |corpus|·|eval| static-dim dot products inside
+    WholeStageCodegen, zero shuffle for discovery (the
+    ``cosine_topk_join`` plan shape).  An eval set too large to broadcast
+    composes with the persisted IVF index instead
+    (``similarity.ivf_topk_join_from_index`` — cluster-pruned candidates
+    per eval probe); the broadcast screen here is the definitional form
+    the oracle can verify all-pairs."""
+    from datapipeline_omnichanneltobigquery_spark.functions.vectors import dot, norm_unit
+
+    cu = corpus.select(
+        F.col(id_col).alias("corpus_id"), norm_unit(F.col(vec_col), dim).alias("__cu")
+    )
+    eu = eval_set.select(
+        F.col(id_col).alias("eval_id"), norm_unit(F.col(vec_col), dim).alias("__eu")
+    )
+    return (
+        cu.crossJoin(F.broadcast(eu))
+        .select(
+            "corpus_id",
+            "eval_id",
+            dot(F.col("__cu"), F.col("__eu"), dim).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.30,
+    dim: int | None = None,
+) -> DataFrame:
+    """The kept (semantically clean) corpus rows: every corpus row whose
+    embedding has NO eval-set neighbor at cosine ≥ ``threshold`` — the
+    anti-join keep face of :func:`semantic_contamination_pairs`, all
+    corpus columns preserved.
+
+    Composes with the n-gram pipeline by id: run the shingle
+    :func:`decontaminate` for verbatim leakage, this for paraphrase
+    leakage, and anti-join the union of both contaminated-id lists (in
+    the standard layout the embedding store shares the document id, so
+    the keep-list applies to ``documents`` directly)."""
+    contaminated = (
+        semantic_contamination_pairs(
+            corpus, eval_set, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, dim=dim,
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+def _unit_cte(table: str, vec_col: str, dim: int) -> str:
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import _dot_sql
+
+    norm = f"sqrt({_dot_sql(vec_col, vec_col, dim)})"
+    return f"""
+    unit AS (
+        SELECT *, list_transform(range(1, {dim + 1}),
+                                 i -> CAST({vec_col}[i] AS DOUBLE) / {norm}) AS __u
+        FROM {table}
+    )"""
+
+
+def semantic_contamination_pairs_sql(
+    table: str,
+    corpus_predicate: str,
+    eval_predicate: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.30,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`semantic_contamination_pairs` where corpus and
+    eval set are the rows of ``table`` matching the two predicates — same
+    ordered-fold dots over the same unit vectors (the definitional
+    all-pairs form)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import _dot_sql
+
+    return f"""
+    WITH {_unit_cte(table, vec_col, dim)},
+    c AS (SELECT {id_col} AS corpus_id, __u AS cu FROM unit WHERE {corpus_predicate}),
+    e AS (SELECT {id_col} AS eval_id, __u AS eu FROM unit WHERE {eval_predicate})
+    SELECT corpus_id, eval_id,
+           {_dot_sql("c.cu", "e.eu", dim, cast=False)} AS cos_sim
+    FROM c CROSS JOIN e
+    WHERE {_dot_sql("c.cu", "e.eu", dim, cast=False)} >= {float(threshold)!r}
+    """
+
+
+def semantic_decontaminate_sql(
+    table: str,
+    corpus_predicate: str,
+    eval_predicate: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.30,
+    dim: int = 64,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`semantic_decontaminate` — NOT EXISTS over the
+    pairs subquery (the left_anti NULL-key semantics, same pattern as
+    :func:`decontaminate_sql`)."""
+    pairs = semantic_contamination_pairs_sql(
+        table, corpus_predicate, eval_predicate,
+        id_col=id_col, vec_col=vec_col, threshold=threshold, dim=dim,
+    )
+    return f"""
+    SELECT {select_cols} FROM (SELECT * FROM {table} WHERE {corpus_predicate}) tr
+    WHERE NOT EXISTS (SELECT 1 FROM ({pairs}) p WHERE p.corpus_id = tr.{id_col})
+    """

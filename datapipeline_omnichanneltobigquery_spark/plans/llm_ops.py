@@ -1498,6 +1498,63 @@ def text_decontam_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+_SEMDECON_TAU = 0.30
+_SEMDECON_EVAL = "vec_id % 29 = 0"
+_SEMDECON_CORPUS = "vec_id % 29 <> 0"
+
+
+@query(
+    "decontam_semantic_pairs",
+    driver=False,  # NEW r14: embedding-space contamination report (r15 rotation queue)
+    oracle=dc.semantic_contamination_pairs_sql(
+        "embeddings", _SEMDECON_CORPUS, _SEMDECON_EVAL,
+        threshold=_SEMDECON_TAU, dim=EMB_DIM,
+    ),
+)
+def decontam_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) contamination report: (corpus_id,
+    eval_id, cos_sim) for every corpus embedding at cosine ≥ 0.30 against
+    the held-out eval slice (vec_id % 29 = 0 plays the eval suite) — the
+    screen n-gram shingles cannot provide, since a PARAPHRASED eval item
+    shares no shingle with its train twin yet sits at high cosine (Yang
+    et al. 2023, rephrased-sample contamination).  The normalized eval
+    side BROADCASTS (eval suites are small by construction — the
+    text_decontaminate contract); scoring is |corpus|·|eval| static-dim
+    ordered-fold dots inside WholeStageCodegen, zero discovery shuffle
+    (operators/decontam.py::semantic_contamination_pairs)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dc.semantic_contamination_pairs(
+        emb.filter(F.expr(_SEMDECON_CORPUS)),
+        emb.filter(F.expr(_SEMDECON_EVAL)),
+        threshold=_SEMDECON_TAU, dim=EMB_DIM,
+    )
+
+
+@query(
+    "text_decontaminate_semantic",
+    driver=False,  # NEW r14: the keep face — the r13 verdict's one real capability gap
+    oracle=dc.semantic_decontaminate_sql(
+        "embeddings", _SEMDECON_CORPUS, _SEMDECON_EVAL,
+        threshold=_SEMDECON_TAU, dim=EMB_DIM,
+        select_cols="vec_id, label",
+    ),
+)
+def text_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantically clean corpus rows: every corpus embedding with NO
+    eval-set neighbor at cosine ≥ 0.30, via anti-join against the
+    broadcast-screened contaminated-id list.  Composes with the n-gram
+    keep face by id (run text_decontam_keep for verbatim leakage, this
+    for paraphrase leakage, intersect the keep-lists); the definitional
+    all-pairs oracle verifies the whole screen exactly
+    (operators/decontam.py::semantic_decontaminate)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dc.semantic_decontaminate(
+        emb.filter(F.expr(_SEMDECON_CORPUS)),
+        emb.filter(F.expr(_SEMDECON_EVAL)),
+        threshold=_SEMDECON_TAU, dim=EMB_DIM,
+    ).select("vec_id", "label")
+
+
 @query(
     "text_ngram_topk",
     driver=False,  # heavy-hitter variant of the gated text-analysis family

@@ -130,3 +130,66 @@ def test_sql_twin_matches_spark_without_cap(spark):
         ).collect()
     }
     assert got == duck and got
+
+
+def test_semantic_pairs_catch_paraphrase_direction(spark):
+    """A corpus vector parallel to an eval vector (the paraphrase case:
+    same meaning, different words, no shared n-gram) is flagged at
+    cosine 1.0; an orthogonal vector stays clean.  The keep face returns
+    exactly the complement."""
+    from datapipeline_omnichanneltobigquery_spark.operators.decontam import (
+        semantic_contamination_pairs,
+        semantic_decontaminate,
+    )
+
+    dim = 4
+    rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),   # eval item
+        (1, [2.0, 0.0, 0.0, 0.0]),     # paraphrase: parallel, cos = 1
+        (2, [0.0, 3.0, 0.0, 0.0]),     # orthogonal: cos = 0
+        (3, [1.0, 1.0, 0.0, 0.0]),     # 45 degrees: cos ~ 0.7071
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = df.filter(F.col("vec_id") < 100)
+    eval_set = df.filter(F.col("vec_id") >= 100)
+
+    pairs = {
+        (r.corpus_id, r.eval_id): r.cos_sim
+        for r in semantic_contamination_pairs(
+            corpus, eval_set, threshold=0.5, dim=dim
+        ).collect()
+    }
+    assert set(pairs) == {(1, 100), (3, 100)}
+    assert abs(pairs[(1, 100)] - 1.0) < 1e-12
+    assert abs(pairs[(3, 100)] - 2**-0.5) < 1e-12
+
+    kept = sorted(
+        r.vec_id
+        for r in semantic_decontaminate(
+            corpus, eval_set, threshold=0.5, dim=dim
+        ).collect()
+    )
+    assert kept == [2]
+
+
+def test_semantic_decontaminate_keeps_null_id_rows(spark):
+    """left_anti NULL-key semantics: a corpus row with a NULL id matches
+    nothing in the contaminated list and is KEPT (the decontaminate_sql
+    NOT EXISTS contract) — and its vectors still screen by value."""
+    from datapipeline_omnichanneltobigquery_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
+
+    rows = [
+        (None, [0.0, 1.0]),           # NULL id, orthogonal to eval -> kept
+        (1, [1.0, 0.0]),              # contaminated -> dropped
+        (7, [1.0, 0.0]),              # eval item
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semantic_decontaminate(
+        df.filter(F.col("vec_id").isNull() | (F.col("vec_id") < 7)),
+        df.filter(F.col("vec_id") == 7),
+        threshold=0.5,
+        dim=2,
+    ).collect()
+    assert [r.vec_id for r in kept] == [None]

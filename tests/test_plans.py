@@ -285,6 +285,11 @@ EXTRA_BROADCAST_REVIEW_ALLOWLIST = {
     # eval-suite shingle index + contaminated-id list (decontam module
     # contract: evaluation suites are small by construction)
     "text_decontam_keep": 2,
+    # semantic decontam (r14): the normalized EVAL-side embedding frame —
+    # bounded by the same eval-suites-are-small contract; broadcasting it
+    # IS the map-side screen (the cosine_topk_join plan shape)
+    "decontam_semantic_pairs": 1,
+    "text_decontaminate_semantic": 1,
     # same two decontam broadcasts, standalone face (rotated out of the
     # gate r10; justification unchanged)
     "text_decontaminate": 1,
