@@ -197,3 +197,149 @@ def bpe_apply(
             F.col("id").alias(id_col), "tokens", F.size("tokens").alias("n_tokens")
         )
     )
+
+
+#: frozen 16-merge toy tokenizer for the fertility report — a COMPILE-TIME
+#: literal merge table (the langid compile-time-profile discipline) so the
+#: DuckDB twin is a static string: every rule references single characters
+#: or earlier merges, in textbook BPE order (Sennrich et al. 2016).
+FERTILITY_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("the", EOW),
+    ("i", "n"), ("in", "g"), ("ing", EOW),
+    ("a", "n"), ("an", "d"), ("and", EOW),
+    ("e", "r"), ("o", "n"), ("r", "e"),
+    ("e", EOW), ("s", EOW), ("d", EOW), ("o", "f"),
+]
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Tokenizer fertility report per group: bytes/token and tokens/word
+    (Rust et al. 2021, "How Good is Your Tokenizer?" — fertility is the
+    mean subwords-per-word) through the BPE apply machinery — the
+    measurement that turns mixture/temperature token BUDGETS from
+    word-count proxies into real token counts before planning a mix.
+
+    Returns (group..., n_docs, n_bytes, n_words, n_tokens,
+    bytes_per_token, tokens_per_word); the ratios are each ONE rounded
+    division of exact bigint sums, NULL when the denominator is 0 (a
+    group of empty texts — surfaced, never defaulted).
+
+    Plan: ONE word-frequency aggregate per (group, word) crosses the
+    corpus; segmentation runs once per DISTINCT word (vocab-level, the
+    bpe_apply discipline) and joins back onto the n_groups×|vocab|
+    frequency table; byte counts ride a second corpus-pass aggregate.
+    At 100 TB both passes are map-side partial aggregates; the vocab is
+    sublinear in the corpus (Heaps' law)."""
+    if merges is None:
+        merges = FERTILITY_MERGES
+    groups = [F.col(c) for c in group_cols]
+    words = df.select(
+        *groups,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    wf = words.groupBy(*group_cols, "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    ).localCheckpoint()  # feeds the vocab AND the token rollup
+    seg = bpe_segment_words(wf.select("w").distinct(), merges)
+    tok = (
+        wf.join(seg, "w")
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.size("tokens")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    byt = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length(F.col(text_col))).cast("bigint").alias("n_bytes"),
+    )
+    return byt.join(tok, group_cols, "left").select(
+        *group_cols,
+        "n_docs",
+        "n_bytes",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double"), 6),
+        ).alias("bytes_per_token"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_tokens").cast("double") / F.col("n_words").cast("double"), 6),
+        ).alias("tokens_per_word"),
+    )
+
+
+def _dlit(s: str) -> str:
+    """DuckDB string literal (quotes double-escaped)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def fertility_seg_expr(merges: list[tuple[str, str]]) -> str:
+    """The DuckDB segmentation of a word column ``w`` under ``merges`` as
+    ONE nested-replace expression over a double-space-delimited token
+    string: tokens never contain spaces (words are whitespace-split), so
+    the encoding ``' ' || tok₁ || '  ' || tok₂ || … || ' '`` makes each
+    adjacent pair (a, b) appear as exactly the substring ``' a  b '`` —
+    and ``replace``'s left-to-right non-overlapping scan is then
+    EXACTLY the greedy fold ``_merge_expr`` computes (both merge the
+    leftmost eligible pair and continue after it; the replacement
+    ``' ab '`` preserves the boundary invariant, so cascades within one
+    rule agree too — pinned by the cross-engine property test)."""
+    expr = f"(' ' || regexp_replace(w, '(.)', '\\1  ', 'g') || {_dlit(EOW + ' ')})"
+    for a, b in merges:
+        expr = f"replace({expr}, {_dlit(' ' + a + '  ' + b + ' ')}, {_dlit(' ' + a + b + ' ')})"
+    return expr
+
+
+def tokenizer_fertility_sql(
+    table: str,
+    group_cols: list[str],
+    text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility` — identical word
+    stream, the unrolled replace-chain segmentation, exact bigint sums,
+    one rounded division per ratio."""
+    if merges is None:
+        merges = FERTILITY_MERGES
+    g = ", ".join(group_cols)
+    bg = ", ".join(f"b.{c}" for c in group_cols)
+    return f"""
+    WITH words AS (
+        SELECT {g}, w FROM (
+            SELECT {g},
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                       t -> t <> '')) AS w
+            FROM {table})),
+    wf AS MATERIALIZED (
+        SELECT {g}, w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM words GROUP BY ALL),
+    segn AS (
+        SELECT w,
+               CAST(len(string_split(trim({fertility_seg_expr(merges)}), '  '))
+                    AS BIGINT) AS n_tok
+        FROM (SELECT DISTINCT w FROM wf)),
+    tok AS (
+        SELECT {g}, CAST(SUM(freq) AS BIGINT) AS n_words,
+               CAST(SUM(freq * n_tok) AS BIGINT) AS n_tokens
+        FROM wf JOIN segn USING (w) GROUP BY ALL),
+    byt AS (
+        SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(octet_length(encode({text_col}))) AS BIGINT) AS n_bytes
+        FROM {table} GROUP BY ALL)
+    SELECT {bg}, b.n_docs, b.n_bytes, t.n_words, t.n_tokens,
+           CASE WHEN t.n_tokens > 0
+                THEN round(CAST(b.n_bytes AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6)
+           END AS bytes_per_token,
+           CASE WHEN t.n_words > 0
+                THEN round(CAST(t.n_tokens AS DOUBLE) / CAST(t.n_words AS DOUBLE), 6)
+           END AS tokens_per_word
+    FROM byt b LEFT JOIN tok t USING ({g})
+    """

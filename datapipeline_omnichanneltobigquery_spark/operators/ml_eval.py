@@ -1215,3 +1215,135 @@ def mann_whitney_z_sql(
            round({two_sided_p_expr(MW_Z_SQL)}, 6) AS p_value
     FROM staged
     """
+
+
+def fleiss_kappa(
+    df: DataFrame, group_col: str, item_col: str, label: Column
+) -> DataFrame:
+    """Fleiss' kappa per group (Fleiss 1971) — chance-corrected agreement
+    for a PANEL of ≥ 2 raters, the multi-rater generalization of
+    :func:`cohen_kappa` every LLM-judge-panel pipeline needs: input is
+    LONG format, one row per (item, rating), ``n`` raters per item.
+
+    Exactness: with n_ij = raters assigning item i to category j,
+    A = Σ_i Σ_j n_ij(n_ij−1) (agreeing pairs), c_j = Σ_i n_ij,
+    D = N·n·(n−1) (all pairs), E = (N·n)², B = Σ_j c_j², the textbook
+    κ = (P̄ − P̄_e)/(1 − P̄_e) collapses to ONE exact ratio
+
+        κ = (A·E − B·D) / (D·(E − B))
+
+    with every product in DECIMAL(38,0) (A·E ~ N³n⁴ — exact past 10⁹
+    items × 5 raters), rounded once to 6.  NULL when the denominator is
+    0 (every rating in one category — chance agreement already 1;
+    surfaced, never defaulted).  Fleiss' model REQUIRES a constant
+    rater count per item: a group where items disagree on rating count
+    (or n < 2) raises loudly in BOTH engines rather than silently
+    mis-weighting P̄ — callers with missing ratings should complete or
+    drop items first.
+
+    Returns (group, n_items, n_raters, kappa).  Plan: one (group, item,
+    category) cell aggregate crosses the corpus — the only corpus-wide
+    exchange; item pair-sums and category marginals fold from the cells
+    (≤ |categories| rows per item), the κ ratio on n_groups rows."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(item_col).alias("__i"),
+        label.cast("string").alias("cat"),
+    )
+    cells = base.groupBy("__g", "__i", "cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()  # cells feed the per-item pair sums AND the marginals
+    per_item = cells.groupBy("__g", "__i").agg(
+        F.sum("c").cast("bigint").alias("n_i"),
+        F.sum(F.col("c") * (F.col("c") - F.lit(1))).cast("bigint").alias("pairs_i"),
+    )
+    gstats = per_item.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.min("n_i").alias("__nmin"),
+        F.max("n_i").alias("__nmax"),
+        F.sum("pairs_i").cast(d38).alias("a_pairs"),
+    ).select(
+        "__g",
+        "n_items",
+        "a_pairs",
+        F.expr(
+            "CASE WHEN __nmin <> __nmax OR __nmin < 2 THEN CAST(raise_error("
+            "'fleiss_kappa: every item needs the SAME rater count >= 2; "
+            "complete or drop items with missing ratings first') AS BIGINT) "
+            "ELSE __nmin END"
+        ).alias("n_raters"),
+    )
+    marg = (
+        cells.groupBy("__g", "cat")
+        .agg(F.sum("c").cast(d38).alias("c_j"))
+        .groupBy("__g")
+        .agg(F.sum(F.col("c_j") * F.col("c_j")).cast(d38).alias("b_sq"))
+    )
+    nn = F.col("n_items").cast(d38) * F.col("n_raters").cast(d38)  # N·n
+    d_pairs = nn * (F.col("n_raters") - F.lit(1)).cast(d38)        # D = N·n·(n−1)
+    e_sq = nn * nn                                                  # E = (N·n)²
+    num = F.col("a_pairs") * e_sq - F.col("b_sq") * d_pairs
+    den = d_pairs * (e_sq - F.col("b_sq"))
+    return gstats.join(marg, "__g").select(
+        F.col("__g").alias(group_col),
+        "n_items",
+        "n_raters",
+        F.when(
+            den > F.lit(0).cast("decimal(38,0)"),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("kappa"),
+    )
+
+
+def fleiss_kappa_sql(
+    long_sql: str, group_col: str, item_col: str, label_sql: str
+) -> str:
+    """DuckDB twin of :func:`fleiss_kappa` over the same LONG-format
+    rating stream — identical cells, pair sums, marginals, the same
+    equal-rater-count guard (``error()``), and ONE rounded division."""
+    return f"""
+    WITH base AS (
+        SELECT {group_col} AS g, {item_col} AS i,
+               CAST({label_sql} AS VARCHAR) AS cat
+        FROM ({long_sql})),
+    cells AS MATERIALIZED (
+        SELECT g, i, cat, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2, 3),
+    per_item AS (
+        SELECT g, i, CAST(SUM(c) AS BIGINT) AS n_i,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS pairs_i
+        FROM cells GROUP BY 1, 2),
+    gstats AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(pairs_i) AS DECIMAL(38,0)) AS a_pairs,
+               CASE WHEN MIN(n_i) <> MAX(n_i) OR MIN(n_i) < 2
+                    THEN CAST(error('fleiss_kappa: every item needs the SAME rater count >= 2; complete or drop items with missing ratings first') AS BIGINT)
+                    ELSE MIN(n_i) END AS n_raters
+        FROM per_item GROUP BY 1),
+    marg AS (
+        SELECT g, CAST(SUM(CAST(c_j AS DECIMAL(38,0))
+                           * CAST(c_j AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS b_sq
+        FROM (SELECT g, cat, CAST(SUM(c) AS BIGINT) AS c_j
+              FROM cells GROUP BY 1, 2)
+        GROUP BY 1)
+    SELECT s.g AS {group_col}, s.n_items, s.n_raters,
+           CASE WHEN CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
+                     * CAST(s.n_raters - 1 AS DECIMAL(38,0))
+                     * (CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
+                        * CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
+                        - m.b_sq) > 0 THEN
+             round(CAST(s.a_pairs
+                          * (CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
+                             * CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0)))
+                        - m.b_sq
+                          * (CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
+                             * CAST(s.n_raters - 1 AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST(CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
+                          * CAST(s.n_raters - 1 AS DECIMAL(38,0))
+                          * (CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
+                             * CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
+                             - m.b_sq) AS DOUBLE), 6)
+           END AS kappa
+    FROM gstats s JOIN marg m ON m.g = s.g
+    """

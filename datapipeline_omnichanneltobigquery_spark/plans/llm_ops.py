@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from datapipeline_omnichanneltobigquery_spark.operators import bpe
 from datapipeline_omnichanneltobigquery_spark.operators import corpus_prep as cp
 from datapipeline_omnichanneltobigquery_spark.operators import decontam as dc
 from datapipeline_omnichanneltobigquery_spark.operators import dedup as dd
@@ -1072,6 +1073,25 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", n_merges=12)
     return bpe_apply(docs, "doc_id", "text", merges)
+
+
+@query(
+    "text_tokenizer_fertility",
+    driver=False,  # NEW r14: bytes/token + tokens/word per (source, lang) (r15 queue)
+    oracle=bpe.tokenizer_fertility_sql("documents", ["source", "lang"], "text"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (source, lang): bytes/token and
+    tokens/word under the frozen 16-merge BPE (Rust et al. 2021 —
+    fertility = mean subwords per word), the measurement that turns
+    mixture_plan/temperature_mix token budgets from word-count proxies
+    into real token counts.  One (group, word) frequency aggregate,
+    vocab-level segmentation joined back, one byte-sum pass; the DuckDB
+    twin unrolls the SAME greedy merges as a replace chain over a
+    double-space token encoding (operators/bpe.py
+    ::tokenizer_fertility)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe.tokenizer_fertility(docs, ["source", "lang"], "text")
 
 
 @query(

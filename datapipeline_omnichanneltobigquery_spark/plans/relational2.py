@@ -5,7 +5,7 @@ Same contract as plans/relational.py — every query with its DuckDB oracle."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from datapipeline_omnichanneltobigquery_spark.functions.scalars import money
 from datapipeline_omnichanneltobigquery_spark.operators import attribution as attr
@@ -3281,6 +3281,63 @@ def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hi"),
     ).otherwise(F.lit("lo"))
     return me.cohen_kappa(ev, "event_type", a, b)
+
+
+#: the third deterministic judge for the Fleiss panel — the same
+#: threshold rule under a DIFFERENT md5 seed, so the three judges are
+#: correlated but pairwise distinct and κ lands strictly inside (0, 1)
+_KAPPA_C_SQL = (
+    "CASE WHEN CAST(floor(value * 1000000.0) AS BIGINT) + ("
+    + _md5_long_sql("'kappa-v2:' || CAST(event_id AS VARCHAR)")
+    + " % 40000000) - 20000000 >= 50000000 THEN 'hi' ELSE 'lo' END"
+)
+
+
+@query(
+    "stats_fleiss_kappa",
+    driver=False,  # NEW r14: multi-rater panel agreement (r15 rotation queue)
+    oracle=me.fleiss_kappa_sql(
+        "SELECT event_type, event_id, "
+        f"unnest([{_KAPPA_A_SQL}, {_KAPPA_B_SQL}, {_KAPPA_C_SQL}]) AS vote "
+        "FROM events",
+        "event_type",
+        "event_id",
+        "vote",
+    ),
+)
+def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa for a PANEL of three deterministic judges of event
+    value (the cohen_kappa threshold rule + the same rule under two
+    different md5 jitters) per event_type — the LLM-judge-panel
+    agreement measure (Fleiss 1971): cohen_kappa trusts a PAIR, this
+    trusts the panel.  Ratings unpivot to long format (item = event,
+    exactly 3 ratings each — the constant-n contract Fleiss requires,
+    guarded loudly in both engines); then one exact-DECIMAL(38,0) ratio
+    κ = (A·E − B·D)/(D·(E − B)) over per-item agreeing-pair sums and
+    category marginals (operators/ml_eval.py::fleiss_kappa)."""
+    ev = read_table(spark, sf_dir, "events")
+    a = F.when(F.col("value") >= 50.0, F.lit("hi")).otherwise(F.lit("lo"))
+
+    def jittered(seed: str) -> Column:
+        j = _md5_long(
+            F.concat(F.lit(seed), F.col("event_id").cast("string"))
+        ) % F.lit(40_000_000)
+        return F.when(
+            F.expr("CAST(floor(value * 1000000.0) AS BIGINT)")
+            + j
+            - F.lit(20_000_000)
+            >= F.lit(50_000_000),
+            F.lit("hi"),
+        ).otherwise(F.lit("lo"))
+
+    long = ev.select(
+        "event_type",
+        "event_id",
+        F.explode(F.array(a, jittered("kappa-v1:"), jittered("kappa-v2:"))).alias(
+            "vote"
+        ),
+    )
+    return me.fleiss_kappa(long, "event_type", "event_id", F.col("vote"))
 
 
 @query(

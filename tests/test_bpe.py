@@ -94,3 +94,77 @@ def test_bpe_train_refuses_unbounded_rounds(spark):
     df = spark.createDataFrame([("a b",)], ["text"])
     with _pytest.raises(ValueError, match="BPE_MAX_MERGES"):
         bpe_train(df, "text", n_merges=BPE_MAX_MERGES + 1)
+
+
+def _py_greedy_merge(tokens: list[str], a: str, b: str) -> list[str]:
+    """Literal python mirror of _merge_expr's left-to-right greedy fold."""
+    acc: list[str] = []
+    for x in tokens:
+        if acc and acc[-1] == a and x == b:
+            acc[-1] = a + b
+        else:
+            acc.append(x)
+    return acc
+
+
+def test_fertility_replace_chain_equals_greedy_fold():
+    """The DuckDB replace-chain segmentation (fertility_seg_expr) computes
+    EXACTLY the greedy fold on adversarial vocab: cascades within one
+    rule, overlapping candidates, rules consuming earlier merges, and
+    the end-of-word marker."""
+    import duckdb
+
+    from datapipeline_omnichanneltobigquery_spark.operators.bpe import (
+        EOW,
+        FERTILITY_MERGES,
+        fertility_seg_expr,
+    )
+
+    words = [
+        "the", "then", "there", "and", "andand", "inginging",
+        "aaaa", "ttth", "ofof", "s", "d", "e", "xyz", "rere",
+        "thethethe", "inginging", "errere", "onon", "a",
+    ]
+    expr = fertility_seg_expr(FERTILITY_MERGES)
+    got = dict(
+        duckdb.sql(
+            f"SELECT w, string_split(trim({expr}), '  ') AS toks "
+            "FROM (SELECT unnest(?) AS w)",
+            params=[words],
+        ).fetchall()
+    )
+    for w in words:
+        toks = list(w) + [EOW]
+        for a, b in FERTILITY_MERGES:
+            toks = _py_greedy_merge(toks, a, b)
+        assert got[w] == toks, (w, got[w], toks)
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    """Exact byte/word/token sums and the two rounded ratios on a corpus
+    small enough to count by hand; an empty-text group surfaces NULL
+    ratios."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.operators.bpe import (
+        tokenizer_fertility,
+    )
+
+    rows = [
+        ("web", "en", "the theft"),   # 'the'->[the</w>]=1 tok; 'theft'->[the,f,t,</w>]=4
+        ("web", "en", "of of"),       # 'of' -> [of, </w>] = 2 toks each
+        ("web", "zh", ""),            # empty text: 0 words -> NULL ratios
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {
+        (r.source, r.lang): r
+        for r in tokenizer_fertility(df, ["source", "lang"], "text").collect()
+    }
+    en = got[("web", "en")]
+    # bytes: 'the theft'=9 + 'of of'=5 = 14; words: 2 + 2 = 4
+    # tokens: the->1, theft->4, of->2 (x2) = 9
+    assert (en.n_docs, en.n_bytes, en.n_words, en.n_tokens) == (2, 14, 4, 9)
+    assert en.bytes_per_token == round(14 / 9, 6)
+    assert en.tokens_per_word == round(9 / 4, 6)
+    zh = got[("web", "zh")]
+    assert zh.n_docs == 1 and zh.bytes_per_token is None and zh.tokens_per_word is None

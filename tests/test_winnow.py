@@ -950,3 +950,46 @@ def test_mann_whitney_drops_null_label_and_score_rows(spark):
     assert (got_dirty.n_pos, got_dirty.n_neg) == (got_clean.n_pos, got_clean.n_neg) == (3, 4)
     assert got_dirty.z == got_clean.z
     assert got_dirty.p_value == got_clean.p_value
+
+
+def test_fleiss_kappa_matches_textbook_and_guards(spark):
+    """fleiss_kappa equals the literal Fleiss-1971 arithmetic on a hand
+    panel; a perfect panel gives 1; one-category saturation surfaces
+    NULL; unequal rater counts raise loudly."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import fleiss_kappa
+
+    # g1: 4 items x 3 raters over categories {a, b}
+    panel = {
+        1: ["a", "a", "a"],
+        2: ["a", "a", "b"],
+        3: ["b", "b", "b"],
+        4: ["a", "b", "b"],
+    }
+    rows = [("g1", i, c) for i, cs in panel.items() for c in cs]
+    rows += [("perfect", i, "x" if i % 2 else "y") for i in range(6) for _ in range(3)]
+    rows += [("sat", i, "only") for i in range(5) for _ in range(3)]
+    df = spark.createDataFrame(rows, "g string, item long, cat string")
+    got = {r.g: r for r in fleiss_kappa(df, "g", "item", F.col("cat")).collect()}
+
+    # python mirror of the exact ratio
+    N, n = 4, 3
+    A = sum(
+        sum(cs.count(c) * (cs.count(c) - 1) for c in set(cs)) for cs in panel.values()
+    )
+    cj = {"a": 6, "b": 6}
+    B = sum(v * v for v in cj.values())
+    D = N * n * (n - 1)
+    E = (N * n) ** 2
+    want = round((A * E - B * D) / (D * (E - B)), 6)
+    assert (got["g1"].n_items, got["g1"].n_raters) == (4, 3)
+    assert abs(got["g1"].kappa - want) < 1e-9
+    assert got["perfect"].kappa == 1.0
+    assert got["sat"].kappa is None  # every rating one category: P_e = 1
+
+    uneq = spark.createDataFrame(
+        [("g", 1, "a"), ("g", 1, "a"), ("g", 2, "a")], "g string, item long, cat string"
+    )
+    with pytest.raises(Exception, match="SAME rater count"):
+        fleiss_kappa(uneq, "g", "item", F.col("cat")).collect()
