@@ -1347,3 +1347,285 @@ def fleiss_kappa_sql(
            END AS kappa
     FROM gstats s JOIN marg m ON m.g = s.g
     """
+
+
+#: shared Kruskal-Wallis expression strings — evaluated verbatim by Spark
+#: expr AND DuckDB over identically-named columns (nn bigint, sumsq double,
+#: tt DECIMAL(38,0)), so the float op order cannot diverge.
+KW_H_SQL = (
+    "CASE WHEN k >= 2 AND nn >= 2 THEN "
+    "3.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)) * sumsq"
+    " - 3.0 * (CAST(nn AS DOUBLE) + 1.0) END"
+)
+_KW_TIE_DEN = (
+    "(1.0 - CAST(tt AS DOUBLE)"
+    " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)"
+    " - CAST(nn AS DOUBLE)))"
+)
+KW_H_TC_SQL = (
+    f"CASE WHEN k >= 2 AND nn >= 2 AND {_KW_TIE_DEN} > 0.0"
+    f" THEN ({KW_H_SQL}) / {_KW_TIE_DEN} END"
+)
+#: per-sample term of Σ S_j²/n_j — S_j is the 2×-scaled midrank sum, so
+#: the /4.0 folds into the leading 12/(N(N+1)) → 3/(N(N+1)) in KW_H_SQL
+KW_TERM_SQL = "CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(nj AS DOUBLE)"
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, sample_col: str, value: Column
+) -> DataFrame:
+    """Kruskal-Wallis H test per group (Kruskal & Wallis 1952; the
+    tie-corrected form) — the K-SAMPLE face of the testing battery:
+    ab_ztest compares two proportions, mann_whitney two distributions,
+    this asks whether K samples (channels, cohorts, model variants)
+    share one value distribution, without normality assumptions.
+
+    Exactness: midranks double to INTEGERS — the 2×-scaled midrank of a
+    distinct value v is R2(v) = 2·|{x < v}| + count(v) + 1 — so each
+    sample's rank sum S_j = Σ c_jv·R2(v) is an exact bigint (2·R_j) and
+    Σ R_j²/n_j = Σ S_j²/(4·n_j) folds the 4 into the H constant.  The
+    per-sample float terms sum in SAMPLE-KEY ORDER (the chi2/js ordered-
+    fold discipline); H, the tie term Σ(t³−t) (DECIMAL(38,0) — t³ wraps
+    int64 past t ≈ 2e6, the mann_whitney lesson), and the tie-corrected
+    H evaluate ONE shared expression string on both engines, each
+    rounded once.  NULL H when k < 2 or n < 2; NULL corrected H when
+    every value ties (the correction denominator degenerates) —
+    surfaced, never 0.
+
+    NULL contract: rows with a NULL sample key or NULL value are
+    DROPPED (NA omission — the mann_whitney contract).
+
+    Returns (group, k_samples, n, h, h_tie_corrected).  Scale: the
+    corpus collapses to (group, sample, value) sufficient-statistic
+    rows in one exchange; the midrank prefix runs per group over
+    DISTINCT values (the quantile_ci window discipline); everything
+    after is k rows per group."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(sample_col).cast("string").alias("smp"),
+        value.cast("bigint").alias("v"),
+    ).filter(F.col("smp").isNotNull() & F.col("v").isNotNull())
+    d_sv = base.groupBy("__g", "smp", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sv")
+    ).localCheckpoint()  # feeds the distinct-value table AND the rank sums
+    d_v = d_sv.groupBy("__g", "v").agg(F.sum("c_sv").cast("bigint").alias("c_v"))
+    w = Window.partitionBy("__g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = d_v.withColumn("cum", F.sum("c_v").over(w)).select(
+        "__g",
+        "v",
+        "c_v",
+        (F.lit(2) * (F.col("cum") - F.col("c_v")) + F.col("c_v") + F.lit(1))
+        .cast("bigint")
+        .alias("r2"),
+    ).localCheckpoint()  # feeds the per-sample rank sums AND the tie term
+    s = (
+        d_sv.join(ranked.select("__g", "v", "r2"), ["__g", "v"])
+        .groupBy("__g", "smp")
+        .agg(
+            F.sum(F.col("c_sv").cast(d38) * F.col("r2").cast(d38)).cast(d38).alias("s2"),
+            F.sum("c_sv").cast("bigint").alias("nj"),
+        )
+    )
+    ties = ranked.groupBy("__g").agg(
+        F.sum(
+            F.col("c_v").cast(d38) * F.col("c_v").cast(d38) * F.col("c_v").cast(d38)
+            - F.col("c_v").cast(d38)
+        ).cast(d38).alias("tt"),
+        F.sum("c_v").cast("bigint").alias("nn"),
+    )
+    gagg = s.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("smp", F.expr(KW_TERM_SQL).alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("sumsq"),
+    )
+    return gagg.join(ties, "__g").select(
+        F.col("__g").alias(group_col),
+        F.col("k").alias("k_samples"),
+        F.col("nn").alias("n"),
+        F.round(F.expr(KW_H_SQL), 6).alias("h"),
+        F.round(F.expr(KW_H_TC_SQL), 6).alias("h_tie_corrected"),
+    )
+
+
+def kruskal_wallis_sql(
+    table: str, group_col: str, sample_sql: str, value_sql: str
+) -> str:
+    """DuckDB twin of :func:`kruskal_wallis` — identical integer
+    midranks, sample-key-ordered float fold (``SUM(... ORDER BY smp)``),
+    and the SAME shared H / tie-correction expression strings."""
+    return f"""
+    WITH base AS (SELECT * FROM (
+                    SELECT {group_col} AS g,
+                           CAST({sample_sql} AS VARCHAR) AS smp,
+                           CAST({value_sql} AS BIGINT) AS v
+                    FROM {table})
+                  WHERE smp IS NOT NULL AND v IS NOT NULL),
+    d_sv AS MATERIALIZED (
+        SELECT g, smp, v, CAST(COUNT(*) AS BIGINT) AS c_sv
+        FROM base GROUP BY 1, 2, 3),
+    d_v AS (SELECT g, v, CAST(SUM(c_sv) AS BIGINT) AS c_v FROM d_sv GROUP BY 1, 2),
+    ranked AS MATERIALIZED (
+        SELECT g, v, c_v,
+               CAST(2 * (cum - c_v) + c_v + 1 AS BIGINT) AS r2
+        FROM (SELECT g, v, c_v,
+                     SUM(c_v) OVER (PARTITION BY g ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM d_v)),
+    s AS (
+        SELECT d.g, d.smp,
+               CAST(SUM(CAST(d.c_sv AS DECIMAL(38,0))
+                        * CAST(r.r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(d.c_sv) AS BIGINT) AS nj
+        FROM d_sv d JOIN ranked r ON r.g = d.g AND r.v = d.v
+        GROUP BY 1, 2),
+    ties AS (
+        SELECT g,
+               CAST(SUM(CAST(c_v AS DECIMAL(38,0)) * CAST(c_v AS DECIMAL(38,0))
+                        * CAST(c_v AS DECIMAL(38,0))
+                        - CAST(c_v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tt,
+               CAST(SUM(c_v) AS BIGINT) AS nn
+        FROM ranked GROUP BY 1),
+    gagg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS k,
+               SUM({KW_TERM_SQL} ORDER BY smp) AS sumsq
+        FROM s GROUP BY 1)
+    SELECT a.g AS {group_col}, a.k AS k_samples, t.nn AS n,
+           round({KW_H_SQL}, 6) AS h,
+           round({KW_H_TC_SQL}, 6) AS h_tie_corrected
+    FROM gagg a JOIN ties t ON t.g = a.g
+    """
+
+
+#: confidence scores are integer micro-units in [0, ECE_SCALE]
+ECE_SCALE = 1_000_000
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    group_col: str,
+    label: Column,
+    score_micro: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error per group (Naeini et al. AAAI 2015;
+    Guo et al. ICML 2017) — THE summary reliability number for a
+    probabilistic classifier / LLM-judge confidence: bin predictions by
+    confidence, weight each bin's |accuracy − mean confidence| by its
+    mass.  The pointwise companion of the isotonic/conformal calibration
+    family (those FIX calibration; this MEASURES it).
+
+    Exactness — fully integer, no fold-order risk: with confidence in
+    micro-units (``score_micro`` ∈ [0, 1e6]), each bin's gap term is
+
+        n_b·|acc_b − conf_b| = |Σy_b·SCALE − Σs_b| / SCALE
+
+    so ECE = Σ_b |Σy_b·SCALE − Σs_b| / (SCALE·N) — the numerator is an
+    EXACT DECIMAL(38,0) sum of per-bin absolute integers (order-free),
+    and ECE is ONE rounded division.  MCE (the max bin gap) rounds each
+    bin's exact-numerator division once, then takes the max.  NULL on
+    empty groups only (ECE of a constant-confidence group is still
+    defined).  Scores outside [0, ECE_SCALE] raise loudly (a
+    mis-scaled probability would silently land in the top bin).
+
+    Bins are equal-width: bin = min(score·n_bins div (SCALE+1),
+    n_bins−1) — pure integer arithmetic (the PSI/z-order discipline).
+
+    Returns (group, n, n_bins_used, ece, mce).  Scale: ONE partial-
+    aggregated pass to (group, bin) sufficient statistics — ≤ n_bins
+    rows per group — then the rollup."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        label.cast("int").alias("y"),
+        score_micro.cast("bigint").alias("s"),
+    ).filter(F.col("y").isNotNull() & F.col("s").isNotNull())
+    guarded = base.withColumn(
+        "s",
+        F.expr(
+            f"CASE WHEN s < 0 OR s > {ECE_SCALE} THEN CAST(raise_error("
+            f"'expected_calibration_error: score_micro outside [0, {ECE_SCALE}] — "
+            "scale probabilities to micro-units first') AS BIGINT) ELSE s END"
+        ),
+    )
+    bins = guarded.withColumn(
+        "b",
+        F.expr(f"LEAST(s * {int(n_bins)} div {ECE_SCALE + 1}, {int(n_bins) - 1})"),
+    )
+    cells = bins.groupBy("__g", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("s").cast(d38).alias("ss"),
+    )
+    gap = cells.withColumn(
+        "num",
+        F.abs(
+            F.col("sy").cast(d38) * F.lit(ECE_SCALE).cast(d38) - F.col("ss")
+        ).cast(d38),
+    )
+    return gap.groupBy("__g").agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.round(
+            F.sum("num").cast("double")
+            / (F.lit(float(ECE_SCALE)) * F.sum("n_b").cast("double")),
+            6,
+        ).alias("ece"),
+        F.max(
+            F.round(
+                F.col("num").cast("double")
+                / (F.lit(float(ECE_SCALE)) * F.col("n_b").cast("double")),
+                6,
+            )
+        ).alias("mce"),
+    ).select(
+        F.col("__g").alias(group_col), "n", "n_bins_used", "ece", "mce"
+    )
+
+
+def expected_calibration_error_sql(
+    table: str, group_col: str, label_sql: str, score_sql: str, n_bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`expected_calibration_error` — identical
+    integer bins, exact numerators, one rounded division (+ the same
+    loud out-of-range guard)."""
+    return f"""
+    WITH base AS (SELECT * FROM (
+                    SELECT {group_col} AS g,
+                           CAST({label_sql} AS INT) AS y,
+                           CAST({score_sql} AS BIGINT) AS s
+                    FROM {table})
+                  WHERE y IS NOT NULL AND s IS NOT NULL),
+    guarded AS (
+        SELECT g, y,
+               CASE WHEN s < 0 OR s > {ECE_SCALE}
+                    THEN CAST(error('expected_calibration_error: score_micro outside [0, {ECE_SCALE}] — scale probabilities to micro-units first') AS BIGINT)
+                    ELSE s END AS s
+        FROM base),
+    cells AS (
+        SELECT g, LEAST(s * {int(n_bins)} // {ECE_SCALE + 1}, {int(n_bins) - 1}) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(s) AS DECIMAL(38,0)) AS ss
+        FROM guarded GROUP BY 1, 2),
+    gap AS (
+        SELECT g, n_b,
+               CAST(abs(CAST(sy AS DECIMAL(38,0)) * CAST({ECE_SCALE} AS DECIMAL(38,0))
+                        - ss) AS DECIMAL(38,0)) AS num
+        FROM cells)
+    SELECT g AS {group_col},
+           CAST(SUM(n_b) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           round(CAST(SUM(num) AS DOUBLE)
+                 / ({float(ECE_SCALE)!r} * CAST(SUM(n_b) AS DOUBLE)), 6) AS ece,
+           MAX(round(CAST(num AS DOUBLE)
+                     / ({float(ECE_SCALE)!r} * CAST(n_b AS DOUBLE)), 6)) AS mce
+    FROM gap GROUP BY 1
+    """

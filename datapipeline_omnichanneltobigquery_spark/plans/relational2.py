@@ -3283,6 +3283,60 @@ def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return me.cohen_kappa(ev, "event_type", a, b)
 
 
+@query(
+    "stats_kruskal_wallis",
+    driver=False,  # NEW r14: k-sample nonparametric test (r15 rotation queue)
+    oracle=me.kruskal_wallis_sql(
+        "customer", "c_nationkey", "c_mktsegment",
+        "CAST(round(c_acctbal * 100, 0) AS BIGINT)",
+    ),
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five market segments' account-balance
+    distributions per nation — the K-SAMPLE face of the testing battery
+    (ab_ztest: two proportions; mann_whitney: two distributions; this:
+    K distributions, no normality assumed).  Integer 2×-scaled midranks
+    make every rank sum an exact bigint; the per-sample float terms
+    fold in segment order and H + the tie correction evaluate one
+    shared expression string on both engines
+    (operators/ml_eval.py::kruskal_wallis; Kruskal & Wallis 1952)."""
+    cust = read_table(spark, sf_dir, "customer")
+    return me.kruskal_wallis(
+        cust,
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)"),
+    )
+
+
+@query(
+    "calibration_ece",
+    driver=False,  # NEW r14: expected calibration error (r15 rotation queue)
+    oracle=me.expected_calibration_error_sql(
+        "events", "event_type",
+        "CASE WHEN value >= 50.0 THEN 1 ELSE 0 END",
+        "LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000)",
+    ),
+)
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the value-derived confidence score
+    (value·1e4 micro-units clamped to [0, 1e6]) against the ≥50
+    outcome, per event_type — the summary reliability number beside the
+    isotonic/conformal calibrators (they FIX calibration; this MEASURES
+    it): bin by confidence decile, weight |accuracy − confidence| by
+    bin mass.  Fully exact integer numerators (no fold-order risk),
+    ONE rounded division; MCE rides the same cells
+    (operators/ml_eval.py::expected_calibration_error; Naeini 2015,
+    Guo 2017)."""
+    ev = read_table(spark, sf_dir, "events")
+    return me.expected_calibration_error(
+        ev,
+        "event_type",
+        F.when(F.col("value") >= 50.0, F.lit(1)).otherwise(F.lit(0)),
+        F.expr("LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000)"),
+    )
+
+
 #: the third deterministic judge for the Fleiss panel — the same
 #: threshold rule under a DIFFERENT md5 seed, so the three judges are
 #: correlated but pairwise distinct and κ lands strictly inside (0, 1)

@@ -993,3 +993,81 @@ def test_fleiss_kappa_matches_textbook_and_guards(spark):
     )
     with pytest.raises(Exception, match="SAME rater count"):
         fleiss_kappa(uneq, "g", "item", F.col("cat")).collect()
+
+
+def test_kruskal_wallis_matches_scipy_free_bruteforce(spark):
+    """kruskal_wallis equals a literal python implementation (midranks,
+    H, tie correction); k=1 and all-tied degeneracies surface NULL;
+    NULL sample/value rows drop."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        kruskal_wallis,
+    )
+
+    samples = {"a": [1, 3, 5, 7], "b": [2, 4, 6, 6], "c": [1, 8, 9]}
+    rows = [("g", s, v) for s, vs in samples.items() for v in vs]
+    rows += [("solo", "only", v) for v in [1, 2, 3]]         # k=1 -> NULL
+    rows += [("tied", s, 5) for s in ["a", "b"] for _ in range(3)]  # all tied
+    rows += [("g", None, 99), ("g", "a", None)]              # dropped
+    df = spark.createDataFrame(rows, "g string, smp string, v long")
+    got = {r.g: r for r in kruskal_wallis(df, "g", "smp", F.col("v")).collect()}
+
+    # python mirror: midranks over the pooled values
+    pooled = sorted(v for vs in samples.values() for v in vs)
+    n = len(pooled)
+
+    def midrank(v):
+        less = sum(1 for x in pooled if x < v)
+        cnt = pooled.count(v)
+        return less + (cnt + 1) / 2
+
+    h = (
+        12.0 / (n * (n + 1))
+        * sum(sum(midrank(v) for v in vs) ** 2 / len(vs) for vs in samples.values())
+        - 3 * (n + 1)
+    )
+    from collections import Counter
+
+    tt = sum(t**3 - t for t in Counter(pooled).values())
+    h_tc = h / (1 - tt / (n**3 - n))
+    assert (got["g"].k_samples, got["g"].n) == (3, 11)
+    assert abs(got["g"].h - h) < 1e-6
+    assert abs(got["g"].h_tie_corrected - h_tc) < 1e-6
+    assert got["solo"].h is None
+    assert got["tied"].h_tie_corrected is None  # correction denominator 0
+    assert got["tied"].h == 0.0                 # identical rank sums
+
+
+def test_expected_calibration_error_hand_case(spark):
+    """ECE/MCE equal the hand-binned definition; a perfectly calibrated
+    group scores 0; an out-of-range score raises loudly."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        expected_calibration_error,
+    )
+
+    # bin 0 [0, 0.1): two rows conf 0.05, one positive -> acc .5, conf .05
+    # bin 9 [0.9, 1]: two rows conf 1.0, one positive -> acc .5, conf 1.0
+    rows = [
+        ("g", 1, 50_000), ("g", 0, 50_000),
+        ("g", 1, 1_000_000), ("g", 0, 1_000_000),
+        # perfectly calibrated: conf 0 with label 0, conf 1e6 with label 1
+        ("cal", 0, 0), ("cal", 1, 1_000_000),
+    ]
+    df = spark.createDataFrame(rows, "g string, y int, s long")
+    got = {
+        r.g: r
+        for r in expected_calibration_error(
+            df, "g", F.col("y") == 1, F.col("s")
+        ).collect()
+    }
+    gap0 = abs(1 * 1_000_000 - 100_000)     # |sy*SCALE - ss| bin 0
+    gap9 = abs(1 * 1_000_000 - 2_000_000)   # bin 9
+    assert got["g"].n == 4 and got["g"].n_bins_used == 2
+    assert got["g"].ece == round((gap0 + gap9) / (1_000_000 * 4), 6)
+    assert got["g"].mce == round(gap9 / (1_000_000 * 2), 6)
+    assert got["cal"].ece == 0.0 and got["cal"].mce == 0.0
+
+    bad = spark.createDataFrame([("g", 1, 2_000_000)], "g string, y int, s long")
+    with pytest.raises(Exception, match="micro-units"):
+        expected_calibration_error(bad, "g", F.col("y") == 1, F.col("s")).collect()
