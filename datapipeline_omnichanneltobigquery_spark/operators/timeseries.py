@@ -1759,3 +1759,169 @@ def holt_eval_sql(
            err_holt_micro < err_naive_micro AS holt_better
     FROM agg
     """
+
+
+def acf_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    max_lag: int = 12,
+    step_seconds: int = 3600,
+    max_points_per_key: int = 100_000,
+) -> DataFrame:
+    """Sample autocorrelation function of the per-bucket EVENT-COUNT
+    series per key, lags 1..``max_lag`` (Box & Jenkins; the standard
+    r_k with the full-series mean and variance) — the seasonality/
+    memory fingerprint beside the trend (theilsen) and changepoint
+    (cusum) screens: a daily cycle shows as a peak at lag 24 on hourly
+    buckets, white noise dies inside ±2/√n.
+
+    Exactness — integer counts end-to-end: with S = Σx, Q = Σx²,
+    C_k = Σ x_t·x_{t+k}, H_k/T_k the head/tail partial sums, the
+    textbook r_k multiplies through by n² to
+
+        r_k = (n²·C_k − n·S·(H_k + T_k) + (n−k)·S²) / (n²·Q − n·S²)
+
+    — numerator and denominator EXACT DECIMAL(38,0), ONE rounded
+    division per (key, lag).  NULL r_k for a constant series (zero
+    variance — surfaced); lags with no pairs (k > n−1) don't emit rows.
+    Missing buckets inside [min, max] count as ZERO events (they are
+    zeros of the count series, not gaps); the dense grid guard raises
+    diagnosably past ``max_points_per_key`` (the resample discipline).
+
+    Returns (key, lag, n, r).  Scale: the corpus collapses to
+    per-(key, bucket) counts in one exchange (n ≤ points-per-key rows);
+    the lag self-join fans out n·max_lag SERIES rows (not corpus rows),
+    partitioned by key."""
+    step_us = int(step_seconds) * 1_000_000
+    m = F.unix_micros(F.col(ts_col))
+    obs = (
+        df.select(F.col(key_col).alias("key"), m.alias("m"))
+        .groupBy("key", (F.col("m") - F.pmod(F.col("m"), F.lit(step_us))).alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bounds = obs.groupBy("key").agg(F.min("b").alias("t0"), F.max("b").alias("t1"))
+    npts = (F.col("t1") - F.col("t0")) / F.lit(step_us) + 1
+    guarded = F.when(
+        npts <= F.lit(int(max_points_per_key)),
+        F.sequence("t0", "t1", F.lit(step_us)),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "acf grid for key %s spans %s points at step "
+                f"{step_us} us (max_points_per_key={int(max_points_per_key)}) "
+                "— widen the step or raise the cap",
+                F.col("key").cast("string"),
+                npts.cast("bigint").cast("string"),
+            )
+        )
+    )
+    grid = bounds.select("key", F.explode(guarded).alias("b"))
+    series = (
+        grid.join(obs, ["key", "b"], "left")
+        .select(
+            "key",
+            F.expr(f"(b - MIN(b) OVER (PARTITION BY key)) div {step_us}").alias("t"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .localCheckpoint()  # feeds the moment stats AND both lag-join sides
+    )
+    d38 = "decimal(38,0)"
+    stats = series.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast(d38).alias("s"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).cast(d38).alias("q"),
+    )
+    a, b = series.alias("a"), series.alias("b")
+    lagged = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("b.t") > F.col("a.t"))
+            & (F.col("b.t") <= F.col("a.t") + F.lit(int(max_lag))),
+        )
+        .select(
+            F.col("a.key").alias("key"),
+            (F.col("b.t") - F.col("a.t")).cast("bigint").alias("lag"),
+            F.col("a.x").alias("xh"),
+            F.col("b.x").alias("xt"),
+        )
+        .groupBy("key", "lag")
+        .agg(
+            F.sum(F.col("xh").cast(d38) * F.col("xt").cast(d38)).cast(d38).alias("ck"),
+            F.sum(F.col("xh").cast(d38)).cast(d38).alias("hk"),
+            F.sum(F.col("xt").cast(d38)).cast(d38).alias("tk"),
+        )
+    )
+    nd = F.col("n").cast(d38)
+    num = (
+        nd * nd * F.col("ck")
+        - nd * F.col("s") * (F.col("hk") + F.col("tk"))
+        + (nd - F.col("lag").cast(d38)) * F.col("s") * F.col("s")
+    )
+    den = nd * nd * F.col("q") - nd * F.col("s") * F.col("s")
+    return lagged.join(stats, "key").select(
+        F.col("key").alias(key_col),
+        "lag",
+        "n",
+        F.when(
+            den > F.lit(0).cast("decimal(38,0)"),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("r"),
+    )
+
+
+def acf_counts_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    max_lag: int = 12,
+    step_seconds: int = 3600,
+) -> str:
+    """DuckDB twin of :func:`acf_counts` — identical floor-mod buckets,
+    dense zero-filled grid, exact DECIMAL(38,0) moments, one rounded
+    division per (key, lag)."""
+    step_us = int(step_seconds) * 1_000_000
+    return f"""
+    WITH obs AS (
+        SELECT {key_col} AS key,
+               epoch_us({ts_col})
+                 - ((((epoch_us({ts_col})) % {step_us}) + {step_us}) % {step_us}) AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2),
+    bounds AS (SELECT key, MIN(b) AS t0, MAX(b) AS t1 FROM obs GROUP BY 1),
+    grid AS (
+        SELECT key, UNNEST(generate_series(t0, t1, {step_us})) AS b
+        FROM bounds),
+    series AS MATERIALIZED (
+        SELECT g.key,
+               (g.b - MIN(g.b) OVER (PARTITION BY g.key)) // {step_us} AS t,
+               CAST(COALESCE(o.c, 0) AS BIGINT) AS x
+        FROM grid g LEFT JOIN obs o ON o.key = g.key AND o.b = g.b),
+    stats AS (
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS q
+        FROM series GROUP BY 1),
+    lagged AS (
+        SELECT a.key, CAST(b.t - a.t AS BIGINT) AS lag,
+               CAST(SUM(CAST(a.x AS DECIMAL(38,0)) * CAST(b.x AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ck,
+               CAST(SUM(CAST(a.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS hk,
+               CAST(SUM(CAST(b.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tk
+        FROM series a JOIN series b
+          ON b.key = a.key AND b.t > a.t AND b.t <= a.t + {int(max_lag)}
+        GROUP BY 1, 2)
+    SELECT l.key AS {key_col}, l.lag, s.n,
+           CASE WHEN CAST(s.n AS DECIMAL(38,0)) * CAST(s.n AS DECIMAL(38,0)) * s.q
+                     - CAST(s.n AS DECIMAL(38,0)) * s.s * s.s > 0 THEN
+             round(CAST(CAST(s.n AS DECIMAL(38,0)) * CAST(s.n AS DECIMAL(38,0)) * l.ck
+                        - CAST(s.n AS DECIMAL(38,0)) * s.s * (l.hk + l.tk)
+                        + (CAST(s.n AS DECIMAL(38,0)) - CAST(l.lag AS DECIMAL(38,0)))
+                          * s.s * s.s AS DOUBLE)
+                   / CAST(CAST(s.n AS DECIMAL(38,0)) * CAST(s.n AS DECIMAL(38,0)) * s.q
+                          - CAST(s.n AS DECIMAL(38,0)) * s.s * s.s AS DOUBLE), 6)
+           END AS r
+    FROM lagged l JOIN stats s ON s.key = l.key
+    """

@@ -3284,6 +3284,24 @@ def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_acf_hourly",
+    driver=False,  # NEW r14: autocorrelation fingerprint (r15 rotation queue)
+    oracle=tsr.acf_counts_sql("events", "event_type", "ts", max_lag=12),
+)
+def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series per type,
+    lags 1-12 — the seasonality/memory fingerprint beside trend
+    (theilsen) and changepoint (cusum): a daily cycle peaks at lag 24,
+    white noise dies inside ±2/√n.  Missing hours are ZEROS of the
+    count series (dense grid, the resample discipline); r_k multiplies
+    through by n² so numerator and denominator are exact DECIMAL(38,0)
+    and each lag is ONE rounded division
+    (operators/timeseries.py::acf_counts; Box & Jenkins)."""
+    ev = read_table(spark, sf_dir, "events")
+    return tsr.acf_counts(ev, "event_type", "ts", max_lag=12)
+
+
+@query(
     "stats_kruskal_wallis",
     driver=False,  # NEW r14: k-sample nonparametric test (r15 rotation queue)
     oracle=me.kruskal_wallis_sql(

@@ -621,3 +621,38 @@ def test_streaming_lateness_null_ts_matches_batch(spark):
     pdf2 = pd.DataFrame({"arrival": ["x"], "m": pd.array([None], dtype="Int64")})
     out2 = list(_auditor(120 * us)(("B",), iter([pdf2]), st2))
     assert out2[0].iloc[0].n_late == 0 and not st2.exists
+
+
+def test_acf_counts_matches_numpy_free_bruteforce(spark):
+    """acf_counts equals the textbook r_k on a hand series (zeros filled
+    for missing buckets); a constant series surfaces NULL r; lags past
+    n-1 emit no rows."""
+    from datetime import datetime, timezone
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import (
+        acf_counts,
+    )
+
+    # key 'a': counts per hour h0..h5 = [2, 1, 0, 3, 1, 2] (h2 missing ->
+    # zero-filled); key 'flat': constant 1 per hour -> zero variance
+    def ts(h):
+        return datetime(2024, 1, 1, h, 30, tzinfo=timezone.utc)
+
+    rows = [("a", ts(0))] * 2 + [("a", ts(1))] + [("a", ts(3))] * 3 + [
+        ("a", ts(4))
+    ] + [("a", ts(5))] * 2
+    rows += [("flat", ts(h)) for h in range(4)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {(r.k, r.lag): r for r in acf_counts(df, "k", "ts", max_lag=3).collect()}
+
+    x = [2, 1, 0, 3, 1, 2]
+    n = len(x)
+    mean = sum(x) / n
+    den = sum((v - mean) ** 2 for v in x)
+    for k in (1, 2, 3):
+        num = sum((x[t] - mean) * (x[t + k] - mean) for t in range(n - k))
+        r = got[("a", k)]
+        assert r.n == 6
+        assert abs(r.r - round(num / den, 6)) < 1e-9, (k, r.r, num / den)
+    assert got[("flat", 1)].r is None  # zero variance: undefined, surfaced
+    assert ("a", 6) not in got  # no pairs past n-1
