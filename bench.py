@@ -80,6 +80,11 @@ def main() -> int:
             if prev < 0 or took < prev:
                 timings[name] = took
                 min_contended[name] = cur_pass_contended
+            elif took == prev:
+                # a healthy pass that TIES the floor clears the contended
+                # provenance — the row was reproduced clean (3-decimal
+                # rounding makes exact ties common on sub-second floors)
+                min_contended[name] = min_contended.get(name, True) and cur_pass_contended
             samples[name] = samples.get(name, 0) + 1
         except Exception as exc:  # a failing query must not hide the others
             timings.setdefault(name, -1.0)

@@ -258,7 +258,19 @@ def tokenizer_fertility(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.octet_length(F.col(text_col))).cast("bigint").alias("n_bytes"),
     )
-    return byt.join(tok, group_cols, "left").select(
+    # null-SAFE group join: a NULL group key (e.g. lang unset) aggregates
+    # on both sides but null-unsafe equality would never match them,
+    # silently reporting NULL token counts for a group that HAS words
+    tok_r = tok.select(
+        *[F.col(c).alias(f"__t_{c}") for c in group_cols],
+        "n_words",
+        "n_tokens",
+    )
+    cond = None
+    for c in group_cols:
+        piece = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+        cond = piece if cond is None else (cond & piece)
+    return byt.join(tok_r, cond, "left").select(
         *group_cols,
         "n_docs",
         "n_bytes",
@@ -341,5 +353,6 @@ def tokenizer_fertility_sql(
            CASE WHEN t.n_words > 0
                 THEN round(CAST(t.n_tokens AS DOUBLE) / CAST(t.n_words AS DOUBLE), 6)
            END AS tokens_per_word
-    FROM byt b LEFT JOIN tok t USING ({g})
+    FROM byt b LEFT JOIN tok t
+      ON {" AND ".join(f"b.{c} IS NOT DISTINCT FROM t.{c}" for c in group_cols)}
     """

@@ -1262,7 +1262,8 @@ def fleiss_kappa(
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.min("n_i").alias("__nmin"),
         F.max("n_i").alias("__nmax"),
-        F.sum("pairs_i").cast(d38).alias("a_pairs"),
+        # cast INSIDE the sum: Σ pairs_i ≤ N·n² wraps int64 at extreme N
+        F.sum(F.col("pairs_i").cast(d38)).cast(d38).alias("a_pairs"),
     ).select(
         "__g",
         "n_items",
@@ -1326,26 +1327,25 @@ def fleiss_kappa_sql(
                            * CAST(c_j AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS b_sq
         FROM (SELECT g, cat, CAST(SUM(c) AS BIGINT) AS c_j
               FROM cells GROUP BY 1, 2)
-        GROUP BY 1)
-    SELECT s.g AS {group_col}, s.n_items, s.n_raters,
-           CASE WHEN CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
-                     * CAST(s.n_raters - 1 AS DECIMAL(38,0))
-                     * (CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
-                        * CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
-                        - m.b_sq) > 0 THEN
-             round(CAST(s.a_pairs
-                          * (CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
-                             * CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0)))
-                        - m.b_sq
-                          * (CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
-                             * CAST(s.n_raters - 1 AS DECIMAL(38,0))) AS DOUBLE)
-                   / CAST(CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
-                          * CAST(s.n_raters - 1 AS DECIMAL(38,0))
-                          * (CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
-                             * CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
-                             - m.b_sq) AS DOUBLE), 6)
+        GROUP BY 1),
+    -- D = N·n·(n−1) (all pairs), E = (N·n)² — computed ONCE (the Spark
+    -- side's nd/d_pairs/e_sq locals), so numerator and denominator
+    -- cannot silently drift apart under a single-site edit
+    staged AS (
+        SELECT s.g, s.n_items, s.n_raters, s.a_pairs, m.b_sq,
+               CAST(s.n_items AS DECIMAL(38,0))
+                 * CAST(s.n_raters AS DECIMAL(38,0))
+                 * CAST(s.n_raters - 1 AS DECIMAL(38,0)) AS d_pairs,
+               CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
+                 * CAST(s.n_items AS DECIMAL(38,0)) * CAST(s.n_raters AS DECIMAL(38,0))
+                 AS e_sq
+        FROM gstats s JOIN marg m ON m.g = s.g)
+    SELECT g AS {group_col}, n_items, n_raters,
+           CASE WHEN d_pairs * (e_sq - b_sq) > 0 THEN
+             round(CAST(a_pairs * e_sq - b_sq * d_pairs AS DOUBLE)
+                   / CAST(d_pairs * (e_sq - b_sq) AS DOUBLE), 6)
            END AS kappa
-    FROM gstats s JOIN marg m ON m.g = s.g
+    FROM staged
     """
 
 
@@ -1562,7 +1562,10 @@ def expected_calibration_error(
     cells = bins.groupBy("__g", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_b"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum("s").cast(d38).alias("ss"),
+        # cast INSIDE the sum: a (group, bin) cell past ~9.2e12 rows at
+        # near-max scores would wrap a raw-BIGINT sum in non-ANSI Spark
+        # while DuckDB sums exactly (the mad_outliers lesson)
+        F.sum(F.col("s").cast(d38)).cast(d38).alias("ss"),
     )
     gap = cells.withColumn(
         "num",

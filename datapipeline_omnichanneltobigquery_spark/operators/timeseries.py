@@ -1800,7 +1800,14 @@ def acf_counts(
         .groupBy("key", (F.col("m") - F.pmod(F.col("m"), F.lit(step_us))).alias("b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    bounds = obs.groupBy("key").agg(F.min("b").alias("t0"), F.max("b").alias("t1"))
+    # t1 >= t0 is the _obs_and_grid NULL-proofing (an all-NULL-ts key has
+    # NULL bounds: the filter OMITS it, matching the SQL twin's empty
+    # generate_series, instead of firing the grid guard with a misleading
+    # "spans null points" error).  Bounds need no ceil/floor rounding here
+    # because b is already bucket-floored.
+    bounds = obs.groupBy("key").agg(
+        F.min("b").alias("t0"), F.max("b").alias("t1")
+    ).filter(F.col("t1") >= F.col("t0"))
     npts = (F.col("t1") - F.col("t0")) / F.lit(step_us) + 1
     guarded = F.when(
         npts <= F.lit(int(max_points_per_key)),
@@ -1829,7 +1836,7 @@ def acf_counts(
     d38 = "decimal(38,0)"
     stats = series.groupBy("key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast(d38).alias("s"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("s"),
         F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).cast(d38).alias("q"),
     )
     a, b = series.alias("a"), series.alias("b")

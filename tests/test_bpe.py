@@ -168,3 +168,24 @@ def test_tokenizer_fertility_hand_case(spark):
     assert en.tokens_per_word == round(9 / 4, 6)
     zh = got[("web", "zh")]
     assert zh.n_docs == 1 and zh.bytes_per_token is None and zh.tokens_per_word is None
+
+
+def test_tokenizer_fertility_null_group_key_joins_null_safe(spark):
+    """r14 review regression: a NULL group key (lang unset) aggregates on
+    both the byte and token sides and must JOIN — null-unsafe equality
+    would report NULL token counts for a group that has words."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_omnichanneltobigquery_spark.operators.bpe import (
+        tokenizer_fertility,
+    )
+
+    rows = [("web", None, "of of"), ("web", "en", "of")]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {
+        (r.source, r.lang): r
+        for r in tokenizer_fertility(df, ["source", "lang"], "text").collect()
+    }
+    nul = got[("web", None)]
+    assert (nul.n_words, nul.n_tokens) == (2, 4)  # 'of' -> [of, </w>] x2
+    assert nul.tokens_per_word == 2.0

@@ -656,3 +656,25 @@ def test_acf_counts_matches_numpy_free_bruteforce(spark):
         assert abs(r.r - round(num / den, 6)) < 1e-9, (k, r.r, num / den)
     assert got[("flat", 1)].r is None  # zero variance: undefined, surfaced
     assert ("a", 6) not in got  # no pairs past n-1
+
+
+def test_acf_counts_omits_all_null_ts_key(spark):
+    """r14 review regression: a key whose timestamps are all NULL is
+    OMITTED (NULL bounds filtered, matching the SQL twin's empty
+    generate_series) instead of crashing the job with a misleading
+    grid-size error."""
+    from datetime import datetime, timezone
+
+    from datapipeline_omnichanneltobigquery_spark.operators.timeseries import (
+        acf_counts,
+    )
+
+    rows = [
+        ("ok", datetime(2024, 1, 1, 0, tzinfo=timezone.utc)),
+        ("ok", datetime(2024, 1, 1, 1, tzinfo=timezone.utc)),
+        ("ok", datetime(2024, 1, 1, 2, tzinfo=timezone.utc)),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = acf_counts(df, "k", "ts", max_lag=2).collect()
+    assert {r.k for r in got} == {"ok"}
