@@ -506,3 +506,137 @@ def adamic_adar_sql(edges_sql: str, max_degree: int = 64) -> str:
     FROM pairs p
     LEFT JOIN und e ON e.u = p.node_a AND e.v = p.node_b
     """
+
+
+#: HITS fixed-point units — smaller than PageRank's SCALE so the
+#: normalization product score·HITS_SCALE stays inside int64 under the
+#: degree cap: raw sums ≤ HITS_DEG_CAP·HITS_SCALE = 4e12, and
+#: raw·HITS_SCALE ≤ 4e18 < 2^63.
+HITS_SCALE = 10**6
+HITS_DEG_CAP = 4_000_000
+
+
+def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """HITS hubs & authorities over directed ``edges`` (src, dst) —
+    Kleinberg 1999, the bipartite companion of PageRank: a src's HUB
+    score sums its targets' authority, a dst's AUTHORITY score sums its
+    sources' hub mass (users×products, queries×documents).
+
+    EXACT integer power iteration with MAX-normalization (the standard
+    power-iteration variant: each round's scores rescale so the maximum
+    is exactly ``HITS_SCALE``): score' = (raw · HITS_SCALE) div max(raw)
+    — integer sums and one flooring division per node per round, so the
+    fixed point is bit-identical across engines and parallelism.  Ranks
+    under max-norm are IDENTICAL to Kleinberg's L2-normalized ranking
+    (normalization never reorders scores).
+
+    Overflow contract, guarded loudly: raw sums are bounded by
+    degree·HITS_SCALE, so a node with in- or out-degree above
+    ``HITS_DEG_CAP`` (4e6) raises a diagnosable error naming the bound
+    (the basket_edges supernode discipline) rather than wrapping the
+    normalization product — split a genuine supernode or pre-aggregate
+    its edges first.
+
+    Returns (node, hub, auth) — NULL hub for pure authorities, NULL
+    auth for pure hubs.  Scale: each round is two degree-bounded
+    join+aggregates plus a 1-row broadcast max; the edge set crosses
+    one exchange per half-round."""
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    deg_guard = (
+        e.select(F.col("src").alias("x"))
+        .unionByName(e.select(F.col("dst").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.max(
+                F.when(F.col("d") <= F.lit(HITS_DEG_CAP), F.col("d")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("hits_fixedpoint: node "),
+                            F.col("x").cast("string"),
+                            F.lit(
+                                f" has degree above HITS_DEG_CAP={HITS_DEG_CAP}; "
+                                "the normalization product would overflow int64 — "
+                                "split the supernode or pre-aggregate its edges"
+                            ),
+                        )
+                    )
+                )
+            ).alias("dmax")
+        )
+    )
+    deg_guard.collect()  # bounded 1-row action; fires the guard eagerly
+    hubs = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    auths = e.select(F.col("dst").alias("node")).distinct().localCheckpoint()
+    h = hubs.withColumn("h", F.lit(HITS_SCALE).cast("bigint"))
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(h, e.src == h.node)
+            .groupBy("dst")
+            .agg(F.sum("h").cast("bigint").alias("raw"))
+        )
+        amax = a_raw.agg(F.max("raw").alias("mx"))
+        a = a_raw.crossJoin(F.broadcast(amax)).select(
+            F.col("dst").alias("node"),
+            F.expr(f"(raw * {HITS_SCALE}) div mx").cast("bigint").alias("a"),
+        )
+        h_raw = (
+            e.join(a, e.dst == a.node)
+            .groupBy("src")
+            .agg(F.sum("a").cast("bigint").alias("raw"))
+        )
+        hmax = h_raw.agg(F.max("raw").alias("mx"))
+        h = h_raw.crossJoin(F.broadcast(hmax)).select(
+            F.col("src").alias("node"),
+            F.expr(f"(raw * {HITS_SCALE}) div mx").cast("bigint").alias("h"),
+        )
+        h = h.localCheckpoint()  # bounds plan depth across rounds
+        a = a.localCheckpoint()
+    return (
+        h.select("node", F.col("h").alias("hub"))
+        .join(a.select("node", F.col("a").alias("auth")), "node", "full_outer")
+        .select("node", "hub", "auth")
+    )
+
+
+def hits_fixedpoint_sql(edges_sql: str, iterations: int = 4) -> str:
+    """DuckDB twin of :func:`hits_fixedpoint` — the same rounds unrolled
+    as CTEs with identical integer max-normalization (``//`` ≡ ``div``
+    on non-negative bigints; the degree guard is structural on the
+    Spark side and a data-contract here)."""
+    parts = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        f"h0 AS (SELECT DISTINCT src AS node, CAST({HITS_SCALE} AS BIGINT) AS h FROM edges)",
+    ]
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ar{i} AS (SELECT e.dst, CAST(SUM(p.h) AS BIGINT) AS raw
+         FROM edges e JOIN {prev_h} p ON p.node = e.src GROUP BY 1)"""
+        )
+        parts.append(f"am{i} AS (SELECT MAX(raw) AS mx FROM ar{i})")
+        parts.append(
+            f"""a{i} AS (SELECT dst AS node,
+                CAST((raw * {HITS_SCALE}) // mx AS BIGINT) AS a
+         FROM ar{i}, am{i})"""
+        )
+        parts.append(
+            f"""hr{i} AS (SELECT e.src, CAST(SUM(p.a) AS BIGINT) AS raw
+         FROM edges e JOIN a{i} p ON p.node = e.dst GROUP BY 1)"""
+        )
+        parts.append(f"hm{i} AS (SELECT MAX(raw) AS mx FROM hr{i})")
+        parts.append(
+            f"""h{i} AS (SELECT src AS node,
+                CAST((raw * {HITS_SCALE}) // mx AS BIGINT) AS h
+         FROM hr{i}, hm{i})"""
+        )
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT COALESCE(h.node, a.node) AS node, h.h AS hub, a.a AS auth
+    FROM {prev_h} h FULL OUTER JOIN {prev_a} a ON a.node = h.node"""
+    )

@@ -1923,6 +1923,48 @@ _REPEAT_COPURCHASE_EDGES_SQL = """
 """
 
 
+_HITS_EDGES_SQL = """
+    SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+           'p:' || CAST(l.l_partkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@query(
+    "graph_hits_copurchase",
+    driver=False,  # NEW r14: HITS hubs/authorities (r15 rotation queue)
+    oracle=f"""
+    WITH hh AS ({{inner}})
+    SELECT node, hub, auth FROM hh
+    ORDER BY COALESCE(auth, -1) DESC, COALESCE(hub, -1) DESC, node
+    LIMIT 50
+    """.format(inner=gr.hits_fixedpoint_sql(_HITS_EDGES_SQL, iterations=4)),
+)
+def graph_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the customer→part purchase bipartite
+    graph (Kleinberg 1999): which customers are the strongest HUBS
+    (broad, authority-weighted baskets) and which parts the strongest
+    AUTHORITIES — the link-analysis ranking beside PageRank (that one
+    ranks within one node set; this ranks the two sides of a bipartite
+    relation).  Node ids are prefixed ('c:', 'p:') so the two key
+    spaces cannot collide.  EXACT integer max-normalized power
+    iteration — bit-identical ranks at any parallelism — with the loud
+    HITS_DEG_CAP supernode guard; deterministic top-50 by (auth, hub,
+    node) (operators/graph.py::hits_fixedpoint)."""
+    ord_ = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = ord_.join(li, ord_.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    out = gr.hits_fixedpoint(edges, iterations=4)
+    return out.orderBy(
+        F.coalesce(F.col("auth"), F.lit(-1)).desc(),
+        F.coalesce(F.col("hub"), F.lit(-1)).desc(),
+        "node",
+    ).limit(50)
+
+
 @query(
     "graph_adamic_adar",
     # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)

