@@ -1632,3 +1632,185 @@ def expected_calibration_error_sql(
                      / ({float(ECE_SCALE)!r} * CAST(n_b AS DOUBLE)), 6)) AS mce
     FROM gap GROUP BY 1
     """
+
+
+def brier_decomposition(
+    df: DataFrame,
+    group_col: str,
+    label: Column,
+    score_micro: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score + Murphy (1973) decomposition per group — the proper
+    scoring rule beside ECE's gap summary: BS measures total probability
+    error; reliability (REL, calibration error mass), resolution (RES,
+    how much the forecast separates outcomes), and uncertainty
+    (UNC = ȳ(1−ȳ)) attribute it.  Skill exists iff RES > REL.
+
+    Exactness: the Brier score itself is FULLY exact — with scores in
+    micro-units, BS = Σ(s − y·SCALE)² / (SCALE²·N): an exact
+    DECIMAL(38,0) numerator (order-free) and ONE rounded division.
+    UNC = Sy·(N−Sy)/N² likewise.  REL and RES are the BINNED forms
+    (decile bins, the ECE cells): per-bin exact integer numerators
+    (Ss_b − Sy_b·SCALE)² / (n_b·SCALE²) and (Sy_b·N − Sy·n_b)² / (n_b·N²),
+    folded in BIN ORDER (the chi2 ordered-fold discipline) then divided
+    by N once.  Note the textbook identity BS = UNC − RES + REL holds
+    for the BINNED forecast; with raw scores the gap is the within-bin
+    forecast variance (reported as ``wbv`` so the identity is checkable:
+    bs = unc − res + rel + wbv up to rounding).
+
+    NULL label/score rows are dropped (NA omission); out-of-range
+    scores raise loudly (the ECE guard).  Returns
+    (group, n, bs, rel, res, unc, wbv).  Scale: ONE partial-aggregated
+    pass to ≤ n_bins cells per group (+ the row-level exact BS moments
+    riding the same pass' base)."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        label.cast("int").alias("y"),
+        score_micro.cast("bigint").alias("s"),
+    ).filter(F.col("y").isNotNull() & F.col("s").isNotNull())
+    guarded = base.withColumn(
+        "s",
+        F.expr(
+            f"CASE WHEN s < 0 OR s > {ECE_SCALE} THEN CAST(raise_error("
+            f"'brier_decomposition: score_micro outside [0, {ECE_SCALE}] — "
+            "scale probabilities to micro-units first') AS BIGINT) ELSE s END"
+        ),
+    )
+    bins = guarded.withColumn(
+        "b",
+        F.expr(f"LEAST(s * {int(n_bins)} div {ECE_SCALE + 1}, {int(n_bins) - 1})"),
+    )
+    err = (F.col("s").cast(d38) - F.col("y").cast(d38) * F.lit(ECE_SCALE).cast(d38))
+    cells = bins.groupBy("__g", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("sy_b"),
+        F.sum(F.col("s").cast(d38)).cast(d38).alias("ss_b"),
+        F.sum(err * err).cast(d38).alias("se2_b"),
+    ).localCheckpoint()  # feeds the group totals AND the per-bin folds
+    tot = cells.groupBy("__g").agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.sum(F.col("sy_b").cast(d38)).cast(d38).alias("sy"),
+        F.sum("se2_b").cast(d38).alias("se2"),
+    )
+    # per-bin float terms: exact integer numerators, ONE division each,
+    # folded in bin order — identical IEEE trees on both engines
+    rel_term = (
+        "CAST(CAST(ss_b AS DECIMAL(38,0)) - CAST(sy_b AS DECIMAL(38,0))"
+        f" * CAST({ECE_SCALE} AS DECIMAL(38,0)) AS DOUBLE)"
+    )
+    res_term = (
+        "CAST(CAST(sy_b AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+        " - CAST(sy AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE)"
+    )
+    joined = cells.join(tot, "__g")
+    folded = joined.groupBy("__g", "n", "sy", "se2").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "b",
+                        F.expr(
+                            f"{rel_term} * {rel_term}"
+                            f" / (CAST(n_b AS DOUBLE) * {float(ECE_SCALE)!r} * {float(ECE_SCALE)!r})"
+                        ).alias("rel_t"),
+                        F.expr(
+                            f"{res_term} * {res_term}"
+                            " / (CAST(n_b AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+                        ).alias("res_t"),
+                    )
+                )
+            ),
+            F.struct(F.lit(0.0).alias("rel"), F.lit(0.0).alias("res")),
+            lambda acc, x: F.struct(
+                (acc["rel"] + x["rel_t"]).alias("rel"),
+                (acc["res"] + x["res_t"]).alias("res"),
+            ),
+        ).alias("f")
+    )
+    nd = F.col("n").cast("double")
+    bs = F.col("se2").cast("double") / (F.lit(float(ECE_SCALE)) * F.lit(float(ECE_SCALE)) * nd)
+    unc = (
+        F.col("sy").cast("double")
+        * (nd - F.col("sy").cast("double"))
+        / (nd * nd)
+    )
+    rel = F.col("f.rel") / nd
+    res = F.col("f.res") / nd
+    return folded.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.round(bs, 6).alias("bs"),
+        F.round(rel, 6).alias("rel"),
+        F.round(res, 6).alias("res"),
+        F.round(unc, 6).alias("unc"),
+        F.round(bs - (unc - res + rel), 6).alias("wbv"),
+    )
+
+
+def brier_decomposition_sql(
+    table: str, group_col: str, label_sql: str, score_sql: str, n_bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`brier_decomposition` — identical cells,
+    exact numerators, bin-ordered folds (``SUM(... ORDER BY b)``), the
+    same single divisions and the same loud range guard."""
+    rel_term = (
+        "CAST(CAST(ss_b AS DECIMAL(38,0)) - CAST(sy_b AS DECIMAL(38,0))"
+        f" * CAST({ECE_SCALE} AS DECIMAL(38,0)) AS DOUBLE)"
+    )
+    res_term = (
+        "CAST(CAST(sy_b AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+        " - CAST(sy AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE)"
+    )
+    return f"""
+    WITH base AS (SELECT * FROM (
+                    SELECT {group_col} AS g,
+                           CAST({label_sql} AS INT) AS y,
+                           CAST({score_sql} AS BIGINT) AS s
+                    FROM {table})
+                  WHERE y IS NOT NULL AND s IS NOT NULL),
+    guarded AS (
+        SELECT g, y,
+               CASE WHEN s < 0 OR s > {ECE_SCALE}
+                    THEN CAST(error('brier_decomposition: score_micro outside [0, {ECE_SCALE}] — scale probabilities to micro-units first') AS BIGINT)
+                    ELSE s END AS s
+        FROM base),
+    cells AS MATERIALIZED (
+        SELECT g, LEAST(s * {int(n_bins)} // {ECE_SCALE + 1}, {int(n_bins) - 1}) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(y) AS BIGINT) AS sy_b,
+               CAST(SUM(s) AS DECIMAL(38,0)) AS ss_b,
+               CAST(SUM((CAST(s AS DECIMAL(38,0))
+                         - CAST(y AS DECIMAL(38,0)) * CAST({ECE_SCALE} AS DECIMAL(38,0)))
+                        * (CAST(s AS DECIMAL(38,0))
+                           - CAST(y AS DECIMAL(38,0)) * CAST({ECE_SCALE} AS DECIMAL(38,0))))
+                    AS DECIMAL(38,0)) AS se2_b
+        FROM guarded GROUP BY 1, 2),
+    tot AS (
+        SELECT g, CAST(SUM(n_b) AS BIGINT) AS n,
+               CAST(SUM(sy_b) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(se2_b) AS DECIMAL(38,0)) AS se2
+        FROM cells GROUP BY 1),
+    folded AS (
+        SELECT c.g, t.n, t.sy, t.se2,
+               SUM({rel_term} * {rel_term}
+                   / (CAST(n_b AS DOUBLE) * {float(10**6)!r} * {float(10**6)!r})
+                   ORDER BY c.b) AS frel,
+               SUM({res_term} * {res_term}
+                   / (CAST(n_b AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                   ORDER BY c.b) AS fres
+        FROM cells c JOIN tot t ON t.g = c.g
+        GROUP BY 1, 2, 3, 4)
+    SELECT g AS {group_col}, n,
+           round(CAST(se2 AS DOUBLE) / ({float(10**6)!r} * {float(10**6)!r} * CAST(n AS DOUBLE)), 6) AS bs,
+           round(frel / CAST(n AS DOUBLE), 6) AS rel,
+           round(fres / CAST(n AS DOUBLE), 6) AS res,
+           round(CAST(sy AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS unc,
+           round(CAST(se2 AS DOUBLE) / ({float(10**6)!r} * {float(10**6)!r} * CAST(n AS DOUBLE))
+                 - (CAST(sy AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                    - fres / CAST(n AS DOUBLE) + frel / CAST(n AS DOUBLE)), 6) AS wbv
+    FROM folded
+    """

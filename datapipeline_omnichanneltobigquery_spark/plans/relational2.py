@@ -3397,6 +3397,32 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "calibration_brier",
+    driver=False,  # NEW r14: Brier score + Murphy decomposition (r15 rotation queue)
+    oracle=me.brier_decomposition_sql(
+        "events", "event_type",
+        "CASE WHEN value >= 50.0 THEN 1 ELSE 0 END",
+        "LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000)",
+    ),
+)
+def calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy (1973) decomposition of the same
+    confidence/outcome pair as calibration_ece — the PROPER scoring rule
+    completing the calibration family: BS (fully exact — one
+    DECIMAL(38,0) numerator, one division), reliability vs resolution
+    vs uncertainty (binned, exact per-bin numerators, bin-ordered
+    folds), and the within-bin variance residual so the textbook
+    identity is checkable (operators/ml_eval.py::brier_decomposition)."""
+    ev = read_table(spark, sf_dir, "events")
+    return me.brier_decomposition(
+        ev,
+        "event_type",
+        F.when(F.col("value") >= 50.0, F.lit(1)).otherwise(F.lit(0)),
+        F.expr("LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000)"),
+    )
+
+
 #: the third deterministic judge for the Fleiss panel — the same
 #: threshold rule under a DIFFERENT md5 seed, so the three judges are
 #: correlated but pairwise distinct and κ lands strictly inside (0, 1)

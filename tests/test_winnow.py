@@ -1071,3 +1071,41 @@ def test_expected_calibration_error_hand_case(spark):
     bad = spark.createDataFrame([("g", 1, 2_000_000)], "g string, y int, s long")
     with pytest.raises(Exception, match="micro-units"):
         expected_calibration_error(bad, "g", F.col("y") == 1, F.col("s")).collect()
+
+
+def test_brier_decomposition_matches_bruteforce(spark):
+    """bs/rel/res/unc equal the literal Murphy-1973 arithmetic on a hand
+    case, and bs == unc - res + rel + wbv (the binning residual is
+    surfaced, not hidden)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        brier_decomposition,
+    )
+
+    # two bins: conf .05/.08 (bin 0), conf .95 (bin 9)
+    rows = [
+        ("g", 0, 50_000), ("g", 1, 80_000),
+        ("g", 1, 950_000), ("g", 1, 950_000), ("g", 0, 950_000),
+    ]
+    df = spark.createDataFrame(rows, "g string, y int, s long")
+    got = brier_decomposition(df, "g", F.col("y") == 1, F.col("s")).collect()[0]
+
+    S = 1_000_000
+    data = [(y, s) for (_, y, s) in rows]
+    n = len(data)
+    bs = sum((s / S - y) ** 2 for y, s in data) / n
+    ybar = sum(y for y, _ in data) / n
+    unc = ybar * (1 - ybar)
+    bins = {0: [(0, 50_000), (1, 80_000)], 9: [(1, 950_000), (1, 950_000), (0, 950_000)]}
+    rel = sum(
+        len(b) * (sum(s for _, s in b) / (len(b) * S) - sum(y for y, _ in b) / len(b)) ** 2
+        for b in bins.values()
+    ) / n
+    res = sum(
+        len(b) * (sum(y for y, _ in b) / len(b) - ybar) ** 2 for b in bins.values()
+    ) / n
+    assert got.n == 5
+    assert abs(got.bs - bs) < 1e-6
+    assert abs(got.unc - unc) < 1e-6
+    assert abs(got.rel - rel) < 1e-6
+    assert abs(got.res - res) < 1e-6
+    assert abs(got.bs - (got.unc - got.res + got.rel + got.wbv)) < 5e-6
