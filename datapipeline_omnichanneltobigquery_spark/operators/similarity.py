@@ -1949,3 +1949,92 @@ def pca_power_sql(
     FROM {prev} p CROSS JOIN n2 CROSS JOIN vt CROSS JOIN nn
     """
     )
+
+
+#: cap on the histogram's sampled vector count — the all-pairs grid is
+#: n², so the guard keeps a "sample" from silently becoming the corpus
+SIM_HIST_MAX_SAMPLE = 4096
+
+
+def sim_histogram(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bins: int = 40,
+    dim: int | None = None,
+    max_sample: int = SIM_HIST_MAX_SAMPLE,
+) -> DataFrame:
+    """Histogram of ALL pairwise cosine similarities of (a sample of) the
+    embedding set — the threshold-tuning diagnostic for every
+    cosine-thresholded operator (SemDeDup, semantic decontamination,
+    near-dup): where does the corpus's similarity mass sit, and is there
+    a valley to put τ in?
+
+    Caller passes the (deterministically md5-) SAMPLED frame; a sample
+    larger than ``max_sample`` raises loudly (the all-pairs grid is n² —
+    a silent full-corpus pass would be the exact mistake this module's
+    blocked kernels exist to avoid; at 100 TB sample ~2-4k vectors,
+    which already pins the histogram shape to ~1% bin error).
+
+    Exactness: cosines come from the block-tiled Arrow kernel —
+    bitwise-equal to the oracle's fold (module contract) — so the bin
+    assignment floor((cos + 1)·n_bins/2) (clamped to n_bins−1) is
+    deterministic, and bin COUNTS are exact integers.  Empty bins are
+    materialized with zero counts (the full [−1, 1] grid), so the
+    output is always exactly ``n_bins`` rows.
+
+    Returns (bin, lo, hi, n_pairs), lo/hi the bin's cosine bounds."""
+    n = embeddings.count()  # bounded 1-row action; the guard is loud
+    if n > max_sample:
+        raise ValueError(
+            f"sim_histogram: {n} sampled vectors exceed max_sample={max_sample}; "
+            "the all-pairs grid is n² — tighten the sample predicate or raise "
+            "the cap deliberately"
+        )
+    pairs = cosine_pairs(
+        embeddings, threshold=-2.0, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    bin_expr = (
+        f"LEAST(CAST(floor((cos_sim + 1.0) * {int(n_bins)} / 2.0) AS BIGINT), "
+        f"{int(n_bins) - 1})"
+    )
+    counts = pairs.select(F.expr(bin_expr).alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    spark = embeddings.sparkSession
+    grid = spark.range(0, int(n_bins)).select(F.col("id").cast("bigint").alias("bin"))
+    return grid.join(counts, "bin", "left").select(
+        "bin",
+        (F.col("bin").cast("double") * 2.0 / float(n_bins) - 1.0).alias("lo"),
+        ((F.col("bin") + 1).cast("double") * 2.0 / float(n_bins) - 1.0).alias("hi"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+    )
+
+
+def sim_histogram_sql(
+    table: str,
+    sample_predicate: str,
+    n_bins: int = 40,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`sim_histogram` over the rows of ``table``
+    matching ``sample_predicate`` — the definitional all-pairs fold,
+    identical bin arithmetic, zero-filled bin grid."""
+    inner = cosine_pairs_sql(f"(SELECT * FROM {table} WHERE {sample_predicate})",
+                             threshold=-2.0, dim=dim)
+    bin_expr = (
+        f"LEAST(CAST(floor((cos_sim + 1.0) * {int(n_bins)} / 2.0) AS BIGINT), "
+        f"{int(n_bins) - 1})"
+    )
+    return f"""
+    WITH pairs AS ({inner}),
+    counts AS (
+        SELECT {bin_expr} AS bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1),
+    grid AS (SELECT UNNEST(range(0, {int(n_bins)})) AS bin)
+    SELECT g.bin,
+           CAST(g.bin AS DOUBLE) * 2.0 / {float(n_bins)!r} - 1.0 AS lo,
+           CAST(g.bin + 1 AS DOUBLE) * 2.0 / {float(n_bins)!r} - 1.0 AS hi,
+           CAST(COALESCE(c.n_pairs, 0) AS BIGINT) AS n_pairs
+    FROM grid g LEFT JOIN counts c ON c.bin = g.bin
+    """

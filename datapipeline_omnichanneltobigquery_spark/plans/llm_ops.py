@@ -1518,6 +1518,24 @@ def text_decontam_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+@query(
+    "embeddings_sim_histogram",
+    driver=False,  # NEW r14: cosine-mass diagnostic for threshold tuning (r15 queue)
+    oracle=sim.sim_histogram_sql("embeddings", "vec_id % 7 = 3", n_bins=40, dim=EMB_DIM),
+)
+def embeddings_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of all pairwise cosines over a deterministic 1-in-7
+    sample (vec_id % 7 = 3) of the embedding set, 40 bins over [−1, 1] —
+    the threshold-tuning diagnostic behind every cosine-thresholded
+    operator here (SemDeDup τ, semantic-decontam τ, near-dup): where the
+    similarity mass sits and whether a valley exists.  Bitwise-equal
+    kernel cosines → deterministic bin assignment; exact integer counts;
+    empty bins materialized so the output is always 40 rows; a loud n²
+    guard caps the sample (operators/similarity.py::sim_histogram)."""
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 3)
+    return sim.sim_histogram(emb, n_bins=40, dim=EMB_DIM)
+
+
 _SEMDECON_TAU = 0.30
 _SEMDECON_EVAL = "vec_id % 29 = 0"
 _SEMDECON_CORPUS = "vec_id % 29 <> 0"

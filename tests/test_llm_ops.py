@@ -2583,3 +2583,34 @@ def test_hits_fixedpoint_matches_python_mirror_and_guards(spark):
     assert got["u1"].hub == HITS_SCALE and got["p1"].auth == HITS_SCALE
     assert got["u3"].hub < got["u2"].hub < got["u1"].hub
     assert got["p3"].auth < got["p2"].auth < got["p1"].auth
+
+
+def test_sim_histogram_hand_case_and_guard(spark):
+    """Bin counts equal the hand-binned cosines (including the cos=1.0
+    clamp into the top bin); empty bins materialize as zeros; the n²
+    sample guard raises."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.similarity import (
+        sim_histogram,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),    # cos(1,2) = 1.0 -> clamped into bin 39
+        (3, [0.0, 1.0]),    # cos with 1/2 = 0.0 -> bin 20
+        (4, [-1.0, 0.0]),   # cos with 1/2 = -1.0 -> bin 0; with 3 = 0.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.bin: r.n_pairs for r in sim_histogram(df, n_bins=40, dim=2).collect()}
+    assert len(got) == 40 and sum(got.values()) == 6  # C(4,2) pairs, all bins present
+    assert got[39] == 1   # the parallel pair, cos exactly 1.0
+    assert got[20] == 3   # the three orthogonal pairs at cos 0.0
+    assert got[0] == 2    # the two antipodal pairs at cos -1.0
+    assert all(v == 0 for b, v in got.items() if b not in (0, 20, 39))
+
+    big = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="max_sample"):
+        sim_histogram(big, n_bins=4, dim=2, max_sample=10)
