@@ -541,11 +541,18 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
     auth for pure hubs.  Scale: each round is two degree-bounded
     join+aggregates plus a 1-row broadcast max; the edge set crosses
     one exchange per half-round."""
+    if iterations < 1:
+        raise ValueError(
+            f"hits_fixedpoint: iterations must be >= 1, got {iterations}"
+        )
     e = edges.select("src", "dst").distinct().localCheckpoint()
+    # the int64 bound depends on IN-degree (authority step) and OUT-degree
+    # (hub step) SEPARATELY — a combined count would spuriously reject a
+    # legal node with in+out just over the cap
     deg_guard = (
-        e.select(F.col("src").alias("x"))
-        .unionByName(e.select(F.col("dst").alias("x")))
-        .groupBy("x")
+        e.select(F.col("src").alias("x"), F.lit("out").alias("side"))
+        .unionByName(e.select(F.col("dst").alias("x"), F.lit("in").alias("side")))
+        .groupBy("x", "side")
         .agg(F.count(F.lit(1)).alias("d"))
         .agg(
             F.max(
@@ -554,8 +561,10 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
                         F.concat(
                             F.lit("hits_fixedpoint: node "),
                             F.col("x").cast("string"),
+                            F.lit(" has "),
+                            F.col("side"),
                             F.lit(
-                                f" has degree above HITS_DEG_CAP={HITS_DEG_CAP}; "
+                                f"-degree above HITS_DEG_CAP={HITS_DEG_CAP}; "
                                 "the normalization product would overflow int64 — "
                                 "split the supernode or pre-aggregate its edges"
                             ),
@@ -567,7 +576,6 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
     )
     deg_guard.collect()  # bounded 1-row action; fires the guard eagerly
     hubs = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
-    auths = e.select(F.col("dst").alias("node")).distinct().localCheckpoint()
     h = hubs.withColumn("h", F.lit(HITS_SCALE).cast("bigint"))
     a = None
     for _ in range(iterations):
@@ -605,6 +613,10 @@ def hits_fixedpoint_sql(edges_sql: str, iterations: int = 4) -> str:
     as CTEs with identical integer max-normalization (``//`` ≡ ``div``
     on non-negative bigints; the degree guard is structural on the
     Spark side and a data-contract here)."""
+    if iterations < 1:
+        raise ValueError(
+            f"hits_fixedpoint_sql: iterations must be >= 1, got {iterations}"
+        )
     parts = [
         f"edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         f"h0 AS (SELECT DISTINCT src AS node, CAST({HITS_SCALE} AS BIGINT) AS h FROM edges)",

@@ -1795,7 +1795,7 @@ def brier_decomposition_sql(
     folded AS (
         SELECT c.g, t.n, t.sy, t.se2,
                SUM({rel_term} * {rel_term}
-                   / (CAST(n_b AS DOUBLE) * {float(10**6)!r} * {float(10**6)!r})
+                   / (CAST(n_b AS DOUBLE) * {float(ECE_SCALE)!r} * {float(ECE_SCALE)!r})
                    ORDER BY c.b) AS frel,
                SUM({res_term} * {res_term}
                    / (CAST(n_b AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
@@ -1803,12 +1803,12 @@ def brier_decomposition_sql(
         FROM cells c JOIN tot t ON t.g = c.g
         GROUP BY 1, 2, 3, 4)
     SELECT g AS {group_col}, n,
-           round(CAST(se2 AS DOUBLE) / ({float(10**6)!r} * {float(10**6)!r} * CAST(n AS DOUBLE)), 6) AS bs,
+           round(CAST(se2 AS DOUBLE) / ({float(ECE_SCALE)!r} * {float(ECE_SCALE)!r} * CAST(n AS DOUBLE)), 6) AS bs,
            round(frel / CAST(n AS DOUBLE), 6) AS rel,
            round(fres / CAST(n AS DOUBLE), 6) AS res,
            round(CAST(sy AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(sy AS DOUBLE))
                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS unc,
-           round(CAST(se2 AS DOUBLE) / ({float(10**6)!r} * {float(10**6)!r} * CAST(n AS DOUBLE))
+           round(CAST(se2 AS DOUBLE) / ({float(ECE_SCALE)!r} * {float(ECE_SCALE)!r} * CAST(n AS DOUBLE))
                  - (CAST(sy AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(sy AS DOUBLE))
                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
                     - fres / CAST(n AS DOUBLE) + frel / CAST(n AS DOUBLE)), 6) AS wbv

@@ -1984,7 +1984,10 @@ def sim_histogram(
     output is always exactly ``n_bins`` rows.
 
     Returns (bin, lo, hi, n_pairs), lo/hi the bin's cosine bounds."""
-    n = embeddings.count()  # bounded 1-row action; the guard is loud
+    # localCheckpoint BEFORE the guard count: the ≤max_sample-row frame
+    # feeds both the count and the pair kernel, so the source scans once
+    sampled = embeddings.localCheckpoint()
+    n = sampled.count()  # bounded 1-row action; the guard is loud
     if n > max_sample:
         raise ValueError(
             f"sim_histogram: {n} sampled vectors exceed max_sample={max_sample}; "
@@ -1992,11 +1995,14 @@ def sim_histogram(
             "the cap deliberately"
         )
     pairs = cosine_pairs(
-        embeddings, threshold=-2.0, id_col=id_col, vec_col=vec_col, dim=dim
+        sampled, threshold=-2.0, id_col=id_col, vec_col=vec_col, dim=dim
     )
+    # clamped BOTH ends: float normalization leaves ||u|| = 1±ε, so a
+    # near-antipodal dot can land marginally below −1.0 — without the
+    # GREATEST it would bin to −1 and silently vanish from the grid join
     bin_expr = (
-        f"LEAST(CAST(floor((cos_sim + 1.0) * {int(n_bins)} / 2.0) AS BIGINT), "
-        f"{int(n_bins) - 1})"
+        f"LEAST(GREATEST(CAST(floor((cos_sim + 1.0) * {int(n_bins)} / 2.0) "
+        f"AS BIGINT), 0), {int(n_bins) - 1})"
     )
     counts = pairs.select(F.expr(bin_expr).alias("bin")).groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
@@ -2023,8 +2029,8 @@ def sim_histogram_sql(
     inner = cosine_pairs_sql(f"(SELECT * FROM {table} WHERE {sample_predicate})",
                              threshold=-2.0, dim=dim)
     bin_expr = (
-        f"LEAST(CAST(floor((cos_sim + 1.0) * {int(n_bins)} / 2.0) AS BIGINT), "
-        f"{int(n_bins) - 1})"
+        f"LEAST(GREATEST(CAST(floor((cos_sim + 1.0) * {int(n_bins)} / 2.0) "
+        f"AS BIGINT), 0), {int(n_bins) - 1})"
     )
     return f"""
     WITH pairs AS ({inner}),

@@ -3374,8 +3374,8 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,  # NEW r14: expected calibration error (r15 rotation queue)
     oracle=me.expected_calibration_error_sql(
         "events", "event_type",
-        "CASE WHEN value >= 50.0 THEN 1 ELSE 0 END",
-        "LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000)",
+        "CASE WHEN value >= 50.0 THEN 1 WHEN value < 50.0 THEN 0 END",
+        "CASE WHEN value IS NOT NULL THEN LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000) END",
     ),
 )
 def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3392,8 +3392,13 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return me.expected_calibration_error(
         ev,
         "event_type",
-        F.when(F.col("value") >= 50.0, F.lit(1)).otherwise(F.lit(0)),
-        F.expr("LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000)"),
+        # NULL-propagating: a NULL value row must reach the operator's
+        # NA-omission filter, not silently default to a confident (0, 0)
+        F.when(F.col("value") >= 50.0, F.lit(1)).when(F.col("value") < 50.0, F.lit(0)),
+        F.expr(
+            "CASE WHEN value IS NOT NULL THEN"
+            " LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000) END"
+        ),
     )
 
 
@@ -3402,8 +3407,8 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,  # NEW r14: Brier score + Murphy decomposition (r15 rotation queue)
     oracle=me.brier_decomposition_sql(
         "events", "event_type",
-        "CASE WHEN value >= 50.0 THEN 1 ELSE 0 END",
-        "LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000)",
+        "CASE WHEN value >= 50.0 THEN 1 WHEN value < 50.0 THEN 0 END",
+        "CASE WHEN value IS NOT NULL THEN LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000) END",
     ),
 )
 def calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3418,8 +3423,13 @@ def calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return me.brier_decomposition(
         ev,
         "event_type",
-        F.when(F.col("value") >= 50.0, F.lit(1)).otherwise(F.lit(0)),
-        F.expr("LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000)"),
+        # NULL-propagating: a NULL value row must reach the operator's
+        # NA-omission filter, not silently default to a confident (0, 0)
+        F.when(F.col("value") >= 50.0, F.lit(1)).when(F.col("value") < 50.0, F.lit(0)),
+        F.expr(
+            "CASE WHEN value IS NOT NULL THEN"
+            " LEAST(GREATEST(CAST(floor(value * 10000.0) AS BIGINT), 0), 1000000) END"
+        ),
     )
 
 

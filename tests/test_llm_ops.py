@@ -2614,3 +2614,20 @@ def test_sim_histogram_hand_case_and_guard(spark):
     )
     with pytest.raises(ValueError, match="max_sample"):
         sim_histogram(big, n_bins=4, dim=2, max_sample=10)
+
+
+def test_hits_rejects_zero_iterations(spark):
+    """r14 review regression: iterations < 1 raises a diagnosable error
+    in both faces instead of AttributeError / SQL-literal 'None'."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.graph import (
+        hits_fixedpoint,
+        hits_fixedpoint_sql,
+    )
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iterations"):
+        hits_fixedpoint(df, iterations=0)
+    with pytest.raises(ValueError, match="iterations"):
+        hits_fixedpoint_sql("SELECT 'a' AS src, 'b' AS dst", iterations=0)
