@@ -1814,3 +1814,81 @@ def brier_decomposition_sql(
                     - fres / CAST(n AS DOUBLE) + frel / CAST(n AS DOUBLE)), 6) AS wbv
     FROM folded
     """
+
+
+#: shared McNemar z expression — evaluated verbatim by both engines over
+#: identically-named bigint columns (n10, n01)
+MCNEMAR_Z_SQL = (
+    "CASE WHEN n10 + n01 > 0 THEN "
+    "(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE))"
+    " / sqrt(CAST(n10 + n01 AS DOUBLE)) END"
+)
+
+
+def mcnemar_test(
+    df: DataFrame, group_col: str, rater_a: Column, rater_b: Column
+) -> DataFrame:
+    """McNemar's test per group (McNemar 1947) — the PAIRED counterpart
+    of ab_ztest and the rate-side companion of cohen_kappa: on the SAME
+    items, does rater/model B flag positive at a different rate than A?
+    (Kappa measures agreement; McNemar tests marginal-rate difference —
+    an upgraded model can agree less yet be unbiased, or agree more
+    while drifting.)  Only the DISCORDANT pairs are informative:
+    z = (n10 − n01)/√(n10 + n01) (z² is the uncorrected McNemar χ²₁),
+    two-sided p via the shared normal-CDF machinery.
+
+    Exactness: n10/n01/n11/n00 are exact bigints from ONE pair-count
+    aggregate; z and p evaluate one shared expression string, each
+    rounded once.  NULL z/p when no discordant pairs exist (the test is
+    undefined — surfaced, never 0).  Rows where either rater is NULL
+    are DROPPED (NA omission, the mann_whitney contract) — raters are
+    BOOLEAN column expressions.
+
+    Returns (group, n, n10, n01, z, p_value).  Scale: the corpus
+    crosses ONE exchange into ≤4 cells per group."""
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        rater_a.cast("boolean").alias("a"),
+        rater_b.cast("boolean").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    agg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "n10",
+        "n01",
+        F.round(F.expr(MCNEMAR_Z_SQL), 6).alias("z"),
+        F.round(F.expr(two_sided_p_expr(MCNEMAR_Z_SQL)), 6).alias("p_value"),
+    )
+
+
+def mcnemar_test_sql(
+    table_sql: str, group_col: str, a_sql: str, b_sql: str
+) -> str:
+    """DuckDB twin of :func:`mcnemar_test` — identical discordant-pair
+    counts and the SAME shared z/p expression strings."""
+    return f"""
+    WITH base AS (SELECT * FROM (
+                    SELECT {group_col} AS g,
+                           CAST({a_sql} AS BOOLEAN) AS a,
+                           CAST({b_sql} AS BOOLEAN) AS b
+                    FROM ({table_sql}))
+                  WHERE a IS NOT NULL AND b IS NOT NULL),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN (NOT a) AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01
+        FROM base GROUP BY 1)
+    SELECT g AS {group_col}, n, n10, n01,
+           round({MCNEMAR_Z_SQL}, 6) AS z,
+           round({two_sided_p_expr(MCNEMAR_Z_SQL)}, 6) AS p_value
+    FROM agg
+    """

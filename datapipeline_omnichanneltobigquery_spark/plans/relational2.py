@@ -3491,6 +3491,36 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_mcnemar",
+    driver=False,  # NEW r14: paired-rates test beside kappa (r15 rotation queue)
+    oracle=me.mcnemar_test_sql(
+        "SELECT * FROM events", "event_type",
+        f"({_KAPPA_A_SQL}) = 'hi'", f"({_KAPPA_B_SQL}) = 'hi'",
+    ),
+)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between the two kappa judges per event_type
+    (McNemar 1947): does the jittered judge flag 'hi' at a different
+    RATE than the threshold judge on the SAME events?  The rate-side
+    companion of stats_cohen_kappa (kappa measures agreement; this
+    tests marginal drift) — only the discordant pairs inform,
+    z = (n10 − n01)/√(n10 + n01), shared z/p expression strings on both
+    engines (operators/ml_eval.py::mcnemar_test)."""
+    ev = read_table(spark, sf_dir, "events")
+    a = F.when(F.col("value") >= 50.0, F.lit("hi")).otherwise(F.lit("lo")) == "hi"
+    jitter = _md5_long(
+        F.concat(F.lit("kappa-v1:"), F.col("event_id").cast("string"))
+    ) % F.lit(40_000_000)
+    b = (
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)")
+        + jitter
+        - F.lit(20_000_000)
+        >= F.lit(50_000_000)
+    )
+    return me.mcnemar_test(ev, "event_type", a, b)
+
+
+@query(
     "features_winsorize",
     # rotated IN r14: order-statistic winsorization, first driver contact
     oracle=pf.winsorize_sql(

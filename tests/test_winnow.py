@@ -1109,3 +1109,29 @@ def test_brier_decomposition_matches_bruteforce(spark):
     assert abs(got.rel - rel) < 1e-6
     assert abs(got.res - res) < 1e-6
     assert abs(got.bs - (got.unc - got.res + got.rel + got.wbv)) < 5e-6
+
+
+def test_mcnemar_matches_textbook_and_null_contracts(spark):
+    """mcnemar_test equals the textbook z on a hand contingency table;
+    no-discordant-pairs surfaces NULL; NULL-rater rows drop."""
+    import math
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        mcnemar_test,
+    )
+
+    rows = (
+        [("g", True, True)] * 20 + [("g", True, False)] * 9
+        + [("g", False, True)] * 3 + [("g", False, False)] * 8
+        + [("g", None, True), ("g", True, None)]          # dropped
+        + [("agree", True, True)] * 5                      # no discordant -> NULL
+    )
+    df = spark.createDataFrame(rows, "g string, a boolean, b boolean")
+    got = {r.g: r for r in mcnemar_test(df, "g", F.col("a"), F.col("b")).collect()}
+    g = got["g"]
+    assert (g.n, g.n10, g.n01) == (40, 9, 3)
+    z = (9 - 3) / math.sqrt(12)
+    assert abs(g.z - round(z, 6)) < 1e-9
+    p = 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2))))
+    assert abs(g.p_value - p) < 2e-6
+    assert got["agree"].z is None and got["agree"].p_value is None
