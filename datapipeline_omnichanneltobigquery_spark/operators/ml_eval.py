@@ -1892,3 +1892,153 @@ def mcnemar_test_sql(
            round({two_sided_p_expr(MCNEMAR_Z_SQL)}, 6) AS p_value
     FROM agg
     """
+
+
+def cochran_q(
+    df: DataFrame, group_col: str, item_col: str, treatment: Column, y: Column
+) -> DataFrame:
+    """Cochran's Q test per group (Cochran 1950) — the K-treatment
+    extension of :func:`mcnemar_test`, completing the paired-binary
+    battery the way kruskal_wallis completes mann_whitney: on the SAME
+    items, do K raters/models/treatments flag positive at different
+    rates?  Input is LONG format, one row per (item, treatment, flag).
+
+    Exactness: with column totals C_j (positives per treatment), row
+    totals R_i (positives per item), T = ΣC_j = ΣR_i, the textbook
+
+        Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)
+
+    is ONE exact-DECIMAL(38,0) ratio rounded once.  NULL when the
+    denominator is 0 (every item unanimous — no within-item variation,
+    the test is undefined; surfaced, never 0).  Under H₀,
+    Q ~ χ²(k−1).
+
+    Contract, guarded loudly in BOTH engines: every item carries each
+    treatment EXACTLY once (a duplicate (item, treatment) or a missing
+    treatment silently biases the row totals) — complete or drop items
+    first.  NULL treatment/flag rows raise the same guard by absence.
+
+    Returns (group, k_treatments, n_items, q).  Scale: one
+    (group, item, treatment) distinct pass crosses the corpus; column
+    and row totals fold from it; the Q arithmetic runs on n_groups
+    rows."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(item_col).alias("__i"),
+        treatment.cast("string").alias("t"),
+        y.cast("int").alias("y"),
+    )
+    cells = base.groupBy("__g", "__i", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("yy"),
+    ).localCheckpoint()  # feeds the guard, both totals, and k
+    dup_guard = cells.agg(
+        F.max(
+            F.when(F.col("c") == 1, F.lit(1)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "cochran_q: duplicate (item, treatment) rows — every item "
+                        "must carry each treatment exactly once; dedupe first"
+                    )
+                )
+            )
+        )
+    )
+    dup_guard.collect()  # bounded 1-row action
+    k_tab = cells.groupBy("__g").agg(F.count_distinct("t").cast("bigint").alias("k"))
+    per_item = cells.groupBy("__g", "__i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t"),
+        F.sum("yy").cast("bigint").alias("r_i"),
+    )
+    # the guard rides ON r_i (the column every downstream aggregate
+    # consumes) — a separate check column would be pruned away by
+    # Catalyst and the raise_error never evaluated
+    rows = per_item.join(k_tab, "__g").select(
+        "__g",
+        F.expr(
+            "CASE WHEN n_t <> k THEN CAST(raise_error("
+            "'cochran_q: an item is missing treatments — every item must carry "
+            "each treatment exactly once; complete or drop items first') AS BIGINT) "
+            "ELSE r_i END"
+        ).alias("r_i"),
+    )
+    row_stats = rows.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("r_i").cast(d38)).cast(d38).alias("t_tot"),
+        F.sum(F.col("r_i").cast(d38) * F.col("r_i").cast(d38)).cast(d38).alias("r_sq"),
+    )
+    col_stats = (
+        cells.groupBy("__g", "t")
+        .agg(F.sum("yy").cast("bigint").alias("c_j"))
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("c_j").cast(d38) * F.col("c_j").cast(d38)).cast(d38).alias("c_sq")
+        )
+    )
+    kd = F.col("k").cast(d38)
+    num = (kd - F.lit(1).cast(d38)) * (kd * F.col("c_sq") - F.col("t_tot") * F.col("t_tot"))
+    den = kd * F.col("t_tot") - F.col("r_sq")
+    return (
+        row_stats.join(col_stats, "__g")
+        .join(k_tab, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("k").alias("k_treatments"),
+            "n_items",
+            F.when(
+                den > F.lit(0).cast("decimal(38,0)"),
+                F.round(num.cast("double") / den.cast("double"), 6),
+            ).alias("q"),
+        )
+    )
+
+
+def cochran_q_sql(
+    long_sql: str, group_col: str, item_col: str, treatment_sql: str, y_sql: str
+) -> str:
+    """DuckDB twin of :func:`cochran_q` — identical cells, the same
+    exactly-once guards (``error()``), exact DECIMAL(38,0) totals, ONE
+    rounded division."""
+    return f"""
+    WITH base AS (
+        SELECT {group_col} AS g, {item_col} AS i,
+               CAST({treatment_sql} AS VARCHAR) AS t,
+               CAST({y_sql} AS INT) AS y
+        FROM ({long_sql})),
+    cells AS MATERIALIZED (
+        SELECT g, i, t,
+               CASE WHEN COUNT(*) <> 1 THEN CAST(error('cochran_q: duplicate (item, treatment) rows — every item must carry each treatment exactly once; dedupe first') AS BIGINT)
+                    ELSE CAST(COUNT(*) AS BIGINT) END AS c,
+               CAST(SUM(y) AS BIGINT) AS yy
+        FROM base GROUP BY 1, 2, 3),
+    k_tab AS (SELECT g, CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells GROUP BY 1),
+    per_item AS (
+        SELECT g, i, CAST(COUNT(*) AS BIGINT) AS n_t,
+               CAST(SUM(yy) AS BIGINT) AS r_i
+        FROM cells GROUP BY 1, 2),
+    rows_ok AS (
+        SELECT p.g,
+               CASE WHEN p.n_t <> k.k THEN CAST(error('cochran_q: an item is missing treatments — every item must carry each treatment exactly once; complete or drop items first') AS BIGINT)
+                    ELSE p.r_i END AS r_i
+        FROM per_item p JOIN k_tab k ON k.g = p.g),
+    row_stats AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(r_i AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t_tot,
+               CAST(SUM(CAST(r_i AS DECIMAL(38,0)) * CAST(r_i AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS r_sq
+        FROM rows_ok GROUP BY 1),
+    col_stats AS (
+        SELECT g, CAST(SUM(CAST(c_j AS DECIMAL(38,0)) * CAST(c_j AS DECIMAL(38,0)))
+                       AS DECIMAL(38,0)) AS c_sq
+        FROM (SELECT g, t, CAST(SUM(yy) AS BIGINT) AS c_j FROM cells GROUP BY 1, 2)
+        GROUP BY 1)
+    SELECT r.g AS {group_col}, k.k AS k_treatments, r.n_items,
+           CASE WHEN CAST(k.k AS DECIMAL(38,0)) * r.t_tot - r.r_sq > 0 THEN
+             round(CAST((CAST(k.k AS DECIMAL(38,0)) - 1)
+                        * (CAST(k.k AS DECIMAL(38,0)) * c.c_sq - r.t_tot * r.t_tot)
+                        AS DOUBLE)
+                   / CAST(CAST(k.k AS DECIMAL(38,0)) * r.t_tot - r.r_sq AS DOUBLE), 6)
+           END AS q
+    FROM row_stats r JOIN col_stats c ON c.g = r.g JOIN k_tab k ON k.g = r.g
+    """

@@ -3491,6 +3491,57 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_cochran_q",
+    driver=False,  # NEW r14: K-treatment paired-binary test (r15 rotation queue)
+    oracle=me.cochran_q_sql(
+        "SELECT event_type, event_id, "
+        f"unnest(['a', 'b', 'c']) AS judge, "
+        f"unnest([CAST(({_KAPPA_A_SQL}) = 'hi' AS INT), "
+        f"CAST(({_KAPPA_B_SQL}) = 'hi' AS INT), "
+        f"CAST(({_KAPPA_C_SQL}) = 'hi' AS INT)]) AS flag "
+        "FROM events",
+        "event_type",
+        "event_id",
+        "judge",
+        "flag",
+    ),
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across the three Fleiss-panel judges per event_type
+    (Cochran 1950): do the K judges flag 'hi' at different RATES on the
+    same events?  The K-treatment extension of stats_mcnemar the way
+    kruskal_wallis extends mann_whitney — one exact-DECIMAL(38,0)
+    ratio over column/row totals, the exactly-once contract guarded
+    loudly in both engines (operators/ml_eval.py::cochran_q)."""
+    ev = read_table(spark, sf_dir, "events")
+    a = F.when(F.col("value") >= 50.0, F.lit(1)).otherwise(F.lit(0))
+
+    def jflag(seed: str) -> Column:
+        j = _md5_long(
+            F.concat(F.lit(seed), F.col("event_id").cast("string"))
+        ) % F.lit(40_000_000)
+        return (
+            F.expr("CAST(floor(value * 1000000.0) AS BIGINT)")
+            + j
+            - F.lit(20_000_000)
+            >= F.lit(50_000_000)
+        ).cast("int")
+
+    long = ev.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("judge"), a.alias("flag")),
+                F.struct(F.lit("b").alias("judge"), jflag("kappa-v1:").alias("flag")),
+                F.struct(F.lit("c").alias("judge"), jflag("kappa-v2:").alias("flag")),
+            )
+        ).alias("jf"),
+    ).select("event_type", "event_id", F.col("jf.judge").alias("judge"), F.col("jf.flag").alias("flag"))
+    return me.cochran_q(long, "event_type", "event_id", F.col("judge"), F.col("flag"))
+
+
+@query(
     "stats_mcnemar",
     driver=False,  # NEW r14: paired-rates test beside kappa (r15 rotation queue)
     oracle=me.mcnemar_test_sql(

@@ -1135,3 +1135,45 @@ def test_mcnemar_matches_textbook_and_null_contracts(spark):
     p = 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2))))
     assert abs(g.p_value - p) < 2e-6
     assert got["agree"].z is None and got["agree"].p_value is None
+
+
+def test_cochran_q_matches_textbook_and_guards(spark):
+    """cochran_q equals the textbook statistic on a hand panel (and
+    collapses to McNemar's z² at k=2); unanimity surfaces NULL; a
+    missing treatment raises loudly."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import cochran_q
+
+    panel = {  # item -> flags for treatments (a, b, c)
+        1: (1, 1, 0),
+        2: (1, 0, 0),
+        3: (1, 1, 1),
+        4: (0, 0, 0),
+        5: (1, 1, 0),
+        6: (1, 0, 1),
+    }
+    rows = [
+        ("g", i, t, f)
+        for i, fs in panel.items()
+        for t, f in zip(("a", "b", "c"), fs)
+    ]
+    rows += [("unan", i, t, 1) for i in range(3) for t in ("a", "b")]
+    df = spark.createDataFrame(rows, "g string, item long, t string, y int")
+    got = {r.g: r for r in cochran_q(df, "g", "item", F.col("t"), F.col("y")).collect()}
+
+    k = 3
+    C = [sum(fs[j] for fs in panel.values()) for j in range(k)]
+    R = [sum(fs) for fs in panel.values()]
+    T = sum(C)
+    q = (k - 1) * (k * sum(c * c for c in C) - T * T) / (k * T - sum(r * r for r in R))
+    assert (got["g"].k_treatments, got["g"].n_items) == (3, 6)
+    assert abs(got["g"].q - round(q, 6)) < 1e-9
+    assert got["unan"].q is None  # every item unanimous: denominator 0
+
+    missing = spark.createDataFrame(
+        [("g", 1, "a", 1), ("g", 1, "b", 0), ("g", 2, "a", 1)],
+        "g string, item long, t string, y int",
+    )
+    with pytest.raises(Exception, match="missing treatments"):
+        cochran_q(missing, "g", "item", F.col("t"), F.col("y")).collect()
