@@ -612,35 +612,40 @@ def hits_fixedpoint_sql(edges_sql: str, iterations: int = 4) -> str:
     """DuckDB twin of :func:`hits_fixedpoint` — the same rounds unrolled
     as CTEs with identical integer max-normalization (``//`` ≡ ``div``
     on non-negative bigints; the degree guard is structural on the
-    Spark side and a data-contract here)."""
+    Spark side and a data-contract here).  Every round CTE is
+    ``AS MATERIALIZED``: each raw-sum CTE is referenced by BOTH its max
+    CTE and the normalize CTE, so DuckDB's default inlining re-evaluates
+    the upstream join chain twice per half-round — 2^(2·iters)
+    recomputation of the edge join (measured: the un-materialized form
+    burned 60+ CPU-minutes at sf0.1 where this runs in seconds)."""
     if iterations < 1:
         raise ValueError(
             f"hits_fixedpoint_sql: iterations must be >= 1, got {iterations}"
         )
     parts = [
-        f"edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
-        f"h0 AS (SELECT DISTINCT src AS node, CAST({HITS_SCALE} AS BIGINT) AS h FROM edges)",
+        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        f"h0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST({HITS_SCALE} AS BIGINT) AS h FROM edges)",
     ]
     prev_h = "h0"
     prev_a = None
     for i in range(1, iterations + 1):
         parts.append(
-            f"""ar{i} AS (SELECT e.dst, CAST(SUM(p.h) AS BIGINT) AS raw
+            f"""ar{i} AS MATERIALIZED (SELECT e.dst, CAST(SUM(p.h) AS BIGINT) AS raw
          FROM edges e JOIN {prev_h} p ON p.node = e.src GROUP BY 1)"""
         )
         parts.append(f"am{i} AS (SELECT MAX(raw) AS mx FROM ar{i})")
         parts.append(
-            f"""a{i} AS (SELECT dst AS node,
+            f"""a{i} AS MATERIALIZED (SELECT dst AS node,
                 CAST((raw * {HITS_SCALE}) // mx AS BIGINT) AS a
          FROM ar{i}, am{i})"""
         )
         parts.append(
-            f"""hr{i} AS (SELECT e.src, CAST(SUM(p.a) AS BIGINT) AS raw
+            f"""hr{i} AS MATERIALIZED (SELECT e.src, CAST(SUM(p.a) AS BIGINT) AS raw
          FROM edges e JOIN a{i} p ON p.node = e.dst GROUP BY 1)"""
         )
         parts.append(f"hm{i} AS (SELECT MAX(raw) AS mx FROM hr{i})")
         parts.append(
-            f"""h{i} AS (SELECT src AS node,
+            f"""h{i} AS MATERIALIZED (SELECT src AS node,
                 CAST((raw * {HITS_SCALE}) // mx AS BIGINT) AS h
          FROM hr{i}, hm{i})"""
         )
