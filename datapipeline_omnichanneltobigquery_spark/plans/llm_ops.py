@@ -380,7 +380,7 @@ def similarity_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ann_pq",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; superseded-in-gate by the composed similarity_ivf_pq trio)
     oracle=sim.pq_topk_join_sql(
         "embeddings", "vec_id < 4", k=5, m_sub=8, n_codes=16, dim=EMB_DIM
     ),
@@ -401,7 +401,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_pq_recall",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; similarity_ivf_pq_recall anchors the recall dial)
     oracle=sim.ann_recall_sql(
         sim.cosine_topk_join_sql("embeddings", "vec_id < 4", k=5, dim=EMB_DIM),
         sim.pq_topk_join_sql(
@@ -1077,7 +1077,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_tokenizer_fertility",
-    driver=False,  # NEW r14: bytes/token + tokens/word per (source, lang) (r15 queue)
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=bpe.tokenizer_fertility_sql("documents", ["source", "lang"], "text"),
 )
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,7 +1194,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_zipf_fit",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; text_rake_keywords anchors corpus-stats text)
     oracle=ts.zipf_fit_sql("documents", "source", "text"),
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1243,7 +1243,7 @@ def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embeddings_pca_power",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; the ivf_pq trio + sim_histogram anchor embeddings)
     oracle=sim.pca_power_sql("embeddings", "vec_id", "embedding", EMB_DIM),
 )
 def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1520,7 +1520,7 @@ def text_decontam_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embeddings_sim_histogram",
-    driver=False,  # NEW r14: cosine-mass diagnostic for threshold tuning (r15 queue)
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=sim.sim_histogram_sql("embeddings", "vec_id % 7 = 3", n_bins=40, dim=EMB_DIM),
 )
 def embeddings_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,7 +1543,7 @@ _SEMDECON_CORPUS = "vec_id % 29 <> 0"
 
 @query(
     "decontam_semantic_pairs",
-    driver=False,  # NEW r14: embedding-space contamination report (r15 rotation queue)
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=dc.semantic_contamination_pairs_sql(
         "embeddings", _SEMDECON_CORPUS, _SEMDECON_EVAL,
         threshold=_SEMDECON_TAU, dim=EMB_DIM,
@@ -1570,7 +1570,7 @@ def decontam_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_decontaminate_semantic",
-    driver=False,  # NEW r14: the keep face — the r13 verdict's one real capability gap
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=dc.semantic_decontaminate_sql(
         "embeddings", _SEMDECON_CORPUS, _SEMDECON_EVAL,
         threshold=_SEMDECON_TAU, dim=EMB_DIM,

@@ -1474,7 +1474,7 @@ _SHAPLEY_JOURNEYS_SQL = """
 
 @query(
     "events_attribution_shapley",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; events_attribution_markov anchors attribution)
     oracle=attr.shapley_attribution_sql(_SHAPLEY_JOURNEYS_SQL, "mask", _SHAPLEY_CHANNELS),
 )
 def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1932,7 +1932,7 @@ _HITS_EDGES_SQL = """
 
 @query(
     "graph_hits_copurchase",
-    driver=False,  # NEW r14: HITS hubs/authorities (r15 rotation queue)
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=f"""
     WITH hh AS ({{inner}})
     SELECT node, hub, auth FROM hh
@@ -2926,7 +2926,7 @@ _THEILSEN_DAILY_SQL = """
 
 @query(
     "events_trend_theilsen",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; events_forecast_holt anchors trend/forecast)
     oracle=tsr.theilsen_mk_sql(_THEILSEN_DAILY_SQL, "event_type", "d", "y"),
 )
 def events_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2987,7 +2987,7 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_forecast_snaive",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; events_forecast_holt anchors forecast)
     oracle=tsr.snaive_eval_sql(_SNAIVE_DAILY_SQL, "event_type", "d", "y"),
 )
 def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3327,7 +3327,7 @@ def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_acf_hourly",
-    driver=False,  # NEW r14: autocorrelation fingerprint (r15 rotation queue)
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=tsr.acf_counts_sql("events", "event_type", "ts", max_lag=12),
 )
 def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3345,7 +3345,7 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_kruskal_wallis",
-    driver=False,  # NEW r14: k-sample nonparametric test (r15 rotation queue)
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=me.kruskal_wallis_sql(
         "customer", "c_nationkey", "c_mktsegment",
         "CAST(round(c_acctbal * 100, 0) AS BIGINT)",
@@ -3371,7 +3371,7 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "calibration_ece",
-    driver=False,  # NEW r14: expected calibration error (r15 rotation queue)
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=me.expected_calibration_error_sql(
         "events", "event_type",
         "CASE WHEN value >= 50.0 THEN 1 WHEN value < 50.0 THEN 0 END",
@@ -3404,7 +3404,7 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "calibration_brier",
-    driver=False,  # NEW r14: Brier score + Murphy decomposition (r15 rotation queue)
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=me.brier_decomposition_sql(
         "events", "event_type",
         "CASE WHEN value >= 50.0 THEN 1 WHEN value < 50.0 THEN 0 END",
@@ -3445,7 +3445,7 @@ _KAPPA_C_SQL = (
 
 @query(
     "stats_fleiss_kappa",
-    driver=False,  # NEW r14: multi-rater panel agreement (r15 rotation queue)
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=me.fleiss_kappa_sql(
         "SELECT event_type, event_id, "
         f"unnest([{_KAPPA_A_SQL}, {_KAPPA_B_SQL}, {_KAPPA_C_SQL}]) AS vote "
@@ -3492,7 +3492,7 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_cochran_q",
-    driver=False,  # NEW r14: K-treatment paired-binary test (r15 rotation queue)
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=me.cochran_q_sql(
         "SELECT event_type, event_id, "
         f"unnest(['a', 'b', 'c']) AS judge, "
@@ -3543,7 +3543,7 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_mcnemar",
-    driver=False,  # NEW r14: paired-rates test beside kappa (r15 rotation queue)
+    # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=me.mcnemar_test_sql(
         "SELECT * FROM events", "event_type",
         f"({_KAPPA_A_SQL}) = 'hi'", f"({_KAPPA_B_SQL}) = 'hi'",
@@ -4069,7 +4069,7 @@ _JACKKNIFE_ROWS_SQL = """
 
 @query(
     "stats_jackknife_ratio",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; stats_quantile_ci anchors the UQ trio)
     oracle=me.jackknife_ratio_sql(_JACKKNIFE_ROWS_SQL, "nat", "numv", "denv"),
 )
 def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4109,7 +4109,7 @@ _BH_SERIES_SQL = """
 
 @query(
     "stats_bh_fdr",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; stats_quantile_ci + the r14 stats battery anchor stats)
     oracle=me.bh_fdr_sql(
         f"SELECT key, z_mk FROM ({tsr.theilsen_mk_sql(_BH_SERIES_SQL, 'key', 'd', 'y')})",
         ["key"],
@@ -4168,7 +4168,7 @@ _QINI_UNITS_SQL = f"""
 
 @query(
     "features_uplift_qini",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; features_roc_auc anchors features eval)
     oracle=me.qini_deciles_sql(_QINI_UNITS_SQL, "user_id", "treat", "outcome", "score"),
 )
 def features_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4205,7 +4205,7 @@ def features_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_bootstrap_mean",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; stats_quantile_ci anchors the UQ trio)
     oracle=me.bootstrap_mean_ci_sql(
         "orders", "o_orderpriority", "o_orderkey",
         "CAST(o_totalprice AS DECIMAL(18,2)) * 100",
@@ -4253,7 +4253,7 @@ def stats_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_chi2_independence",
-    # rotated INTO the gate r13 (r12 family: judge-verified sf0.01 + vanilla pre-cleared)
+    driver=False,  # rotated out r15 (green r13+r14; stats_quantile_ci anchors stats)
     oracle=pf.chi2_independence_sql("orders", "o_orderpriority", "o_orderstatus"),
 )
 def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:

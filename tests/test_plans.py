@@ -245,6 +245,13 @@ BROADCAST_REVIEW_ALLOWLIST = {
     "similarity_ivf_pq": 2,
     "similarity_ivf_pq_recall": 2,
     "similarity_ivf_pq_incremental": 2,
+    # semantic decontam (rotated INTO the gate r15): the normalized
+    # EVAL-side embedding frame — bounded by the eval-suites-are-small
+    # contract; broadcasting it IS the map-side screen (the
+    # cosine_topk_join plan shape).  Justifications moved verbatim from
+    # the EXTRA list where they sat in r14.
+    "decontam_semantic_pairs": 1,
+    "text_decontaminate_semantic": 1,
 }
 
 
@@ -285,11 +292,9 @@ EXTRA_BROADCAST_REVIEW_ALLOWLIST = {
     # eval-suite shingle index + contaminated-id list (decontam module
     # contract: evaluation suites are small by construction)
     "text_decontam_keep": 2,
-    # semantic decontam (r14): the normalized EVAL-side embedding frame —
-    # bounded by the same eval-suites-are-small contract; broadcasting it
-    # IS the map-side screen (the cosine_topk_join plan shape)
-    "decontam_semantic_pairs": 1,
-    "text_decontaminate_semantic": 1,
+    # (r15: decontam_semantic_pairs / text_decontaminate_semantic rotated
+    # INTO the gate — their eval-side-broadcast justifications moved to
+    # the gated list above.)
     # same two decontam broadcasts, standalone face (rotated out of the
     # gate r10; justification unchanged)
     "text_decontaminate": 1,
