@@ -35,6 +35,11 @@ def main() -> int:
     # Warm the JVM/codegen once on the smallest table so the first measured
     # query doesn't pay session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy().count().collect()
+    # ^ second warmup = the calibration probe's own plan shape: the probe
+    # measures HOST contention, and an un-warmed first probe reads ~0.45 s
+    # of its own codegen cold-start — which used to mis-flag chunk 1 of
+    # pass 1 as contended on an idle host.
 
     # Host CPU contention on this machine produces a measured 3.5x spread on
     # unchanged code (BASELINE.md), so a single run cannot separate a real
@@ -95,22 +100,44 @@ def main() -> int:
         spark.read.parquet(f"{sf_dir}/region.parquet").groupBy().count().collect()
         return round(time.time() - t0, 3)
 
+    # Mid-pass re-probing (r14 verdict "What's wrong #4"): BENCH_r14's pass 2
+    # probed healthy (0.188 s) then ran 2.4x slower than pass 1 — a single
+    # pre-pass probe cannot see contention that STARTS mid-pass, so its
+    # `contended` flag (and every per-row provenance bit derived from it)
+    # misrepresented the pass.  The probe now re-runs every CAL_CHUNK
+    # queries; per-row provenance uses the most recent probe, and a pass is
+    # `contended` when ANY of its probes ran hot.  Overhead: ~4 extra probes
+    # x ~0.2 s per 50-query pass.
+    cal_chunk = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_CHUNK", "12"))
+
+    def run_list(names: list[str]) -> list[float]:
+        """Run queries in order, re-probing calibration every cal_chunk;
+        returns the probe timings (>= 1).  Updates cur_pass_contended as it
+        goes so run_query records accurate per-row provenance."""
+        nonlocal cur_pass_contended
+        cals: list[float] = []
+        for j, name in enumerate(names):
+            if j % cal_chunk == 0:
+                c = calibrate()
+                cals.append(c)
+                cur_pass_contended = c > cal_healthy
+            run_query(name)
+        return cals
+
     for _ in range(runs):
         if passes > 0 and time.time() - start + (best_pass or 0.0) > budget:
             break
-        cal = calibrate()
-        cur_pass_contended = cal > cal_healthy
         t_pass = time.time()
-        for name in sorted(QUERIES):
-            run_query(name)
+        cals = run_list(sorted(QUERIES))
         dur = time.time() - t_pass
         best_pass = dur if best_pass is None else min(best_pass, dur)
         pass_meta.append(
             {
                 "kind": "full",
-                "calibration_sec": cal,
+                "calibration_sec": cals[0],
+                "calibrations_sec": cals,
                 "pass_sec": round(dur, 3),
-                "contended": cal > cal_healthy,
+                "contended": any(c > cal_healthy for c in cals),
             }
         )
         passes += 1
@@ -125,8 +152,8 @@ def main() -> int:
     # cheaper tail entries still use whatever budget remains.
     remaining = budget - (time.time() - start)
     if remaining > 2.0:
-        cal = calibrate()
-        cur_pass_contended = cal > cal_healthy
+        cals = [calibrate()]
+        cur_pass_contended = cals[0] > cal_healthy
         improved = 0
         for name in sorted(
             (n for n in timings if timings[n] >= 0),
@@ -135,14 +162,19 @@ def main() -> int:
         ):
             if time.time() - start + 1.5 * timings[name] > budget:
                 continue
+            if improved and improved % cal_chunk == 0:
+                c = calibrate()
+                cals.append(c)
+                cur_pass_contended = c > cal_healthy
             run_query(name)
             improved += 1
         pass_meta.append(
             {
                 "kind": "partial",
-                "calibration_sec": cal,
+                "calibration_sec": cals[0],
+                "calibrations_sec": cals,
                 "queries_rerun": improved,
-                "contended": cal > cal_healthy,
+                "contended": any(c > cal_healthy for c in cals),
             }
         )
 
@@ -156,8 +188,6 @@ def main() -> int:
     # of every row the variance band can't clear.  Bounded work: ~the sum
     # of the multi-second floors (~20-30 s at the current registry).
     if passes == 1 and pass_meta and pass_meta[0]["contended"]:
-        cal = calibrate()
-        cur_pass_contended = cal > cal_healthy
         rerun = sorted(
             (
                 n
@@ -167,14 +197,14 @@ def main() -> int:
             key=lambda n: timings[n],
             reverse=True,
         )
-        for name in rerun:
-            run_query(name)
+        cals = run_list(rerun) if rerun else [calibrate()]
         pass_meta.append(
             {
                 "kind": "retry_multisecond",
-                "calibration_sec": cal,
+                "calibration_sec": cals[0],
+                "calibrations_sec": cals,
                 "queries_rerun": len(rerun),
-                "contended": cal > cal_healthy,
+                "contended": any(c > cal_healthy for c in cals),
             }
         )
 
@@ -189,6 +219,7 @@ def main() -> int:
         n for n, c in min_contended.items() if c and timings.get(n, -1.0) >= 0
     )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -196,12 +227,51 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "passes": passes,
                 "agg": "min",
                 "contended": contended,
                 "mins_under_contention": mins_under_contention,
                 "pass_meta": pass_meta,
+            }
+        )
+    )
+    # Truncation-proof trailing summary (r14 verdict "What's wrong #2"):
+    # the driver records only the TAIL of bench output, and the wide line
+    # above lost its own head — "value" included — in BENCH_r14.json.  This
+    # second, compact line repeats the verdict-critical numbers so any tail
+    # capture retains them.  worst_vs_floor compares against the recorded
+    # same-protocol floors (BASELINE_FLOORS.json, re-recorded each round
+    # beside BASELINE.md) when present and at the matching scale factor.
+    worst_vs_floor: list[list] = []
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_FLOORS.json")) as f:
+            floors_doc = json.load(f)
+        if floors_doc.get("sf") == sf_val:
+            floors = floors_doc.get("floors", {})
+            worst_vs_floor = [
+                [n, timings[n], round(timings[n] / floors[n], 3)]
+                for n in sorted(
+                    (n for n in timings if timings[n] > 0 and floors.get(n, 0) > 0),
+                    key=lambda n: timings[n] / floors[n],
+                    reverse=True,
+                )[:3]
+            ]
+    except Exception:
+        pass  # floors are advisory; the summary line must always print
+    print(
+        json.dumps(
+            {
+                "metric": "bench_summary",
+                "total": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "passes": passes,
+                "contended": contended,
+                "n_queries": sum(1 for t in timings.values() if t >= 0),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+                "n_mins_under_contention": len(mins_under_contention),
+                "worst_vs_floor": worst_vs_floor,
             }
         )
     )
