@@ -22,7 +22,7 @@ re-derive the graph; rank state stays (node, BIGINT) — 16 bytes a row.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 SCALE = 10**12  # fixed-point denominator
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
@@ -526,16 +526,27 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
     power-iteration variant: each round's scores rescale so the maximum
     is exactly ``HITS_SCALE``): score' = (raw · HITS_SCALE) div max(raw)
     — integer sums and one flooring division per node per round, so the
-    fixed point is bit-identical across engines and parallelism.  Ranks
-    under max-norm are IDENTICAL to Kleinberg's L2-normalized ranking
-    (normalization never reorders scores).
+    fixed point is bit-identical across engines and parallelism.  What
+    that buys is DETERMINISM, not exact-HITS rank fidelity: within a
+    round the rescaling is monotone (it never reorders that round's raw
+    sums), but the flooring division quantizes scores to 1/HITS_SCALE,
+    which can TIE nodes whose exact-arithmetic scores differ below that
+    resolution — and, propagated across iterations, perturb ranks
+    relative to infinite-precision L2-normalized HITS.  Both engines
+    compute the same quantized fixed point, which is the property the
+    oracle hash checks.
 
     Overflow contract, guarded loudly: raw sums are bounded by
     degree·HITS_SCALE, so a node with in- or out-degree above
     ``HITS_DEG_CAP`` (4e6) raises a diagnosable error naming the bound
     (the basket_edges supernode discipline) rather than wrapping the
     normalization product — split a genuine supernode or pre-aggregate
-    its edges first.
+    its edges first.  The guard rides ON the round-1 raw-sum column the
+    normalization consumes (degrees never change across rounds, so
+    round 1 checks every node), not a separate eagerly-collected
+    aggregate — Catalyst cannot prune it, and plan construction runs no
+    dedicated guard job (the localCheckpoints inside the loop remain
+    eager by the module's multi-consumer discipline).
 
     Returns (node, hub, auth) — NULL hub for pure authorities, NULL
     auth for pure hubs.  Scale: each round is two degree-bounded
@@ -546,54 +557,60 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
             f"hits_fixedpoint: iterations must be >= 1, got {iterations}"
         )
     e = edges.select("src", "dst").distinct().localCheckpoint()
-    # the int64 bound depends on IN-degree (authority step) and OUT-degree
-    # (hub step) SEPARATELY — a combined count would spuriously reject a
-    # legal node with in+out just over the cap
-    deg_guard = (
-        e.select(F.col("src").alias("x"), F.lit("out").alias("side"))
-        .unionByName(e.select(F.col("dst").alias("x"), F.lit("in").alias("side")))
-        .groupBy("x", "side")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .agg(
-            F.max(
-                F.when(F.col("d") <= F.lit(HITS_DEG_CAP), F.col("d")).otherwise(
-                    F.raise_error(
-                        F.concat(
-                            F.lit("hits_fixedpoint: node "),
-                            F.col("x").cast("string"),
-                            F.lit(" has "),
-                            F.col("side"),
-                            F.lit(
-                                f"-degree above HITS_DEG_CAP={HITS_DEG_CAP}; "
-                                "the normalization product would overflow int64 — "
-                                "split the supernode or pre-aggregate its edges"
-                            ),
-                        )
-                    )
+
+    def _deg_guarded(key: Column, side: str, raw: Column, d: Column) -> Column:
+        # the int64 bound depends on IN-degree (authority step) and
+        # OUT-degree (hub step) SEPARATELY — a combined count would
+        # spuriously reject a legal node with in+out just over the cap.
+        # Riding on the consumed raw-sum column (round 1 sums over ALL
+        # nodes of a side, and degrees are round-invariant), the guard
+        # checks every node without a dedicated eager aggregate job.
+        return F.when(d <= F.lit(HITS_DEG_CAP), raw).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("hits_fixedpoint: node "),
+                    key.cast("string"),
+                    F.lit(f" has {side}"),
+                    F.lit(
+                        f"-degree above HITS_DEG_CAP={HITS_DEG_CAP}; "
+                        "the normalization product would overflow int64 — "
+                        "split the supernode or pre-aggregate its edges"
+                    ),
                 )
-            ).alias("dmax")
+            ).cast("bigint")
         )
-    )
-    deg_guard.collect()  # bounded 1-row action; fires the guard eagerly
+
     hubs = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
     h = hubs.withColumn("h", F.lit(HITS_SCALE).cast("bigint"))
     a = None
-    for _ in range(iterations):
-        a_raw = (
-            e.join(h, e.src == h.node)
-            .groupBy("dst")
-            .agg(F.sum("h").cast("bigint").alias("raw"))
-        )
+    for it in range(iterations):
+        a_grp = e.join(h, e.src == h.node).groupBy("dst")
+        if it == 0:  # round 1's groups cover every authority-side node
+            a_raw = a_grp.agg(
+                F.sum("h").cast("bigint").alias("raw"),
+                F.count(F.lit(1)).alias("d"),
+            ).select(
+                "dst",
+                _deg_guarded(F.col("dst"), "in", F.col("raw"), F.col("d")).alias("raw"),
+            )
+        else:
+            a_raw = a_grp.agg(F.sum("h").cast("bigint").alias("raw"))
         amax = a_raw.agg(F.max("raw").alias("mx"))
         a = a_raw.crossJoin(F.broadcast(amax)).select(
             F.col("dst").alias("node"),
             F.expr(f"(raw * {HITS_SCALE}) div mx").cast("bigint").alias("a"),
         )
-        h_raw = (
-            e.join(a, e.dst == a.node)
-            .groupBy("src")
-            .agg(F.sum("a").cast("bigint").alias("raw"))
-        )
+        h_grp = e.join(a, e.dst == a.node).groupBy("src")
+        if it == 0:  # round 1's groups cover every hub-side node
+            h_raw = h_grp.agg(
+                F.sum("a").cast("bigint").alias("raw"),
+                F.count(F.lit(1)).alias("d"),
+            ).select(
+                "src",
+                _deg_guarded(F.col("src"), "out", F.col("raw"), F.col("d")).alias("raw"),
+            )
+        else:
+            h_raw = h_grp.agg(F.sum("a").cast("bigint").alias("raw"))
         hmax = h_raw.agg(F.max("raw").alias("mx"))
         h = h_raw.crossJoin(F.broadcast(hmax)).select(
             F.col("src").alias("node"),

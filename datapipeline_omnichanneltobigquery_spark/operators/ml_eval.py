@@ -1929,23 +1929,22 @@ def cochran_q(
         treatment.cast("string").alias("t"),
         y.cast("int").alias("y"),
     )
+    # the duplicate guard rides ON yy — the column every downstream
+    # aggregate consumes — so Catalyst cannot prune it away (same
+    # discipline as the n_t guard below); it fires during the
+    # localCheckpoint job, with no separate eager guard action
     cells = base.groupBy("__g", "__i", "t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c"),
-        F.sum("y").cast("bigint").alias("yy"),
-    ).localCheckpoint()  # feeds the guard, both totals, and k
-    dup_guard = cells.agg(
-        F.max(
-            F.when(F.col("c") == 1, F.lit(1)).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "cochran_q: duplicate (item, treatment) rows — every item "
-                        "must carry each treatment exactly once; dedupe first"
-                    )
+        F.when(F.count(F.lit(1)) == 1, F.sum("y").cast("bigint"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "cochran_q: duplicate (item, treatment) rows — every item "
+                    "must carry each treatment exactly once; dedupe first"
                 )
-            )
+            ).cast("bigint")
         )
-    )
-    dup_guard.collect()  # bounded 1-row action
+        .alias("yy"),
+    ).localCheckpoint()  # feeds both totals and k (3 consumers)
     k_tab = cells.groupBy("__g").agg(F.count_distinct("t").cast("bigint").alias("k"))
     per_item = cells.groupBy("__g", "__i").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_t"),
@@ -2007,10 +2006,12 @@ def cochran_q_sql(
                CAST({y_sql} AS INT) AS y
         FROM ({long_sql})),
     cells AS MATERIALIZED (
+        -- the duplicate guard rides ON yy (consumed by per_item and
+        -- col_stats), not a dedicated column: a projection-pruning
+        -- optimizer change can never silently disable it
         SELECT g, i, t,
                CASE WHEN COUNT(*) <> 1 THEN CAST(error('cochran_q: duplicate (item, treatment) rows — every item must carry each treatment exactly once; dedupe first') AS BIGINT)
-                    ELSE CAST(COUNT(*) AS BIGINT) END AS c,
-               CAST(SUM(y) AS BIGINT) AS yy
+                    ELSE CAST(SUM(y) AS BIGINT) END AS yy
         FROM base GROUP BY 1, 2, 3),
     k_tab AS (SELECT g, CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells GROUP BY 1),
     per_item AS (

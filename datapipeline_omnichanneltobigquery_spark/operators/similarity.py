@@ -1976,6 +1976,14 @@ def sim_histogram(
     blocked kernels exist to avoid; at 100 TB sample ~2-4k vectors,
     which already pins the histogram shape to ~1% bin error).
 
+    Builder contract — EAGER by design: unlike the registry's lazy plan
+    builders, construction runs one bounded Spark job (localCheckpoint
+    of the sample + a 1-row count).  The n² guard must decide with the
+    REAL sample size before the pair-kernel plan exists — a lazy
+    in-plan guard would fire only after n² tasks were already
+    scheduled.  Tools that only want the schema should build over a
+    pre-limited frame.
+
     Exactness: cosines come from the block-tiled Arrow kernel —
     bitwise-equal to the oracle's fold (module contract) — so the bin
     assignment floor((cos + 1)·n_bins/2) (clamped to n_bins−1) is

@@ -3333,8 +3333,12 @@ def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample autocorrelation of the hourly event-count series per type,
     lags 1-12 — the seasonality/memory fingerprint beside trend
-    (theilsen) and changepoint (cusum): a daily cycle peaks at lag 24,
-    white noise dies inside ±2/√n.  Missing hours are ZEROS of the
+    (theilsen) and changepoint (cusum): short-memory persistence decays
+    geometrically across the first lags, white noise dies inside ±2/√n,
+    and a slow tail flags a trend to remove before modeling.  (A full
+    daily cycle would need lag 24 — raise max_lag when hunting diurnal
+    seasonality; this surface reads the within-half-day structure.)
+    Missing hours are ZEROS of the
     count series (dense grid, the resample discipline); r_k multiplies
     through by n² so numerator and denominator are exact DECIMAL(38,0)
     and each lag is ONE rounded division

@@ -2631,3 +2631,27 @@ def test_hits_rejects_zero_iterations(spark):
         hits_fixedpoint(df, iterations=0)
     with pytest.raises(ValueError, match="iterations"):
         hits_fixedpoint_sql("SELECT 'a' AS src, 'b' AS dst", iterations=0)
+
+
+def test_hits_degree_guard_fires_without_dedicated_job(spark, monkeypatch):
+    """r14 ADVICE: the supernode degree guard rides ON the round-1 raw-sum
+    column the normalization consumes (no eagerly-collected side aggregate)
+    — pinned by lowering the cap and watching it fire for each side."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators import graph as graph_mod
+
+    monkeypatch.setattr(graph_mod, "HITS_DEG_CAP", 2)
+    fan_out = spark.createDataFrame(
+        [("u1", f"p{i}") for i in range(3)] + [("u2", "p0")],
+        "src string, dst string",
+    )
+    with pytest.raises(Exception, match="out-degree above HITS_DEG_CAP"):
+        graph_mod.hits_fixedpoint(fan_out, iterations=1).collect()
+
+    fan_in = spark.createDataFrame(
+        [(f"u{i}", "p1") for i in range(3)] + [("u0", "p2")],
+        "src string, dst string",
+    )
+    with pytest.raises(Exception, match="in-degree above HITS_DEG_CAP"):
+        graph_mod.hits_fixedpoint(fan_in, iterations=1).collect()

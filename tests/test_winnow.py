@@ -1177,3 +1177,40 @@ def test_cochran_q_matches_textbook_and_guards(spark):
     )
     with pytest.raises(Exception, match="missing treatments"):
         cochran_q(missing, "g", "item", F.col("t"), F.col("y")).collect()
+
+
+def test_cochran_q_duplicate_guard_rides_consumed_column(spark):
+    """r14 ADVICE: the duplicate-(item, treatment) guard must ride a column
+    the downstream aggregates CONSUME (yy), not a dedicated check column a
+    projection-pruning optimizer could silently drop — pinned by firing it
+    in BOTH engines."""
+    import duckdb
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import (
+        cochran_q,
+        cochran_q_sql,
+    )
+
+    dup_rows = [
+        ("g", 1, "a", 1), ("g", 1, "a", 0),  # duplicate (item 1, treatment a)
+        ("g", 1, "b", 0), ("g", 2, "a", 1), ("g", 2, "b", 1),
+    ]
+    df = spark.createDataFrame(dup_rows, "g string, item long, t string, y int")
+    with pytest.raises(Exception, match="dedupe first"):
+        # the guard fires during the eager cells localCheckpoint inside
+        # the builder — no separate action needed
+        cochran_q(df, "g", "item", F.col("t"), F.col("y")).collect()
+
+    sql = cochran_q_sql(
+        "SELECT * FROM (VALUES ('g', 1, 'a', 1), ('g', 1, 'a', 0), "
+        "('g', 1, 'b', 0), ('g', 2, 'a', 1), ('g', 2, 'b', 1)) "
+        "AS v(g, item, t, y)",
+        "g", "item", "t", "y",
+    )
+    con = duckdb.connect()
+    try:
+        with pytest.raises(Exception, match="dedupe first"):
+            con.sql(sql).fetchall()
+    finally:
+        con.close()
