@@ -287,6 +287,198 @@ def tokenizer_fertility(
     )
 
 
+#: frozen 32-merge extension of :data:`FERTILITY_MERGES` for the
+#: fertility-vs-merges dial — the FIRST 16 rules ARE the fertility
+#: table (BPE merge lists are ordered, so an n-merge tokenizer is
+#: exactly the n-prefix of a longer one: the dial points are nested by
+#: construction, the recall-dial discipline of similarity_pq_recall).
+#: Every added rule references single characters or earlier merges.
+FERTILITY_MERGES_DIAL: list[tuple[str, str]] = FERTILITY_MERGES + [
+    ("e", "n"), ("en", EOW), ("o", "r"), ("or", EOW),
+    ("a", "t"), ("at", EOW), ("e", "s"), ("es", EOW),
+    ("t", "o"), ("to", EOW), ("i", "s"), ("is", EOW),
+    ("a", EOW), ("y", EOW), ("t", EOW), ("n", EOW),
+]
+
+
+def tokenizer_fertility_dial(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str,
+    merge_counts: tuple[int, ...] = (8, 16, 32),
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Fertility at several vocabulary sizes from ONE shared
+    word-frequency pass — the measurement that justifies a merge-count
+    (vocab-size) choice the way :func:`tokenizer_fertility` justifies a
+    token budget: more merges → fewer tokens/word and more bytes/token,
+    and the dial shows where the curve flattens per (group).
+
+    ``merge_counts`` must be ascending prefixes of ``merges`` (BPE merge
+    lists are ordered, so the n-merge tokenizer IS the n-prefix): the
+    segmentation applies the merge chain ONCE, snapshotting the token
+    count of every distinct word at each dial point — no re-tokenization
+    per point.  Returns one row per (group..., n_merges):
+    (…, n_merges, n_docs, n_bytes, n_words, n_tokens, bytes_per_token,
+    tokens_per_word), ratio semantics identical to the fertility report.
+
+    Scale: the same two corpus passes as tokenizer_fertility (one
+    (group, word) frequency aggregate + one byte rollup); the merge
+    chain runs over the DISTINCT vocabulary once for the LONGEST dial
+    point, and the dial fan-out is a |dial|-element literal explode on
+    n_groups rows."""
+    if merges is None:
+        merges = FERTILITY_MERGES_DIAL
+    counts = list(merge_counts)
+    if not counts or counts != sorted(set(counts)) or counts[-1] > len(merges):
+        raise ValueError(
+            f"merge_counts={merge_counts} must be strictly ascending and "
+            f"bounded by len(merges)={len(merges)}"
+        )
+    groups = [F.col(c) for c in group_cols]
+    words = df.select(
+        *groups,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    wf = words.groupBy(*group_cols, "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    ).localCheckpoint()  # ONE shared pass: feeds the vocab AND the rollup
+    # one incremental merge chain over the distinct vocabulary, token
+    # count snapshotted at each dial point
+    seg = wf.select("w").distinct().select("w", _initial_seg("w").alias("seg"))
+    done = 0
+    for cnt in counts:
+        for i, (a, b) in enumerate(merges[done:cnt]):
+            seg = seg.withColumn("seg", _merge_expr("seg", a, b))
+            if (done + i + 1) % 8 == 0:
+                seg = seg.localCheckpoint()
+        seg = seg.withColumn(f"n_tok_{cnt}", F.size("seg").cast("bigint"))
+        done = cnt
+    segn = seg.select("w", *[f"n_tok_{c}" for c in counts])
+    tok = (
+        wf.join(segn, "w")
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            *[
+                F.sum(F.col("freq") * F.col(f"n_tok_{c}")).cast("bigint").alias(f"n_tokens_{c}")
+                for c in counts
+            ],
+        )
+    )
+    byt = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length(F.col(text_col))).cast("bigint").alias("n_bytes"),
+    )
+    # null-safe group join — the tokenizer_fertility NULL-lang lesson
+    tok_r = tok.select(
+        *[F.col(c).alias(f"__t_{c}") for c in group_cols],
+        "n_words",
+        *[f"n_tokens_{c}" for c in counts],
+    )
+    cond = None
+    for c in group_cols:
+        piece = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+        cond = piece if cond is None else (cond & piece)
+    wide = byt.join(tok_r, cond, "left")
+    dial = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).cast("int").alias("n_merges"),
+                    F.col(f"n_tokens_{c}").alias("n_tokens"),
+                )
+                for c in counts
+            ]
+        )
+    ).alias("__d")
+    return wide.select(*group_cols, "n_docs", "n_bytes", "n_words", dial).select(
+        *group_cols,
+        F.col("__d.n_merges").alias("n_merges"),
+        "n_docs",
+        "n_bytes",
+        "n_words",
+        F.col("__d.n_tokens").alias("n_tokens"),
+        F.when(
+            F.col("__d.n_tokens") > 0,
+            F.round(F.col("n_bytes").cast("double") / F.col("__d.n_tokens").cast("double"), 6),
+        ).alias("bytes_per_token"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("__d.n_tokens").cast("double") / F.col("n_words").cast("double"), 6),
+        ).alias("tokens_per_word"),
+    )
+
+
+def tokenizer_fertility_dial_sql(
+    table: str,
+    group_cols: list[str],
+    text_col: str,
+    merge_counts: tuple[int, ...] = (8, 16, 32),
+    merges: list[tuple[str, str]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility_dial` — one replace
+    chain per dial point over the same DISTINCT vocabulary (each chain
+    is the prefix of the next, so values agree with the incremental
+    Spark snapshots), one shared frequency CTE, UNION ALL dial rows."""
+    if merges is None:
+        merges = FERTILITY_MERGES_DIAL
+    counts = list(merge_counts)
+    if not counts or counts != sorted(set(counts)) or counts[-1] > len(merges):
+        raise ValueError(
+            f"merge_counts={merge_counts} must be strictly ascending and "
+            f"bounded by len(merges)={len(merges)}"
+        )
+    g = ", ".join(group_cols)
+    bg = ", ".join(f"b.{c}" for c in group_cols)
+    seg_cols = ",\n               ".join(
+        f"CAST(len(string_split(trim({fertility_seg_expr(merges[:c])}), '  '))"
+        f" AS BIGINT) AS n_tok_{c}"
+        for c in counts
+    )
+    tok_sums = ",\n               ".join(
+        f"CAST(SUM(freq * n_tok_{c}) AS BIGINT) AS n_tokens_{c}" for c in counts
+    )
+    dial_rows = "\n    UNION ALL\n".join(
+        f"""    SELECT {bg}, CAST({c} AS INT) AS n_merges, b.n_docs, b.n_bytes,
+           t.n_words, t.n_tokens_{c} AS n_tokens,
+           CASE WHEN t.n_tokens_{c} > 0
+                THEN round(CAST(b.n_bytes AS DOUBLE) / CAST(t.n_tokens_{c} AS DOUBLE), 6)
+           END AS bytes_per_token,
+           CASE WHEN t.n_words > 0
+                THEN round(CAST(t.n_tokens_{c} AS DOUBLE) / CAST(t.n_words AS DOUBLE), 6)
+           END AS tokens_per_word
+    FROM byt b LEFT JOIN tok t
+      ON {" AND ".join(f"b.{cc} IS NOT DISTINCT FROM t.{cc}" for cc in group_cols)}"""
+        for c in counts
+    )
+    return f"""
+    WITH words AS (
+        SELECT {g}, w FROM (
+            SELECT {g},
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                       t -> t <> '')) AS w
+            FROM {table})),
+    wf AS MATERIALIZED (
+        SELECT {g}, w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM words GROUP BY ALL),
+    segn AS (
+        SELECT w,
+               {seg_cols}
+        FROM (SELECT DISTINCT w FROM wf)),
+    tok AS MATERIALIZED (
+        SELECT {g}, CAST(SUM(freq) AS BIGINT) AS n_words,
+               {tok_sums}
+        FROM wf JOIN segn USING (w) GROUP BY ALL),
+    byt AS MATERIALIZED (
+        SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(octet_length(encode({text_col}))) AS BIGINT) AS n_bytes
+        FROM {table} GROUP BY ALL)
+{dial_rows}
+    """
+
+
 def _dlit(s: str) -> str:
     """DuckDB string literal (quotes double-escaped)."""
     return "'" + s.replace("'", "''") + "'"

@@ -255,6 +255,96 @@ def semantic_decontaminate(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def decontaminate_combined(
+    train: DataFrame,
+    bench: DataFrame,
+    corpus_vec: DataFrame,
+    eval_vec: DataFrame,
+    train_id: str = "doc_id",
+    train_text: str = "text",
+    bench_id: str = "doc_id",
+    bench_text: str = "text",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 8,
+    min_overlap: int = 1,
+    max_df_bench: int | None = None,
+    threshold: float = 0.30,
+    dim: int | None = None,
+) -> DataFrame:
+    """The form a real pipeline runs — BOTH screens against one eval
+    suite in one call: keep every training document flagged by NEITHER
+    the verbatim (n-gram shingle, :func:`contamination_pairs`) screen
+    NOR the paraphrase (embedding cosine,
+    :func:`semantic_contamination_pairs`) screen.
+
+    Id-alignment contract: ``corpus_vec``/``eval_vec`` carry the SAME id
+    space as ``train``/``bench`` (the standard layout — the embedding
+    store shares the document id), so the union of the two
+    contaminated-id lists anti-joins against the document corpus
+    directly.
+
+    Scale (100 TB): each screen keeps its own contract — the bench
+    shingle index and the normalized eval embeddings both broadcast
+    (eval suites are small by construction), the union of contaminated
+    ids is a tiny frame, and the final keep is ONE broadcast anti-join;
+    the corpus text and corpus embeddings each cross the cluster once
+    and never shuffle for discovery."""
+    bad_ngram = (
+        contamination_pairs(
+            train, bench, train_id, train_text, bench_id, bench_text,
+            n=n, min_overlap=min_overlap, max_df_bench=max_df_bench,
+        )
+        .select(F.col("train_id").alias(train_id))
+    )
+    bad_sem = (
+        semantic_contamination_pairs(
+            corpus_vec, eval_vec, id_col=vec_id, vec_col=vec_col,
+            threshold=threshold, dim=dim,
+        )
+        .select(F.col("corpus_id").alias(train_id))
+    )
+    bad = bad_ngram.unionByName(bad_sem).distinct()
+    return train.join(F.broadcast(bad), train_id, "left_anti")
+
+
+def decontaminate_combined_sql(
+    train_expr: str,
+    bench_expr: str,
+    vec_table: str,
+    corpus_predicate: str,
+    eval_predicate: str,
+    train_id: str = "doc_id",
+    train_text: str = "text",
+    bench_id: str = "doc_id",
+    bench_text: str = "text",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 8,
+    min_overlap: int = 1,
+    max_df_bench: int | None = None,
+    threshold: float = 0.30,
+    dim: int = 64,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`decontaminate_combined` — two NOT EXISTS
+    (the left_anti NULL-key semantics over the UNION of contaminated-id
+    lists factors into one NOT EXISTS per screen)."""
+    ngram_pairs = contamination_pairs_sql(
+        train_expr, bench_expr, train_id, train_text, bench_id, bench_text,
+        n=n, min_overlap=min_overlap, max_df_bench=max_df_bench,
+    )
+    sem_pairs = semantic_contamination_pairs_sql(
+        vec_table, corpus_predicate, eval_predicate,
+        id_col=vec_id, vec_col=vec_col, threshold=threshold, dim=dim,
+    )
+    return f"""
+    SELECT {select_cols} FROM {train_expr} tr
+    WHERE NOT EXISTS (SELECT 1 FROM ({ngram_pairs}) p WHERE p.train_id = tr.{train_id})
+      AND NOT EXISTS (SELECT 1 FROM ({sem_pairs}) q WHERE q.corpus_id = tr.{train_id})
+    """
+
+
 def _unit_cte(table: str, vec_col: str, dim: int) -> str:
     from datapipeline_omnichanneltobigquery_spark.operators.similarity import _dot_sql
 

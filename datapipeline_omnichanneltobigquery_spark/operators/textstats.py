@@ -1251,6 +1251,102 @@ def vocab_growth_sql(table: str, id_col: str, text_col: str) -> str:
     """
 
 
+def vocab_coverage(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Unseen-vocabulary estimation per ``group_col`` — the question
+    :func:`vocab_growth` (observed types) cannot answer: how much type
+    mass has this source NOT shown yet, i.e. how much more data a
+    tokenizer/LM needs before its vocabulary stops growing.
+
+    Two classical estimators from the exact term-count stream:
+
+    * **Good-Turing unseen mass** (Good 1953): P₀ = N₁/N — the
+      probability the NEXT token is an unseen type, estimated by the
+      singleton share.  Coverage of the observed vocabulary is 1 − P₀.
+    * **Chao1 richness** (Chao 1984, bias-corrected form): the total
+      (seen + unseen) type count V + N₁(N₁−1)/(2(N₂+1)) — defined even
+      at zero doubletons, where the classical N₁²/(2N₂) blows up.
+
+    Returns (group, n_tokens, n_types, n_singletons, n_doubletons,
+    unseen_mass, chao1).  All five count columns are EXACT integers
+    (the N₁(N₁−1) product goes through DECIMAL(38,0) — at corpus scale
+    singleton counts square past int64); each estimator is ONE rounded
+    division of exact operands, so the hash-compare is deterministic.
+    Groups with zero tokens are absent (no token stream rows → no
+    estimate, same on both engines).
+
+    Scale: one token explode (map-side), one (group, term) partial
+    aggregate, one per-group rollup of four counters — two shuffles,
+    linear, no windows.  The frequency-of-frequencies never
+    materializes beyond the four counters a 100 TB pass folds
+    map-side."""
+    d38 = "decimal(38,0)"
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    term_counts = toks.groupBy("__g", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    st = term_counts.groupBy("__g").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("n_singletons"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint").alias("n_doubletons"),
+    )
+    return st.select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "n_types",
+        "n_singletons",
+        "n_doubletons",
+        F.round(
+            F.col("n_singletons").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("unseen_mass"),
+        F.round(
+            F.col("n_types").cast("double")
+            + (
+                F.col("n_singletons").cast(d38)
+                * (F.col("n_singletons") - F.lit(1)).cast(d38)
+            ).cast("double")
+            / (
+                (F.lit(2) * (F.col("n_doubletons") + F.lit(1))).cast("double")
+            ),
+            6,
+        ).alias("chao1"),
+    )
+
+
+def vocab_coverage_sql(table: str, group_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`vocab_coverage` — identical tokenizer,
+    identical exact counters, the same two one-shot divisions."""
+    return f"""
+    WITH toks AS (
+        SELECT {group_col} AS g, tok FROM (
+            SELECT {group_col},
+                   UNNEST(list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                                      t -> t <> '')) AS tok
+            FROM {table})
+    ),
+    tc AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+    st AS (
+        SELECT g,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_doubletons
+        FROM tc GROUP BY 1)
+    SELECT g AS {group_col}, n_tokens, n_types, n_singletons, n_doubletons,
+           round(CAST(n_singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS unseen_mass,
+           round(CAST(n_types AS DOUBLE)
+                 + CAST(CAST(n_singletons AS DECIMAL(38,0))
+                        * CAST(n_singletons - 1 AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(2 * (n_doubletons + 1) AS DOUBLE), 6)
+             AS chao1
+    FROM st
+    """
+
+
 def pmi_collocations(
     df: DataFrame, id_col: str, text_col: str, min_count: int = 5, k: int = 50
 ) -> DataFrame:

@@ -1095,6 +1095,25 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tokenizer_fertility_dial",
+    driver=False,  # NEW r15: fertility vs merge count, one shared pass (r16 rotation queue)
+    oracle=bpe.tokenizer_fertility_dial_sql("documents", ["source", "lang"], "text"),
+)
+def text_tokenizer_fertility_dial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility at n_merges ∈ {8, 16, 32} per (source, lang) — the dial
+    that justifies a vocabulary-size choice the way
+    similarity_pq_recall's recall dial justifies n_codes: BPE merge
+    lists are ordered, so each dial point is a PREFIX of the frozen
+    32-merge table (whose 16-prefix IS the gated fertility row's
+    tokenizer), and one incremental merge chain over the distinct
+    vocabulary snapshots every point — ONE (group, word) frequency
+    pass, ONE byte rollup, no re-tokenization per point
+    (operators/bpe.py::tokenizer_fertility_dial; Rust et al. 2021)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe.tokenizer_fertility_dial(docs, ["source", "lang"], "text")
+
+
+@query(
     "sampling_pack_greedy",
     driver=False,  # rotated out r10 (green r8-r9 (2 green); temperature_mix/dsir/rate_capped take the sampling slots)
     # rotated INTO the gate r8 (r7 flagship, never driver-verified)
@@ -1591,6 +1610,44 @@ def text_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.expr(_SEMDECON_EVAL)),
         threshold=_SEMDECON_TAU, dim=EMB_DIM,
     ).select("vec_id", "label")
+
+
+@query(
+    "text_decontaminate_combined",
+    driver=False,  # NEW r15: composed verbatim+paraphrase keep face (r16 rotation queue)
+    oracle=dc.decontaminate_combined_sql(
+        _DECONTAM_TRAIN, _DECONTAM_BENCH,
+        "embeddings", "vec_id % 29 <> 7", "vec_id % 29 = 7",
+        n=_DECONTAM_N, min_overlap=_DECONTAM_MIN_OVERLAP,
+        max_df_bench=_DECONTAM_MAX_DF_BENCH,
+        threshold=_SEMDECON_TAU, dim=EMB_DIM,
+        select_cols="doc_id, source, n_chars",
+    ),
+)
+def text_decontaminate_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined decontamination — the form a real pipeline runs: keep
+    every training document (doc_id % 29 ≠ 7; the % 29 = 7 slice plays
+    the eval suite) flagged by NEITHER the verbatim n-gram screen
+    (5-grams, min_overlap 3, bench df cap 8 — the text_decontaminate
+    constants) NOR the paraphrase embedding screen (cosine ≥ 0.30
+    against the SAME slice's embeddings; the standard layout shares the
+    document id with the embedding store, so vec_id ≡ doc_id).  One
+    broadcast anti-join against the union of both tiny contaminated-id
+    lists; each screen keeps its own broadcast contract, so the corpus
+    text and corpus embeddings cross the cluster once each with zero
+    discovery shuffle (operators/decontam.py::decontaminate_combined;
+    composed all-pairs oracle, corpus_prep_full's discipline)."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dc.decontaminate_combined(
+        docs.filter(F.col("doc_id") % 29 != 7),
+        docs.filter(F.col("doc_id") % 29 == 7),
+        emb.filter(F.col("vec_id") % 29 != 7),
+        emb.filter(F.col("vec_id") % 29 == 7),
+        n=_DECONTAM_N, min_overlap=_DECONTAM_MIN_OVERLAP,
+        max_df_bench=_DECONTAM_MAX_DF_BENCH,
+        threshold=_SEMDECON_TAU, dim=EMB_DIM,
+    ).select("doc_id", "source", "n_chars")
 
 
 @query(
@@ -2116,6 +2173,27 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a single-partition window over the corpus
     (operators/textstats.py::vocab_growth)."""
     return ts.vocab_growth(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_vocab_coverage",
+    driver=False,  # NEW r15: Good-Turing/Chao1 unseen-vocabulary estimate (r16 rotation queue)
+    oracle=ts.vocab_coverage_sql("documents", "source", "text"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimation per source — the forward-looking
+    companion of [[text_vocab_growth]]'s observed Heaps curve: the
+    Good-Turing singleton estimate P₀ = N₁/N of the probability the
+    NEXT token is a new type, and the bias-corrected Chao1 estimate
+    V + N₁(N₁−1)/(2(N₂+1)) of TOTAL (seen + unseen) vocabulary — the
+    two numbers that size how much more of a source a tokenizer/LM
+    needs before its vocabulary saturates.  Exact integer
+    frequency-of-frequencies counters (singletons/doubletons fold in
+    the same rollup as token/type totals), each estimator ONE rounded
+    division; one token explode + two partial-aggregated shuffles,
+    linear at any scale (operators/textstats.py::vocab_coverage;
+    Good 1953, Chao 1984)."""
+    return ts.vocab_coverage(read_table(spark, sf_dir, "documents"), "source", "text")
 
 
 @query(

@@ -189,3 +189,68 @@ def test_tokenizer_fertility_null_group_key_joins_null_safe(spark):
     nul = got[("web", None)]
     assert (nul.n_words, nul.n_tokens) == (2, 4)  # 'of' -> [of, </w>] x2
     assert nul.tokens_per_word == 2.0
+
+
+def test_fertility_dial_replace_chain_equals_greedy_fold_32():
+    """fold ≡ replace extended to the 32-merge dial table (the property
+    that makes every dial point's DuckDB twin exact), plus the prefix
+    invariant: the dial table's 16-prefix IS the fertility table."""
+    import duckdb
+
+    from datapipeline_omnichanneltobigquery_spark.operators.bpe import (
+        EOW,
+        FERTILITY_MERGES,
+        FERTILITY_MERGES_DIAL,
+        fertility_seg_expr,
+    )
+
+    assert FERTILITY_MERGES_DIAL[:16] == FERTILITY_MERGES
+    assert len(FERTILITY_MERGES_DIAL) == 32
+    words = [
+        "the", "then", "there", "and", "is", "his", "this", "to", "tot",
+        "es", "yes", "essen", "ororor", "atat", "aya", "ny", "tnt",
+        "senor", "onto", "notes", "arena",
+    ]
+    expr = fertility_seg_expr(FERTILITY_MERGES_DIAL)
+    got = dict(
+        duckdb.sql(
+            f"SELECT w, string_split(trim({expr}), '  ') AS toks "
+            "FROM (SELECT unnest(?) AS w)",
+            params=[words],
+        ).fetchall()
+    )
+    for w in words:
+        toks = list(w) + [EOW]
+        for a, b in FERTILITY_MERGES_DIAL:
+            toks = _py_greedy_merge(toks, a, b)
+        assert got[w] == toks, (w, got[w], toks)
+
+
+def test_tokenizer_fertility_dial_nested_points(spark):
+    """Dial rows are nested prefixes of one chain: the 16-merge point
+    equals the standalone fertility report's counts; token counts are
+    non-increasing in n_merges; validation rejects bad dials."""
+    import pytest
+
+    from datapipeline_omnichanneltobigquery_spark.operators.bpe import (
+        tokenizer_fertility,
+        tokenizer_fertility_dial,
+    )
+
+    rows = [("web", "en", "the theft of essen"), ("web", "en", "is to and")]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    dial = {
+        r.n_merges: r
+        for r in tokenizer_fertility_dial(df, ["source", "lang"], "text").collect()
+    }
+    assert set(dial) == {8, 16, 32}
+    flat = tokenizer_fertility(df, ["source", "lang"], "text").collect()[0]
+    assert (dial[16].n_words, dial[16].n_tokens) == (flat.n_words, flat.n_tokens)
+    assert dial[16].tokens_per_word == flat.tokens_per_word
+    assert dial[8].n_tokens >= dial[16].n_tokens >= dial[32].n_tokens
+    assert dial[8].n_words == dial[16].n_words == dial[32].n_words
+
+    with pytest.raises(ValueError, match="ascending"):
+        tokenizer_fertility_dial(df, ["source"], "text", merge_counts=(16, 8))
+    with pytest.raises(ValueError, match="ascending"):
+        tokenizer_fertility_dial(df, ["source"], "text", merge_counts=(8, 64))

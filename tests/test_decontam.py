@@ -193,3 +193,44 @@ def test_semantic_decontaminate_keeps_null_id_rows(spark):
         dim=2,
     ).collect()
     assert [r.vec_id for r in kept] == [None]
+
+
+def test_decontaminate_combined_unions_both_screens(spark):
+    """The combined keep face drops a doc flagged by EITHER screen: doc 1
+    leaks a verbatim 3-gram (no embedding neighbor), doc 2 is an embedding
+    paraphrase (no shared 3-gram), doc 3 is clean on both."""
+    from datapipeline_omnichanneltobigquery_spark.operators.decontam import (
+        decontaminate_combined,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # verbatim 3-gram leak
+            (2, "completely different wording here"),  # paraphrase (vector) leak
+            (3, "nothing shared with the suite"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(9, "quick brown fox somewhere else")], ["doc_id", "text"]
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),   # orthogonal to the eval vector
+            (2, [0.0, 1.0]),   # cosine 1.0 vs eval — paraphrase twin
+            (3, [1.0, 0.0]),
+            (9, [0.0, 1.0]),   # the eval suite's embedding
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = decontaminate_combined(
+        docs,
+        bench,
+        vecs.filter(F.col("vec_id") != 9),
+        vecs.filter(F.col("vec_id") == 9),
+        n=3,
+        min_overlap=1,
+        threshold=0.5,
+        dim=2,
+    ).collect()
+    assert [r.doc_id for r in kept] == [3]

@@ -2655,3 +2655,34 @@ def test_hits_degree_guard_fires_without_dedicated_job(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="in-degree above HITS_DEG_CAP"):
         graph_mod.hits_fixedpoint(fan_in, iterations=1).collect()
+
+
+def test_vocab_coverage_matches_hand_estimators(spark):
+    """Good-Turing unseen mass and bias-corrected Chao1 equal the textbook
+    formulas on a hand corpus with known frequency-of-frequencies; a
+    group with zero doubletons stays defined (the bias-corrected form's
+    point); all-empty groups are absent."""
+    from datapipeline_omnichanneltobigquery_spark.operators.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            # src a: counts -> the:3, cat:2, sat:1, mat:1  (N=7 V=4 N1=2 N2=1)
+            ("a", "the cat sat"),
+            ("a", "the cat mat the"),
+            # src b: all singletons, zero doubletons (N=3 V=3 N1=3 N2=0)
+            ("b", "x y z"),
+            # src c: only whitespace -> zero tokens, absent from output
+            ("c", "   "),
+        ],
+        ["source", "text"],
+    )
+    out = {r.source: r for r in vocab_coverage(docs, "source", "text").collect()}
+    assert set(out) == {"a", "b"}
+    a = out["a"]
+    assert (a.n_tokens, a.n_types, a.n_singletons, a.n_doubletons) == (7, 4, 2, 1)
+    assert a.unseen_mass == round(2 / 7, 6)
+    assert a.chao1 == round(4 + 2 * 1 / (2 * (1 + 1)), 6)
+    b = out["b"]
+    assert (b.n_tokens, b.n_types, b.n_singletons, b.n_doubletons) == (3, 3, 3, 0)
+    assert b.unseen_mass == 1.0
+    assert b.chao1 == round(3 + 3 * 2 / (2 * (0 + 1)), 6)

@@ -389,6 +389,45 @@ def test_every_gated_aggregate_combines_map_side(spark):
     assert not offenders, offenders
 
 
+def _audit_table_row_names(path: str) -> set[str]:
+    """First-column names of the generated plan-audit markdown table."""
+    names = set()
+    for line in open(path):
+        if not line.startswith("| "):
+            continue
+        first = line.split("|")[1].strip()
+        if first in ("query", "---"):
+            continue
+        names.add(first)
+    return names
+
+
+def test_plans_markdown_rows_match_registries():
+    """PLANS.md / PLANS_EXTRAS.md are generated plan-audit artifacts, not
+    prose: their row sets must equal the live registries (r14 verdict —
+    PLANS_EXTRAS lagged 5 families behind EXTRA_QUERIES; the live CI
+    audits never lagged, but the reviewable table did).  Regenerate with
+    `python tools/plan_audit.py [--extras]` after any registry change."""
+    import os
+
+    from datapipeline_omnichanneltobigquery_spark.plans.queries import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    gated = _audit_table_row_names(os.path.join(root, "PLANS.md"))
+    assert gated == set(QUERIES), (
+        "PLANS.md drift — missing: %s; stale: %s"
+        % (sorted(set(QUERIES) - gated), sorted(gated - set(QUERIES)))
+    )
+    extras = _audit_table_row_names(os.path.join(root, "PLANS_EXTRAS.md"))
+    assert extras == set(EXTRA_QUERIES), (
+        "PLANS_EXTRAS.md drift — missing: %s; stale: %s"
+        % (sorted(set(EXTRA_QUERIES) - extras), sorted(extras - set(EXTRA_QUERIES)))
+    )
+
+
 def test_coverage_header_counts_match_registry():
     """The COVERAGE.md current-round header's registry counts are
     generated facts, not prose — pin them to the live registry so the
