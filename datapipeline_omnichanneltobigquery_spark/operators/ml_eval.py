@@ -1504,6 +1504,151 @@ def kruskal_wallis_sql(
     """
 
 
+#: Spearman's rho from exact 2×-midrank sufficient statistics — ONE
+#: shared expression string both engines evaluate on DECIMAL(38,0)
+#: columns (nn, su, sv, suv, suu, svv): rho = (n·Σuv − Σu·Σv) /
+#: √((n·Σu² − (Σu)²)·(n·Σv² − (Σv)²)), NULL when either marginal is
+#: constant (zero rank variance — undefined, surfaced, never 0).
+SPEARMAN_RHO_SQL = (
+    "CASE WHEN (nn * suu - su * su) > 0 AND (nn * svv - sv * sv) > 0 "
+    "THEN CAST(nn * suv - su * sv AS DOUBLE) "
+    "/ sqrt(CAST(nn * suu - su * su AS DOUBLE) "
+    "* CAST(nn * svv - sv * sv AS DOUBLE)) END"
+)
+
+
+def spearman_corr(
+    df: DataFrame, group_col: str, x: Column, y: Column
+) -> DataFrame:
+    """Spearman's rank correlation per group (Spearman 1904, the
+    tie-corrected midrank form) — the MONOTONE-association face of the
+    correlation battery: feature_correlations' exact Pearson reads
+    linear association and is outlier-sensitive; this is Pearson on
+    RANKS, invariant to any monotone transform of either margin (the
+    robust screen for feature/metric relationships).
+
+    Exactness: the Kruskal-Wallis integer-midrank discipline applied to
+    BOTH margins — the 2×-scaled midrank of a distinct value v is
+    R2(v) = 2·|{x < v}| + count(v) + 1, an exact bigint, and the
+    constant 2 cancels in rho — so all six sufficient statistics
+    (n, Σu, Σv, Σuv, Σu², Σv²) are exact DECIMAL(38,0) sums and rho is
+    ONE shared expression string (:data:`SPEARMAN_RHO_SQL`) with a
+    single double division + sqrt, rounded once.  Bound: the n·Σuv
+    product stays inside DECIMAL(38,0) to ~10⁹ rows per group (4n⁴ <
+    10³⁸) — same class as the kruskal rank-sum squares.  NULL rho when
+    either margin is constant or n < 2.
+
+    NULL contract: rows with NULL in EITHER value are dropped (pairwise
+    NA omission — the mann_whitney contract).
+
+    Returns (group, n, rho).  Scale: the corpus collapses to distinct
+    (group, x, y) cells in one exchange; midranks run per group over
+    the DISTINCT marginal values (bounded windows, the kruskal
+    discipline); the rank joins ride the cell table, never corpus
+    rows."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        x.cast("bigint").alias("xv"),
+        y.cast("bigint").alias("yv"),
+    ).filter(F.col("xv").isNotNull() & F.col("yv").isNotNull())
+    cells = base.groupBy("__g", "xv", "yv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()  # feeds both marginals AND the pair sums
+
+    def _ranked(col: str) -> DataFrame:
+        dv = cells.groupBy("__g", col).agg(F.sum("c").cast("bigint").alias("c_v"))
+        w = Window.partitionBy("__g").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return dv.withColumn("cum", F.sum("c_v").over(w)).select(
+            "__g",
+            col,
+            (F.lit(2) * (F.col("cum") - F.col("c_v")) + F.col("c_v") + F.lit(1))
+            .cast("bigint")
+            .alias(f"r2{col}"),
+        )
+
+    joined = cells.join(_ranked("xv"), ["__g", "xv"]).join(
+        _ranked("yv"), ["__g", "yv"]
+    )
+    stats = joined.groupBy("__g").agg(
+        F.sum("c").cast(d38).alias("nn"),
+        F.sum(F.col("c").cast(d38) * F.col("r2xv").cast(d38)).cast(d38).alias("su"),
+        F.sum(F.col("c").cast(d38) * F.col("r2yv").cast(d38)).cast(d38).alias("sv"),
+        F.sum(
+            F.col("c").cast(d38) * F.col("r2xv").cast(d38) * F.col("r2yv").cast(d38)
+        ).cast(d38).alias("suv"),
+        F.sum(
+            F.col("c").cast(d38) * F.col("r2xv").cast(d38) * F.col("r2xv").cast(d38)
+        ).cast(d38).alias("suu"),
+        F.sum(
+            F.col("c").cast(d38) * F.col("r2yv").cast(d38) * F.col("r2yv").cast(d38)
+        ).cast(d38).alias("svv"),
+    )
+    return stats.select(
+        F.col("__g").alias(group_col),
+        F.col("nn").cast("bigint").alias("n"),
+        F.round(F.expr(SPEARMAN_RHO_SQL), 6).alias("rho"),
+    )
+
+
+def spearman_corr_sql(
+    table: str, group_col: str, x_sql: str, y_sql: str
+) -> str:
+    """DuckDB twin of :func:`spearman_corr` — identical integer
+    midranks on both margins, identical DECIMAL(38,0) sufficient
+    statistics, the SAME shared rho expression string."""
+    return f"""
+    WITH base AS (SELECT * FROM (
+                    SELECT {group_col} AS g,
+                           CAST({x_sql} AS BIGINT) AS xv,
+                           CAST({y_sql} AS BIGINT) AS yv
+                    FROM {table})
+                  WHERE xv IS NOT NULL AND yv IS NOT NULL),
+    cells AS MATERIALIZED (
+        SELECT g, xv, yv, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2, 3),
+    rx AS (
+        SELECT g, xv, CAST(2 * (cum - c_v) + c_v + 1 AS BIGINT) AS r2xv
+        FROM (SELECT g, xv, c_v,
+                     SUM(c_v) OVER (PARTITION BY g ORDER BY xv
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM (SELECT g, xv, CAST(SUM(c) AS BIGINT) AS c_v
+                    FROM cells GROUP BY 1, 2))),
+    ry AS (
+        SELECT g, yv, CAST(2 * (cum - c_v) + c_v + 1 AS BIGINT) AS r2yv
+        FROM (SELECT g, yv, c_v,
+                     SUM(c_v) OVER (PARTITION BY g ORDER BY yv
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM (SELECT g, yv, CAST(SUM(c) AS BIGINT) AS c_v
+                    FROM cells GROUP BY 1, 2))),
+    stats AS (
+        SELECT c.g,
+               CAST(SUM(c.c) AS DECIMAL(38,0)) AS nn,
+               CAST(SUM(CAST(c.c AS DECIMAL(38,0))
+                        * CAST(rx.r2xv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS su,
+               CAST(SUM(CAST(c.c AS DECIMAL(38,0))
+                        * CAST(ry.r2yv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv,
+               CAST(SUM(CAST(c.c AS DECIMAL(38,0))
+                        * CAST(rx.r2xv AS DECIMAL(38,0))
+                        * CAST(ry.r2yv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS suv,
+               CAST(SUM(CAST(c.c AS DECIMAL(38,0))
+                        * CAST(rx.r2xv AS DECIMAL(38,0))
+                        * CAST(rx.r2xv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS suu,
+               CAST(SUM(CAST(c.c AS DECIMAL(38,0))
+                        * CAST(ry.r2yv AS DECIMAL(38,0))
+                        * CAST(ry.r2yv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS svv
+        FROM cells c
+        JOIN rx ON rx.g = c.g AND rx.xv = c.xv
+        JOIN ry ON ry.g = c.g AND ry.yv = c.yv
+        GROUP BY 1)
+    SELECT g AS {group_col}, CAST(nn AS BIGINT) AS n,
+           round({SPEARMAN_RHO_SQL}, 6) AS rho
+    FROM stats
+    """
+
+
 #: confidence scores are integer micro-units in [0, ECE_SCALE]
 ECE_SCALE = 1_000_000
 

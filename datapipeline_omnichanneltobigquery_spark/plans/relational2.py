@@ -3374,6 +3374,33 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_spearman_corr",
+    driver=False,  # NEW r15: rank face of the correlation battery (r16 rotation queue)
+    oracle=me.spearman_corr_sql(
+        "lineitem", "l_returnflag",
+        "CAST(round(l_quantity * 100, 0) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT)",
+    ),
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman's rho between line quantity and extended price per return
+    flag — the MONOTONE-association face of the correlation battery
+    (feature_correlations reads linear Pearson; this is Pearson on
+    midranks, invariant to monotone transforms and robust to price
+    outliers; strongly positive here since extendedprice ≈ qty × unit
+    price).  Exact integer 2×-midranks on both margins (the
+    kruskal_wallis discipline), six DECIMAL(38,0) sufficient
+    statistics, ONE shared rho expression string
+    (operators/ml_eval.py::spearman_corr; Spearman 1904)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return me.spearman_corr(
+        li, "l_returnflag",
+        F.expr("CAST(round(l_quantity * 100, 0) AS BIGINT)"),
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"),
+    )
+
+
+@query(
     "calibration_ece",
     # rotated INTO the gate r15 (r14 family: judge-verified sf0.01 + vanilla pre-cleared x3 SFs)
     oracle=me.expected_calibration_error_sql(

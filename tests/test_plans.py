@@ -230,12 +230,8 @@ BROADCAST_REVIEW_ALLOWLIST = {
     # table is materialized into a literal array, pure map-side probe)
     # (r8: bm25's per-query-term dfreq broadcast now rides on the
     # localCheckpointed tf_q frame — mechanically bounded, off this list)
-    # PQ ADC lookup table (rotated INTO the gate r13): |query batch| ×
-    # m_sub × n_codes rows (4·8·16 = 512 here) — bounded by the
-    # probe-batch contract times two fixed constants; broadcasting the LUT
-    # IS the ADC plan shape (the code scan must not shuffle).
-    "similarity_ann_pq": 1,
-    "similarity_pq_recall": 1,
+    # (r15: similarity_ann_pq / similarity_pq_recall rotated OUT of the
+    # gate — their ADC-LUT justifications moved back to the EXTRA list.)
     # composed IVF×PQ trio (rotated INTO the gate r14): 2 flagged each =
     # the (query, cluster) probe list (|queries| × n_probe rows —
     # probe-batch contract × a fixed constant; broadcasting it IS the
@@ -295,6 +291,12 @@ EXTRA_BROADCAST_REVIEW_ALLOWLIST = {
     # (r15: decontam_semantic_pairs / text_decontaminate_semantic rotated
     # INTO the gate — their eval-side-broadcast justifications moved to
     # the gated list above.)
+    # combined decontamination (r15): the bench shingle index + the
+    # normalized eval embedding frame (both bounded by the
+    # eval-suites-are-small contract, same two justifications as the
+    # standalone faces) + the union of the two contaminated-id lists
+    # (bounded by |matches| — the text_decontam_keep anti-join shape)
+    "text_decontaminate_combined": 3,
     # same two decontam broadcasts, standalone face (rotated out of the
     # gate r10; justification unchanged)
     "text_decontaminate": 1,
@@ -308,8 +310,12 @@ EXTRA_BROADCAST_REVIEW_ALLOWLIST = {
     # into ann_recall's localCheckpoint job in r8, leaving the candidate
     # probe's (rotated out of the gate r9)
     "similarity_ann_recall": 1,
-    # (r13: similarity_ann_pq / similarity_pq_recall rotated INTO the
-    # gate — their LUT-broadcast justifications moved to the gated list)
+    # PQ ADC lookup table (rotated out of the gate r15, green r13+r14):
+    # |query batch| × m_sub × n_codes rows (4·8·16 = 512 here) — bounded
+    # by the probe-batch contract times two fixed constants; broadcasting
+    # the LUT IS the ADC plan shape (the code scan must not shuffle).
+    "similarity_ann_pq": 1,
+    "similarity_pq_recall": 1,
     # (r14: similarity_ivf_pq / _recall / _incremental rotated INTO the
     # gate — their probe-list + LUT justifications moved to the gated
     # list above.)

@@ -1214,3 +1214,22 @@ def test_cochran_q_duplicate_guard_rides_consumed_column(spark):
             con.sql(sql).fetchall()
     finally:
         con.close()
+
+
+def test_spearman_corr_hand_cases(spark):
+    """rho equals the textbook rank-Pearson on a no-ties case (classic
+    1 − 6Σd²/(n(n²−1)) = −0.2) and a midrank tie case (0.5); a constant
+    margin surfaces NULL; NULL values drop pairwise."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import spearman_corr
+
+    rows = [
+        ("g", 1, 2), ("g", 2, 4), ("g", 3, 6), ("g", 4, 1),
+        ("t", 1, 1), ("t", 1, 2), ("t", 2, 2),
+        ("c", 5, 1), ("c", 5, 2),
+        ("g", None, 7), ("g", 7, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in spearman_corr(df, "g", F.col("x"), F.col("y")).collect()}
+    assert got["g"].n == 4 and got["g"].rho == -0.2
+    assert got["t"].n == 3 and got["t"].rho == 0.5
+    assert got["c"].n == 2 and got["c"].rho is None
