@@ -208,10 +208,15 @@ def main() -> int:
             }
         )
 
-    # The artifact self-identifies as contended when NO recorded pass ran
-    # with a healthy calibration probe — a judge (or CI) must not read its
-    # minima as achievable floors.
-    contended = bool(pass_meta) and all(m["contended"] for m in pass_meta)
+    # The artifact self-identifies as contended when NO recorded pass that
+    # actually MEASURED queries ran with a healthy calibration probe — a
+    # judge (or CI) must not read its minima as achievable floors.  A
+    # partial/retry pass whose budget allowed zero reruns contributes no
+    # timings, so its (possibly healthy) probe must not clear the flag
+    # (r15 review: a healthy zero-rerun probe after a fully-contended pass
+    # 1 would otherwise mark an all-contended artifact clean).
+    measured = [m for m in pass_meta if m.get("queries_rerun", 1) > 0]
+    contended = bool(measured) and all(m["contended"] for m in measured)
     # Fine-grained provenance (r13 ADVICE): even when a healthy pass makes
     # the artifact usable, name the rows whose recorded min was only ever
     # measured under contention — those floors are upper bounds, not clean.

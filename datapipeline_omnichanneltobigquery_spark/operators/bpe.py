@@ -212,6 +212,46 @@ FERTILITY_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def _group_word_freqs(df: DataFrame, group_cols: list[str], text_col: str) -> DataFrame:
+    """The fertility operators' shared corpus pass: (group..., w, freq)
+    over the whitespace-split lowercase word stream, localCheckpointed
+    (it feeds both the distinct vocabulary and the token rollup)."""
+    words = df.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    return words.groupBy(*group_cols, "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    ).localCheckpoint()
+
+
+def _byte_rollup(df: DataFrame, group_cols: list[str], text_col: str) -> DataFrame:
+    """(group..., n_docs, n_bytes) — the fertility operators' second
+    corpus pass."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length(F.col(text_col))).cast("bigint").alias("n_bytes"),
+    )
+
+
+def _nullsafe_group_join(
+    left: DataFrame, right: DataFrame, group_cols: list[str], right_cols: list[str]
+) -> DataFrame:
+    """Left-join ``right`` (renaming its group keys to ``__t_*``) onto
+    ``left`` with NULL-SAFE group equality — a NULL group key (e.g. lang
+    unset) aggregates on both sides, and null-unsafe equality would
+    silently report NULL counts for a group that HAS words (the r14
+    fertility lesson, shared so the dial cannot drift from it)."""
+    right_r = right.select(
+        *[F.col(c).alias(f"__t_{c}") for c in group_cols], *right_cols
+    )
+    cond = None
+    for c in group_cols:
+        piece = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+        cond = piece if cond is None else (cond & piece)
+    return left.join(right_r, cond, "left")
+
+
 def tokenizer_fertility(
     df: DataFrame,
     group_cols: list[str],
@@ -237,14 +277,7 @@ def tokenizer_fertility(
     sublinear in the corpus (Heaps' law)."""
     if merges is None:
         merges = FERTILITY_MERGES
-    groups = [F.col(c) for c in group_cols]
-    words = df.select(
-        *groups,
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
-    ).filter(F.col("w") != "")
-    wf = words.groupBy(*group_cols, "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
-    ).localCheckpoint()  # feeds the vocab AND the token rollup
+    wf = _group_word_freqs(df, group_cols, text_col)
     seg = bpe_segment_words(wf.select("w").distinct(), merges)
     tok = (
         wf.join(seg, "w")
@@ -254,23 +287,8 @@ def tokenizer_fertility(
             F.sum(F.col("freq") * F.size("tokens")).cast("bigint").alias("n_tokens"),
         )
     )
-    byt = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.octet_length(F.col(text_col))).cast("bigint").alias("n_bytes"),
-    )
-    # null-SAFE group join: a NULL group key (e.g. lang unset) aggregates
-    # on both sides but null-unsafe equality would never match them,
-    # silently reporting NULL token counts for a group that HAS words
-    tok_r = tok.select(
-        *[F.col(c).alias(f"__t_{c}") for c in group_cols],
-        "n_words",
-        "n_tokens",
-    )
-    cond = None
-    for c in group_cols:
-        piece = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
-        cond = piece if cond is None else (cond & piece)
-    return byt.join(tok_r, cond, "left").select(
+    byt = _byte_rollup(df, group_cols, text_col)
+    return _nullsafe_group_join(byt, tok, group_cols, ["n_words", "n_tokens"]).select(
         *group_cols,
         "n_docs",
         "n_bytes",
@@ -330,21 +348,20 @@ def tokenizer_fertility_dial(
     if merges is None:
         merges = FERTILITY_MERGES_DIAL
     counts = list(merge_counts)
-    if not counts or counts != sorted(set(counts)) or counts[-1] > len(merges):
+    if (
+        not counts
+        or counts != sorted(set(counts))
+        or counts[0] < 1
+        or counts[-1] > len(merges)
+    ):
         raise ValueError(
-            f"merge_counts={merge_counts} must be strictly ascending and "
-            f"bounded by len(merges)={len(merges)}"
+            f"merge_counts={merge_counts} must be strictly ascending, >= 1, "
+            f"and bounded by len(merges)={len(merges)}"
         )
-    groups = [F.col(c) for c in group_cols]
-    words = df.select(
-        *groups,
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
-    ).filter(F.col("w") != "")
-    wf = words.groupBy(*group_cols, "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
-    ).localCheckpoint()  # ONE shared pass: feeds the vocab AND the rollup
+    wf = _group_word_freqs(df, group_cols, text_col)
     # one incremental merge chain over the distinct vocabulary, token
-    # count snapshotted at each dial point
+    # count snapshotted at each dial point (the chain itself is
+    # bpe_segment_words' loop with mid-chain snapshots)
     seg = wf.select("w").distinct().select("w", _initial_seg("w").alias("seg"))
     done = 0
     for cnt in counts:
@@ -366,21 +383,10 @@ def tokenizer_fertility_dial(
             ],
         )
     )
-    byt = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.octet_length(F.col(text_col))).cast("bigint").alias("n_bytes"),
+    byt = _byte_rollup(df, group_cols, text_col)
+    wide = _nullsafe_group_join(
+        byt, tok, group_cols, ["n_words", *[f"n_tokens_{c}" for c in counts]]
     )
-    # null-safe group join — the tokenizer_fertility NULL-lang lesson
-    tok_r = tok.select(
-        *[F.col(c).alias(f"__t_{c}") for c in group_cols],
-        "n_words",
-        *[f"n_tokens_{c}" for c in counts],
-    )
-    cond = None
-    for c in group_cols:
-        piece = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
-        cond = piece if cond is None else (cond & piece)
-    wide = byt.join(tok_r, cond, "left")
     dial = F.explode(
         F.array(
             *[
@@ -424,10 +430,15 @@ def tokenizer_fertility_dial_sql(
     if merges is None:
         merges = FERTILITY_MERGES_DIAL
     counts = list(merge_counts)
-    if not counts or counts != sorted(set(counts)) or counts[-1] > len(merges):
+    if (
+        not counts
+        or counts != sorted(set(counts))
+        or counts[0] < 1
+        or counts[-1] > len(merges)
+    ):
         raise ValueError(
-            f"merge_counts={merge_counts} must be strictly ascending and "
-            f"bounded by len(merges)={len(merges)}"
+            f"merge_counts={merge_counts} must be strictly ascending, >= 1, "
+            f"and bounded by len(merges)={len(merges)}"
         )
     g = ", ".join(group_cols)
     bg = ", ".join(f"b.{c}" for c in group_cols)

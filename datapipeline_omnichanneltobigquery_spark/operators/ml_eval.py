@@ -1393,7 +1393,10 @@ def kruskal_wallis(
     surfaced, never 0.
 
     NULL contract: rows with a NULL sample key or NULL value are
-    DROPPED (NA omission — the mann_whitney contract).
+    DROPPED (NA omission — the mann_whitney contract).  A NULL GROUP
+    key is also dropped (the internal joins are group-key equi-joins,
+    identical in both engines) — pre-coalesce a sentinel group if NULL
+    groups must surface (spearman_corr's null-safe-join treatment).
 
     Returns (group, k_samples, n, h, h_tie_corrected).  Scale: the
     corpus collapses to (group, sample, value) sufficient-statistic
@@ -1539,7 +1542,9 @@ def spearman_corr(
     either margin is constant or n < 2.
 
     NULL contract: rows with NULL in EITHER value are dropped (pairwise
-    NA omission — the mann_whitney contract).
+    NA omission — the mann_whitney contract); a NULL GROUP key is a
+    real group and surfaces its own row (null-safe rank joins in both
+    engines — the tokenizer_fertility NULL-lang lesson).
 
     Returns (group, n, rho).  Scale: the corpus collapses to distinct
     (group, x, y) cells in one exchange; midranks run per group over
@@ -1562,15 +1567,26 @@ def spearman_corr(
             Window.unboundedPreceding, 0
         )
         return dv.withColumn("cum", F.sum("c_v").over(w)).select(
-            "__g",
-            col,
+            F.col("__g").alias(f"__rg_{col}"),
+            F.col(col).alias(f"__rv_{col}"),
             (F.lit(2) * (F.col("cum") - F.col("c_v")) + F.col("c_v") + F.lit(1))
             .cast("bigint")
             .alias(f"r2{col}"),
         )
 
-    joined = cells.join(_ranked("xv"), ["__g", "xv"]).join(
-        _ranked("yv"), ["__g", "yv"]
+    # group keys join NULL-SAFELY (a NULL group must not silently vanish
+    # from the output); the value keys are non-NULL by the filter above
+    joined = (
+        cells.join(
+            _ranked("xv"),
+            F.col("__g").eqNullSafe(F.col("__rg_xv"))
+            & (F.col("xv") == F.col("__rv_xv")),
+        )
+        .join(
+            _ranked("yv"),
+            F.col("__g").eqNullSafe(F.col("__rg_yv"))
+            & (F.col("yv") == F.col("__rv_yv")),
+        )
     )
     stats = joined.groupBy("__g").agg(
         F.sum("c").cast(d38).alias("nn"),
@@ -1640,8 +1656,8 @@ def spearman_corr_sql(
                         * CAST(ry.r2yv AS DECIMAL(38,0))
                         * CAST(ry.r2yv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS svv
         FROM cells c
-        JOIN rx ON rx.g = c.g AND rx.xv = c.xv
-        JOIN ry ON ry.g = c.g AND ry.yv = c.yv
+        JOIN rx ON rx.g IS NOT DISTINCT FROM c.g AND rx.xv = c.xv
+        JOIN ry ON ry.g IS NOT DISTINCT FROM c.g AND ry.yv = c.yv
         GROUP BY 1)
     SELECT g AS {group_col}, CAST(nn AS BIGINT) AS n,
            round({SPEARMAN_RHO_SQL}, 6) AS rho

@@ -254,3 +254,13 @@ def test_tokenizer_fertility_dial_nested_points(spark):
         tokenizer_fertility_dial(df, ["source"], "text", merge_counts=(16, 8))
     with pytest.raises(ValueError, match="ascending"):
         tokenizer_fertility_dial(df, ["source"], "text", merge_counts=(8, 64))
+    # r15 review: negative counts passed the ascending+bounded check but
+    # Python slice semantics made BOTH engines silently wrong (merges[0:-1]
+    # for the -1 point, an empty continuation for the next) — oracle-blind
+    with pytest.raises(ValueError, match="ascending"):
+        tokenizer_fertility_dial(df, ["source"], "text", merge_counts=(-1, 8))
+    from datapipeline_omnichanneltobigquery_spark.operators.bpe import (
+        tokenizer_fertility_dial_sql,
+    )
+    with pytest.raises(ValueError, match="ascending"):
+        tokenizer_fertility_dial_sql("documents", ["source"], "text", merge_counts=(0, 8))

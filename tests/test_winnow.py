@@ -1233,3 +1233,17 @@ def test_spearman_corr_hand_cases(spark):
     assert got["g"].n == 4 and got["g"].rho == -0.2
     assert got["t"].n == 3 and got["t"].rho == 0.5
     assert got["c"].n == 2 and got["c"].rho is None
+
+
+def test_spearman_corr_null_group_key_surfaces(spark):
+    """r15 review: a NULL group key is a real group — the rank joins are
+    null-safe in both engines, so it must surface its own row instead of
+    silently vanishing (memory defect class 2)."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import spearman_corr
+
+    rows = [(None, 1, 2), (None, 2, 4), (None, 3, 5), ("g", 1, 1), ("g", 2, 3)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in spearman_corr(df, "g", F.col("x"), F.col("y")).collect()}
+    assert set(got) == {None, "g"}
+    assert got[None].n == 3 and got[None].rho == 1.0
+    assert got["g"].n == 2 and got["g"].rho == 1.0
