@@ -434,6 +434,32 @@ def test_plans_markdown_rows_match_registries():
     )
 
 
+def test_baseline_floors_file_is_live():
+    """BASELINE_FLOORS.json (bench.py's worst_vs_floor source) parses,
+    pins a scale factor, and names only real registry entries — a
+    renamed/rotated-away query must not leave a stale floor behind.
+    (Floors are re-recorded per rotation round — tools/record_floors.py —
+    so subset, not equality: a new family may lack a floor until the
+    next idle re-record.)"""
+    import json
+    import os
+
+    from datapipeline_omnichanneltobigquery_spark.plans.queries import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BASELINE_FLOORS.json")
+    doc = json.load(open(path))
+    assert doc.get("sf") == 0.1
+    floors = doc.get("floors", {})
+    assert floors, "floors must be non-empty"
+    known = set(QUERIES) | set(EXTRA_QUERIES)
+    stale = sorted(set(floors) - known)
+    assert not stale, f"floors name unknown queries: {stale}"
+    assert all(isinstance(v, (int, float)) and v > 0 for v in floors.values())
+
+
 def test_coverage_header_counts_match_registry():
     """The COVERAGE.md current-round header's registry counts are
     generated facts, not prose — pin them to the live registry so the
