@@ -1507,6 +1507,268 @@ def kruskal_wallis_sql(
     """
 
 
+#: per-sample between-groups term of the one-way F — S_j²/n_j as ONE
+#: double expression (exact decimal/bigint operands), folded in
+#: sample-key order on both engines (the kruskal KW_TERM discipline)
+ANOVA_TERM_SQL = "CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE)"
+
+#: the one-way F statistic from (k, nn, tt, zz, sumsq) — shared by the
+#: raw-value ANOVA face and the Brown-Forsythe deviation face; NULL
+#: when k < 2, N ≤ k, or the within-groups sum degenerates to ≤ 0
+#: (every sample internally constant — no error variance, F undefined)
+ANOVA_F_SQL = (
+    "CASE WHEN k >= 2 AND nn > k AND (CAST(zz AS DOUBLE) - sumsq) > 0 "
+    "THEN ((sumsq - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE)) "
+    "* CAST(nn - k AS DOUBLE)) "
+    "/ ((CAST(zz AS DOUBLE) - sumsq) * CAST(k - 1 AS DOUBLE)) END"
+)
+
+
+def _oneway_f(cells: DataFrame, group_col: str) -> DataFrame:
+    """One-way F over (``__g``, ``smp``, ``z``) rows (z exact bigint):
+    F = [SS_between/(k−1)] / [SS_within/(N−k)] via the sum-of-squares
+    identities SS_between = Σ_j S_j²/n_j − T²/N and SS_within =
+    Σz² − Σ_j S_j²/n_j.  All integer/DECIMAL(38,0) sufficient
+    statistics; the only floats are the per-sample S_j²/n_j terms,
+    folded in sample-key order, and the final shared expression
+    (:data:`ANOVA_F_SQL`), rounded once.  Returns
+    (group, k_samples, n, f)."""
+    d38 = "decimal(38,0)"
+    s = cells.groupBy("__g", "smp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum(F.col("z").cast(d38)).cast(d38).alias("sj"),
+        F.sum(F.col("z").cast(d38) * F.col("z").cast(d38)).cast(d38).alias("zzj"),
+    )
+    grp = s.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("nj").cast("bigint").alias("nn"),
+        F.sum("sj").cast(d38).alias("tt"),
+        F.sum("zzj").cast(d38).alias("zz"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("smp", F.expr(ANOVA_TERM_SQL).alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("sumsq"),
+    )
+    return grp.select(
+        F.col("__g").alias(group_col),
+        F.col("k").alias("k_samples"),
+        F.col("nn").alias("n"),
+        F.round(F.expr(ANOVA_F_SQL), 6).alias("f"),
+    )
+
+
+def _oneway_f_sql(cells_sql: str, group_col: str) -> str:
+    """DuckDB twin of :func:`_oneway_f` over a (g, smp, z) subquery."""
+    return f"""
+    WITH cells AS ({cells_sql}),
+    s AS (
+        SELECT g, smp, CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sj,
+               CAST(SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS zzj
+        FROM cells GROUP BY 1, 2),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(nj) AS BIGINT) AS nn,
+               CAST(SUM(sj) AS DECIMAL(38,0)) AS tt,
+               CAST(SUM(zzj) AS DECIMAL(38,0)) AS zz,
+               SUM({ANOVA_TERM_SQL} ORDER BY smp) AS sumsq
+        FROM s GROUP BY 1)
+    SELECT g AS {group_col}, k AS k_samples, nn AS n,
+           round({ANOVA_F_SQL}, 6) AS f
+    FROM grp
+    """
+
+
+def anova_f(
+    df: DataFrame, group_col: str, sample_col: str, value: Column
+) -> DataFrame:
+    """One-way ANOVA F per group (Fisher) — the PARAMETRIC companion of
+    :func:`kruskal_wallis`: do K samples share one MEAN?  Use this when
+    values are roughly normal with similar variances (check with
+    :func:`brown_forsythe` first); kruskal_wallis when they are not.
+
+    ``value`` must be integer units (the engine-wide micro-unit
+    contract).  NULL contract: rows with a NULL sample key or NULL
+    value are dropped (NA omission); a NULL GROUP key survives (the
+    chain is aggregate-only, no joins).  Under H₀, F ~ F(k−1, N−k).
+
+    Returns (group, k_samples, n, f).  Scale: ONE partial-aggregated
+    pass to (group, sample) sufficient statistics — k rows per group
+    however big the corpus — then a rollup."""
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(sample_col).cast("string").alias("smp"),
+        value.cast("bigint").alias("z"),
+    ).filter(F.col("smp").isNotNull() & F.col("z").isNotNull())
+    return _oneway_f(base, group_col)
+
+
+def anova_f_sql(
+    table: str, group_col: str, sample_sql: str, value_sql: str
+) -> str:
+    """DuckDB twin of :func:`anova_f`."""
+    cells = f"""
+        SELECT * FROM (
+            SELECT {group_col} AS g,
+                   CAST({sample_sql} AS VARCHAR) AS smp,
+                   CAST({value_sql} AS BIGINT) AS z
+            FROM {table})
+        WHERE smp IS NOT NULL AND z IS NOT NULL"""
+    return _oneway_f_sql(cells, group_col)
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, sample_col: str, value: Column
+) -> DataFrame:
+    """Brown-Forsythe test per group (Brown & Forsythe 1974; Levene's
+    test with MEDIAN centers) — do K samples share one VARIANCE?  The
+    robust homogeneity-of-variance check that gates :func:`anova_f`'s
+    equal-variance assumption and flags dispersion shifts a mean test
+    misses.  It is the one-way F applied to the absolute deviations
+    from each sample's median.
+
+    Exactness: sample medians come from the exact distinct-value prefix
+    machinery (the mad_outliers discipline) as 2×medians
+    (lower + upper middle values — integer even for even n), and the
+    deviations z = |2v − med2| = 2·|v − med_j| stay exact bigints (the
+    constant 2 scales both sums of squares by 4 and cancels in F).
+    The F arithmetic is the SAME shared expression as anova_f.
+
+    NULL contract: rows with a NULL sample key or NULL value are
+    dropped (NA omission); a NULL GROUP key survives — the
+    median-join is null-safe on the group key (the spearman
+    discipline).  Under H₀, F ~ F(k−1, N−k).
+
+    Returns (group, k_samples, n, f).  Scale: one distinct-value
+    prefix window per (group, sample) — bounded, partitioned — plus
+    the cell-table joins; the corpus itself crosses one exchange."""
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(sample_col).cast("string").alias("smp"),
+        value.cast("bigint").alias("v"),
+    ).filter(F.col("smp").isNotNull() & F.col("v").isNotNull())
+    dist = base.groupBy("__g", "smp", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()  # feeds the rank cut AND the deviation join
+    ks = dist.groupBy("__g", "smp").agg(F.sum("c").cast("bigint").alias("n")).select(
+        "__g",
+        "smp",
+        F.expr("(n + 1) div 2").alias("lo_k"),
+        F.expr("(n + 2) div 2").alias("hi_k"),
+    )
+    w = Window.partitionBy("__g", "smp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.withColumn("cum", F.sum("c").over(w)).join(ks, ["__g", "smp"])
+    med2 = cum.groupBy("__g", "smp").agg(
+        (
+            F.min(F.when(F.col("cum") >= F.col("lo_k"), F.col("v")))
+            + F.min(F.when(F.col("cum") >= F.col("hi_k"), F.col("v")))
+        )
+        .cast("bigint")
+        .alias("med2")
+    )
+    # null-safe on the group key only (smp is non-NULL by the filter)
+    med2_r = med2.select(
+        F.col("__g").alias("__mg"), F.col("smp").alias("__ms"), "med2"
+    )
+    dev = dist.join(
+        med2_r,
+        F.col("__g").eqNullSafe(F.col("__mg")) & (F.col("smp") == F.col("__ms")),
+    ).select(
+        "__g",
+        "smp",
+        F.abs(F.lit(2) * F.col("v") - F.col("med2")).cast("bigint").alias("z"),
+        "c",
+    )
+    # re-expand the distinct-value cells to row multiplicity via the
+    # count column: the F core needs per-ROW sums, which fold exactly as
+    # c-weighted cell sums
+    d38 = "decimal(38,0)"
+    s = dev.groupBy("__g", "smp").agg(
+        F.sum("c").cast("bigint").alias("nj"),
+        F.sum(F.col("c").cast(d38) * F.col("z").cast(d38)).cast(d38).alias("sj"),
+        F.sum(
+            F.col("c").cast(d38) * F.col("z").cast(d38) * F.col("z").cast(d38)
+        ).cast(d38).alias("zzj"),
+    )
+    grp = s.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("nj").cast("bigint").alias("nn"),
+        F.sum("sj").cast(d38).alias("tt"),
+        F.sum("zzj").cast(d38).alias("zz"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("smp", F.expr(ANOVA_TERM_SQL).alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("sumsq"),
+    )
+    return grp.select(
+        F.col("__g").alias(group_col),
+        F.col("k").alias("k_samples"),
+        F.col("nn").alias("n"),
+        F.round(F.expr(ANOVA_F_SQL), 6).alias("f"),
+    )
+
+
+def brown_forsythe_sql(
+    table: str, group_col: str, sample_sql: str, value_sql: str
+) -> str:
+    """DuckDB twin of :func:`brown_forsythe` — identical 2×median prefix
+    selection, c-weighted deviation cells, and the shared F expression."""
+    return f"""
+    WITH base AS (SELECT * FROM (
+                    SELECT {group_col} AS g,
+                           CAST({sample_sql} AS VARCHAR) AS smp,
+                           CAST({value_sql} AS BIGINT) AS v
+                    FROM {table})
+                  WHERE smp IS NOT NULL AND v IS NOT NULL),
+    dist AS MATERIALIZED (
+        SELECT g, smp, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2, 3),
+    ks AS (SELECT g, smp, (CAST(SUM(c) AS BIGINT) + 1) // 2 AS lo_k,
+                  (CAST(SUM(c) AS BIGINT) + 2) // 2 AS hi_k
+           FROM dist GROUP BY 1, 2),
+    med2 AS (
+        SELECT d.g, d.smp,
+               CAST(MIN(CASE WHEN cum >= k.lo_k THEN d.v END)
+                    + MIN(CASE WHEN cum >= k.hi_k THEN d.v END) AS BIGINT) AS med2
+        FROM (SELECT g, smp, v, c,
+                     SUM(c) OVER (PARTITION BY g, smp ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM dist) d
+        JOIN ks k ON k.g IS NOT DISTINCT FROM d.g AND k.smp = d.smp
+        GROUP BY 1, 2),
+    dev AS (
+        SELECT d.g, d.smp, CAST(abs(2 * d.v - m.med2) AS BIGINT) AS z, d.c
+        FROM dist d
+        JOIN med2 m ON m.g IS NOT DISTINCT FROM d.g AND m.smp = d.smp),
+    s AS (
+        SELECT g, smp, CAST(SUM(c) AS BIGINT) AS nj,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sj,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))
+                        * CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS zzj
+        FROM dev GROUP BY 1, 2),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(nj) AS BIGINT) AS nn,
+               CAST(SUM(sj) AS DECIMAL(38,0)) AS tt,
+               CAST(SUM(zzj) AS DECIMAL(38,0)) AS zz,
+               SUM({ANOVA_TERM_SQL} ORDER BY smp) AS sumsq
+        FROM s GROUP BY 1)
+    SELECT g AS {group_col}, k AS k_samples, nn AS n,
+           round({ANOVA_F_SQL}, 6) AS f
+    FROM grp
+    """
+
+
 #: Spearman's rho from exact 2×-midrank sufficient statistics — ONE
 #: shared expression string both engines evaluate on DECIMAL(38,0)
 #: columns (nn, su, sv, suv, suu, svv): rho = (n·Σuv − Σu·Σv) /

@@ -3374,6 +3374,54 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_anova_f",
+    driver=False,  # NEW r15: parametric K-sample mean test (r16 rotation queue)
+    oracle=me.anova_f_sql(
+        "orders", "o_orderstatus", "o_orderpriority",
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT)",
+    ),
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five order priorities' total-price
+    distributions per order status — the PARAMETRIC face of the
+    K-sample battery beside stats_kruskal_wallis (same design question,
+    mean- instead of rank-based; read stats_levene_bf first to check
+    the equal-variance assumption).  One partial-aggregated pass to
+    (group, sample) exact sufficient statistics, sample-ordered float
+    fold of the S²/n terms, the shared F expression string
+    (operators/ml_eval.py::anova_f; Fisher)."""
+    o = read_table(spark, sf_dir, "orders")
+    return me.anova_f(
+        o, "o_orderstatus", "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+    )
+
+
+@query(
+    "stats_levene_bf",
+    driver=False,  # NEW r15: robust variance-homogeneity test (r16 rotation queue)
+    oracle=me.brown_forsythe_sql(
+        "orders", "o_orderstatus", "o_orderpriority",
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT)",
+    ),
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) across the same design as
+    stats_anova_f: do the five priorities' price distributions share
+    one VARIANCE per status?  The robust gate on ANOVA's
+    equal-variance assumption, and a dispersion-shift detector in its
+    own right.  Exact 2×medians via the distinct-value prefix
+    machinery (the mad_outliers discipline), exact integer deviations
+    (the ×2 cancels in F), the same shared F expression
+    (operators/ml_eval.py::brown_forsythe; Brown & Forsythe 1974)."""
+    o = read_table(spark, sf_dir, "orders")
+    return me.brown_forsythe(
+        o, "o_orderstatus", "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+    )
+
+
+@query(
     "stats_spearman_corr",
     driver=False,  # NEW r15: rank face of the correlation battery (r16 rotation queue)
     oracle=me.spearman_corr_sql(

@@ -1235,6 +1235,48 @@ def test_spearman_corr_hand_cases(spark):
     assert got["c"].n == 2 and got["c"].rho is None
 
 
+def test_anova_f_matches_textbook(spark):
+    """F equals the hand sum-of-squares computation (samples [1,2,3] vs
+    [4,5,6] → F = 13.5); k=1 and zero-within-variance groups surface
+    NULL; NULL sample keys drop."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import anova_f
+
+    rows = (
+        [("g", "a", v) for v in (1, 2, 3)]
+        + [("g", "b", v) for v in (4, 5, 6)]
+        + [("one", "a", v) for v in (1, 2)]          # k = 1 -> NULL
+        + [("const", "a", 2), ("const", "a", 2), ("const", "b", 5), ("const", "b", 5)]
+        + [("g", None, 99)]                          # dropped
+    )
+    df = spark.createDataFrame(rows, "g string, smp string, v long")
+    got = {r.g: r for r in anova_f(df, "g", "smp", F.col("v")).collect()}
+    assert (got["g"].k_samples, got["g"].n, got["g"].f) == (2, 6, 13.5)
+    assert got["one"].f is None
+    assert got["const"].f is None  # zero within-groups variance
+
+
+def test_brown_forsythe_matches_textbook_and_even_median(spark):
+    """The BF statistic equals the hand median-deviation F ([1,2,9] vs
+    [4,5,6] → 72/88 = 0.818182), including an even-n sample whose
+    2×median is the sum of the two middle values."""
+    from datapipeline_omnichanneltobigquery_spark.operators.ml_eval import brown_forsythe
+
+    rows = [("g", "a", v) for v in (1, 2, 9)] + [("g", "b", v) for v in (4, 5, 6)]
+    df = spark.createDataFrame(rows, "g string, smp string, v long")
+    got = brown_forsythe(df, "g", "smp", F.col("v")).collect()[0]
+    assert (got.k_samples, got.n) == (2, 6)
+    assert got.f == round(72 / 88, 6)
+
+    # even n: [1, 3] has med2 = 4, deviations |2v-4| = (2, 2) -> zero
+    # within-variance against a spread sample stays defined
+    rows2 = [("e", "a", 1), ("e", "a", 3), ("e", "b", 1), ("e", "b", 9)]
+    df2 = spark.createDataFrame(rows2, "g string, smp string, v long")
+    got2 = brown_forsythe(df2, "g", "smp", F.col("v")).collect()
+    # a: z = (2,2); b: med2=10, z = (8,8) -> both samples constant
+    # deviations -> W = 0 -> NULL (every sample internally constant)
+    assert got2[0].f is None
+
+
 def test_spearman_corr_null_group_key_surfaces(spark):
     """r15 review: a NULL group key is a real group — the rank joins are
     null-safe in both engines, so it must surface its own row instead of
