@@ -551,7 +551,20 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
     Returns (node, hub, auth) — NULL hub for pure authorities, NULL
     auth for pure hubs.  Scale: each round is two degree-bounded
     join+aggregates plus a 1-row broadcast max; the edge set crosses
-    one exchange per half-round."""
+    one exchange per half-round.
+
+    Execution shape (r15 optimization round): each half-round
+    localCheckpoints the RAW sums, not the normalized scores.  The max
+    is a broadcast scalar over the checkpoint and the flooring division
+    a projection over it, so the join+aggregate subtree executes exactly
+    ONCE per half-round — checkpointing the normalized scores evaluated
+    it twice (once under the max's BroadcastExchange, once on the main
+    path; no ReusedExchange, the expression ids differ).  Round 1 skips
+    the authority join outright: every hub starts at exactly
+    ``HITS_SCALE``, so the round-1 authority raw sum IS
+    in-degree·HITS_SCALE, computed from the edge set alone (the inner
+    join's only other effect — dropping NULL-src edges — is preserved
+    by the explicit filter)."""
     if iterations < 1:
         raise ValueError(
             f"hits_fixedpoint: iterations must be >= 1, got {iterations}"
@@ -580,21 +593,38 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
             ).cast("bigint")
         )
 
-    hubs = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
-    h = hubs.withColumn("h", F.lit(HITS_SCALE).cast("bigint"))
+    h = None
     a = None
     for it in range(iterations):
-        a_grp = e.join(h, e.src == h.node).groupBy("dst")
-        if it == 0:  # round 1's groups cover every authority-side node
-            a_raw = a_grp.agg(
-                F.sum("h").cast("bigint").alias("raw"),
-                F.count(F.lit(1)).alias("d"),
-            ).select(
-                "dst",
-                _deg_guarded(F.col("dst"), "in", F.col("raw"), F.col("d")).alias("raw"),
+        if it == 0:
+            # round 1: every hub scores exactly HITS_SCALE, so the join
+            # against the constant table is the identity — the raw sum is
+            # in-degree·HITS_SCALE over non-NULL-src edges (the inner
+            # join dropped those), and round 1's groups cover every
+            # authority-side node, so the degree guard checks them all.
+            a_raw = (
+                e.filter(F.col("src").isNotNull())
+                .groupBy("dst")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .select(
+                    "dst",
+                    _deg_guarded(
+                        F.col("dst"),
+                        "in",
+                        (F.col("d") * F.lit(HITS_SCALE)).cast("bigint"),
+                        F.col("d"),
+                    ).alias("raw"),
+                )
             )
         else:
-            a_raw = a_grp.agg(F.sum("h").cast("bigint").alias("raw"))
+            a_raw = (
+                e.join(h, e.src == h.node)
+                .groupBy("dst")
+                .agg(F.sum("h").cast("bigint").alias("raw"))
+            )
+        # checkpoint the RAW sums: the max below then reads the checkpoint
+        # instead of re-running the join+aggregate under its broadcast
+        a_raw = a_raw.localCheckpoint()
         amax = a_raw.agg(F.max("raw").alias("mx"))
         a = a_raw.crossJoin(F.broadcast(amax)).select(
             F.col("dst").alias("node"),
@@ -611,13 +641,12 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
             )
         else:
             h_raw = h_grp.agg(F.sum("a").cast("bigint").alias("raw"))
+        h_raw = h_raw.localCheckpoint()
         hmax = h_raw.agg(F.max("raw").alias("mx"))
         h = h_raw.crossJoin(F.broadcast(hmax)).select(
             F.col("src").alias("node"),
             F.expr(f"(raw * {HITS_SCALE}) div mx").cast("bigint").alias("h"),
         )
-        h = h.localCheckpoint()  # bounds plan depth across rounds
-        a = a.localCheckpoint()
     return (
         h.select("node", F.col("h").alias("hub"))
         .join(a.select("node", F.col("a").alias("auth")), "node", "full_outer")

@@ -89,16 +89,22 @@ PROFILE_LEN = 40
 #: so no empty-sequence guard is needed in either engine).
 MAX_N = 3
 
-_GRAM_EXPR = (
-    f"flatten(transform(sequence(1, {MAX_N}), "
-    "n -> transform(sequence(1, length(w) - n + 1), "
-    "i -> substring(w, i, n))))"
-)
+# n-gram emission as two row-generating explodes (codegen Generate
+# operators) rather than nested transform() lambdas: higher-order
+# lambdas are interpreted per element, and the lambda form measured
+# ~2x slower on the corpus gram pass (r15 optimization round).  Same
+# (id, g) multiset — substring(w, i, n) over the same (i, n) grid.
+_GRAM_NS = list(range(1, MAX_N + 1))
 
 
-def _doc_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, g, rk): each document's top ``PROFILE_LEN`` character
-    n-grams ranked by (count DESC, gram ASC)."""
+def _doc_top_grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, top): each document's top ``PROFILE_LEN`` grams as ONE
+    rank-ordered array — ``sort_array`` ascending on (−count, gram) is
+    exactly the (count DESC, gram ASC) ``row_number`` order (counts are
+    positive bigints; (count, gram) pairs are unique per doc after the
+    count aggregate, so the order is total).  Shape: the rank cut runs
+    inside the per-doc aggregate, so the old per-doc window exchange+sort
+    is gone — two partial-aggregated shuffles total."""
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w0"),
@@ -106,23 +112,21 @@ def _doc_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     padded = words.select(
         "id", F.concat(F.lit("_"), F.col("w0"), F.lit("_")).alias("w")
     )
-    grams = padded.select("id", F.explode(F.expr(_GRAM_EXPR)).alias("g"))
-    counts = grams.groupBy("id", "g").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    wd = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("g"))
-    return (
-        counts.withColumn("rk", F.row_number().over(wd))
-        .filter(F.col("rk") <= PROFILE_LEN)
-        .select("id", "g", F.col("rk").cast("bigint").alias("rk"))
+    grams = (
+        padded.select("id", "w", F.explode(F.array(*[F.lit(n) for n in _GRAM_NS])).alias("n"))
+        .select("id", "w", "n", F.explode(F.expr("sequence(1, length(w) - n + 1)")).alias("i"))
+        .select("id", F.expr("substring(w, i, n)").alias("g"))
     )
-
-
-def _profile_df(spark) -> DataFrame:
-    rows = [
-        (lang, g, r + 1)
-        for lang, grams in sorted(LANG_PROFILES.items())
-        for r, g in enumerate(grams)
-    ]
-    return spark.createDataFrame(rows, "lang string, g string, lrk bigint")
+    counts = grams.groupBy("id", "g").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return counts.groupBy("id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("c")).alias("nc"), F.col("g")))
+            ),
+            1,
+            PROFILE_LEN,
+        ).alias("top")
+    )
 
 
 def langid_predict(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -130,29 +134,44 @@ def langid_predict(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``dist`` is the winning language's exact integer out-of-place
     distance.  Documents with no tokens produce no row (nothing to
     profile — the caller's null-routing decision, surfaced not
-    defaulted).  See the module docstring for method and scale."""
-    spark = df.sparkSession
-    prof = _doc_profile(df, id_col, text_col)
-    langs = spark.createDataFrame(
-        [(lang,) for lang in sorted(LANG_PROFILES)], "lang string"
-    )
-    scored = (
-        prof.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(_profile_df(spark)), ["lang", "g"], "left")
-        .select(
-            "id",
-            "lang",
-            F.coalesce(
-                F.abs(F.col("rk") - F.col("lrk")), F.lit(PROFILE_LEN).cast("bigint")
-            ).alias("oop"),
+    defaulted).  See the module docstring for method and scale.
+
+    Shape (r15 optimization round): the per-language out-of-place sums
+    run MAP-SIDE over each doc's rank-ordered top-gram array — one
+    integer fold per language against a literal gram→rank map (the same
+    ``coalesce(abs(rk − lrk), PROFILE_LEN)`` terms the old ×|langs|
+    crossJoin + broadcast-profile join + two aggregation exchanges
+    produced; integer sums are order-free), and the argmin is ``least``
+    over (dist, lang) structs ≡ the old ``min_by(lang, struct(dist,
+    lang))`` + ``min(dist)`` pair exactly (smaller-code tie-break
+    included).  Four shuffles become two."""
+
+    def _dist(lang: str) -> Column:
+        lut = F.expr(
+            "map(%s)"
+            % ", ".join(
+                f"'{g}', CAST({r + 1} AS BIGINT)"
+                for r, g in enumerate(LANG_PROFILES[lang])
+            )
         )
-        .groupBy("id", "lang")
-        .agg(F.sum("oop").cast("bigint").alias("dist"))
+        oop = F.transform(
+            F.col("top"),
+            lambda s, i: F.coalesce(
+                F.abs((i + 1).cast("bigint") - F.element_at(lut, s["g"])),
+                F.lit(PROFILE_LEN).cast("bigint"),
+            ),
+        )
+        return F.aggregate(oop, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+    best = F.least(
+        *[
+            F.struct(_dist(lang).alias("d"), F.lit(lang).alias("l"))
+            for lang in sorted(LANG_PROFILES)
+        ]
     )
-    return scored.groupBy("id").agg(
-        F.min_by("lang", F.struct(F.col("dist"), F.col("lang"))).alias("lang_pred"),
-        F.min("dist").alias("dist"),
-    ).select(F.col("id").alias(id_col), "lang_pred", "dist")
+    return _doc_top_grams(df, id_col, text_col).select(
+        F.col("id").alias(id_col), best["l"].alias("lang_pred"), best["d"].alias("dist")
+    )
 
 
 def _profile_values_sql() -> str:

@@ -1448,6 +1448,111 @@ def pq_topk_join_sql(
 # ---------------------------------------------------------------------------
 
 
+def _lit_vec(values) -> Column:
+    """array<double> literal from a collected vector (exact: binary64
+    round-trips py4j unchanged)."""
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def _pq_index_batches_fn(cent_ids, cent_mat, js, cb_mats, sd, id_name):
+    """mapInArrow kernel assigning + PQ-encoding a vector batch against
+    frozen centroid/codebook matrices — the :func:`_unit_rows` discipline
+    extended to the index build: every accumulation runs dimension-by-
+    dimension in index order from 0.0 (``0.0 + p == p`` in IEEE; the d2
+    terms are squares, so never −0.0), reproducing the Catalyst
+    expression chain bit for bit at numpy speed.  Argmax/argmin tie and
+    NaN semantics match ``max_by``/``min_by``: numpy's first-index
+    argmax IS the smaller-id tie-break (matrices are id/j-ordered), a
+    NaN sim wins argmax exactly like Spark's NaN-greatest ordering, and
+    NaN d2 rows are masked to +inf so a NaN distance never wins argmin
+    (finite-input contract: a legitimate +inf d2 cannot occur for
+    finite vectors).
+
+    Expression forms were tried first and measured worse both ways: the
+    static literal chains blow the janino 64 KB method limit (whole-
+    stage codegen falls back to interpreted eval after paying the
+    compile attempt), and higher-order folds are interpreted per
+    element (~3x the whole old explode+join encode)."""
+    import numpy as np
+    import pyarrow as pa
+
+    dim = cent_mat.shape[1]
+    m_sub = len(cb_mats)
+
+    def fn(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0)
+            U = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in b.column(1).to_pylist()]
+            )
+            acc = np.zeros(n)
+            for i in range(dim):
+                acc = acc + U[:, i] * U[:, i]
+            U = U / np.sqrt(acc)[:, None]
+            S = np.zeros((n, cent_mat.shape[0]))
+            for i in range(dim):
+                S = S + U[:, i][:, None] * cent_mat[:, i][None, :]
+            cluster = cent_ids[np.argmax(S, axis=1)]
+            codes = np.zeros((n, m_sub), dtype=np.int32)
+            for mm in range(m_sub):
+                sub = U[:, mm * sd : (mm + 1) * sd]
+                C = cb_mats[mm]
+                D = np.zeros((n, C.shape[0]))
+                for i in range(sd):
+                    d = sub[:, i][:, None] - C[:, i][None, :]
+                    D = D + d * d
+                D = np.where(np.isnan(D), np.inf, D)
+                codes[:, mm] = js[mm][np.argmin(D, axis=1)]
+            offsets = np.arange(0, (n + 1) * m_sub, m_sub, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets), pa.array(codes.ravel(), type=pa.int32())
+                    ),
+                    pa.array(cluster),
+                ],
+                names=[id_name, "codes", "cluster"],
+            )
+
+    return fn
+
+
+def _pq_index_pass(
+    spark, path: str, vectors: DataFrame, m_sub: int, sd: int, id_col: str, vec_col: str
+):
+    """(id, codes, cluster) for ``vectors`` against the PERSISTED frozen
+    centroid/codebook tables (collected to numpy — bounded by the index's
+    build constants), computed in ONE Arrow map pass: no explode, no
+    joins, no aggregation exchanges."""
+    import numpy as np
+
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    cid_type = cent_df.schema["cid"].dataType.simpleString()
+    cent_rows = sorted(cent_df.collect(), key=lambda r: r["cid"])
+    cent_ids = np.asarray([r["cid"] for r in cent_rows])
+    cent_mat = np.asarray([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+    by_m: dict[int, list] = {}
+    for r in spark.read.parquet(f"{path}/codebook").collect():
+        by_m.setdefault(int(r["m"]), []).append((int(r["j"]), list(r["cv"])))
+    js = [
+        np.asarray([j for j, _ in sorted(by_m[mm])], dtype=np.int32)
+        for mm in range(1, m_sub + 1)
+    ]
+    cb_mats = [
+        np.asarray([cv for _, cv in sorted(by_m[mm])], dtype=np.float64)
+        for mm in range(1, m_sub + 1)
+    ]
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    return vectors.select(id_col, vec_col).mapInArrow(
+        _pq_index_batches_fn(cent_ids, cent_mat, js, cb_mats, sd, id_col),
+        f"{id_col} {id_type}, codes array<int>, cluster {cid_type}",
+    )
+
+
 def build_ivf_pq_index(
     embeddings: DataFrame,
     path: str,
@@ -1476,16 +1581,26 @@ def build_ivf_pq_index(
     :func:`pq_topk_join` (first-n centroid/codebook seeds by id, argmax/
     argmin with id tie-breaks, ordered folds), so the composed search
     hash-matches its definitional oracle (:func:`ivf_pq_topk_join_sql`).
-    One corpus scan feeds centroids, assignment, codebook seeds, and
-    encoding (the unit frame is localCheckpointed — 4 consumers)."""
+    One corpus scan feeds centroids, codebook seeds, and the indexing pass.
+
+    Execution shape (r15 optimization round): assignment and encoding run
+    as ONE Arrow map pass over the corpus against the PERSISTED
+    centroid/codebook tables collected to numpy (bounded by the
+    constructor constants: n_centroids rows + m_sub·n_codes rows — the
+    module's bounded-collect discipline; :func:`_pq_index_batches_fn`
+    pins the bit-exactness argument).  The old explode(×m_sub), its
+    broadcast join, both aggregation exchanges and the codes⋈assign join
+    are gone — the indexing pass touches each corpus row exactly once
+    and shuffles nothing.  The seed scans evaluate the normalization
+    only on their ``limit`` winners (TakeOrderedAndProject), so the
+    corpus-wide unit frame (and its checkpoint) is gone too."""
     if dim is None:
         raise ValueError("build_ivf_pq_index needs the static dimension")
     if dim % m_sub != 0:
         raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
     sd = dim // m_sub
     spark = embeddings.sparkSession
-    unit = _unit_df(embeddings, id_col, vec_col, dim).localCheckpoint()
-    assign = _assign_from_unit(unit, n_centroids, id_col, dim)
+    unit = embeddings.select(F.col(id_col), norm_unit(F.col(vec_col), dim).alias("__u"))
     cent = unit.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("cid"), F.col("__u").alias("cv")
     )
@@ -1501,22 +1616,7 @@ def build_ivf_pq_index(
         .select(F.col("s.m").alias("m"), "j", F.col("s.sv").alias("cv"))
     )
     cb.write.mode("overwrite").parquet(f"{path}/codebook")
-    cb_frozen = F.broadcast(spark.read.parquet(f"{path}/codebook"))
-    sub = unit.select(
-        F.col(id_col), F.explode(_sub_explode(m_sub, sd, F.col("__u"))).alias("s")
-    ).select(F.col(id_col), F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    enc = (
-        sub.join(cb_frozen, "m")
-        .select(F.col(id_col), "m", "j", _d2(F.col("sv"), F.col("cv"), sd).alias("d2"))
-        .groupBy(id_col, "m")
-        .agg(F.min_by("j", F.struct(F.col("d2"), F.col("j"))).alias("code"))
-    )
-    codes = enc.groupBy(id_col).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
-        ).alias("codes")
-    )
-    indexed = codes.join(assign.select(id_col, "cluster"), id_col)
+    indexed = _pq_index_pass(spark, path, embeddings, m_sub, sd, id_col, vec_col)
     indexed.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/codes")
 
 
@@ -1537,38 +1637,22 @@ def append_to_ivf_pq_index(
     depend only on the vector and the frozen tables, so incremental
     build ≡ full build over the union corpus, bit for bit — which is
     exactly what the gated oracle checks (seeds must live in the base
-    split, the caller's contract)."""
+    split, the caller's contract).
+
+    Execution shape (r15 optimization round): the frozen tables collect
+    to numpy (bounded by the index's build constants) and the batch is
+    assigned+encoded in ONE Arrow map pass — the same bit-exact kernel
+    as :func:`build_ivf_pq_index` (:func:`_pq_index_batches_fn`), no
+    explode, no joins, no aggregation exchanges, and no checkpoint (the
+    normalization now lives inside the single pass)."""
     if dim is None:
         raise ValueError("append_to_ivf_pq_index needs the static dimension")
     if dim % m_sub != 0:
         raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
     sd = dim // m_sub
-    unit = _unit_df(batch, id_col, vec_col, dim).localCheckpoint()
-    cent = F.broadcast(spark.read.parquet(f"{path}/centroids"))
-    scored = unit.crossJoin(cent).select(
-        id_col, "__u", "cid", dot(F.col("__u"), F.col("cv"), dim).alias("sim")
-    )
-    assign = scored.groupBy(id_col).agg(
-        F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("tb"))).alias("cluster"),
-    )
-    cb = F.broadcast(spark.read.parquet(f"{path}/codebook"))
-    sub = unit.select(
-        F.col(id_col), F.explode(_sub_explode(m_sub, sd, F.col("__u"))).alias("s")
-    ).select(F.col(id_col), F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    enc = (
-        sub.join(cb, "m")
-        .select(F.col(id_col), "m", "j", _d2(F.col("sv"), F.col("cv"), sd).alias("d2"))
-        .groupBy(id_col, "m")
-        .agg(F.min_by("j", F.struct(F.col("d2"), F.col("j"))).alias("code"))
-    )
-    codes = enc.groupBy(id_col).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
-        ).alias("codes")
-    )
-    codes.join(assign, id_col).write.mode("append").partitionBy("cluster").parquet(
-        f"{path}/codes"
-    )
+    _pq_index_pass(spark, path, batch, m_sub, sd, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cluster").parquet(f"{path}/codes")
 
 
 def ivf_pq_topk_join_from_index(
@@ -1590,14 +1674,20 @@ def ivf_pq_topk_join_from_index(
     read at query time; the scan touches ``m_sub`` small-int codes per
     surviving vector, n_probe/n_centroids of the corpus.
 
-    Plan: query batch normalizes once (localCheckpointed — feeds probes
-    AND the LUT); probes = broadcast-centroids crossJoin + per-query
-    window (no driver collect); the (query, cluster) probe list
+    Plan (r15 optimization round): the query batch normalizes once and
+    COLLECTS (bounded by the probe-batch contract — the
+    ivf_topk_from_index probe-list discipline); probe selection keeps
+    the exact broadcast-centroids crossJoin + per-query window over a
+    local relation rebuilt from the collected rows (binary64
+    round-trips py4j unchanged); the (query, cluster) probe list
     broadcast-joins the hive-partitioned codes (directory pruning);
-    candidate codes posexplode map-side and join the broadcast LUT
-    (|queries| × m_sub × n_codes rows — bounded by the probe-batch
-    contract times two fixed constants); ADC folds contributions in
-    subspace order (round 6) and a per-query window takes top-k.
+    each query's ADC lookup table is computed in PYTHON with the
+    identical left-fold double chain (same IEEE ops, same order) and
+    inlined as ONE literal map<query_id, array<array<double>>> — so
+    adc_sim is a pure map-side chain ``0.0 + Σ_m lut[m][codes[m]]`` in
+    subspace order, with the old posexplode(×m_sub), its LUT join and
+    the (query, neighbor) re-aggregation exchange all gone.  A
+    per-query window takes top-k.
 
     Returns (query_id, neighbor_id, adc_sim), self-matches excluded —
     hash-checkable against :func:`ivf_pq_topk_join_sql`."""
@@ -1606,9 +1696,11 @@ def ivf_pq_topk_join_from_index(
     if dim % m_sub != 0:
         raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
     sd = dim // m_sub
-    qu = queries.select(
+    qu_plan = queries.select(
         F.col(id_col).alias("query_id"), norm_unit(F.col(vec_col), dim).alias("__qu")
-    ).localCheckpoint()  # feeds probe selection AND the ADC lookup table
+    )
+    qrows = qu_plan.collect()  # bounded: the probe-batch contract
+    qu = spark.createDataFrame(qrows, schema=qu_plan.schema)
     cent = spark.read.parquet(f"{path}/centroids")
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cid"))
     probes = (
@@ -1618,47 +1710,48 @@ def ivf_pq_topk_join_from_index(
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", F.col("cid").alias("cluster"))
     )
-    cb = spark.read.parquet(f"{path}/codebook")
-    qsub = qu.select(
-        "query_id", F.explode(_sub_explode(m_sub, sd, F.col("__qu"))).alias("s")
-    ).select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("qv"))
-    # distinct key names on the LUT side: both frames descend from qu, so
-    # a qualified self-comparison would be ambiguous lineage-wise
-    lut = qsub.join(F.broadcast(cb), "m").select(
-        F.col("query_id").alias("__lq"),
-        F.col("m").alias("__lm"),
-        "j",
-        dot(F.col("qv"), F.col("cv"), sd).alias("contrib"),
-    )
+    by_m: dict[int, list] = {}
+    for r in spark.read.parquet(f"{path}/codebook").collect():
+        by_m.setdefault(int(r["m"]), []).append((int(r["j"]), list(r["cv"])))
+
+    def _py_dot(a: list, b: list) -> float:
+        # the static expression chain: p1 + p2 + … (left-associated, no
+        # 0.0 seed) — Python floats ARE IEEE binary64, so same bits
+        s = a[0] * b[0]
+        for i in range(1, len(a)):
+            s = s + a[i] * b[i]
+        return s
+
+    def _sql_d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"  # repr round-trips binary64 exactly
+
+    qid_type = qu_plan.schema["query_id"].dataType.simpleString()
+    entries = []
+    for qr in qrows:
+        lut_m = []
+        for mm in range(1, m_sub + 1):
+            sub = list(qr["__qu"])[(mm - 1) * sd : mm * sd]
+            lut_m.append(
+                "array(%s)"
+                % ", ".join(_sql_d(_py_dot(sub, cv)) for _j, cv in sorted(by_m[mm]))
+            )
+        entries.append(
+            f"CAST('{qr['query_id']}' AS {qid_type}), array(%s)" % ", ".join(lut_m)
+        )
+    lut_map = F.expr("map(%s)" % ", ".join(entries))
     codes = spark.read.parquet(f"{path}/codes")
     cand = (
         codes.join(F.broadcast(probes), "cluster")
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col).alias("neighbor_id"), "codes")
     )
-    exploded = cand.select(
-        "query_id", "neighbor_id", F.posexplode("codes").alias("pos", "code")
-    ).select("query_id", "neighbor_id", (F.col("pos") + 1).alias("m"), "code")
-    adc = (
-        exploded.join(
-            F.broadcast(lut),
-            (F.col("query_id") == F.col("__lq"))
-            & (F.col("m") == F.col("__lm"))
-            & (F.col("code") == F.col("j")),
+    adc_sum = F.lit(0.0)
+    for mm in range(1, m_sub + 1):
+        adc_sum = adc_sum + F.element_at(
+            F.element_at(F.element_at(lut_map, F.col("query_id")), mm),
+            F.element_at(F.col("codes"), mm),
         )
-        .select("query_id", "neighbor_id", "m", "contrib")
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.aggregate(
-                    F.sort_array(F.collect_list(F.struct("m", "contrib"))),
-                    F.lit(0.0),
-                    lambda acc, s: acc + s["contrib"],
-                ),
-                6,
-            ).alias("adc_sim")
-        )
-    )
+    adc = cand.select("query_id", "neighbor_id", F.round(adc_sum, 6).alias("adc_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id")
     )
