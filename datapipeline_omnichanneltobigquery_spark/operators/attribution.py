@@ -222,17 +222,27 @@ def markov_attribution(
     Exactness: transition probabilities floor to integer micro-units
     once (p = cnt·S div row), and each fixed-point update floors again
     (a = Σp·a div S) — products stay ≤ S² per term whatever the corpus
-    size, every intermediate is an exact bigint, and the DuckDB twin
+    size, every intermediate is an exact integer, and the DuckDB twin
     unrolls the SAME ``iterations`` updates, so the approximate
     absorption probabilities hash-match bit for bit.  The fixed point
     converges geometrically from below; ``iterations`` bounds the
     truncation (documented contract, the pagerank/kcore bounded-rounds
     discipline).
 
-    Scale: ONE corpus-sized aggregate produces the ≤(n_states)² count
-    matrix; all ``iterations`` updates run on (variants × states) rows —
-    driver-trivial frames, localCheckpointed every ``checkpoint_every``
-    rounds to bound plan depth.
+    Scale (r15 optimization round): ONE corpus-sized partial aggregate
+    produces the count matrix, which is ≤ (|channels|+3)² rows BY THE
+    CHAIN CONTRACT (states are the channel ids plus start/conv/null);
+    the matrix collects under a loud bound guard (the module's
+    bounded-collect discipline) and all ``iterations`` updates run as
+    exact Python-integer arithmetic on the driver — identical floored
+    micro-unit updates, order-free integer sums.  The old shape ran the
+    same O(variants × states²) work as ~24 tiny distributed shuffles
+    plus periodic checkpoints, which at any scale is pure scheduling
+    overhead: the corpus never participates past the first aggregate.
+    The rounded double outputs are still computed by Spark expressions
+    (HALF_UP ``round``) over the local result relation, so they are
+    bit-identical to the old plan's.  ``checkpoint_every`` is retained
+    for API compatibility; the driver fixed point no longer needs it.
 
     Channel state ids must be distinct and disjoint from the reserved
     ids (0 = the base variant marker, start/conv/null) — a channel
@@ -246,86 +256,71 @@ def markov_attribution(
             f"distinct and disjoint from the reserved ids {sorted(reserved)} "
             "(0 marks the base variant; start/conv/null are structural)"
         )
-    t = (
-        transitions.groupBy(
-            F.col("from_state").alias("i"), F.col("to_state").alias("j")
-        )
-        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        .localCheckpoint()
-    )
     spark = transitions.sparkSession
-    variants = spark.createDataFrame(
-        [(0,)] + [(v,) for v in sorted(channels.values())], "variant int"
-    )
-    tv = (
-        t.crossJoin(F.broadcast(variants))
-        .select(
-            "variant",
-            "i",
-            F.when(
-                (F.col("variant") != 0) & (F.col("j") == F.col("variant")),
-                F.lit(int(null_state)),
-            )
-            .otherwise(F.col("j"))
-            .alias("j"),
-            "cnt",
+    t = transitions.groupBy(
+        F.col("from_state").alias("i"), F.col("to_state").alias("j")
+    ).agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    max_rows = (len(channels) + 3) ** 2
+    t_rows = t.limit(max_rows + 1).collect()
+    if len(t_rows) > max_rows:
+        raise ValueError(
+            f"markov_attribution: aggregated transition matrix exceeds the "
+            f"(|channels|+3)² = {max_rows} rows the chain contract allows — "
+            "states must be the channel ids plus start/conv/null; aggregate "
+            "or remap foreign states first"
         )
-        .groupBy("variant", "i", "j")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    rows = tv.groupBy("variant", "i").agg(F.sum("cnt").alias("row"))
-    p = (
-        tv.join(rows, ["variant", "i"])
-        .select(
-            "variant",
-            "i",
-            "j",
-            F.expr(f"(cnt * {MARKOV_SCALE}) div row").alias("p_micro"),
+    S = MARKOV_SCALE
+    conv, null = int(conv_state), int(null_state)
+    per_variant: dict[int, dict] = {}
+    for v in [0] + sorted(channels.values()):
+        tv: dict = {}
+        for r in t_rows:
+            j = null if (v != 0 and r["j"] == v) else r["j"]
+            tv[(r["i"], j)] = tv.get((r["i"], j), 0) + r["cnt"]
+        row_sum: dict = {}
+        for (i, _j), c in tv.items():
+            row_sum[i] = row_sum.get(i, 0) + c
+        # mirrors the old plan's NULL/absorbing-row filter: a NULL or
+        # conv/null from_state contributes to denominators but never to p
+        p = {
+            (i, j): c * S // row_sum[i]
+            for (i, j), c in tv.items()
+            if i is not None and i not in (conv, null)
+        }
+        a = {conv: S, null: 0}
+        for _ in range(iterations):
+            nxt: dict = {}
+            for (i, j), pm in p.items():
+                nxt[i] = nxt.get(i, 0) + pm * a.get(j, 0)
+            a = {conv: S, null: 0}
+            for i, vv in nxt.items():
+                a[i] = vv // S
+        per_variant[v] = a
+    out_schema = "channel string, a_base long, a long, drop_u long, __tot long"
+    a_base = per_variant[0].get(int(start_state))
+    if a_base is None:
+        # no row for the start state survived the fixed point — the old
+        # plan's inner joins produced an empty result; mirror that
+        return spark.createDataFrame([], out_schema).select(
+            "channel",
+            F.lit(None).cast("double").alias("p_conv_base"),
+            F.lit(None).cast("double").alias("p_conv_removed"),
+            F.lit(None).cast("double").alias("removal_effect"),
+            F.lit(None).cast("double").alias("share"),
         )
-        .filter(~F.col("i").isin(int(conv_state), int(null_state)))
-        .localCheckpoint()
-    )
-    absorbing = spark.createDataFrame(
+    drops = {
+        ch: a_base - per_variant[v][int(start_state)]
+        for ch, v in channels.items()
+    }
+    tot = sum(drops.values())
+    out = spark.createDataFrame(
         [
-            (v, s, a)
-            for v in [0] + sorted(channels.values())
-            for s, a in ((int(conv_state), MARKOV_SCALE), (int(null_state), 0))
+            (ch, a_base, per_variant[v][int(start_state)], drops[ch], tot)
+            for ch, v in sorted(channels.items(), key=lambda kv: kv[1])
         ],
-        "variant int, state int, a long",
+        out_schema,
     )
-    a = absorbing
-    for it in range(iterations):
-        nxt = (
-            p.join(
-                a.select("variant", F.col("state").alias("j"), F.col("a").alias("aj")),
-                ["variant", "j"],
-                "left",
-            )
-            .groupBy("variant", "i")
-            .agg(
-                F.expr(
-                    f"CAST(sum(p_micro * coalesce(aj, 0)) div {MARKOV_SCALE} AS BIGINT)"
-                ).alias("a")
-            )
-            .select("variant", F.col("i").alias("state"), "a")
-        )
-        a = absorbing.unionByName(nxt)
-        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
-            a = a.localCheckpoint()
-    starts = a.filter(F.col("state") == int(start_state)).select("variant", "a")
-    base = starts.filter(F.col("variant") == 0).select(F.col("a").alias("a_base"))
-    names = spark.createDataFrame(
-        sorted(channels.items(), key=lambda kv: kv[1]), "channel string, variant int"
-    )
-    per = (
-        starts.filter(F.col("variant") != 0)
-        .join(F.broadcast(names), "variant")
-        .crossJoin(F.broadcast(base))
-        .withColumn("drop_u", F.col("a_base") - F.col("a"))
-        .localCheckpoint()  # feeds the share total AND the final select
-    )
-    tot = per.agg(F.sum("drop_u").cast("bigint").alias("__tot"))
-    return per.crossJoin(F.broadcast(tot)).select(
+    return out.select(
         "channel",
         F.round(F.col("a_base").cast("double") / F.lit(float(MARKOV_SCALE)), 6).alias(
             "p_conv_base"

@@ -149,7 +149,11 @@ def _dedup_artifacts(
     num_bands = num_hashes // rows_per_band
     ids = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     fp = ids.select("id", F.md5("text").alias("fp"))
-    hashed = dd.hashed_shingles(ids, "id", "text", n)
+    # the hashed set is LAZILY checkpointed so the signature consumer
+    # reads the materialized rows instead of re-running the explode +
+    # distinct (the index build previously ran the explode twice, and
+    # the incremental probe three times — r15 optimization round)
+    hashed = dd.hashed_shingles(ids, "id", "text", n).localCheckpoint(eager=False)
     sig = dd._signatures_from_hashed(hashed, num_hashes)
     bands = F.array(
         *[
@@ -296,25 +300,24 @@ def prepare_corpus_incremental(
     )
 
     # -- stage 2: near-dup via LSH index probe ----------------------------
+    # hb is already lazily checkpointed inside _dedup_artifacts (and kb
+    # derives from that same materialization, so the shingle explode runs
+    # once); kb gets its own lazy checkpoint for its two consumers below
     _, hb, kb = _dedup_artifacts(b1, id_col, text_col, jaccard_n, num_hashes, rows_per_band)
-    hb = hb.localCheckpoint(eager=False)
     kb = kb.localCheckpoint(eager=False)
-    cross = (
-        kb.join(
-            ix_bands.select(F.col("id").alias("id2"), "band", "key"), ["band", "key"]
-        )
-        .select(
-            F.least("id", "id2").alias("id_a"), F.greatest("id", "id2").alias("id_b")
-        )
-        .distinct()
+    cross = kb.join(
+        ix_bands.select(F.col("id").alias("id2"), "band", "key"), ["band", "key"]
+    ).select(
+        F.least("id", "id2").alias("id_a"), F.greatest("id", "id2").alias("id_b")
     )
     kb2 = kb.select(F.col("id").alias("id2"), "band", "key")
     bb_cand = (
         kb.join(kb2, ["band", "key"])
         .filter(F.col("id") < F.col("id2"))
         .select(F.col("id").alias("id_a"), F.col("id2").alias("id_b"))
-        .distinct()
     )
+    # ONE distinct over the union replaces the per-branch distincts — the
+    # final set is identical and two aggregation exchanges disappear
     cand = cross.unionByName(bb_cand).distinct().localCheckpoint()
 
     # existing shingle sets come from the INDEX, restricted to candidate

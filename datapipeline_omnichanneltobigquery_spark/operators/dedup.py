@@ -443,6 +443,7 @@ def minhash_candidate_pairs(
     rows_per_band: int = 2,
     seed: int = 42,
     shingles_df: DataFrame | None = None,
+    signatures_df: DataFrame | None = None,
 ) -> DataFrame:
     """The LSH candidate stage alone: distinct (id_a, id_b) pairs agreeing on
     at least one MinHash band (P(candidate | J=s) = 1-(1-s^r)^b).  Exposed
@@ -451,6 +452,9 @@ def minhash_candidate_pairs(
     ``shingles_df`` shares a caller-materialized (id, shingle) stream —
     when given, ``id_col``/``text_col``/``n`` are ignored (the caller owns
     the shingling parameters) and the frame's schema is validated.
+    ``signatures_df`` likewise shares a caller-materialized signature
+    table (id, mh_0..mh_{K-1}) so a caller that also needs the signatures
+    (minhash_estimate_eval's agreement join) computes the aggregate once.
     """
     if shingles_df is not None:
         _validate_shingles_df(shingles_df)
@@ -463,7 +467,17 @@ def minhash_candidate_pairs(
     # for the session lifetime).  Within the single job the band self-join's
     # identical children share one exchange (ReusedExchange).
     sh = shingles(df, id_col, text_col, n) if shingles_df is None else shingles_df
-    sig = _signatures_from_shingles(sh, num_hashes, seed)
+    if signatures_df is not None:
+        expected = {"id"} | {f"mh_{i}" for i in range(num_hashes)}
+        if set(signatures_df.columns) != expected:
+            raise ValueError(
+                "signatures_df must have exactly the columns "
+                f"{sorted(expected)} as produced by the signature aggregate; "
+                f"got {sorted(signatures_df.columns)}"
+            )
+        sig = signatures_df
+    else:
+        sig = _signatures_from_shingles(sh, num_hashes, seed)
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"), _band_key(num_hashes, rows_per_band, i).alias("key"))
         for i in range(num_bands)
@@ -529,7 +543,10 @@ def verify_jaccard_pairs(sh: DataFrame, cand: DataFrame, threshold: float) -> Da
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_cand = sh.join(cand_ids, "id", "left_semi")
+    # candidate-doc shingles materialize once (lazy checkpoint): the size
+    # aggregate and both intersection joins below each re-derived this
+    # semi-join otherwise (r15 optimization round)
+    sh_cand = sh.join(cand_ids, "id", "left_semi").localCheckpoint(eager=False)
     sizes = sh_cand.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh_cand.select(F.col("id").alias("id_a"), "shingle"), "id_a")
@@ -1775,12 +1792,16 @@ def minhash_estimate_eval(
     consumers re-derive it otherwise: the cand pipeline, the agreement
     signatures, and verify's size/intersection joins; unmaterialized it
     re-scanned the corpus 6x); the agreement join touches |cand| rows
-    of K-column signatures."""
+    of K-column signatures.  The signature table is itself materialized
+    once (lazy checkpoint) and shared by the candidate pipeline and BOTH
+    sides of the agreement join — previously the groupBy-over-16-mins
+    aggregate executed three times (r15 optimization round)."""
     sh = shingles(df, id_col, text_col, n).localCheckpoint()
+    sig = _signatures_from_shingles(sh, num_hashes, seed).localCheckpoint(eager=False)
     cand = minhash_candidate_pairs(
-        df, id_col, text_col, n, num_hashes, rows_per_band, seed, shingles_df=sh
+        df, id_col, text_col, n, num_hashes, rows_per_band, seed,
+        shingles_df=sh, signatures_df=sig,
     )
-    sig = _signatures_from_shingles(sh, num_hashes, seed)
     agree = None
     for i in range(num_hashes):
         t = (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("bigint")

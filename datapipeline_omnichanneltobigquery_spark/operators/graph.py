@@ -447,6 +447,10 @@ def adamic_adar(edges: DataFrame, max_degree: int = 64) -> DataFrame:
         und.select(F.col("v").alias("w"), F.col("u").alias("nbr"))
     )
     deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    # materialized once (lazy checkpoint): the wedge self-join consumes
+    # this frame on BOTH sides, and the two sides project different
+    # columns, so no ReusedExchange applies — unmaterialized, the
+    # degree-filter join ran twice (r15 optimization round)
     scored_nbrs = (
         deg.filter(
             (F.col("deg") >= F.lit(2)) & (F.col("deg") <= F.lit(int(max_degree)))
@@ -456,6 +460,7 @@ def adamic_adar(edges: DataFrame, max_degree: int = 64) -> DataFrame:
             F.expr("CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)"),
         )
         .join(adj, "w")
+        .localCheckpoint(eager=False)
     )
     a = scored_nbrs.select("w", "term_micro", F.col("nbr").alias("node_a"))
     b = scored_nbrs.select("w", F.col("nbr").alias("node_b"))
@@ -516,7 +521,11 @@ HITS_SCALE = 10**6
 HITS_DEG_CAP = 4_000_000
 
 
-def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
+def hits_fixedpoint(
+    edges: DataFrame,
+    iterations: int = 4,
+    bipartite_prefixes: tuple[str, str] | None = None,
+) -> DataFrame:
     """HITS hubs & authorities over directed ``edges`` (src, dst) —
     Kleinberg 1999, the bipartite companion of PageRank: a src's HUB
     score sums its targets' authority, a dst's AUTHORITY score sums its
@@ -564,7 +573,17 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
     ``HITS_SCALE``, so the round-1 authority raw sum IS
     in-degree·HITS_SCALE, computed from the edge set alone (the inner
     join's only other effect — dropping NULL-src edges — is preserved
-    by the explicit filter)."""
+    by the explicit filter).
+
+    ``bipartite_prefixes=(src_pfx, dst_pfx)``: for a graph whose two key
+    spaces are DISJOINT BY CONSTRUCTION (users×products), pass the raw
+    (narrow, e.g. bigint) keys and the prefixes separately — the loop
+    then shuffles/joins/groups the narrow keys and the string prefix is
+    applied only on output.  Bit-identical to prefixing up front: the
+    prefix bijects each side's key space (every sum/max/div groups the
+    same rows; NULL keys stay NULL either way), and the final full_outer
+    join of the prefixed tables is the plain UNION of the two sides —
+    prefixed hub and authority keys can never be equal."""
     if iterations < 1:
         raise ValueError(
             f"hits_fixedpoint: iterations must be >= 1, got {iterations}"
@@ -646,6 +665,22 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 4) -> DataFrame:
         h = h_raw.crossJoin(F.broadcast(hmax)).select(
             F.col("src").alias("node"),
             F.expr(f"(raw * {HITS_SCALE}) div mx").cast("bigint").alias("h"),
+        )
+    if bipartite_prefixes is not None:
+        src_pfx, dst_pfx = bipartite_prefixes
+        return (
+            h.select(
+                F.concat(F.lit(src_pfx), F.col("node").cast("string")).alias("node"),
+                F.col("h").alias("hub"),
+                F.lit(None).cast("bigint").alias("auth"),
+            )
+            .unionAll(
+                a.select(
+                    F.concat(F.lit(dst_pfx), F.col("node").cast("string")).alias("node"),
+                    F.lit(None).cast("bigint").alias("hub"),
+                    F.col("a").alias("auth"),
+                )
+            )
         )
     return (
         h.select("node", F.col("h").alias("hub"))

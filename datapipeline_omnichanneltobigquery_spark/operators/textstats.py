@@ -1879,7 +1879,10 @@ def rake_keywords(
         .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
         .filter(F.col("len") <= RAKE_MAX_PHRASE)
     )
-    kept = words.join(sizes, ["id", "ph"])
+    # materialized once (lazy checkpoint): both the corpus word stats and
+    # the scored-word fold consume this join, and unmaterialized each
+    # re-ran the sizes aggregate + join (r15 optimization round)
+    kept = words.join(sizes, ["id", "ph"]).localCheckpoint(eager=False)
     stats = kept.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("freq"),
         F.sum("len").cast("bigint").alias("degree"),

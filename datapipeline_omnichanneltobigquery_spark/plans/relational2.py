@@ -1580,18 +1580,21 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", 4)
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wl = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     seq = (
         ev.filter(F.col("event_type") != "purchase")
         .join(fp, "user_id", "left")
         .filter(F.col("t0").isNull() | (F.col("ts") < F.col("t0")))
         .select("user_id", "ts", "event_id", state.alias("state"), "t0")
         .withColumn("prev", F.coalesce(F.lag("state").over(w), F.lit(0)))
-        .withColumn("rn_last", F.row_number().over(wl))
+        # the journey's LAST touch = the row with no successor in the SAME
+        # ascending window ((ts, event_id) is a total order per user, so
+        # lead-is-null selects exactly the old row_number()-DESC == 1 row)
+        # — both window functions now share one exchange AND one sort
+        .withColumn("__last", F.lead("event_id").over(w).isNull())
         .localCheckpoint()  # ONE window pass feeds chain links AND terminals
     )
     chain = seq.select(F.col("prev").alias("from_state"), F.col("state").alias("to_state"))
-    terms = seq.filter(F.col("rn_last") == 1).select(
+    terms = seq.filter(F.col("__last")).select(
         F.col("state").alias("from_state"),
         F.when(F.col("t0").isNotNull(), F.lit(_MARKOV_CONV))
         .otherwise(F.lit(_MARKOV_NULL))
@@ -1953,11 +1956,13 @@ def graph_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     node) (operators/graph.py::hits_fixedpoint)."""
     ord_ = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # bigint keys through the power loop; the 'c:'/'p:' prefixes apply on
+    # output (bipartite_prefixes) — every per-round shuffle/join/group
+    # hashes 8-byte longs instead of strings, bit-identical result
     edges = ord_.join(li, ord_.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
     )
-    out = gr.hits_fixedpoint(edges, iterations=4)
+    out = gr.hits_fixedpoint(edges, iterations=4, bipartite_prefixes=("c:", "p:"))
     return out.orderBy(
         F.coalesce(F.col("auth"), F.lit(-1)).desc(),
         F.coalesce(F.col("hub"), F.lit(-1)).desc(),

@@ -232,15 +232,12 @@ BROADCAST_REVIEW_ALLOWLIST = {
     # localCheckpointed tf_q frame — mechanically bounded, off this list)
     # (r15: similarity_ann_pq / similarity_pq_recall rotated OUT of the
     # gate — their ADC-LUT justifications moved back to the EXTRA list.)
-    # composed IVF×PQ trio (rotated INTO the gate r14): 2 flagged each =
-    # the (query, cluster) probe list (|queries| × n_probe rows —
-    # probe-batch contract × a fixed constant; broadcasting it IS the
-    # dynamic-partition-pruning plan shape) + the per-query ADC LUT
-    # (|queries| × m_sub × n_codes = 512 rows here).  Justifications
-    # moved verbatim from the EXTRA list where they sat in r13.
-    "similarity_ivf_pq": 2,
-    "similarity_ivf_pq_recall": 2,
-    "similarity_ivf_pq_incremental": 2,
+    # (r15 optimization round: the composed IVF×PQ trio no longer carries
+    # ANY review-grade broadcast — the ADC LUT became a literal map over
+    # the collected bounded query batch, and the (query, cluster) probe
+    # list now descends from a LocalRelation of that batch, which the
+    # audit proves bounded mechanically.  Entries dropped from this list;
+    # the audit asserts 0 flagged.)
     # semantic decontam (rotated INTO the gate r15): the normalized
     # EVAL-side embedding frame — bounded by the eval-suites-are-small
     # contract; broadcasting it IS the map-side screen (the
