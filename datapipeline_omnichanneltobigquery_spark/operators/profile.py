@@ -1866,7 +1866,10 @@ def mad_outliers(
             F.min(F.when(F.col("cum") >= F.col("k"), F.col(col))).alias(out)
         )
 
-    med = _lower_median(base, "v", "med")
+    # n_groups-row cut table, consumed by the deviation pass AND the final
+    # join — materialized once so the distinct-value prefix window behind
+    # it runs once (r15 optimization round)
+    med = _lower_median(base, "v", "med").localCheckpoint(eager=False)
     dev = base.join(med, "__g").select(
         "__g", F.abs(F.col("v") - F.col("med")).alias("d")
     )

@@ -179,7 +179,14 @@ def winnow_overlap_pairs(
         .localCheckpoint()
     )
     dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
-    keep = fps.join(dfreq.filter(F.col("__df") <= max_df), "fp").select("doc_id", "fp")
+    # materialized once (lazy checkpoint): both sides of the fp self-join
+    # consume this with different projections (no ReusedExchange), so the
+    # df-cap join ran twice unmaterialized (r15 optimization round)
+    keep = (
+        fps.join(dfreq.filter(F.col("__df") <= max_df), "fp")
+        .select("doc_id", "fp")
+        .localCheckpoint(eager=False)
+    )
     a = keep.select(F.col("doc_id").alias("id_a"), "fp")
     b = keep.select(F.col("doc_id").alias("id_b"), "fp")
     return (
