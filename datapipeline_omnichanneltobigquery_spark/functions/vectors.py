@@ -26,9 +26,25 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Ordered dot product of two equal-length float arrays (see module
-    docstring for the dim=None vs static-dim trade-off)."""
+    docstring for the dim=None vs static-dim trade-off).
+
+    Pass PLAIN COLUMN NAMES (both sides) with a static ``dim`` to build
+    the chain as ONE parsed SQL expression: the Column-by-Column form
+    costs ~6 py4j round trips per term (~2 s of DRIVER time per 64-dim
+    chain, measured — r15 optimization round), the parsed form ~3 ms,
+    and the resulting expressions are bit-identical (verified)."""
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            " + ".join(
+                f"CAST(element_at(`{a}`, {i}) AS DOUBLE)"
+                f" * CAST(element_at(`{b}`, {i}) AS DOUBLE)"
+                for i in range(1, dim + 1)
+            )
+        )
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     if dim is not None:
         terms = [
             F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
@@ -39,11 +55,11 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def l2_norm(a: Column, dim: int | None = None) -> Column:
+def l2_norm(a: Column | str, dim: int | None = None) -> Column:
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Cosine similarity; NULL-safe only as far as the inputs are."""
     return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
@@ -59,7 +75,22 @@ def norm_unit(a: Column, dim: int | None = None) -> Column:
     lambdas are interpreted per element — the 64-term chain re-evaluated
     64× per row measured ~10× slower on a corpus normalize.  Same doubles
     bit for bit (one shared n, same ``x.cast(double)/n`` division); rows
-    are fixed-``dim`` by contract when ``dim`` is static."""
+    are fixed-``dim`` by contract when ``dim`` is static.
+
+    Pass a PLAIN COLUMN NAME with static ``dim`` to build the whole thing
+    as one parsed SQL expression (the :func:`dot` py4j-cost note; the two
+    forms are bit-identical, verified)."""
+    if dim is not None and isinstance(a, str):
+        n_sql = "sqrt(%s)" % " + ".join(
+            f"CAST(element_at(`{a}`, {i}) AS DOUBLE)"
+            f" * CAST(element_at(`{a}`, {i}) AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(
+            f"zip_with(`{a}`, array_repeat({n_sql}, {dim}),"
+            " (x, nn) -> CAST(x AS DOUBLE) / nn)"
+        )
+    a = F.col(a) if isinstance(a, str) else a
     n = l2_norm(a, dim)
     reps = F.lit(dim) if dim is not None else F.size(a)
     return F.zip_with(a, F.array_repeat(n, reps), lambda x, nn: x.cast("double") / nn)

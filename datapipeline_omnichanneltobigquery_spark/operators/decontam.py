@@ -210,17 +210,17 @@ def semantic_contamination_pairs(
     from datapipeline_omnichanneltobigquery_spark.functions.vectors import dot, norm_unit
 
     cu = corpus.select(
-        F.col(id_col).alias("corpus_id"), norm_unit(F.col(vec_col), dim).alias("__cu")
+        F.col(id_col).alias("corpus_id"), norm_unit(vec_col, dim).alias("__cu")
     )
     eu = eval_set.select(
-        F.col(id_col).alias("eval_id"), norm_unit(F.col(vec_col), dim).alias("__eu")
+        F.col(id_col).alias("eval_id"), norm_unit(vec_col, dim).alias("__eu")
     )
     return (
         cu.crossJoin(F.broadcast(eu))
         .select(
             "corpus_id",
             "eval_id",
-            dot(F.col("__cu"), F.col("__eu"), dim).alias("cos_sim"),
+            dot("__cu", "__eu", dim).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= F.lit(float(threshold)))
     )

@@ -113,7 +113,7 @@ def cosine_pairs(
     if use_arrow_kernel:
         return _cosine_pairs_blocked(embeddings, threshold, id_col, vec_col, n_blocks)
     unit = embeddings.select(
-        F.col(id_col), norm_unit(F.col(vec_col), dim).alias("__u")
+        F.col(id_col), norm_unit(vec_col, dim).alias("__u")
     )
     # Materialization barrier: without it Catalyst collapses the normalize
     # projection into the per-pair dot terms and re-evaluates the transform
@@ -125,7 +125,7 @@ def cosine_pairs(
     b = unit.select(F.col(id_col).alias("id_b"), F.col("__u").alias("ub"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dot(F.col("ua"), F.col("ub"), dim).alias("cos_sim"))
+        .select("id_a", "id_b", dot("ua", "ub", dim).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -233,7 +233,7 @@ def _unit_df(embeddings: DataFrame, id_col: str, vec_col: str, dim: int | None) 
     """(id, unit vector) with a materialization barrier (see cosine_pairs)."""
     n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return embeddings.select(
-        F.col(id_col), norm_unit(F.col(vec_col), dim).alias("__u")
+        F.col(id_col), norm_unit(vec_col, dim).alias("__u")
     ).repartition(n_part)
 
 
@@ -258,7 +258,7 @@ def kmeans_refine(
     cent = centroids
     for _ in range(n_iters):
         scored = unit.crossJoin(F.broadcast(cent)).select(
-            id_col, "cid", dot(F.col("__u"), F.col("cv"), dim).alias("sim")
+            id_col, "cid", dot("__u", "cv", dim).alias("sim")
         )
         assign = scored.groupBy(id_col).agg(
             F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("tb"))).alias("cid")
@@ -308,7 +308,7 @@ def _assign_from_unit(unit: DataFrame, n_centroids: int, id_col: str, dim: int |
     scored = unit.crossJoin(cent).select(
         id_col,
         "cid",
-        dot(F.col("__u"), F.col("cv"), dim).alias("sim"),
+        dot("__u", "cv", dim).alias("sim"),
     )
     return scored.groupBy(id_col).agg(
         F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("tb"))).alias("cluster"),
@@ -401,7 +401,7 @@ def ivf_topk(
     )
     probe = (
         centroids.crossJoin(q)
-        .select("cid", dot(F.col("cv"), F.col("__qv"), dim).alias("sim"))
+        .select("cid", dot("cv", "__qv", dim).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("cid"))
         .limit(n_probe)
         .select("cid")
@@ -419,7 +419,7 @@ def ivf_topk(
     return (
         cand.crossJoin(q)
         .filter(F.col(id_col) != query_vec_id)
-        .select(id_col, dot(F.col("__u"), F.col("__qv"), dim).alias("cos_sim"))
+        .select(id_col, dot("__u", "__qv", dim).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -641,15 +641,15 @@ def cosine_topk_join(
     persisted IVF index (cluster-pruned candidates per query) and applies
     this window to candidates only."""
     qu = queries.select(
-        F.col(id_col).alias("query_id"), norm_unit(F.col(vec_col), dim).alias("__qu")
+        F.col(id_col).alias("query_id"), norm_unit(vec_col, dim).alias("__qu")
     )
     cu = corpus.select(
-        F.col(id_col).alias("neighbor_id"), norm_unit(F.col(vec_col), dim).alias("__cu")
+        F.col(id_col).alias("neighbor_id"), norm_unit(vec_col, dim).alias("__cu")
     )
     scored = (
         cu.crossJoin(F.broadcast(qu))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", dot(F.col("__cu"), F.col("__qu"), dim).alias("cos_sim"))
+        .select("query_id", "neighbor_id", dot("__cu", "__qu", dim).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
@@ -704,13 +704,13 @@ def ivf_topk_join_from_index(
     takes the top-k — the window input is |probed postings|·(queries per
     cluster), the candidate set, never the corpus."""
     qu = queries.select(
-        F.col(id_col).alias("query_id"), norm_unit(F.col(vec_col), dim).alias("__qu")
+        F.col(id_col).alias("query_id"), norm_unit(vec_col, dim).alias("__qu")
     )
     cent = spark.read.parquet(f"{path}/centroids")
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cid"))
     probes = (
         qu.crossJoin(F.broadcast(cent))
-        .select("query_id", "__qu", "cid", dot(F.col("cv"), F.col("__qu"), dim).alias("sim"))
+        .select("query_id", "__qu", "cid", dot("cv", "__qu", dim).alias("sim"))
         .withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qu", F.col("cid").alias("cluster"))
@@ -722,7 +722,7 @@ def ivf_topk_join_from_index(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            dot(F.col("__u"), F.col("__qu"), dim).alias("cos_sim"),
+            dot("__u", "__qu", dim).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -805,7 +805,7 @@ def append_to_ivf_index(
     unit = _unit_df(batch, id_col, vec_col, dim)
     cent = F.broadcast(spark.read.parquet(f"{path}/centroids"))
     scored = unit.crossJoin(cent).select(
-        id_col, "__u", "cid", dot(F.col("__u"), F.col("cv"), dim).alias("sim")
+        id_col, "__u", "cid", dot("__u", "cv", dim).alias("sim")
     )
     assign = scored.groupBy(id_col).agg(
         F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("tb"))).alias("cluster"),
@@ -980,7 +980,7 @@ def srp_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            (dot(F.col("__va"), F.col("__vb"), dim) / (F.col("__na") * F.col("__nb")))
+            (dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")))
             .alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -1179,7 +1179,7 @@ def semdedup_keep(
     pairs = (
         a.join(b, ["cluster"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dot(F.col("__ua"), F.col("__ub"), dim).alias("cos_sim"))
+        .select("id_a", "id_b", dot("__ua", "__ub", dim).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
     cc = connected_components_star(pairs.select("id_a", "id_b"))
@@ -1354,7 +1354,7 @@ def pq_topk_join(
         .agg(F.min_by("j", F.struct(F.col("d2"), F.col("j"))).alias("code"))
     )
     qsub = queries.select(
-        F.col(id_col).alias("query_id"), norm_unit(F.col(vec_col), dim).alias("__qu")
+        F.col(id_col).alias("query_id"), norm_unit(vec_col, dim).alias("__qu")
     ).select(
         "query_id", F.explode(_sub_explode(m_sub, sd, F.col("__qu"))).alias("s")
     ).select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("qv"))
@@ -1362,7 +1362,7 @@ def pq_topk_join(
     # contract (queries are a batch, not the corpus), broadcast like the
     # query side of cosine_topk_join.
     lut = qsub.join(F.broadcast(cb), "m").select(
-        "query_id", "m", "j", dot(F.col("qv"), F.col("cv"), sd).alias("contrib")
+        "query_id", "m", "j", dot("qv", "cv", sd).alias("contrib")
     )
     adc = (
         enc.join(F.broadcast(lut), (enc.m == lut.m) & (enc.code == lut.j))
@@ -1600,7 +1600,7 @@ def build_ivf_pq_index(
         raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
     sd = dim // m_sub
     spark = embeddings.sparkSession
-    unit = embeddings.select(F.col(id_col), norm_unit(F.col(vec_col), dim).alias("__u"))
+    unit = embeddings.select(F.col(id_col), norm_unit(vec_col, dim).alias("__u"))
     cent = unit.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("cid"), F.col("__u").alias("cv")
     )
@@ -1697,7 +1697,7 @@ def ivf_pq_topk_join_from_index(
         raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
     sd = dim // m_sub
     qu_plan = queries.select(
-        F.col(id_col).alias("query_id"), norm_unit(F.col(vec_col), dim).alias("__qu")
+        F.col(id_col).alias("query_id"), norm_unit(vec_col, dim).alias("__qu")
     )
     qrows = qu_plan.collect()  # bounded: the probe-batch contract
     qu = spark.createDataFrame(qrows, schema=qu_plan.schema)
@@ -1705,7 +1705,7 @@ def ivf_pq_topk_join_from_index(
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cid"))
     probes = (
         qu.crossJoin(F.broadcast(cent))
-        .select("query_id", "cid", dot(F.col("cv"), F.col("__qu"), dim).alias("sim"))
+        .select("query_id", "cid", dot("cv", "__qu", dim).alias("sim"))
         .withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", F.col("cid").alias("cluster"))
