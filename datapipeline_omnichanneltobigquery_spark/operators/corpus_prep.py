@@ -170,6 +170,30 @@ def _dedup_artifacts(
     return fp, hashed, keyed
 
 
+def _write_artifacts(
+    fp: DataFrame, hashed: DataFrame, keyed: DataFrame, index_path: str, mode: str
+) -> None:
+    """Write the three dedup-index tables, OVERLAPPING the two independent
+    jobs (guide §2.6: actions are only sequential because the driver calls
+    them sequentially — concurrent independent writes back-fill each
+    other's stragglers).  The fingerprint write shares no state with the
+    shingle write, so the two run concurrently; the bands write consumes
+    the lazily-checkpointed ``hashed`` that the shingle write materializes,
+    so it waits for that write (never racing the checkpoint), then runs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fp = pool.submit(
+            lambda: fp.write.mode(mode).parquet(f"{index_path}/fingerprints")
+        )
+        f_sh = pool.submit(
+            lambda: hashed.write.mode(mode).parquet(f"{index_path}/shingles")
+        )
+        f_sh.result()
+        f_fp.result()
+    keyed.write.mode(mode).partitionBy("band").parquet(f"{index_path}/bands")
+
+
 def build_dedup_index(
     docs: DataFrame,
     id_col: str,
@@ -199,9 +223,7 @@ def build_dedup_index(
     fp, hashed, keyed = _dedup_artifacts(
         docs, id_col, text_col, jaccard_n, num_hashes, rows_per_band
     )
-    fp.write.mode("overwrite").parquet(f"{index_path}/fingerprints")
-    hashed.write.mode("overwrite").parquet(f"{index_path}/shingles")
-    keyed.write.mode("overwrite").partitionBy("band").parquet(f"{index_path}/bands")
+    _write_artifacts(fp, hashed, keyed, index_path, "overwrite")
 
 
 def append_to_dedup_index(
@@ -221,9 +243,7 @@ def append_to_dedup_index(
     fp, hashed, keyed = _dedup_artifacts(
         new_docs, id_col, text_col, jaccard_n, num_hashes, rows_per_band
     )
-    fp.write.mode("append").parquet(f"{index_path}/fingerprints")
-    hashed.write.mode("append").parquet(f"{index_path}/shingles")
-    keyed.write.mode("append").partitionBy("band").parquet(f"{index_path}/bands")
+    _write_artifacts(fp, hashed, keyed, index_path, "append")
 
 
 def prepare_corpus_incremental(
@@ -290,13 +310,17 @@ def prepare_corpus_incremental(
     # from the batch scan (the compiled round-7 plan read the batch's
     # parquet 18 times).  Materialized state is BATCH-sized — the nightly
     # delta, not the corpus — which the module contract already budgets.
+    # LAZY (r16): the near-dup stage's materialization job below is b1's
+    # first consumer and materializes it in the same job — every eager
+    # checkpoint here was a separate sequential job barrier; the lazy form
+    # keeps the exactly-once materialization and drops the barrier.
     win = dd.dedup_exact_keylist(batch, text_col, id_col).select(id_col)
     b1 = (
         batch.join(win, id_col, "left_semi")
         .withColumn("__fp", F.md5(F.col(text_col)))
         .join(ix_fp.select(F.col("fp").alias("__fp")), "__fp", "left_anti")
         .drop("__fp")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # -- stage 2: near-dup via LSH index probe ----------------------------
@@ -317,8 +341,10 @@ def prepare_corpus_incremental(
         .select(F.col("id").alias("id_a"), F.col("id2").alias("id_b"))
     )
     # ONE distinct over the union replaces the per-branch distincts — the
-    # final set is identical and two aggregation exchanges disappear
-    cand = cross.unionByName(bb_cand).distinct().localCheckpoint()
+    # final set is identical and two aggregation exchanges disappear.
+    # Lazy: materializes inside the verify job (its only consumers live
+    # there), shared exactly once — no dedicated checkpoint job.
+    cand = cross.unionByName(bb_cand).distinct().localCheckpoint(eager=False)
 
     # existing shingle sets come from the INDEX, restricted to candidate
     # ids BEFORE anything else touches them; batch sets are hb (already
@@ -331,7 +357,11 @@ def prepare_corpus_incremental(
     )
     sh_ex = ix_sh.join(cand_ids, "id", "left_semi")
     sh_all = hb.unionByName(sh_ex).select("id", F.col("h60").alias("shingle"))
-    verified = dd.verify_jaccard_pairs(sh_all, cand, neardup_threshold).localCheckpoint()
+    # lazy: first materialized by the CC edge job (via bb_pairs), then the
+    # final keep semi-join reads the checkpointed rows
+    verified = dd.verify_jaccard_pairs(sh_all, cand, neardup_threshold).localCheckpoint(
+        eager=False
+    )
 
     bids = b1.select(F.col(id_col).alias("id"), F.lit(1).alias("__isb"))
     v2 = (
@@ -351,7 +381,14 @@ def prepare_corpus_incremental(
     ).select(
         F.when(F.col("__ba") == 1, F.col("id_a")).otherwise(F.col("id_b")).alias("id")
     )
-    s1 = bids.select("id").join(drop, "id", "left_anti")
+    # s1 (batch survivors after existing-dup drops) is consumed THREE
+    # times (both bb_pairs semi-join sides + the final keep) and keep
+    # TWICE (decontaminate references its train side in the shingle
+    # probe AND the final anti-join) — without the lazy cuts the final
+    # job re-derived the whole verified→s1 anti-join chain once per
+    # reference (the r16 before-plan shows the SMJ-anti subtree twice).
+    # Both are batch-id-sized frames.
+    s1 = bids.select("id").join(drop, "id", "left_anti").localCheckpoint(eager=False)
     bb_pairs = (
         v2.filter((F.col("__ba") == 1) & (F.col("__bb") == 1))
         .join(s1.select(F.col("id").alias("id_a")), "id_a", "left_semi")
@@ -360,7 +397,11 @@ def prepare_corpus_incremental(
     )
     cc = dd.connected_components_star(bb_pairs)
     losers = cc.filter(F.col("id") != F.col("cluster_id")).select("id")
-    keep = s1.join(losers, "id", "left_anti").select(F.col("id").alias(id_col))
+    keep = (
+        s1.join(losers, "id", "left_anti")
+        .select(F.col("id").alias(id_col))
+        .localCheckpoint(eager=False)
+    )
     kept = b1.join(keep, id_col, "left_semi")
 
     # -- stages 3-5: batch-only -------------------------------------------

@@ -387,9 +387,16 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     re-reading corpus text).  Jaccard over h60 sets equals Jaccard over
     shingle strings up to 60-bit collisions, and both engines hash with the
     identical md5→60-bit construction, so even a collision is mirrored in
-    the SQL twin — parity stays bit-exact."""
+    the SQL twin — parity stays bit-exact.
+
+    ONE distinct, directly on (id, h60) over the raw occurrence stream
+    (r16): distinct(md5(S)) ≡ distinct(md5(distinct(S))) for any multiset
+    S — the image of a set under a function needs deduplication exactly
+    once — so the former shingles()-then-distinct double aggregate
+    collapses to a single one, and the aggregate dedups 8-byte hashes
+    instead of shingle strings."""
     return (
-        shingles(df, id_col, text_col, n)
+        shingle_stream(df, id_col, text_col, n)
         .select("id", md5_long(F.col("shingle")).alias("h60"))
         .distinct()
     )
@@ -926,43 +933,55 @@ def connected_components_star(
     Convergence: the fixpoint of small∘large is a star per component
     (paper, Theorem 1), detected exactly — counts equal AND no edge of the
     new round outside the previous round's set (both sides distinct, so
-    subset + equal cardinality ⇔ set equality).  The subset probe is folded
-    INTO the round's checkpoint job: each round left-joins its output
+    subset + equal cardinality ⇔ set equality).  The probe rides the
+    round's checkpoint job itself (r16): each round left-joins its output
     against the previous (already-materialized) edge set to carry a
-    ``__new`` flag, so one checkpoint job plus one tiny aggregate over the
-    checkpointed rows replaces the former count + exceptAll pair of extra
-    jobs per round.
+    ``__new`` flag, and the round count + new-edge count are ``observe()``
+    metrics filled by the eager checkpoint's own materialization — ONE
+    Spark job per round, no separate probe action (exact integer counts,
+    shuffle-order-invariant).
     """
-    # Materialize the input pairs ONCE: nodes and the edge normalization are
-    # two consumers, and without this checkpoint each would re-execute the
+    from pyspark.sql import Observation
+
+    # Materialize the input pairs ONCE — nodes and the edge normalization
+    # are two consumers, and without this cut each would re-execute the
     # full upstream plan (for dedup_clusters that plan is the entire
-    # inverted-index Jaccard pipeline).
-    pairs_ck = pairs.select("id_a", "id_b").localCheckpoint()
+    # inverted-index Jaccard pipeline).  The checkpoint is LAZY: the edge
+    # materialization job below is its first consumer and materializes it;
+    # nodes (final job) then reads the checkpointed rows.
+    pairs_ck = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     nodes = (
         pairs_ck.select(F.col("id_a").alias("id"))
         .unionByName(pairs_ck.select(F.col("id_b").alias("id")))
         .distinct()
+    )
+    obs0 = Observation()
+    edges = (
+        _star_edges(pairs_ck)
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    edges = _star_edges(pairs_ck).localCheckpoint()
-    prev_count = edges.count()
+    prev_count = obs0.get["n"]
     for it in range(max_iterations):
         stepped = _small_star(_large_star(edges))
+        obs = Observation()
         flagged = (
             stepped.join(edges.withColumn("__seen", F.lit(1)), ["u", "v"], "left")
             .select("u", "v", F.col("__seen").isNull().alias("__new"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("__new").cast("int")).alias("n_new"),
+            )
             .localCheckpoint()
         )
-        probe = flagged.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("__new").cast("int")).alias("n_new"),
-        ).first()
+        probe = obs.get
         edges = flagged.select("u", "v")
-        if probe.n == prev_count and (probe.n_new or 0) == 0:
+        if probe["n"] == prev_count and (probe["n_new"] or 0) == 0:
             if stats is not None:
                 stats["rounds"] = it + 1
             break
-        prev_count = probe.n
+        prev_count = probe["n"]
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iterations} iterations"

@@ -22,7 +22,7 @@ re-derive the graph; rank state stays (node, BIGINT) — 16 bytes a row.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 
 SCALE = 10**12  # fixed-point denominator
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
@@ -562,15 +562,22 @@ def hits_fixedpoint(
     join+aggregates plus a 1-row broadcast max; the edge set crosses
     one exchange per half-round.
 
-    Execution shape (r15 optimization round): each half-round
-    localCheckpoints the RAW sums, not the normalized scores.  The max
-    is a broadcast scalar over the checkpoint and the flooring division
-    a projection over it, so the join+aggregate subtree executes exactly
-    ONCE per half-round — checkpointing the normalized scores evaluated
-    it twice (once under the max's BroadcastExchange, once on the main
-    path; no ReusedExchange, the expression ids differ).  Round 1 skips
-    the authority join outright: every hub starts at exactly
-    ``HITS_SCALE``, so the round-1 authority raw sum IS
+    Execution shape (r15/r16 optimization rounds): each half-round
+    localCheckpoints the RAW sums, not the normalized scores, so the
+    join+aggregate subtree executes exactly ONCE per half-round —
+    checkpointing the normalized scores evaluated it twice (once under
+    the max's BroadcastExchange, once on the main path; no
+    ReusedExchange, the expression ids differ).  The max RIDES the
+    checkpoint job itself as an ``observe()`` metric (r16): the
+    CollectMetrics accumulator fills during the eager materialization,
+    so no separate max job, no BroadcastExchange, and the flooring
+    division becomes a literal-divisor projection over the checkpoint —
+    ONE Spark job per half-round, which is the sequential floor of
+    max-normalized power iteration (the global max is a barrier).
+    max(bigint) over a fixed row set is shuffle-order-invariant, so the
+    literal is the exact same value the broadcast scalar carried.
+    Round 1 skips the authority join outright: every hub starts at
+    exactly ``HITS_SCALE``, so the round-1 authority raw sum IS
     in-degree·HITS_SCALE, computed from the edge set alone (the inner
     join's only other effect — dropping NULL-src edges — is preserved
     by the explicit filter).
@@ -641,13 +648,17 @@ def hits_fixedpoint(
                 .groupBy("dst")
                 .agg(F.sum("h").cast("bigint").alias("raw"))
             )
-        # checkpoint the RAW sums: the max below then reads the checkpoint
-        # instead of re-running the join+aggregate under its broadcast
-        a_raw = a_raw.localCheckpoint()
-        amax = a_raw.agg(F.max("raw").alias("mx"))
-        a = a_raw.crossJoin(F.broadcast(amax)).select(
+        # checkpoint the RAW sums with the max riding the SAME job as an
+        # observe() metric — no separate max job, no BroadcastExchange;
+        # the flooring division is a literal-divisor projection
+        obs_a = Observation()
+        a_raw = a_raw.observe(obs_a, F.max("raw").alias("mx")).localCheckpoint()
+        amx = obs_a.get["mx"]
+        a = a_raw.select(
             F.col("dst").alias("node"),
-            F.expr(f"(raw * {HITS_SCALE}) div mx").cast("bigint").alias("a"),
+            F.expr(f"(raw * {HITS_SCALE}) div CAST({1 if amx is None else int(amx)} AS BIGINT)")
+            .cast("bigint")
+            .alias("a"),
         )
         h_grp = e.join(a, e.dst == a.node).groupBy("src")
         if it == 0:  # round 1's groups cover every hub-side node
@@ -660,11 +671,14 @@ def hits_fixedpoint(
             )
         else:
             h_raw = h_grp.agg(F.sum("a").cast("bigint").alias("raw"))
-        h_raw = h_raw.localCheckpoint()
-        hmax = h_raw.agg(F.max("raw").alias("mx"))
-        h = h_raw.crossJoin(F.broadcast(hmax)).select(
+        obs_h = Observation()
+        h_raw = h_raw.observe(obs_h, F.max("raw").alias("mx")).localCheckpoint()
+        hmx = obs_h.get["mx"]
+        h = h_raw.select(
             F.col("src").alias("node"),
-            F.expr(f"(raw * {HITS_SCALE}) div mx").cast("bigint").alias("h"),
+            F.expr(f"(raw * {HITS_SCALE}) div CAST({1 if hmx is None else int(hmx)} AS BIGINT)")
+            .cast("bigint")
+            .alias("h"),
         )
     if bipartite_prefixes is not None:
         src_pfx, dst_pfx = bipartite_prefixes

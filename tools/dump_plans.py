@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for gated queries into plans/r15/<name>_<tag>.txt.
+"""Dump .explain("formatted") for gated queries into plans/<round>/<name>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> [query ...]   # default: all gated
 
@@ -28,8 +28,9 @@ def main() -> int:
     tag = sys.argv[1]
     names = sys.argv[2:] or sorted(QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "r16")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"dump_plans_{tag}", master="local[8]")
